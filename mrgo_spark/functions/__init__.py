@@ -1,0 +1,4 @@
+from .text import ascii_tokens, ws_tokens
+from .vectors import cosine_sim, dot, l2_norm
+
+__all__ = ["ascii_tokens", "ws_tokens", "cosine_sim", "dot", "l2_norm"]

@@ -1,0 +1,42 @@
+"""Text column expressions shared across operators.
+
+Tokenization mirrors the reference's word-count split ("split on every
+non-letter rune, drop empties" — reference mrapps/wc.go:26-29,
+mrapps/indexer.go:24). The oracle-declared variant is ASCII
+(``[^A-Za-z]+``) per SURVEY.md §7.3 risk register; a Unicode variant
+exists for engine-native use.
+
+All helpers return Column expressions (JVM-side, codegen'd) — no
+Python UDFs in the tokenize hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ASCII_NONLETTER = "[^A-Za-z]+"
+UNICODE_NONLETTER = r"[^\p{L}]+"
+
+
+def ascii_tokens(text: Column | str, lowercase: bool = False) -> Column:
+    """Array of ASCII-letter tokens (empties removed)."""
+    col = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        col = F.lower(col)
+        pat = "[^a-z]+"
+    else:
+        pat = ASCII_NONLETTER
+    return F.filter(F.split(col, pat), lambda t: t != F.lit(""))
+
+
+def unicode_tokens(text: Column | str) -> Column:
+    """Array of Unicode-letter tokens (engine-native variant)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(col, UNICODE_NONLETTER), lambda t: t != F.lit(""))
+
+
+def ws_tokens(text: Column | str) -> Column:
+    """Whitespace-split tokens (for token-count statistics)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))

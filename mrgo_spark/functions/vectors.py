@@ -1,0 +1,32 @@
+"""Vector column expressions over ``array<float>`` embedding columns.
+
+Pure built-in higher-order functions (``zip_with`` / ``aggregate``) —
+JVM-side, no Python round-trips — so similarity scans stay inside
+whole-stage codegen. Elements are cast to double before arithmetic so
+scores are stable across engines (fixtures store float32).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two array<numeric> columns (as double)."""
+    prods = F.zip_with(
+        _c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_sim(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

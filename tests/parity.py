@@ -1,0 +1,70 @@
+"""Local replica of the driver's t2 DuckDB-oracle differential check.
+
+Runs a declared Spark query and its oracle SQL on the same fixtures,
+then compares row count, column names, and order-insensitive values
+(columns sorted by name, rows sorted, floats rounded). Keeping this
+strict locally de-risks the driver's unknown hash normalization.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from mrgo_spark.sources.tables import TABLES
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, (int, str)):
+        return str(v)
+    return str(v)
+
+
+def _normalize(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def compare(spark, sf_dir: str, query_fn, oracle: str) -> tuple[bool, str]:
+    sdf = query_fn(spark, sf_dir)
+    s_cols = list(sdf.columns)
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duck_connect(sf_dir)
+    try:
+        res = con.execute(oracle)
+        d_cols = [d[0] for d in res.description]
+        d_rows = res.fetchall()
+    finally:
+        con.close()
+
+    if sorted(s_cols) != sorted(d_cols):
+        return False, f"column mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    if len(s_rows) != len(d_rows):
+        return False, f"row count mismatch: spark={len(s_rows)} duck={len(d_rows)}"
+    sn = _normalize(s_cols, s_rows)
+    dn = _normalize(d_cols, d_rows)
+    if sn != dn:
+        diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:5]
+        return False, f"value mismatch, first diffs: {diffs}"
+    return True, f"ok ({len(s_rows)} rows)"
