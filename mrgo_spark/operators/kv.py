@@ -1,0 +1,209 @@
+"""KV op-log engine (batch): the reference's linearizable KV surface.
+
+The reference specifies (via models/kv.go:40-54 and the kvraft test
+contracts) a Get/Put/Append store whose correctness notion is "fold a
+totally ordered, exactly-once op-log into keyed state". Raft supplies
+the total order there; here the order is the ``seq`` column and the
+fold is expressed declaratively so Catalyst plans it (SURVEY §2.3,
+§3.3).
+
+Semantics implemented:
+- at-most-once: duplicate deliveries share (client, reqid); only the
+  first occurrence (min seq) applies (kvraft/test_test.go:83-100).
+- Put replaces, Append concatenates with no separator, Get reads and
+  never mutates; missing key reads as "" (models/kv.go:43-51).
+
+Scale notes (100 TB): the fold is one shuffle on ``key`` (the
+window/groupBy share partitioning); dedup is a window on
+(client, reqid) — both are AQE-skew-splittable. No driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+NSHARDS = 10  # reference shardmaster/common.go:21
+
+
+def synth_oplog(events: DataFrame, n_keys: int = 50, dup_every: int = 17) -> DataFrame:
+    """Derive a deterministic KV op-log from the ``events`` fixture.
+
+    Mapping (pure, engine-agnostic so the oracle can reproduce it):
+    seq=event_id, client=user_id, op from event_type
+    (purchase/signup→put, error→get, else append),
+    key=str(user_id % n_keys), value='x<client>.<seq>y'.
+
+    Every ``dup_every``-th event is also delivered a second time with
+    the same (client, reqid) but a later seq — the retransmission the
+    at-most-once rule must suppress.
+    """
+    op = (
+        F.when(F.col("event_type").isin("purchase", "signup"), F.lit("put"))
+        .when(F.col("event_type") == "error", F.lit("get"))
+        .otherwise(F.lit("append"))
+    )
+    base = events.select(
+        F.col("event_id").alias("seq"),
+        F.col("user_id").alias("client"),
+        F.col("event_id").alias("reqid"),
+        op.alias("op"),
+        (F.col("user_id") % n_keys).cast("string").alias("key"),
+        F.when(
+            op != "get",
+            F.concat(
+                F.lit("x"),
+                F.col("user_id").cast("string"),
+                F.lit("."),
+                F.col("event_id").cast("string"),
+                F.lit("y"),
+            ),
+        ).alias("value"),
+    )
+    dups = base.filter((F.col("reqid") % dup_every) == 0).withColumn(
+        "seq", F.col("seq") + F.lit(10_000_000)
+    )
+    return base.unionAll(dups)
+
+
+def dedup_at_most_once(oplog: DataFrame) -> DataFrame:
+    """Keep only the first delivery of each (client, reqid)."""
+    w = Window.partitionBy("client", "reqid").orderBy("seq")
+    return (
+        oplog.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _ordered_concat(seq_col: str, value_col: str):
+    """Log-ordered string concat: sort (seq,value) structs, join values.
+
+    collect_list order is shuffle-dependent; sorting the struct array
+    by seq restores the log order deterministically.
+    """
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(seq_col, value_col))),
+            lambda s: s[value_col],
+        ),
+        "",
+    )
+
+
+def fold_state(oplog: DataFrame) -> DataFrame:
+    """Materialize final state per key: O21 batch fold.
+
+    state(k) = value of the last Put concatenated with every Append
+    after it (all Appends from the start if the key was never Put).
+    Columns: (key, state).
+    """
+    ops = dedup_at_most_once(oplog).filter(F.col("op").isin("put", "append"))
+    last_put = ops.filter(F.col("op") == "put").groupBy("key").agg(
+        F.max("seq").alias("last_put")
+    )
+    live = ops.join(last_put, "key", "left").filter(
+        F.col("seq") >= F.coalesce(F.col("last_put"), F.lit(-1))
+    )
+    return live.groupBy("key").agg(_ordered_concat("seq", "value").alias("state"))
+
+
+def get_results(oplog: DataFrame) -> DataFrame:
+    """O18: the value each Get observes at its position in the log.
+
+    Window formulation: ``put_grp`` counts Puts up to the current row
+    (so each Put starts a new group); within (key, put_grp) the state
+    is the ordered concat of mutation values up to the current row.
+    Gets carry NULL values, which the concat skips.
+    Columns: (seq, key, val).
+    """
+    ops = dedup_at_most_once(oplog)
+    w_grp = (
+        Window.partitionBy("key")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ops = ops.withColumn(
+        "put_grp",
+        F.count(F.when(F.col("op") == "put", F.lit(1))).over(w_grp),
+    )
+    w_state = (
+        Window.partitionBy("key", "put_grp")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_state = ops.withColumn(
+        "state",
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("value").isNotNull(),
+                            F.struct("seq", "value"),
+                        )
+                    ).over(w_state)
+                ),
+                lambda s: s["value"],
+            ),
+            "",
+        ),
+    )
+    return with_state.filter(F.col("op") == "get").select(
+        "seq", "key", F.coalesce(F.col("state"), F.lit("")).alias("val")
+    )
+
+
+def key2shard(key_col) -> F.Column:
+    """Reference shardkv/client.go:22-29: first byte of key mod NShards."""
+    col = F.col(key_col) if isinstance(key_col, str) else key_col
+    return (F.ascii(F.substring(col, 1, 1)) % NSHARDS).alias("shard")
+
+
+def shard_stats(oplog: DataFrame) -> DataFrame:
+    """O22 as a declared query: op count + distinct keys per shard."""
+    return (
+        oplog.withColumn("shard", key2shard("key"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_ops"),
+            F.countDistinct("key").alias("n_keys"),
+        )
+    )
+
+
+# --- O23: shard rebalancing (metadata op; reference shardmaster) -----------
+
+
+def rebalance(assignment: dict[int, int], groups: list[int]) -> dict[int, int]:
+    """Reassign shards to ``groups`` with max-min ≤ 1 and minimal moves.
+
+    ``assignment`` maps shard -> gid (0 = unassigned), mirroring
+    Config.Shards (reference shardmaster/common.go:20-29). The balance
+    invariant max-min ≤ 1 is what shardmaster/test_test.go:35-52
+    checks; minimal moves = only shards that must move do.
+    Deterministic: ties broken by gid order.
+    """
+    shards = sorted(assignment)
+    if not groups:
+        return {s: 0 for s in shards}
+    groups = sorted(set(groups))
+    n, g = len(shards), len(groups)
+    base, extra = divmod(n, g)
+    # Target capacity per gid: first `extra` gids (by id) get base+1.
+    cap = {gid: base + (1 if i < extra else 0) for i, gid in enumerate(groups)}
+    holding: dict[int, list[int]] = {gid: [] for gid in groups}
+    orphans: list[int] = []
+    for s in shards:
+        gid = assignment[s]
+        if gid in holding and len(holding[gid]) < cap[gid]:
+            holding[gid].append(s)
+        else:
+            orphans.append(s)
+    out = dict(assignment)
+    for gid in groups:
+        while len(holding[gid]) < cap[gid]:
+            s = orphans.pop(0)
+            out[s] = gid
+            holding[gid].append(s)
+    return out

@@ -1,1 +1,105 @@
-"""Filled in below."""
+"""Declared queries: KV op-log surface (SURVEY §2.3, O18-O22).
+
+The op-log is synthesized deterministically from the ``events``
+fixture with the exact same mapping on both engines (see
+``kv.synth_oplog``), so the DuckDB oracle reproduces it in a CTE.
+"""
+
+from __future__ import annotations
+
+from ..registry import declare
+from ..sources.tables import load_table
+from . import kv
+
+# Must mirror kv.synth_oplog exactly (n_keys=50, dup_every=17).
+_OPLOG = """
+    WITH base AS (
+        SELECT event_id AS seq,
+               user_id AS client,
+               event_id AS reqid,
+               CASE WHEN event_type IN ('purchase','signup') THEN 'put'
+                    WHEN event_type = 'error' THEN 'get'
+                    ELSE 'append' END AS op,
+               CAST(user_id % 50 AS VARCHAR) AS key,
+               CASE WHEN event_type = 'error' THEN NULL
+                    ELSE 'x' || CAST(user_id AS VARCHAR) || '.'
+                             || CAST(event_id AS VARCHAR) || 'y' END AS value
+        FROM events
+    ),
+    raw AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT seq + 10000000, client, reqid, op, key, value
+        FROM base WHERE reqid % 17 = 0
+    ),
+    oplog AS (
+        SELECT seq, client, reqid, op, key, value FROM (
+            SELECT *, row_number() OVER (PARTITION BY client, reqid
+                                         ORDER BY seq) AS rn
+            FROM raw
+        ) WHERE rn = 1
+    )
+"""
+
+
+@declare(
+    "kv_fold_state",
+    _OPLOG
+    + """
+    , ops AS (SELECT * FROM oplog WHERE op IN ('put','append')),
+    lp AS (SELECT key, max(seq) FILTER (WHERE op = 'put') AS last_put
+           FROM ops GROUP BY key)
+    SELECT key, string_agg(value, '' ORDER BY seq) AS state
+    FROM ops JOIN lp USING (key)
+    WHERE seq >= coalesce(last_put, -1)
+    GROUP BY key
+    """,
+)
+def q_kv_fold(spark, sf_dir):
+    """O19+O20+O21 — models/kv.go:40-54 fold, at-most-once dedup."""
+    return kv.fold_state(kv.synth_oplog(load_table(spark, sf_dir, "events")))
+
+
+@declare(
+    "kv_get_results",
+    _OPLOG
+    + """
+    , grp AS (
+        SELECT *,
+               count(*) FILTER (WHERE op = 'put') OVER (
+                   PARTITION BY key ORDER BY seq
+                   ROWS UNBOUNDED PRECEDING) AS put_grp
+        FROM oplog
+    ),
+    st AS (
+        SELECT *,
+               string_agg(value, '') OVER (
+                   PARTITION BY key, put_grp ORDER BY seq
+                   ROWS UNBOUNDED PRECEDING) AS state
+        FROM grp
+    )
+    SELECT seq, key, coalesce(state, '') AS val
+    FROM st WHERE op = 'get'
+    """,
+)
+def q_kv_get(spark, sf_dir):
+    """O18 — linearizable Get at its log position (kvraft/client.go:29-45)."""
+    return kv.get_results(kv.synth_oplog(load_table(spark, sf_dir, "events")))
+
+
+@declare(
+    "kv_shard_stats",
+    _OPLOG
+    + """
+    SELECT ascii(substr(key, 1, 1)) % 10 AS shard,
+           count(*) AS n_ops,
+           count(DISTINCT key) AS n_keys
+    FROM oplog
+    GROUP BY 1
+    """,
+)
+def q_shard_stats(spark, sf_dir):
+    """O22 — shardkv/client.go:22-29 key2shard routing."""
+    return kv.shard_stats(
+        kv.dedup_at_most_once(kv.synth_oplog(load_table(spark, sf_dir, "events")))
+    )

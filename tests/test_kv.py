@@ -1,0 +1,83 @@
+"""Unit tests for the KV op-log engine (semantics + rebalancer)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mrgo_spark.operators import kv
+
+
+def _oplog_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "seq long, client long, reqid long, op string, key string, value string"
+    )
+
+
+def test_fold_put_replaces_and_append_concats(spark):
+    rows = [
+        (1, 1, 1, "put", "a", "A1"),
+        (2, 1, 2, "append", "a", "+x"),
+        (3, 1, 3, "put", "a", "A2"),  # replaces everything before
+        (4, 1, 4, "append", "a", "+y"),
+        (5, 2, 5, "append", "b", "B1"),  # append-before-put acts as put
+    ]
+    out = {r.key: r.state for r in kv.fold_state(_oplog_df(spark, rows)).collect()}
+    assert out == {"a": "A2+y", "b": "B1"}
+
+
+def test_fold_at_most_once_dedup(spark):
+    rows = [
+        (1, 1, 100, "append", "a", "X"),
+        (9, 1, 100, "append", "a", "X"),  # duplicate delivery, same reqid
+        (2, 1, 101, "append", "a", "Y"),
+    ]
+    out = {r.key: r.state for r in kv.fold_state(_oplog_df(spark, rows)).collect()}
+    assert out == {"a": "XY"}
+
+
+def test_get_sees_state_at_its_seq(spark):
+    rows = [
+        (1, 1, 1, "get", "a", None),  # missing key -> ""
+        (2, 1, 2, "put", "a", "V"),
+        (3, 1, 3, "get", "a", None),
+        (4, 1, 4, "append", "a", "W"),
+        (5, 1, 5, "get", "a", None),
+        (6, 1, 6, "put", "a", "Z"),
+        (7, 1, 7, "get", "a", None),
+    ]
+    out = {r.seq: r.val for r in kv.get_results(_oplog_df(spark, rows)).collect()}
+    assert out == {1: "", 3: "V", 5: "VW", 7: "Z"}
+
+
+def _check_balance(assignment, groups):
+    counts = {g: 0 for g in groups}
+    for gid in assignment.values():
+        assert gid in counts
+        counts[gid] += 1
+    assert max(counts.values()) - min(counts.values()) <= 1
+
+
+@pytest.mark.parametrize("ngroups", [1, 2, 3, 4, 7, 10])
+def test_rebalance_balance_invariant(ngroups):
+    groups = list(range(100, 100 + ngroups))
+    a = kv.rebalance({s: 0 for s in range(kv.NSHARDS)}, groups)
+    _check_balance(a, groups)
+
+
+def test_rebalance_minimal_moves_on_join():
+    groups = [1]
+    a = kv.rebalance({s: 0 for s in range(10)}, groups)
+    # second group joins: exactly 5 shards must move
+    b = kv.rebalance(a, [1, 2])
+    _check_balance(b, [1, 2])
+    moved = sum(1 for s in a if a[s] != b[s])
+    assert moved == 5
+
+
+def test_rebalance_minimal_moves_on_leave():
+    a = kv.rebalance({s: 0 for s in range(10)}, [1, 2, 3])
+    b = kv.rebalance(a, [1, 2])
+    _check_balance(b, [1, 2])
+    # only shards of the departed group move
+    moved = {s for s in a if a[s] != b[s]}
+    assert all(a[s] == 3 for s in moved)
