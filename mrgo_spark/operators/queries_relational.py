@@ -1,1 +1,420 @@
-"""Filled in below."""
+"""Declared queries: engine-native relational surface.
+
+The reference has NO joins, window functions, limits, set ops, or
+grouping sets (SURVEY §2.5 "ABSENT" rows) — these are the operators a
+user of the new engine gets natively from Spark, declared here so the
+oracle gate covers them.
+
+Cross-engine float determinism: double sums are order-dependent at
+the last ulp, so every declared aggregate over doubles goes through a
+fixed-point form — per-row ``round(x*100)`` to integer cents (a
+deterministic function of identical parquet bytes on both engines),
+then an exact integer sum, then one final division. The resulting
+doubles are bit-identical regardless of partition/summation order.
+
+Scale notes (100 TB): dimension joins (region/nation/customer/
+supplier) are broadcast-eligible; fact-fact joins shuffle on join
+keys with AQE skew splitting; every agg is partial (map-side) first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..registry import declare
+from ..sources.tables import load_table
+
+
+def _cents(col):
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+@declare(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))/100.0 AS sum_base_price,
+           SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0
+               AS sum_disc_price,
+           SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT))
+               /100.0 AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1(spark, sf_dir):
+    """TPC-H Q1-style pricing summary (sort-agg in the reference's
+    world = O6+O7; here one partial-agg shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            (F.sum(_cents("l_extendedprice")) / 100.0).alias("sum_base_price"),
+            (F.sum(_cents(disc)) / 100.0).alias("sum_disc_price"),
+            (F.sum(_cents(charge)) / 100.0).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@declare(
+    "q3_top_revenue_orders",
+    """
+    SELECT o_orderkey,
+           SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0
+               AS revenue,
+           CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_orderkey, order_date, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3(spark, sf_dir):
+    """TPC-H Q3-style: 3-way join + agg + deterministic top-k.
+
+    customer is broadcast (small dim); orders⋈lineitem shuffles on
+    orderkey. Tie-break on o_orderkey keeps LIMIT deterministic.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(
+            (
+                F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                / 100.0
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "order_date", "o_orderpriority")
+    )
+
+
+@declare(
+    "q5_nation_revenue",
+    """
+    SELECT n_name,
+           SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0
+               AS revenue
+    FROM region
+      JOIN nation   ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      JOIN orders   ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5(spark, sf_dir):
+    """TPC-H Q5-style six-way join: local-supplier revenue per nation.
+
+    All four dims broadcast; the only shuffles are lineitem⋈orders
+    and the final agg.
+    """
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n),
+            (c.c_nationkey == n.n_nationkey) & (s.s_nationkey == n.n_nationkey),
+        )
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            (
+                F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                / 100.0
+            ).alias("revenue")
+        )
+    )
+
+
+@declare(
+    "join_semi_anti",
+    """
+    SELECT 'with_orders' AS cohort, COUNT(*) AS n_customers FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    UNION ALL
+    SELECT 'without_orders', COUNT(*) FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_semi_anti(spark, sf_dir):
+    """Semi/anti joins (EXISTS / NOT EXISTS) — absent in reference."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(
+        F.count("*").alias("n_customers")
+    ).select(F.lit("with_orders").alias("cohort"), "n_customers")
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
+        F.count("*").alias("n_customers")
+    ).select(F.lit("without_orders").alias("cohort"), "n_customers")
+    return semi.unionAll(anti)
+
+
+@declare(
+    "window_topk_parts",
+    """
+    SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               row_number() OVER (PARTITION BY p_brand
+                                  ORDER BY p_retailprice DESC, p_partkey) AS rn
+        FROM part
+    ) WHERE rn <= 3
+    """,
+)
+def q_topk_parts(spark, sf_dir):
+    """Top-k per group via window — absent in reference (SURVEY §2.5).
+
+    Raw parquet doubles compared directly (no arithmetic) → exact.
+    """
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+    )
+
+
+@declare(
+    "window_running_balance",
+    """
+    SELECT o_custkey, o_orderkey,
+           SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING)/100.0 AS running_spend
+    FROM orders
+    """,
+)
+def q_running(spark, sf_dir):
+    """Running aggregate over an ordered window (op-log-fold shaped:
+    same plan as O21's state accumulation)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(_cents("o_totalprice")).over(w) / 100.0).alias("running_spend"),
+    )
+
+
+@declare(
+    "sort_limit_top_orders",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_sort_limit(spark, sf_dir):
+    """Global top-k: Spark plans TakeOrderedAndProject (no full sort)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@declare(
+    "setops_nations",
+    """
+    SELECT n_name, 'both' AS src FROM (
+        SELECT DISTINCT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+        INTERSECT
+        SELECT DISTINCT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    )
+    UNION ALL
+    SELECT n_name, 'customer_only' FROM (
+        SELECT DISTINCT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
+        EXCEPT
+        SELECT DISTINCT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    )
+    """,
+)
+def q_setops(spark, sf_dir):
+    """INTERSECT / EXCEPT / UNION ALL — absent in reference."""
+    n = load_table(spark, sf_dir, "nation")
+    cust_n = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name")
+        .distinct()
+    )
+    supp_n = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name")
+        .distinct()
+    )
+    both = cust_n.intersect(supp_n).select("n_name", F.lit("both").alias("src"))
+    only = cust_n.exceptAll(supp_n).select(
+        "n_name", F.lit("customer_only").alias("src")
+    )
+    return both.unionAll(only)
+
+
+@declare(
+    "rollup_lineitem_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))/100.0 AS total_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark, sf_dir):
+    """ROLLUP grouping sets — absent in reference (SURVEY §2.5)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(_cents("l_extendedprice")) / 100.0).alias("total_price"),
+        )
+    )
+
+
+@declare(
+    "distinct_agg",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_distinct_agg(spark, sf_dir):
+    """Distinct aggregation (expand + two-phase agg in Spark)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@declare(
+    "pivot_order_priority",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark, sf_dir):
+    """Pivot (conditional aggregation under the hood)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0)
+        .withColumnsRenamed({"O": "status_o", "F": "status_f", "P": "status_p"})
+    )
+
+
+@declare(
+    "events_sessionize",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    )
+    SELECT user_id,
+           SUM(new_sess) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (lag + flag-sum) — streaming analog is
+    session_window(ts, gap); batch form declared for the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    return (
+        e.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@declare(
+    "events_tumbling_hour",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(value*100) AS BIGINT))/100.0 AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tumbling(spark, sf_dir):
+    """Tumbling time-window aggregate (batch form of the streaming
+    windowed agg in mrgo_spark.streaming)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+        ).agg(
+            F.count("*").alias("n"),
+            (F.sum(_cents("value")) / 100.0).alias("total_value"),
+        )
+    )
