@@ -1,0 +1,264 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Mandated extension surface (BASELINE.json "north_star"; SURVEY §2.4
+X1/X2). Five strategies, ordered by cost:
+
+- exact        — content hash, one shuffle, exact
+- fingerprint  — order/case-insensitive token-multiset hash, one
+                 shuffle, catches shuffled/re-cased copies
+- minhash_lsh  — banded MinHash over shingles: near-dup at ~Jaccard
+                 threshold, shuffle per band bucket (the 100 TB path:
+                 candidate pairs only, never O(n²))
+- simhash      — 64-bit sign-aggregated token hashes; hamming-ball
+                 lookup via band equality
+- ngram_jaccard / embedding cosine — exact pairwise scores, for
+  verification and small candidate sets (O(n²): only after LSH
+  blocking at scale)
+
+All hashing uses Spark built-ins (xxhash64/sha2) — JVM-side, no
+Python in the hot path. Determinism: every operator is seed-fixed;
+MinHash/SimHash outputs depend on xxhash64 so they are property-
+tested rather than oracle-declared (SURVEY §2.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import ascii_tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """X1: keep the lowest-id row per exact content match.
+
+    sha2-256 group key keeps shuffle rows narrow (32 bytes vs full
+    text) — at 100 TB the shuffle carries hashes, not documents.
+    """
+    w = Window.partitionBy("_h").orderBy(id_col)
+    return (
+        df.withColumn("_h", F.sha2(F.col(text_col), 256))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+def fingerprint(text_col) -> F.Column:
+    """Token-multiset fingerprint: lowercase tokens, sorted, joined.
+
+    Invariant under token reordering and case; the canonical string is
+    hashed (sha2) so the shuffle key stays narrow.
+    """
+    canon = F.array_join(F.array_sort(ascii_tokens(text_col, lowercase=True)), " ")
+    return F.sha2(canon, 256)
+
+
+def fingerprint_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup dedup for shuffled/re-cased copies (deterministic)."""
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    return (
+        df.withColumn("_fp", fingerprint(text_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
+def shingles(text_col, n: int = 3) -> F.Column:
+    """Word n-gram shingle set (lowercased) as array<string>."""
+    toks = ascii_tokens(text_col, lowercase=True)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int, shingle_n: int
+) -> DataFrame:
+    """Per-doc MinHash signature columns h0..h{n-1}.
+
+    Shape matters: explode shingles once, then ONE hash-aggregate with
+    num_hashes partial mins — instead of num_hashes array traversals
+    per row (which projection collapse would inline into an O(n·h)
+    expression tree). Map-side partial min keeps the shuffle at one
+    row per (doc, hash). Seeds are fixed → deterministic."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, shingle_n)).alias("sh"),
+    )
+    return ex.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """X2: candidate near-duplicate pairs via banded MinHash LSH.
+
+    rows = bands of size num_hashes/bands; docs sharing any band
+    bucket become a candidate pair. Scale path: the only join is an
+    equi-join on (band, bucket-hash) — never a cross join. With
+    r=4, b=16 the S-curve threshold is ~ (1/16)^(1/4) ≈ 0.5 Jaccard.
+    Columns: (id_a, id_b, n_bands) — verify candidates with
+    ``ngram_jaccard_pairs`` downstream.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            *[
+                                F.col(f"h{i}")
+                                for i in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (id_a, id_b).
+
+    Joins the shingle sets back onto the (small) candidate list —
+    at scale this touches only LSH survivors, not the corpus square.
+    Columns: (id_a, id_b, jaccard).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
+    )
+    out = (
+        candidates.join(sh.withColumnRenamed("sh", "sh_a"), F.col("id_a") == F.col("id"))
+        .drop("id")
+        .join(sh.withColumnRenamed("sh", "sh_b"), F.col("id_b") == F.col("id"))
+        .drop("id")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return out.select("id_a", "id_b", (inter / union).alias("jaccard"))
+
+
+def _bitmask(b: int) -> F.Column:
+    # two's-complement: bit 63's mask is the sign bit
+    return F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+
+
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """X2 variant: 64-bit SimHash of the token multiset → (id, sh).
+
+    Per bit b: sign of sum over tokens of (+1 if bit b of
+    xxhash64(token) else -1); packed into a bigint. Deterministic.
+    Same plan shape as MinHash: explode once, one aggregate with
+    ``bits`` partial sums (map-side combinable), pack after the agg.
+    Docs with zero tokens have no rows (excluded).
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(ascii_tokens(text_col, lowercase=True)).alias("tok"),
+    ).select("id", F.xxhash64("tok").alias("th"))
+    votes = ex.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("th").bitwiseAND(_bitmask(b)) != 0, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    packed = F.lit(0).cast("long")
+    for b in range(bits):
+        packed = packed + F.when(F.col(f"v{b}") > 0, _bitmask(b)).otherwise(0)
+    return votes.select("id", packed.alias("sh"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Candidate pairs whose SimHashes agree on ≥1 of 4 16-bit bands
+    (pigeonhole: any pair within hamming distance 3 must share a
+    band), then exact hamming filter. Columns: (id_a, id_b, hamming).
+    """
+    sh = simhash_table(df, text_col, id_col)
+    bands = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("sh"), i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1).cast("long"))
+                        .alias("bkey"),
+                    )
+                    for i in range(64 // band_bits)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,1 +1,335 @@
-"""Filled in below."""
+"""Declared queries: LLM-pipeline surface (SURVEY §2.4 X1-X5).
+
+The fixture corpus has no natural duplicates, so the dedup queries
+synthesize deterministic ones on BOTH engines: exact copies (new id =
+id+100000) and token-reversed copies (id+200000) of every 10th doc.
+
+Seed-dependent operators (MinHash LSH, SimHash, hyperplane LSH) use
+engine-specific hash functions and are property-tested instead
+(tests/test_dedup.py, tests/test_similarity.py) — declared rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.text import ascii_tokens
+from ..registry import declare
+from ..sources.tables import load_table
+from . import dedup, similarity, textstats
+
+# ---------------------------------------------------------------- dedup
+
+_DUP_CORPUS_SQL = """
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 200000,
+               array_to_string(list_reverse(list_filter(
+                   string_split_regex(text, '[^A-Za-z]+'), x -> x <> '')), ' ')
+        FROM documents WHERE doc_id % 10 = 0
+    )
+"""
+
+
+def _dup_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact_copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    reversed_copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(F.reverse(ascii_tokens("text")), " ").alias("text"),
+    )
+    return docs.unionAll(exact_copies).unionAll(reversed_copies)
+
+
+@declare(
+    "dedup_exact",
+    f"""
+    WITH {_DUP_CORPUS_SQL}
+    SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM corpus
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """X1: exact dedup drops the id+100000 copies, keeps reversed ones."""
+    return dedup.exact_dedup(_dup_corpus(spark, sf_dir)).select("doc_id")
+
+
+@declare(
+    "dedup_fingerprint",
+    f"""
+    WITH {_DUP_CORPUS_SQL},
+    fp AS (
+        SELECT doc_id,
+               array_to_string(list_sort(list_filter(
+                   string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')), ' ')
+               AS fingerprint
+        FROM corpus
+    )
+    SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+        FROM fp
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_fingerprint(spark, sf_dir):
+    """X2 (deterministic variant): token-multiset fingerprint dedup
+    also drops the token-REVERSED copies exact dedup keeps."""
+    return dedup.fingerprint_dedup(_dup_corpus(spark, sf_dir)).select("doc_id")
+
+
+# ----------------------------------------------------------- similarity
+
+_FX_NORMS_SQL = """
+    norms AS (
+        SELECT vec_id, embedding,
+               CAST(list_sum([CAST(round(CAST(embedding[i] AS DOUBLE)
+                                         * CAST(embedding[i] AS DOUBLE)
+                                         * 1000000.0) AS BIGINT)
+                              for i in generate_series(1, len(embedding))])
+                    AS BIGINT) AS norm_fx
+        FROM embeddings
+    )
+"""
+
+_FX_DOT_SQL = """
+    CAST(list_sum([CAST(round(CAST(a.embedding[i] AS DOUBLE)
+                              * CAST(b.embedding[i] AS DOUBLE)
+                              * 1000000.0) AS BIGINT)
+                   for i in generate_series(1, len(a.embedding))]) AS BIGINT)
+"""
+
+
+@declare(
+    "topk_cosine",
+    f"""
+    WITH {_FX_NORMS_SQL},
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_FX_DOT_SQL} / (sqrt(a.norm_fx) * sqrt(b.norm_fx)) AS score
+        FROM norms a JOIN norms b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id % 100 = 0
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_topk_cosine(spark, sf_dir):
+    """X3: exact top-5 cosine neighbors for query vectors
+    (vec_id % 100 == 0), fixed-point-stable across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.topk_cosine_exact(emb, queries, k=5)
+
+
+@declare(
+    "embedding_near_pairs",
+    f"""
+    WITH {_FX_NORMS_SQL}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_FX_DOT_SQL} / (sqrt(a.norm_fx) * sqrt(b.norm_fx)) AS score
+    FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+    WHERE {_FX_DOT_SQL} / (sqrt(a.norm_fx) * sqrt(b.norm_fx)) > 0.4
+    """,
+)
+def q_near_pairs(spark, sf_dir):
+    """X2/X3: embedding-cosine near-duplicate pairs (exact, small set)."""
+    return similarity.near_pairs_cosine(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+# ----------------------------------------------------------- text stats
+
+@declare(
+    "text_token_stats",
+    r"""
+    WITH tok AS (
+        SELECT lang, n_chars,
+               len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+               AS n_tokens
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(CAST(n_tokens AS BIGINT)) AS total_tokens,
+           CAST(SUM(CAST(n_tokens AS BIGINT)) * 1.0 / COUNT(*) AS DOUBLE)
+               AS avg_tokens,
+           SUM(n_chars) AS total_chars
+    FROM tok GROUP BY lang
+    """,
+)
+def q_token_stats(spark, sf_dir):
+    """X4: whitespace-token statistics per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", "n_chars", textstats.token_count("text").alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
+            (
+                F.sum(F.col("n_tokens").cast("bigint")) * 1.0 / F.count("*")
+            ).alias("avg_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@declare(
+    "ngram_bigrams_top20",
+    """
+    WITH tok AS (
+        SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT unnest([t[i] || ' ' || t[i+1]
+                       for i in generate_series(1, len(t)-1)]) AS ngram
+        FROM tok
+    )
+    SELECT ngram, COUNT(*) AS cnt FROM grams
+    GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20
+    """,
+)
+def q_bigrams(spark, sf_dir):
+    """X4: corpus-wide word-bigram top-20 (deterministic tie-break)."""
+    return (
+        textstats.ngram_counts(load_table(spark, sf_dir, "documents"), n=2)
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(20)
+    )
+
+
+@declare(
+    "char_quality_stats",
+    r"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_letters,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+           length(regexp_replace(text, '[^\s]', '', 'g')) AS n_spaces,
+           length(text) - length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             - length(regexp_replace(text, '[^0-9]', '', 'g'))
+             - length(regexp_replace(text, '[^\s]', '', 'g')) AS n_punct,
+           CASE WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) > 0
+                THEN CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+                     / length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                ELSE 0.0 END AS upper_ratio
+    FROM documents
+    """,
+)
+def q_char_stats(spark, sf_dir):
+    """X4: per-document character-class statistics."""
+    return textstats.char_stats(load_table(spark, sf_dir, "documents"))
+
+
+@declare(
+    "lang_id_heuristic",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    scores AS (
+        SELECT doc_id,
+            len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS s_de,
+            len(list_filter(t, x -> x IN ('the','and','of','to','is','in','that'))) AS s_en,
+            len(list_filter(t, x -> x IN ('el','la','los','las','es','y','que'))) AS s_es,
+            len(list_filter(t, x -> x IN ('le','la','les','et','est','que','des'))) AS s_fr
+        FROM tok
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM scores
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    """X4: marker-stopword language ID (the declared contract is the
+    formula — argmax marker hits, ties to earliest language code)."""
+    return textstats.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@declare(
+    "quality_score",
+    r"""
+    WITH base AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t,
+               length(text) AS n_chars
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                   / greatest(n_chars, 1) AS letter_ratio,
+               CASE WHEN len(t) > 0
+                    THEN CAST(coalesce(list_sum([length(x) for x in t]), 0) AS DOUBLE)
+                         / len(t)
+                    ELSE 0.0 END AS mean_word_len,
+               CAST(len(list_filter(t,
+                    x -> x IN ('the','and','of','to','is','in','that'))) AS DOUBLE)
+                   / greatest(len(t), 1) AS stopword_ratio
+        FROM base
+    )
+    SELECT doc_id, n_tokens, letter_ratio, mean_word_len, stopword_ratio,
+           CAST(CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN letter_ratio >= 0.6 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN stopword_ratio > 0.0 THEN 0.25 ELSE 0.0 END AS DOUBLE)
+           AS quality
+    FROM m
+    """,
+)
+def q_quality(spark, sf_dir):
+    """X4: deterministic quality-score formula per document."""
+    return textstats.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------- rows-only declared (no oracle)
+
+@declare("minhash_lsh_pairs")
+def q_minhash(spark, sf_dir):
+    """X2: MinHash-LSH candidate pairs (xxhash64 seeds — engine hash,
+    property-tested vs exact Jaccard in tests/test_dedup.py)."""
+    return dedup.minhash_lsh_pairs(_dup_corpus(spark, sf_dir))
+
+
+@declare("simhash_pairs")
+def q_simhash(spark, sf_dir):
+    """X2: SimHash near-dup pairs within hamming distance 3."""
+    return dedup.simhash_pairs(_dup_corpus(spark, sf_dir))
+
+
+@declare("topk_cosine_lsh")
+def q_topk_lsh(spark, sf_dir):
+    """X3 scale path: hyperplane-LSH ANN top-5 (recall property-tested
+    vs exact in tests/test_similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.topk_cosine_lsh(emb, queries, k=5)
+
+
+@declare("doc_fingerprints")
+def q_doc_fp(spark, sf_dir):
+    """X4: order-sensitive rolling-hash document fingerprints."""
+    return textstats.doc_fingerprint(load_table(spark, sf_dir, "documents"))

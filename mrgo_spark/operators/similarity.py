@@ -1,0 +1,195 @@
+"""Similarity search over embedding columns (SURVEY §2.4 X3).
+
+Two paths:
+
+- ``topk_cosine_exact`` — brute-force exact top-k: the baseline and
+  the oracle-checkable form. Uses fixed-point arithmetic so scores
+  are bit-identical across engines (see note below).
+- ``topk_cosine_lsh`` — random-hyperplane LSH blocking: candidates
+  share ≥1 hash band, scored exactly, then top-k. The 100 TB path:
+  the corpus-side join key is (band, signature), so cost scales with
+  collisions, not corpus².
+
+Fixed-point determinism: double summation order is engine-dependent
+at the last ulp. Each elementwise product is rounded to 1e-6 and
+summed as integers — identical parquet floats → identical integers →
+identical final doubles on Spark and DuckDB.
+
+100 TB notes: queries are broadcast (a query set is small by
+definition); the corpus side is never shuffled for the exact scan —
+one pass, partial top-k per partition via the window, AQE coalesced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+FX = 1_000_000  # fixed-point scale for cross-engine determinism
+
+
+def _fx_dot(a, b) -> F.Column:
+    """Σ round(a_i*b_i*FX) as bigint — order-independent exact sum."""
+    prods = F.zip_with(
+        a, b, lambda x, y: F.round(x.cast("double") * y.cast("double") * FX).cast("long")
+    )
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def cosine_fx(a, b) -> F.Column:
+    """Cosine from fixed-point dot/norms (bit-stable across engines)."""
+    return _fx_dot(a, b) / (F.sqrt(_fx_dot(a, a)) * F.sqrt(_fx_dot(b, b)))
+
+
+def topk_cosine_exact(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is broadcast; the corpus is scanned once. Ties broken
+    by neighbor id for determinism. Columns: (query_id, neighbor_id,
+    score, rank).
+    """
+    # Precompute per-side norms below the join: corpus norms are
+    # evaluated once per corpus row, not once per (query, corpus) pair.
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.sqrt(_fx_dot(F.col(vec_col), F.col(vec_col))).alias("qnorm"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.sqrt(_fx_dot(F.col(vec_col), F.col(vec_col))).alias("cnorm"),
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        (
+            _fx_dot(F.col("qvec"), F.col("cvec"))
+            / (F.col("qnorm") * F.col("cnorm"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def hyperplane_signature(vec_col, planes: list[list[float]]) -> F.Column:
+    """Sign bits of fixed random-hyperplane projections, packed to long."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda v, w: v.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return sig
+
+
+def _fixed_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG — no numpy import
+    needed at the executor; generated once on the driver)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def topk_cosine_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH bands.
+
+    Corpus and queries hash to ``bands`` buckets of ``n_planes/bands``
+    sign bits; candidates share ≥1 bucket, then are scored exactly.
+    Recall is property-tested against ``topk_cosine_exact``
+    (tests/test_similarity.py) — approximate by design.
+    """
+    planes = _fixed_planes(dim, n_planes)
+    per_band = n_planes // bands
+    mask = (1 << per_band) - 1
+
+    def banded(df, idname):
+        sig = hyperplane_signature(F.col(vec_col), planes)
+        return df.select(
+            F.col(id_col).alias(idname),
+            F.col(vec_col).alias(f"{idname}_vec"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftrightunsigned(sig, b * per_band)
+                            .bitwiseAND(F.lit(mask).cast("long"))
+                            .alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(idname, f"{idname}_vec", "bb.band", "bb.bucket")
+
+    cand = (
+        banded(embeddings, "neighbor_id")
+        .join(
+            F.broadcast(banded(queries, "query_id")),
+            ["band", "bucket"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "query_id_vec", "neighbor_id_vec")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine_fx(F.col("query_id_vec"), F.col("neighbor_id_vec")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def near_pairs_cosine(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (a<b) with cosine > threshold — exact, O(n²): the
+    verification tool / small-set path. At scale, run topk_cosine_lsh
+    first and verify survivors here. Columns: (id_a, id_b, score)."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_fx(F.col("va"), F.col("vb")).alias("score"))
+        .filter(F.col("score") > threshold)
+    )

@@ -1,0 +1,175 @@
+"""Text analysis operators for LLM training-data pipelines
+(SURVEY §2.4 X4): token counting, n-grams, character/quality stats,
+language-ID heuristic, document fingerprinting.
+
+Everything is built-in column expressions (JVM-side); no Python UDFs.
+100 TB notes: all per-document stats are map-side only (no shuffle);
+the n-gram count is tokenize→explode→one partial-agg shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import ascii_tokens, ws_tokens
+
+# Marker stopwords per language for the lang-ID heuristic. Determinism
+# matters more than linguistic coverage here; the heuristic is the
+# declared contract (predicted = argmax marker hits, ties → lexical
+# order of the language code, 'und' = undetermined when no marker hits).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en": ("the", "and", "of", "to", "is", "in", "that"),
+    "es": ("el", "la", "los", "las", "es", "y", "que"),
+    "fr": ("le", "la", "les", "et", "est", "que", "des"),
+}
+
+
+def token_count(text_col) -> F.Column:
+    """Whitespace token count (the reference's wc unit is letters-only
+    words; token *statistics* use whitespace splitting)."""
+    return F.size(ws_tokens(text_col))
+
+
+def bpe_ish_token_count(text_col) -> F.Column:
+    """Rough BPE-style token estimate: word-pieces + digits + punct.
+
+    A regex proxy for tokenizer budgeting (counts letter runs of ≤4
+    chars as one piece, longer runs as ceil(len/4), plus each digit /
+    punctuation char) — deterministic, no external tokenizer.
+    """
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    letter_runs = F.filter(F.split(col, "[^A-Za-z]+"), lambda t: t != F.lit(""))
+    pieces = F.aggregate(
+        letter_runs,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("long"),
+    )
+    non_letters = F.length(F.regexp_replace(col, r"[A-Za-z\s]", ""))
+    return (pieces + non_letters).alias("bpe_tokens")
+
+
+def char_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document character statistics. Columns: doc_id, n_chars,
+    n_letters, n_digits, n_spaces, n_punct, upper_ratio."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_letters = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    n_upper = F.length(F.regexp_replace(t, "[^A-Z]", ""))
+    n_digits = F.length(F.regexp_replace(t, "[^0-9]", ""))
+    n_spaces = F.length(F.regexp_replace(t, r"[^\s]", ""))
+    return documents.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_letters.alias("n_letters"),
+        n_digits.alias("n_digits"),
+        n_spaces.alias("n_spaces"),
+        (n_chars - n_letters - n_digits - n_spaces).alias("n_punct"),
+        F.when(n_letters > 0, n_upper.cast("double") / n_letters.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("upper_ratio"),
+    )
+
+
+def quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0,1]: length band, letter ratio,
+    mean word length band, stopword presence. Deterministic formula —
+    the *contract* is the formula, tuned thresholds are arbitrary.
+    Columns: doc_id, n_tokens, letter_ratio, mean_word_len, stopword_ratio,
+    quality."""
+    t = F.col(text_col)
+    toks = ascii_tokens(t, lowercase=True)
+    n_tokens = F.size(toks)
+    n_chars = F.length(t)
+    letter_ratio = F.length(F.regexp_replace(t, "[^A-Za-z]", "")).cast(
+        "double"
+    ) / F.greatest(n_chars, F.lit(1)).cast("double")
+    mean_wl = F.when(
+        n_tokens > 0,
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).cast("double")
+        / n_tokens,
+    ).otherwise(0.0)
+    stop = F.size(
+        F.filter(toks, lambda x: x.isin(*LANG_MARKERS["en"]))
+    ).cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")
+    quality = (
+        F.when((n_tokens >= 10) & (n_tokens <= 100000), 0.25).otherwise(0.0)
+        + F.when(letter_ratio >= 0.6, 0.25).otherwise(0.0)
+        + F.when((mean_wl >= 2.0) & (mean_wl <= 12.0), 0.25).otherwise(0.0)
+        + F.when(stop > 0.0, 0.25).otherwise(0.0)
+    )
+    return documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        letter_ratio.alias("letter_ratio"),
+        mean_wl.alias("mean_word_len"),
+        stop.alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-stopword language ID. Columns: doc_id, pred_lang.
+
+    predicted = language with most marker-token hits; ties broken by
+    language code order; 'und' when nothing matches.
+    """
+    toks = ascii_tokens(text_col, lowercase=True)
+
+    def marker_filter(markers):
+        # NB: HOF lambdas must be unary — PySpark binds a Column to
+        # every parameter, including defaults.
+        return lambda x: x.isin(*markers)
+
+    scores = {
+        lang: F.size(F.filter(toks, marker_filter(markers)))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # reversed so earlier language codes win ties via later .when overwrite
+    for lang in sorted(scores, reverse=True):
+        pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return documents.select("doc_id", pred.alias("pred_lang"))
+
+
+def ngram_counts(
+    documents: DataFrame, n: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Word n-gram frequency across the corpus. Columns: (ngram, cnt).
+
+    tokenize → per-doc n-gram arrays (map-side) → explode → one
+    partial-agg shuffle.
+    """
+    toks = ascii_tokens(text_col, lowercase=True)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        documents.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def doc_fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rolling polynomial hash over tokens (mod 2^31-1) — an
+    order-SENSITIVE content fingerprint (vs dedup.fingerprint which is
+    order-insensitive). Columns: doc_id, fp.
+
+    h = Σ_i (xxhash64(tok_i) mod M) * 31^i  (mod M), folded
+    incrementally as h = h*31 + tok_hash to stay in bigint range.
+    """
+    m = (1 << 31) - 1
+    toks = ascii_tokens(text_col, lowercase=True)
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + F.pmod(F.xxhash64(t), F.lit(m))) % m,
+    )
+    return documents.select("doc_id", fp.alias("fp"))

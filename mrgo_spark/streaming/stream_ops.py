@@ -1,0 +1,158 @@
+"""Structured Streaming operators.
+
+The reference has no streaming at all (SURVEY §2.5) — its closest
+analog is the incremental apply of the Raft op-log
+(raft/raft.go:242-256). That maps to Structured Streaming stateful
+processing; the batch fold in ``operators.kv`` and the streaming fold
+here must agree on the final state (tested in tests/test_streaming.py).
+
+100 TB notes: state lives in the executor state store partitioned by
+key (same hash partitioning as the batch fold); watermarks bound the
+state for window aggs; checkpointLocation gives exactly-once.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+OPLOG_SCHEMA = (
+    "seq long, client long, reqid long, op string, key string, value string"
+)
+
+
+def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
+    """File-source stream over the events fixture directory.
+
+    (The fixture's TIMESTAMP(NANOS) column needs the same legacy conf
+    as the batch loader; the stream reader uses an explicit schema
+    with ts as long nanos, converted after read.)
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    return (
+        spark.readStream.schema(raw_schema)
+        .parquet(dir_path)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts per event_type — the
+    streaming twin of the declared ``events_tumbling_hour`` query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_avg(events: DataFrame, window: str = "1 hour",
+                slide: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Sliding-window mean value per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.avg("value").alias("avg_value"), F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "avg_value", "n")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Native session windows (gap-based) per user — streaming twin of
+    the declared batch ``events_sessionize`` query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+# ---- stateful op-log fold (streaming variant of operators.kv) ------------
+
+_FOLD_OUTPUT_SCHEMA = "key string, state string, n_ops long"
+_FOLD_STATE_SCHEMA = "state string, n_ops long"
+
+
+def _fold_one_key(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState fold: Put=replace, Append=concat.
+
+    Within a micro-batch, ops are applied in ``seq`` order; state
+    carries across batches via the state store. (At-most-once dedup
+    is done upstream — cheaply as a batch window or idempotent
+    producer; keeping the keyed state minimal matters at scale.)
+    """
+    if state.exists:
+        cur, n = state.get
+    else:
+        cur, n = "", 0
+    for pdf in pdfs:
+        pdf = pdf.sort_values("seq")
+        for _, row in pdf.iterrows():
+            n += 1
+            if row["op"] == "put":
+                cur = row["value"] or ""
+            elif row["op"] == "append":
+                cur = cur + (row["value"] or "")
+    state.update((cur, n))
+    yield pd.DataFrame({"key": [key[0]], "state": [cur], "n_ops": [n]})
+
+
+def streaming_fold(oplog_stream: DataFrame) -> DataFrame:
+    """O21 streaming: keyed state fold via applyInPandasWithState."""
+    return (
+        oplog_stream.filter(F.col("op").isin("put", "append"))
+        .groupBy("key")
+        .applyInPandasWithState(
+            _fold_one_key,
+            outputStructType=_FOLD_OUTPUT_SCHEMA,
+            stateStructType=_FOLD_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "update"):
+    """Drive a streaming query to completion over the available batch
+    of files and land results in an in-memory table (test harness)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

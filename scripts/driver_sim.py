@@ -1,0 +1,71 @@
+"""Driver simulation: the verify-skill recipe as a script.
+
+Runs entry() (t1) then every queries() entry vs its oracle_sql() in
+DuckDB (t2) at the given sf dir. Usage:
+    python scripts/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+from pathlib import Path
+
+import duckdb
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+spec = importlib.util.spec_from_file_location(
+    "__spark_entry__", REPO / "__spark_entry__.py"
+)
+mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(mod)
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+spark = (
+    SparkSession.builder.master("local[16]")
+    .config("spark.sql.shuffle.partitions", "16")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+assert len(mod.entry(spark).collect()) > 0, "entry() returned no rows"
+print("entry(): ok")
+
+q, o = mod.queries(), mod.oracle_sql()
+con = duckdb.connect()
+for t in [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+
+def norm(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(repr(r[i]) for i in order) for r in rows)
+
+
+bad = []
+for name in sorted(q):
+    sdf = q[name](spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    if name not in o:
+        print(f"{name}: rows-only ({len(srows)} rows)", flush=True)
+        continue
+    res = con.execute(o[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    ok = norm(sdf.columns, srows) == norm(dcols, drows)
+    print(f"{name}: {'OK' if ok else 'MISMATCH'} ({len(srows)} vs {len(drows)})", flush=True)
+    if not ok:
+        bad.append(name)
+
+print("BAD:", bad)
+sys.exit(1 if bad else 0)

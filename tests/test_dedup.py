@@ -1,0 +1,78 @@
+"""Property tests for dedup operators (seed-dependent ones especially:
+MinHash LSH and SimHash can't be oracle-declared — SURVEY §2.4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mrgo_spark.operators import dedup
+from mrgo_spark.operators.queries_llm import _dup_corpus
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_dedup_drops_only_exact_copies(spark):
+    corpus = _dup_corpus(spark, SF)
+    n_orig = corpus.filter(F.col("doc_id") < 100000).count()
+    n_rev = corpus.filter(F.col("doc_id") >= 200000).count()
+    out = dedup.exact_dedup(corpus)
+    # exact copies (id+100000) removed; originals + reversed kept
+    assert out.count() == n_orig + n_rev
+    assert out.filter((F.col("doc_id") >= 100000) & (F.col("doc_id") < 200000)).count() == 0
+
+
+def test_fingerprint_dedup_also_drops_reversed(spark):
+    corpus = _dup_corpus(spark, SF)
+    n_orig = corpus.filter(F.col("doc_id") < 100000).count()
+    out = dedup.fingerprint_dedup(corpus)
+    assert out.count() == n_orig
+    assert out.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_minhash_lsh_finds_exact_copies(spark):
+    """An exact copy has Jaccard 1.0 — every band collides, so LSH
+    must surface every (orig, orig+100000) pair."""
+    corpus = _dup_corpus(spark, SF)
+    pairs = dedup.minhash_lsh_pairs(corpus).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    expected = {
+        (r.doc_id, r.doc_id + 100000)
+        for r in corpus.filter(
+            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100000)
+        ).collect()
+    }
+    assert expected <= found
+
+
+def test_minhash_candidates_verified_by_jaccard(spark):
+    """LSH candidates → exact n-gram Jaccard: exact copies score 1.0;
+    verified survivors at 0.8 are exactly the planted duplicates."""
+    corpus = _dup_corpus(spark, SF)
+    cand = dedup.minhash_lsh_pairs(corpus)
+    scored = dedup.ngram_jaccard_pairs(corpus, cand)
+    high = scored.filter(F.col("jaccard") >= 0.999).collect()
+    pairs = {(r.id_a, r.id_b) for r in high}
+    expected = {
+        (i, i + 100000)
+        for (i,) in corpus.filter(
+            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100000)
+        ).select("doc_id").collect()
+    }
+    assert expected <= pairs
+
+
+def test_simhash_identical_for_exact_and_reversed_copies(spark):
+    """SimHash is order-insensitive over the token multiset: exact and
+    reversed copies land at hamming distance 0 from their original."""
+    corpus = _dup_corpus(spark, SF)
+    sh = dedup.simhash_table(corpus).collect()
+    by_id = {r.id: r.sh for r in sh}
+    for i, h in by_id.items():
+        if i >= 100000:
+            assert h == by_id[i % 100000], f"copy {i} hash differs"
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    row = df.select(dedup.shingles("text", 3).alias("s")).collect()[0]
+    assert row.s == ["one two"]

@@ -1,0 +1,84 @@
+"""MR compatibility layer: golden parity with the DataFrame-native
+apps (the reference's differential-vs-sequential-oracle strategy,
+SURVEY §5.1) plus a chaos test for task re-execution (§5.3)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mrgo_spark.operators import mr, mrapps
+from mrgo_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _kv_dict(df):
+    return {r[0]: r[1] for r in df.collect()}
+
+
+def test_mrjob_wc_matches_dataframe_wordcount(spark):
+    docs = load_table(spark, SF, "documents")
+    job = mr.MRJob(mr.wc_map, mr.wc_reduce)
+    got = _kv_dict(job.run_documents(docs))
+    want = {
+        r.word: str(r.cnt) for r in mrapps.word_count(docs).collect()
+    }
+    assert got == want
+
+
+def test_mrjob_indexer_matches_dataframe(spark):
+    docs = load_table(spark, SF, "documents")
+    job = mr.MRJob(mr.indexer_map, mr.indexer_reduce)
+    got = _kv_dict(job.run_documents(docs))
+    want = {r.word: r.posting for r in mrapps.inverted_index(docs).collect()}
+    assert got == want
+
+
+def test_mrjob_sorted_concat_deterministic(spark):
+    """Reduce output must be arrival-order independent (the crash-test
+    invariant, reference test-mr.sh:192-200): two runs with different
+    partition counts produce identical results."""
+    docs = load_table(spark, SF, "documents")
+
+    def map_lang(_k, v):  # value = "lang:doc_id"
+        lang, doc_id = v.split(":", 1)
+        yield lang, doc_id
+
+    pairs = docs.select(
+        F.col("doc_id").cast("string"),
+        F.concat_ws(":", "lang", F.col("doc_id").cast("string")),
+    )
+    a = _kv_dict(mr.MRJob(map_lang, mr.sorted_concat_reduce, n_reduce=2).run_kv(spark, pairs))
+    b = _kv_dict(mr.MRJob(map_lang, mr.sorted_concat_reduce, n_reduce=10).run_kv(spark, pairs))
+    assert a == b and len(a) == 5
+
+
+def test_task_retry_produces_identical_output(spark):
+    """Chaos analog of mrapps/crash.go: a map UDF that fails on the
+    first attempt of some tasks. With task retry (master local[N,2])
+    Spark re-executes and the output equals the no-crash run —
+    the reference's fault-tolerance observable (SURVEY §0)."""
+    docs = load_table(spark, SF, "documents")
+
+    marker_dir = "/tmp/mrgo_chaos_markers"
+    os.makedirs(marker_dir, exist_ok=True)
+    for f in os.listdir(marker_dir):
+        os.unlink(os.path.join(marker_dir, f))
+
+    def chaotic_map(key: str, contents: str):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        if ctx is not None and ctx.partitionId() == 0 and ctx.attemptNumber() == 0:
+            marker = os.path.join(marker_dir, f"p{ctx.partitionId()}")
+            if not os.path.exists(marker):
+                open(marker, "w").close()
+                raise RuntimeError("injected chaos: first attempt dies")
+        yield from mr.wc_map(key, contents)
+
+    golden = _kv_dict(mr.MRJob(mr.wc_map, mr.wc_reduce).run_documents(docs))
+    chaotic = _kv_dict(mr.MRJob(chaotic_map, mr.wc_reduce).run_documents(docs))
+    assert chaotic == golden
+    assert os.listdir(marker_dir), "chaos never triggered"

@@ -1,0 +1,51 @@
+"""Plan-shape assertions: the 100 TB design rules as tests.
+
+- filters reach the parquet scan (predicate pushdown)
+- scans read only referenced columns (pruning)
+- dimension joins go broadcast (no fact-side shuffle for dims)
+- single-shuffle aggregation pipelines stay single-shuffle
+"""
+
+from __future__ import annotations
+
+from mrgo_spark import plans
+from mrgo_spark.operators.queries_llm import q_topk_cosine
+from mrgo_spark.operators.queries_relational import q1, q3, q5
+from mrgo_spark.operators.queries_mrapps import q_wordcount
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q1_filter_pushed_and_pruned(spark):
+    df = q1(spark, SF)
+    assert plans.has_pushed_filters(df, "l_shipdate")
+    cols = plans.scan_read_schema(df)
+    assert "l_comment" not in cols  # nothing extraneous
+    assert set(cols) <= {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    }
+
+
+def test_q3_broadcasts_dimension(spark):
+    df = q3(spark, SF)
+    assert plans.has_broadcast_join(df)
+    assert plans.has_pushed_filters(df, "c_mktsegment")
+
+
+def test_q5_broadcasts_all_dims(spark):
+    df = q5(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    # orders⋈lineitem is the only sort-merge/shuffle-eligible join;
+    # every dimension join must be broadcast.
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_wordcount_single_shuffle(spark):
+    df = q_wordcount(spark, SF)
+    assert plans.shuffle_count(df) <= 1
+
+
+def test_topk_cosine_broadcasts_queries(spark):
+    df = q_topk_cosine(spark, SF)
+    assert plans.has_broadcast_join(df)

@@ -1,0 +1,69 @@
+"""Similarity search: exact correctness + ANN recall properties."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from mrgo_spark.operators import similarity
+from mrgo_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_topk_exact_matches_python_oracle(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    got = similarity.topk_cosine_exact(emb, queries, k=5).collect()
+
+    vecs = {r.vec_id: list(r.embedding) for r in emb.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    for qid in [v for v in vecs if v % 100 == 0]:
+        expect = sorted(
+            ((cos(vecs[qid], v), -i) for i, v in vecs.items() if i != qid),
+            reverse=True,
+        )[:5]
+        expect_ids = [-i for _, i in expect]
+        got_ids = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank) if r.query_id == qid]
+        assert got_ids == expect_ids, f"query {qid}"
+
+
+def test_lsh_recall_vs_exact(spark):
+    """ANN is approximate by design; on the fixture it must recover a
+    solid fraction of true top-5 neighbors (recall ≥ 0.4 — hyperplane
+    LSH with 16 bits over 64-dim near-orthogonal vectors)."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = similarity.topk_cosine_exact(emb, queries, k=5).collect()
+    approx = similarity.topk_cosine_lsh(emb, queries, k=5).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in exact}
+    got = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.4, f"recall {recall:.2f}"
+
+
+def test_lsh_scores_are_exact_for_returned_pairs(spark):
+    """LSH candidates are scored with the same fixed-point cosine —
+    scores must match the exact scan wherever pairs overlap."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in similarity.topk_cosine_exact(emb, queries, k=5).collect()
+    }
+    for r in similarity.topk_cosine_lsh(emb, queries, k=5).collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in exact:
+            assert r.score == exact[key]
+
+
+def test_near_pairs_symmetric_threshold(spark):
+    emb = load_table(spark, SF, "embeddings")
+    rows = similarity.near_pairs_cosine(emb, threshold=0.4).collect()
+    assert all(r.id_a < r.id_b for r in rows)
+    assert all(r.score > 0.4 for r in rows)
