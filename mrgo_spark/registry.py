@@ -39,6 +39,7 @@ def _load_all() -> None:
     from .operators import queries_relational  # noqa: F401
     from .operators import queries_kv  # noqa: F401
     from .operators import queries_llm  # noqa: F401
+    from .operators import queries_scalar  # noqa: F401
 
 
 _LOADED = False

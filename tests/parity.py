@@ -25,17 +25,13 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
+    # repr-strict: the engine's determinism strategy targets
+    # bit-identical values, so even float cells must repr-match.
     if v is None:
         return "NULL"
-    if isinstance(v, bool):
-        return str(int(v))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.6g}"
-    if isinstance(v, (int, str)):
-        return str(v)
-    return str(v)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return repr(v)
 
 
 def _normalize(cols: list[str], rows: list[tuple]) -> list[tuple]:
