@@ -333,3 +333,12 @@ def q_topk_lsh(spark, sf_dir):
 def q_doc_fp(spark, sf_dir):
     """X4: order-sensitive rolling-hash document fingerprints."""
     return textstats.doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@declare("topk_cosine_ivf")
+def q_topk_ivf(spark, sf_dir):
+    """X3 scale path (2): IVF-partitioned ANN top-5 (recall
+    property-tested vs exact in tests/test_similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.topk_cosine_ivf(emb, queries, k=5)

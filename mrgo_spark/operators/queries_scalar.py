@@ -224,3 +224,29 @@ def q_asof(spark, sf_dir):
     return out.select(
         "event_id", "user_id", F.col("pvalue").alias("last_purchase_value")
     )
+
+
+@declare(
+    "json_extract_props",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_props(spark, sf_dir):
+    """JSON scalar functions over the events.props column (the
+    reference's only JSON use was the shuffle codec, O4; here JSON is
+    a first-class column format)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )

@@ -193,3 +193,93 @@ def near_pairs_cosine(
         .select("id_a", "id_b", cosine_fx(F.col("va"), F.col("vb")).alias("score"))
         .filter(F.col("score") > threshold)
     )
+
+
+# ---- IVF (inverted-file) ANN: the high-recall scale path ----------------
+
+
+def _assign_cells(df: DataFrame, centroids: DataFrame, idname: str,
+                  vec_col: str, n_probe: int = 1) -> DataFrame:
+    """Attach the ``n_probe`` nearest centroid ids to each vector.
+
+    centroids: (cell_id, cvec) — small by construction (K ≈ √n), so
+    the assignment join is a broadcast; cost is one corpus scan.
+    """
+    scored = df.select(
+        F.col(idname), F.col(vec_col)
+    ).join(F.broadcast(centroids)).select(
+        idname,
+        vec_col,
+        "cell_id",
+        _fx_dot(F.col(vec_col), F.col("cvec")).alias("aff"),
+    )
+    w = Window.partitionBy(idname).orderBy(F.desc("aff"), F.asc("cell_id"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_probe)
+        .drop("_r", "aff")
+    )
+
+
+def ivf_centroids(embeddings: DataFrame, k: int = 16,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic coarse quantizer: every (n/k)-th vector by id
+    rank becomes a centroid (no random init; reproducible across
+    runs/engines). A k-means refinement can replace this without
+    changing the query path."""
+    w = Window.orderBy(id_col)
+    ranked = embeddings.select(
+        F.col(id_col), F.col(vec_col), F.row_number().over(w).alias("_rank")
+    )
+    n = ranked.count()
+    step = max(n // k, 1)
+    return (
+        ranked.filter(((F.col("_rank") - 1) % step == 0) & (F.col("_rank") <= step * k))
+        .select(
+            ((F.col("_rank") - 1) / step).cast("int").alias("cell_id"),
+            F.col(vec_col).alias("cvec"),
+        )
+    )
+
+
+def topk_cosine_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via IVF: corpus partitioned into ``n_cells`` by
+    nearest centroid; each query probes its ``n_probe`` nearest cells
+    and scores only those vectors exactly.
+
+    Scale shape: corpus assignment is one broadcast join + one write
+    (amortized across queries if persisted, e.g. bucketed by
+    cell_id); the query join is an equi-join on cell_id — candidates
+    ≈ corpus × n_probe / n_cells, never corpus².
+    """
+    cents = ivf_centroids(embeddings, k=n_cells, id_col=id_col, vec_col=vec_col)
+    corpus_cells = _assign_cells(
+        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec_")),
+        cents, "neighbor_id", "cvec_", n_probe=1,
+    )
+    query_cells = _assign_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec_")),
+        cents, "query_id", "qvec_", n_probe=n_probe,
+    )
+    cand = corpus_cells.join(F.broadcast(query_cells), "cell_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine_fx(F.col("qvec_"), F.col("cvec_")).alias("score"),
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

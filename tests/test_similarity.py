@@ -67,3 +67,30 @@ def test_near_pairs_symmetric_threshold(spark):
     rows = similarity.near_pairs_cosine(emb, threshold=0.4).collect()
     assert all(r.id_a < r.id_b for r in rows)
     assert all(r.score > 0.4 for r in rows)
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF with 16 cells / 6 probes must recover most true top-5
+    neighbors (recall ≥ 0.5 on the fixture — the fixture's vectors
+    are near-orthogonal random, the hostile case for ANN; real
+    embedding corpora cluster and recall rises accordingly)."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = similarity.topk_cosine_exact(emb, queries, k=5).collect()
+    approx = similarity.topk_cosine_ivf(emb, queries, k=5).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in exact}
+    got = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"recall {recall:.2f}"
+
+
+def test_ivf_scores_exact_where_overlapping(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in similarity.topk_cosine_exact(emb, queries, k=5).collect()
+    }
+    for r in similarity.topk_cosine_ivf(emb, queries, k=5).collect():
+        if (r.query_id, r.neighbor_id) in exact:
+            assert r.score == exact[(r.query_id, r.neighbor_id)]
