@@ -9,8 +9,13 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark(app_name="mrgo_spark_tests", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("spark_warehouse"))
+    s = get_spark(
+        app_name="mrgo_spark_tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     yield s
 
 

@@ -8,6 +8,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from mrgo_spark import plans
 from mrgo_spark.operators.queries_llm import q_topk_cosine
 from mrgo_spark.operators.queries_relational import q1, q3, q5
@@ -49,3 +51,46 @@ def test_wordcount_single_shuffle(spark):
 def test_topk_cosine_broadcasts_queries(spark):
     df = q_topk_cosine(spark, SF)
     assert plans.has_broadcast_join(df)
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing pre-co-locates repeated joins: two tables bucketed on
+    the join key plan a SortMergeJoin with NO Exchange on either side
+    (the scale pattern for iterated fact-fact joins, SCALE.md)."""
+    import uuid
+
+    from mrgo_spark.sources.tables import load_table
+
+    suffix = uuid.uuid4().hex[:8]
+    o = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    o.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable(
+        f"orders_b_{suffix}"
+    )
+    li.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable(
+        f"lineitem_b_{suffix}"
+    )
+    # disable broadcast so the fact-fact (non-broadcastable at real
+    # scale) join strategy is what gets planned even on tiny fixtures
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table(f"lineitem_b_{suffix}")
+            .join(
+                spark.table(f"orders_b_{suffix}"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = plans.explain_str(joined, "simple")
+        assert "SortMergeJoin" in plan
+        # the join itself must not shuffle; the only exchange is the
+        # final single-key aggregation
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "SelectedBucketsCount" in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -87,3 +87,22 @@ def test_streaming_fold_matches_batch_fold(spark, tmp_path):
     }
     want = {r.key: r.state for r in kv.fold_state(oplog).collect()}
     assert got == want
+
+
+def test_sliding_avg_matches_batch(spark, events_stream):
+    out = stream_ops.sliding_avg(events_stream, window="1 hour", slide="30 minutes")
+    stream_ops.run_to_memory(out, "sliding_out", output_mode="update")
+    got = {
+        (r.win_start, r.event_type): (round(r.avg_value, 6), r.n)
+        for r in spark.sql("SELECT * FROM sliding_out").collect()
+    }
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.avg("value").alias("avg_value"), F.count("*").alias("n"))
+        .collect()
+    )
+    want = {
+        (r.w.start, r.event_type): (round(r.avg_value, 6), r.n) for r in batch
+    }
+    assert got == want
