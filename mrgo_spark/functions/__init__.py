@@ -1,4 +1,11 @@
-from .text import ascii_tokens, ws_tokens
+from .text import ascii_tokens, unicode_tokens, ws_tokens
 from .vectors import cosine_sim, dot, l2_norm
 
-__all__ = ["ascii_tokens", "ws_tokens", "cosine_sim", "dot", "l2_norm"]
+__all__ = [
+    "ascii_tokens",
+    "unicode_tokens",
+    "ws_tokens",
+    "cosine_sim",
+    "dot",
+    "l2_norm",
+]

@@ -418,3 +418,28 @@ def q_tumbling(spark, sf_dir):
             (F.sum(_cents("value")) / 100.0).alias("total_value"),
         )
     )
+
+
+@declare(
+    "percentiles_order_value",
+    """
+    SELECT o_orderpriority,
+           median(o_totalprice) AS med,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (engine-native; the approx
+    variants approx_count_distinct/percentile_approx exist but are
+    not oracle-declarable). Interpolation arithmetic on identical
+    sorted doubles is identical on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.median("o_totalprice").alias("med"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )

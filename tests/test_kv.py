@@ -81,3 +81,21 @@ def test_rebalance_minimal_moves_on_leave():
     # only shards of the departed group move
     moved = {s for s in a if a[s] != b[s]}
     assert all(a[s] == 3 for s in moved)
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    """Salting must be result-invariant (SCALE.md skew remedy)."""
+    from pyspark.sql import functions as F
+
+    from mrgo_spark.operators.mrapps import tokenize
+    from mrgo_spark.operators.skew import salted_agg
+    from mrgo_spark.sources.tables import load_table
+
+    tok = tokenize(load_table(spark, "/root/testdata/sf0.001", "documents"))
+    plain = {
+        (r.word): (r.cnt,) for r in tok.groupBy("word").agg(F.count("*").alias("cnt")).collect()
+    }
+    salted = {
+        (r.word): (r.cnt,) for r in salted_agg(tok, "word", {"cnt": ("count", "*")}).collect()
+    }
+    assert salted == plain
