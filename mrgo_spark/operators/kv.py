@@ -99,12 +99,15 @@ def fold_state(oplog: DataFrame) -> DataFrame:
     Columns: (key, state).
     """
     ops = dedup_at_most_once(oplog).filter(F.col("op").isin("put", "append"))
-    last_put = ops.filter(F.col("op") == "put").groupBy("key").agg(
-        F.max("seq").alias("last_put")
-    )
-    live = ops.join(last_put, "key", "left").filter(
-        F.col("seq") >= F.coalesce(F.col("last_put"), F.lit(-1))
-    )
+    # last_put as an unbounded window over key (not a groupBy+join):
+    # the window's hash partitioning on key is reused by the final
+    # groupBy, so the fold costs one exchange after the dedup window
+    # instead of three (agg + join + agg).
+    w_key = Window.partitionBy("key")
+    live = ops.withColumn(
+        "last_put",
+        F.max(F.when(F.col("op") == "put", F.col("seq"))).over(w_key),
+    ).filter(F.col("seq") >= F.coalesce(F.col("last_put"), F.lit(-1)))
     return live.groupBy("key").agg(_ordered_concat("seq", "value").alias("state"))
 
 

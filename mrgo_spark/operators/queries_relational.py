@@ -443,3 +443,17 @@ def q_percentiles(spark, sf_dir):
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+@declare("approx_aggregates")
+def q_approx(spark, sf_dir):
+    """Sketch-based aggregates (HLL distinct, quantile sketch) — the
+    scale path for cardinality/quantile estimation; inherently
+    approximate so rows-only declared, with exactness bounds tested
+    in tests/test_relational_extra.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        F.count("*").alias("n_rows"),
+    )
