@@ -457,3 +457,68 @@ def q_approx(spark, sf_dir):
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
         F.count("*").alias("n_rows"),
     )
+
+
+@declare(
+    "grouping_sets_status",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup/cube): one pass, two
+    grouping combinations."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "_gs_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@declare(
+    "q17_small_quantity_revenue",
+    """
+    WITH part_avg AS (
+        SELECT l_partkey AS pk,
+               SUM(CAST(l_quantity AS BIGINT)) * 1.0 / COUNT(*) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_brand,
+           SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS revenue_cents,
+           COUNT(*) AS n_small
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+                  JOIN part_avg ON pk = l_partkey
+    WHERE l_quantity < 0.5 * avg_qty
+    GROUP BY p_brand
+    """,
+)
+def q17(spark, sf_dir):
+    """TPC-H Q17-style correlated threshold: lineitems below half
+    their part's average quantity. The correlated scalar subquery is
+    decorrelated into a per-part aggregate + join — the plan Catalyst
+    produces for the subquery form too. avg_qty = exact-int sum /
+    count → identical doubles both sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("bigint")) * 1.0 / F.count("*")
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part_avg, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_cents("l_extendedprice")).alias("revenue_cents"),
+            F.count("*").alias("n_small"),
+        )
+    )

@@ -106,3 +106,60 @@ def test_sliding_avg_matches_batch(spark, events_stream):
         (r.w.start, r.event_type): (round(r.avg_value, 6), r.n) for r in batch
     }
     assert got == want
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """Late-data handling: with a 1-hour watermark and append mode, a
+    window only emits once the watermark passes it; events arriving
+    after that are dropped (the streaming contract the reference
+    never had — SURVEY §2.5 streaming row)."""
+    import pandas as pd
+
+    d = tmp_path / "late_events"
+    d.mkdir()
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pdf["ts"].astype("int64")
+        spark.createDataFrame(pdf).selectExpr(
+            "event_id", "CAST(ts AS LONG) ts", "user_id", "event_type", "value", "props"
+        ).coalesce(1).write.mode("append").parquet(str(d))
+
+    h = 3_600_000_000_000  # 1h in ns
+    # batch 1: events at hours 0 and 3 → watermark advances to 2h
+    write_batch("b1", [(1, 0, 1, "view", 1.0, "{}"), (2, 3 * h, 1, "view", 1.0, "{}")])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: a LATE event for hour 0 (watermark is now 2h) and an
+    # on-time event at hour 4
+    write_batch("b2", [(3, 1, 1, "view", 1.0, "{}"), (4, 4 * h, 1, "view", 1.0, "{}")])
+    q.processAllAvailable()
+    q.stop()
+
+    emitted = {r.ws.hour: r.n for r in spark.sql("SELECT * FROM late_out").collect()}
+    # hour-0 window emitted with ONE event (the late one was dropped)
+    assert emitted.get(0) == 1

@@ -1,0 +1,59 @@
+"""Text-analysis operators: unicode variant + fingerprints."""
+
+from __future__ import annotations
+
+from mrgo_spark.functions.text import ascii_tokens, unicode_tokens
+from mrgo_spark.operators import textstats
+
+
+def test_unicode_tokens_keep_nonascii_letters(spark):
+    df = spark.createDataFrame([("Müller straße 42 北京 word",)], "text string")
+    uni = df.select(unicode_tokens("text").alias("t")).collect()[0].t
+    asc = df.select(ascii_tokens("text").alias("t")).collect()[0].t
+    assert "Müller" in uni and "straße" in uni and "北京" in uni
+    # the ASCII (oracle-declared) variant splits on non-ASCII letters
+    assert "M" in asc and "ller" in asc and "北京" not in asc
+
+
+def test_doc_fingerprint_is_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.fp for r in textstats.doc_fingerprint(df).collect()}
+    assert fps[1] == fps[3]  # identical content
+    assert fps[1] != fps[2]  # reordered content differs (rolling hash)
+    assert all(0 <= v < (1 << 31) - 1 for v in fps.values())
+
+
+def test_bpe_ish_token_count_monotone(spark):
+    df = spark.createDataFrame(
+        [(1, "hi"), (2, "hi there"), (3, "hi there, extraordinarily!")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", textstats.bpe_ish_token_count("text").alias("n")
+        ).collect()
+    }
+    assert out[1] < out[2] < out[3]
+    # 'extraordinarily' (15 letters) counts as ceil(15/4)=4 pieces
+    assert out[3] - out[2] >= 4
+
+
+def test_lang_id_on_real_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der hund und die katze ist nicht da"),
+            (3, "el perro y la casa es que los gatos"),
+            (4, "zz qq xx"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.pred_lang for r in textstats.lang_id(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "es"
+    assert out[4] == "und"
