@@ -46,6 +46,10 @@ HEADLINE = [
     "text_token_stats",
     "ngram_bigrams_top20",
     "minhash_lsh_pairs",
+    "asof_last_purchase",
+    "q17_small_quantity_revenue",
+    "percentiles_order_value",
+    "window_running_balance",
 ]
 
 

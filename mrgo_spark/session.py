@@ -16,10 +16,24 @@ chosen so the same code is correct and fast on a real cluster at
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
 _DEF_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Executor Python workers resolve pickled closures (MRJob map/reduce
+# fns, applyInPandas bodies) by importing this package — make sure
+# they can even when the driver process was launched outside the repo.
+_REPO_DIR = str(Path(__file__).resolve().parent.parent)
+
+
+def _ensure_worker_pythonpath() -> None:
+    existing = os.environ.get("PYTHONPATH", "")
+    if _REPO_DIR not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{_REPO_DIR}{os.pathsep}{existing}" if existing else _REPO_DIR
+        )
 
 
 def get_spark(
@@ -35,6 +49,7 @@ def get_spark(
     (reference: straggler re-execution, mr/master.go:116-134) is
     testable. On a real cluster, pass master=None via spark-submit.
     """
+    _ensure_worker_pythonpath()
     cpus = _DEF_CPUS
     if master is None:
         master = f"local[{cpus},2]"

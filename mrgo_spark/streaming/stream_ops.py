@@ -119,12 +119,19 @@ def _fold_one_key(
         cur, n = "", 0
     for pdf in pdfs:
         pdf = pdf.sort_values("seq")
-        for _, row in pdf.iterrows():
-            n += 1
-            if row["op"] == "put":
-                cur = row["value"] or ""
-            elif row["op"] == "append":
-                cur = cur + (row["value"] or "")
+        n += len(pdf)
+        ops = pdf["op"].to_numpy()
+        vals = pdf["value"].fillna("").to_numpy()
+        # vectorized fold: state = (value of last put in batch, else
+        # carried state) + all appends after that put
+        put_positions = (ops == "put").nonzero()[0]
+        if len(put_positions):
+            last_put = put_positions[-1]
+            cur = vals[last_put]
+            tail = vals[last_put + 1 :][ops[last_put + 1 :] == "append"]
+        else:
+            tail = vals[ops == "append"]
+        cur = cur + "".join(tail)
     state.update((cur, n))
     yield pd.DataFrame({"key": [key[0]], "state": [cur], "n_ops": [n]})
 
