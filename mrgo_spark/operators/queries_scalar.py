@@ -250,3 +250,27 @@ def q_json_props(spark, sf_dir):
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@declare(
+    "map_battery",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(len(json_keys(props))) AS total_keys,
+           SUM(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                    THEN 1 ELSE 0 END) AS has_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_map_battery(spark, sf_dir):
+    """Map-type functions: JSON props parsed to map<string,bigint>,
+    then map_keys/map_contains_key aggregates (the engine's map
+    column surface; reference had no map type at all)."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.size(F.map_keys(m))).alias("total_keys"),
+        F.sum(F.when(F.map_contains_key(m, "k"), 1).otherwise(0)).alias("has_k"),
+    )

@@ -82,3 +82,28 @@ def test_task_retry_produces_identical_output(spark):
     chaotic = _kv_dict(mr.MRJob(chaotic_map, mr.wc_reduce).run_documents(docs))
     assert chaotic == golden
     assert os.listdir(marker_dir), "chaos never triggered"
+
+
+def test_tasks_execute_in_parallel(spark):
+    """mtiming analog (reference mrapps/mtiming.go + test-mr.sh:101-151):
+    assert >=2-way task overlap by recording per-task execution
+    intervals and checking for concurrency."""
+    import time
+
+    sc = spark.sparkContext
+
+    def timed_partition(idx, it):
+        start = time.time()
+        n = sum(1 for _ in it)
+        time.sleep(0.3)
+        yield (idx, start, time.time(), n)
+
+    intervals = (
+        sc.parallelize(range(8), 8).mapPartitionsWithIndex(timed_partition).collect()
+    )
+    overlaps = 0
+    for i, (_, s1, e1, _) in enumerate(intervals):
+        for _, s2, e2, _ in intervals[i + 1 :]:
+            if s1 < e2 and s2 < e1:
+                overlaps += 1
+    assert overlaps >= 1, f"no concurrent task execution observed: {intervals}"
