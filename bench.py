@@ -76,10 +76,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        df = fn(spark, SF_DIR)  # build plan (not timed separately)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            df = fn(spark, SF_DIR)  # build plan (not timed separately)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # keep the one-JSON-line contract
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            timings[name] = -1.0
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
