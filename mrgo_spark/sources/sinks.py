@@ -21,6 +21,11 @@ def write_mr_text(kv: DataFrame, path: str, n_out: int | None = 10) -> None:
     upstream partitioning. Output order within files is partition
     order; the golden comparison sorts globally, as the reference's
     harness does.
+
+    Contract (same as the reference format): keys must not contain
+    the space separator — values may. ``read_mr_text`` splits at the
+    FIRST space, which is unambiguous exactly under that contract
+    (e.g. the indexer's "2 a,b" value round-trips).
     """
     cols = kv.columns
     lines = kv.select(

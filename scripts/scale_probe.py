@@ -1,0 +1,105 @@
+"""Scale probe: do the headline plans scale linearly?
+
+Materializes a K× copy of lineitem/orders/events (keys offset per
+copy so join fan-out and group cardinality scale too), then times the
+shuffle-heaviest declared queries at 1× and K×. Near-linear wall-time
+growth (and flat per-row cost) is the local evidence that the plan
+shapes hold at 100 TB: no quadratic joins, no driver collects, no
+per-partition state blowups.
+
+Usage: python scripts/scale_probe.py [K] [sf_dir]
+Writes the K× tables under /tmp/mrgo_scale_probe (outside the repo).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from mrgo_spark.session import get_spark  # noqa: E402
+from mrgo_spark.sources.tables import load_table  # noqa: E402
+
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+OUT = Path("/tmp/mrgo_scale_probe")
+
+
+def scale_table(spark, name: str, key_cols: list[str], k: int) -> None:
+    df = load_table(spark, SF_DIR, name)
+    parts = []
+    for i in range(k):
+        p = df
+        for c in key_cols:
+            p = p.withColumn(c, F.col(c) + F.lit(i * 10_000_000).cast("long"))
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    out.write.mode("overwrite").parquet(str(OUT / f"{name}.parquet"))
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale_probe")
+    OUT.mkdir(parents=True, exist_ok=True)
+    for name in ["region", "nation", "customer", "supplier", "part", "embeddings"]:
+        src = Path(SF_DIR) / f"{name}.parquet"
+        dst = OUT / f"{name}.parquet"
+        if dst.exists():
+            shutil.rmtree(dst, ignore_errors=True) if dst.is_dir() else dst.unlink()
+        shutil.copytree(src, dst) if src.is_dir() else shutil.copy(src, dst)
+
+    scale_table(spark, "lineitem", ["l_orderkey"], K)
+    scale_table(spark, "orders", ["o_orderkey"], K)
+    scale_table(spark, "documents", ["doc_id"], K)
+    # events: offset both the id and user so key cardinality scales
+    ev = load_table(spark, SF_DIR, "events")
+    parts = []
+    for i in range(K):
+        parts.append(
+            ev.withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
+            .withColumn("user_id", F.col("user_id") + F.lit(i * 10_000_000))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    # write as µs timestamps (plain TIMESTAMP) — load_table handles both
+    out.write.mode("overwrite").parquet(str(OUT / "events.parquet"))
+
+    from mrgo_spark.registry import load
+
+    queries, _ = load()
+    probe = [
+        "q1_pricing_summary",
+        "q3_top_revenue_orders",
+        "kv_fold_state",
+        "wordcount",
+        "events_sessionize",
+    ]
+    results = {}
+    for name in probe:
+        t = {}
+        for label, d in [("1x", SF_DIR), (f"{K}x", str(OUT))]:
+            # run twice, time the second: excludes JIT/codegen warmup
+            # and scan-cache effects that would otherwise dominate
+            best = None
+            for _ in range(2):
+                df = queries[name](spark, d)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                best = time.perf_counter() - t0
+            t[label] = round(best, 3)
+        t["ratio"] = round(t[f"{K}x"] / max(t["1x"], 1e-9), 2)
+        results[name] = t
+    print(json.dumps({"k": K, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
