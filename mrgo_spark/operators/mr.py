@@ -95,11 +95,16 @@ class MRJob:
             if cur_key is not None:
                 yield cur_key, reduce_fn(cur_key, vals)
 
+        from pyspark.rdd import portable_hash
+
         reduced = (
             rdd.flatMap(do_map)
             .repartitionAndSortWithinPartitions(
                 numPartitions=self.n_reduce,
-                partitionFunc=lambda k: hash(k),  # hash co-location ≙ ihash%n
+                # portable_hash is stable across worker processes
+                # (builtin hash depends on PYTHONHASHSEED being pinned);
+                # co-location ≙ the reference's ihash(key)%nReduce
+                partitionFunc=portable_hash,
             )
             .mapPartitions(do_reduce, preservesPartitioning=True)
         )

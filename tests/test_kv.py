@@ -99,3 +99,25 @@ def test_salted_agg_equals_plain_agg(spark):
         (r.word): (r.cnt,) for r in salted_agg(tok, "word", {"cnt": ("count", "*")}).collect()
     }
     assert salted == plain
+
+
+def test_asof_forward_direction(spark):
+    """Forward as-of: earliest right row with right_ts >= left_ts
+    (inclusive at equal timestamps)."""
+    from mrgo_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 250), (3, "u", 400)],
+        "id long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("u", 100, "a"), ("u", 300, "b")], "k string, t long, v string"
+    )
+    out = {
+        r.id: r.v
+        for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="t",
+            value_cols=["v"], direction="forward",
+        ).collect()
+    }
+    assert out == {1: "a", 2: "b", 3: None}
