@@ -522,3 +522,38 @@ def q17(spark, sf_dir):
             F.count("*").alias("n_small"),
         )
     )
+
+
+@declare(
+    "window_battery",
+    """
+    SELECT o_orderkey, o_custkey,
+           dense_rank() OVER w AS drnk,
+           lag(o_orderkey) OVER w AS prev_ok,
+           lead(o_orderkey) OVER w AS next_ok,
+           first_value(o_orderkey) OVER w AS first_ok,
+           last_value(o_orderkey) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_ok,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_battery(spark, sf_dir):
+    """Window-function battery: dense_rank/lag/lead/first/last/ntile
+    over a deterministic (o_orderdate, o_orderkey) order."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.dense_rank().over(w).alias("drnk"),
+        F.lag("o_orderkey").over(w).alias("prev_ok"),
+        F.lead("o_orderkey").over(w).alias("next_ok"),
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(w_full).alias("last_ok"),
+        F.ntile(4).over(w).alias("quartile"),
+    )

@@ -76,3 +76,35 @@ def test_parquet_partitioned_write(spark, tmp_path):
 
     pruned = back.filter(F.col("lang") == "en")
     assert pruned.count() == df.filter("lang = 'en'").count()
+
+
+def test_cli_wc_end_to_end(tmp_path):
+    """python -m mrgo_spark --app wc ... (the reference's binary
+    surface, SURVEY §3.1) — run in a subprocess, output must equal
+    the sequential truth after global sort (test-mr.sh protocol)."""
+    import subprocess
+    import sys as _sys
+
+    d = tmp_path / "books"
+    d.mkdir()
+    (d / "x.txt").write_text("to be or not to be")
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [
+            _sys.executable, "-m", "mrgo_spark",
+            "--app", "wc", "--input", str(d), "--output", str(out),
+            "--n-reduce", "3", "--master", "local[2]",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=180,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = sorted(
+        line
+        for f in out.glob("part-*")
+        for line in f.read_text().splitlines()
+        if line
+    )
+    assert lines == ["be 2", "not 1", "or 1", "to 2"]
