@@ -108,6 +108,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """X2: candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -143,6 +144,15 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    if max_bucket is not None:
+        # Scale safety valve: a degenerate bucket of B docs yields
+        # B²/2 candidate pairs; cap it (boilerplate/empty-doc clusters
+        # at 100 TB). Dropped buckets are near-cliques — handle those
+        # via exact-dup hashing, which is O(B), not pairwise.
+        w_b = Window.partitionBy("band", "bucket")
+        banded = banded.withColumn("_bsz", F.count("*").over(w_b)).filter(
+            F.col("_bsz") <= max_bucket
+        ).drop("_bsz")
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -222,24 +222,49 @@ def _assign_cells(df: DataFrame, centroids: DataFrame, idname: str,
 
 
 def ivf_centroids(embeddings: DataFrame, k: int = 16,
-                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  refine_iters: int = 2) -> DataFrame:
     """Deterministic coarse quantizer: every (n/k)-th vector by id
-    rank becomes a centroid (no random init; reproducible across
-    runs/engines). A k-means refinement can replace this without
-    changing the query path."""
+    rank seeds a centroid (no random init; reproducible across runs),
+    then ``refine_iters`` Lloyd iterations (assign → per-cell mean).
+
+    Each iteration is one broadcast-join pass over the corpus + one
+    aggregate; centroids (K ≈ √n rows) live on the driver between
+    iterations, which is exactly the k-means shape that scales.
+    """
     w = Window.orderBy(id_col)
     ranked = embeddings.select(
         F.col(id_col), F.col(vec_col), F.row_number().over(w).alias("_rank")
     )
     n = ranked.count()
     step = max(n // k, 1)
-    return (
+    cents = (
         ranked.filter(((F.col("_rank") - 1) % step == 0) & (F.col("_rank") <= step * k))
         .select(
             ((F.col("_rank") - 1) / step).cast("int").alias("cell_id"),
             F.col(vec_col).alias("cvec"),
         )
     )
+    for _ in range(refine_iters):
+        assigned = _assign_cells(
+            embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")),
+            cents, "vid", "v", n_probe=1,
+        )
+        # per-cell elementwise mean via posexplode + re-collect
+        means = (
+            assigned.select("cell_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cvec")
+            )
+        )
+        cents = means
+    return cents
 
 
 def topk_cosine_ivf(

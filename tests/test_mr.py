@@ -107,3 +107,30 @@ def test_tasks_execute_in_parallel(spark):
             if s1 < e2 and s2 < e1:
                 overlaps += 1
     assert overlaps >= 1, f"no concurrent task execution observed: {intervals}"
+
+
+def test_task_retry_in_reduce_phase(spark):
+    """Chaos in the REDUCE phase (reference re-runs reducers too,
+    mr/master.go:216-235): first attempt of one reduce task dies,
+    retry yields output identical to the clean run."""
+    docs = load_table(spark, SF, "documents")
+    marker_dir = "/tmp/mrgo_chaos_markers_reduce"
+    os.makedirs(marker_dir, exist_ok=True)
+    for f in os.listdir(marker_dir):
+        os.unlink(os.path.join(marker_dir, f))
+
+    def chaotic_reduce(key: str, values: list[str]) -> str:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        if ctx is not None and ctx.partitionId() == 1 and ctx.attemptNumber() == 0:
+            marker = os.path.join(marker_dir, f"p{ctx.partitionId()}")
+            if not os.path.exists(marker):
+                open(marker, "w").close()
+                raise RuntimeError("injected chaos: reducer first attempt dies")
+        return mr.wc_reduce(key, values)
+
+    golden = _kv_dict(mr.MRJob(mr.wc_map, mr.wc_reduce).run_documents(docs))
+    chaotic = _kv_dict(mr.MRJob(mr.wc_map, chaotic_reduce).run_documents(docs))
+    assert chaotic == golden
+    assert os.listdir(marker_dir), "reduce chaos never triggered"
