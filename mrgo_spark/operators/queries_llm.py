@@ -162,10 +162,10 @@ def q_near_pairs(spark, sf_dir):
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(CAST(n_tokens AS BIGINT)) AS total_tokens,
+           CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
            CAST(SUM(CAST(n_tokens AS BIGINT)) * 1.0 / COUNT(*) AS DOUBLE)
                AS avg_tokens,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM tok GROUP BY lang
     """,
 )

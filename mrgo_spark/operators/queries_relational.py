@@ -35,7 +35,7 @@ def _cents(col):
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
            SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))/100.0 AS sum_base_price,
            SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0
                AS sum_disc_price,
@@ -368,25 +368,32 @@ def q_pivot(spark, sf_dir):
     """
     WITH gaps AS (
         SELECT user_id, ts,
-               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         > INTERVAL 30 MINUTE
+               CASE WHEN epoch_us(ts) - epoch_us(
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                         > 1800000000
                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS new_sess
         FROM events
     )
     SELECT user_id,
-           SUM(new_sess) AS n_sessions,
+           CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
            COUNT(*) AS n_events
     FROM gaps GROUP BY user_id
     """,
 )
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (lag + flag-sum) — streaming analog is
-    session_window(ts, gap); batch form declared for the oracle."""
+    session_window(ts, gap); batch form declared for the oracle.
+
+    Gap math is at MICROsecond precision on both engines
+    (unix_micros / epoch_us): events.ts carries sub-second
+    components, so whole-second truncation would mis-classify gaps
+    within 1 s of the 30-min boundary."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_sess = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     return (
         e.withColumn("new_sess", new_sess)
         .groupBy("user_id")
@@ -491,7 +498,8 @@ def q_grouping_sets(spark, sf_dir):
         FROM lineitem GROUP BY l_partkey
     )
     SELECT p_brand,
-           SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS revenue_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
            COUNT(*) AS n_small
     FROM lineitem JOIN part ON p_partkey = l_partkey
                   JOIN part_avg ON pk = l_partkey

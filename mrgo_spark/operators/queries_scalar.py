@@ -167,7 +167,7 @@ def q_array_battery(spark, sf_dir):
     "cube_order_status",
     """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-           SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS cents
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -231,7 +231,8 @@ def q_asof(spark, sf_dir):
     """
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
            MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
     FROM events
@@ -257,9 +258,9 @@ def q_json_props(spark, sf_dir):
     """
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(len(json_keys(props))) AS total_keys,
-           SUM(CASE WHEN json_extract(props, '$.k') IS NOT NULL
-                    THEN 1 ELSE 0 END) AS has_k
+           CAST(SUM(len(json_keys(props))) AS BIGINT) AS total_keys,
+           CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS has_k
     FROM events GROUP BY event_type
     """,
 )

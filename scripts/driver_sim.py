@@ -26,6 +26,10 @@ spec.loader.exec_module(mod)
 
 from pyspark.sql import SparkSession  # noqa: E402
 
+# Arrow fetch (not .fetchall()) so HUGEINT-typed oracle columns
+# surface as Decimal and hash-break locally, same as the driver.
+from tests.parity import duck_fetch  # noqa: E402
+
 spark = (
     SparkSession.builder.master("local[16]")
     .config("spark.sql.shuffle.partitions", "16")
@@ -59,9 +63,7 @@ for name in sorted(q):
     if name not in o:
         print(f"{name}: rows-only ({len(srows)} rows)", flush=True)
         continue
-    res = con.execute(o[name])
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    dcols, drows = duck_fetch(con, o[name])
     ok = norm(sdf.columns, srows) == norm(dcols, drows)
     print(f"{name}: {'OK' if ok else 'MISMATCH'} ({len(srows)} vs {len(drows)})", flush=True)
     if not ok:

@@ -24,6 +24,23 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def duck_fetch(con: duckdb.DuckDBPyConnection, sql: str):
+    """Execute oracle SQL and fetch through Arrow (NOT .fetchall()).
+
+    The grading driver fetches oracle results via arrow/pandas, where
+    DuckDB's HUGEINT (the type of SUM(<integer>)) surfaces as
+    decimal128/float64 instead of a Python int — .fetchall() coerces
+    it to int and HIDES the mismatch (this is exactly how 7 red
+    queries shipped in round 1). Fetching via .arrow() makes local
+    parity reproduce the driver's typing.
+    """
+    res = con.execute(sql)
+    tbl = res.arrow()
+    cols = tbl.column_names
+    rows = [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
+    return cols, rows
+
+
 def _norm_cell(v):
     # repr-strict: the engine's determinism strategy targets
     # bit-identical values, so even float cells must repr-match.
@@ -48,9 +65,7 @@ def compare(spark, sf_dir: str, query_fn, oracle: str) -> tuple[bool, str]:
 
     con = duck_connect(sf_dir)
     try:
-        res = con.execute(oracle)
-        d_cols = [d[0] for d in res.description]
-        d_rows = res.fetchall()
+        d_cols, d_rows = duck_fetch(con, oracle)
     finally:
         con.close()
 
