@@ -139,14 +139,23 @@ def q_topk_cosine(spark, sf_dir):
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            {_FX_DOT_SQL} / (sqrt(a.norm_fx) * sqrt(b.norm_fx)) AS score
     FROM norms a JOIN norms b ON a.vec_id < b.vec_id
-    WHERE {_FX_DOT_SQL} / (sqrt(a.norm_fx) * sqrt(b.norm_fx)) > 0.4
+    WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 0
+      AND {_FX_DOT_SQL} / (sqrt(a.norm_fx) * sqrt(b.norm_fx)) > 0.4
     """,
 )
 def q_near_pairs(spark, sf_dir):
-    """X2/X3: embedding-cosine near-duplicate pairs (exact, small set)."""
-    return similarity.near_pairs_cosine(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    """X2/X3: embedding-cosine near-duplicate pairs, exact, over a
+    deterministic subset (vec_id % 2 = 0).
+
+    The unrestricted pairwise form is O(n²) — fine as a verification
+    operator on LSH survivors (``near_pairs_cosine``), wrong as a
+    declared query the driver runs at arbitrary scale; the declared
+    form bounds the square the same way topk_cosine bounds its query
+    set."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 2 == 0
     )
+    return similarity.near_pairs_cosine(emb, threshold=0.4)
 
 
 # ----------------------------------------------------------- text stats

@@ -198,6 +198,23 @@ def near_pairs_cosine(
 # ---- IVF (inverted-file) ANN: the high-recall scale path ----------------
 
 
+def ivf_seed_candidates(embeddings: DataFrame, k: int, n: int,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """The k centroid seeds as a DataFrame: hash-modular sample
+    (expected ~2k survivors — oversampled 2x so binomial shortfall
+    can't leave us under k), first k by id. Compiles to a filter scan
+    + TakeOrderedAndProject: no global window, no single-partition
+    exchange (asserted in tests/test_plans.py)."""
+    step = max(n // (2 * k), 1)
+    return (
+        embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("cvec"))
+        .filter(F.pmod(F.xxhash64(F.col("_id")), F.lit(step)) == 0)
+        .orderBy("_id")
+        .limit(k)
+    )
+
+
 def _assign_cells(df: DataFrame, centroids: DataFrame, idname: str,
                   vec_col: str, n_probe: int = 1) -> DataFrame:
     """Attach the ``n_probe`` nearest centroid ids to each vector.
@@ -224,26 +241,25 @@ def _assign_cells(df: DataFrame, centroids: DataFrame, idname: str,
 def ivf_centroids(embeddings: DataFrame, k: int = 16,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   refine_iters: int = 2) -> DataFrame:
-    """Deterministic coarse quantizer: every (n/k)-th vector by id
-    rank seeds a centroid (no random init; reproducible across runs),
+    """Deterministic coarse quantizer seeded by hash-modular sampling,
     then ``refine_iters`` Lloyd iterations (assign → per-cell mean).
 
-    Each iteration is one broadcast-join pass over the corpus + one
-    aggregate; centroids (K ≈ √n rows) live on the driver between
+    Seeding: rows where xxhash64(id) % (n/2k) == 0 (expected ~2k
+    survivors) are reduced to the first k by id via TakeOrdered and
+    numbered on the driver. No global window/sort over the corpus —
+    the only full-corpus ops are a count and a filter scan; the sort
+    touches ~2k rows. Deterministic for a fixed id set, and the
+    collected seed set is K ≈ √n rows — small by construction.
+
+    Each refinement iteration is one broadcast-join pass over the
+    corpus + one aggregate; centroids live on the driver between
     iterations, which is exactly the k-means shape that scales.
     """
-    w = Window.orderBy(id_col)
-    ranked = embeddings.select(
-        F.col(id_col), F.col(vec_col), F.row_number().over(w).alias("_rank")
-    )
-    n = ranked.count()
-    step = max(n // k, 1)
-    cents = (
-        ranked.filter(((F.col("_rank") - 1) % step == 0) & (F.col("_rank") <= step * k))
-        .select(
-            ((F.col("_rank") - 1) / step).cast("int").alias("cell_id"),
-            F.col(vec_col).alias("cvec"),
-        )
+    n = embeddings.count()
+    seeds = ivf_seed_candidates(embeddings, k, n, id_col, vec_col).collect()
+    cents = embeddings.sparkSession.createDataFrame(
+        [(i, [float(x) for x in r.cvec]) for i, r in enumerate(seeds)],
+        "cell_id int, cvec array<double>",
     )
     for _ in range(refine_iters):
         assigned = _assign_cells(

@@ -53,6 +53,22 @@ def test_topk_cosine_broadcasts_queries(spark):
     assert plans.has_broadcast_join(df)
 
 
+def test_ivf_seeding_no_global_window(spark):
+    """IVF centroid seeding must not sort/rank the whole corpus: the
+    seed plan is a filter scan + TakeOrdered — no Window operator and
+    no single-partition Exchange (the round-1 seeding ranked the full
+    corpus in one partition; this pins the fix)."""
+    from mrgo_spark.operators import similarity
+    from mrgo_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    seeds = similarity.ivf_seed_candidates(emb, k=16, n=emb.count())
+    plan = plans.explain_str(seeds, "simple")
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     """Bucketing pre-co-locates repeated joins: two tables bucketed on
     the join key plan a SortMergeJoin with NO Exchange on either side
