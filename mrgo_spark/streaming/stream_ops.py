@@ -151,6 +151,71 @@ def streaming_fold(oplog_stream: DataFrame) -> DataFrame:
     )
 
 
+_GETS_OUTPUT_SCHEMA = "seq long, key string, val string"
+
+
+def _fold_one_key_serve_gets(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Stateful fold that also SERVES reads: each ``get`` op emits the
+    state at its position in the log (reference kvraft/client.go:41-59
+    — Get returns the current value, "" for a missing key; Put/Append
+    mutate and return nothing).
+
+    Row-at-a-time walk is deliberate here: a get needs the
+    point-in-time state between mutations, and the loop is bounded by
+    one key's slice of one micro-batch (not the stream), so there is
+    no vectorization win worth the opacity.
+    """
+    if state.exists:
+        cur, n = state.get
+    else:
+        cur, n = "", 0
+    out_seq: list[int] = []
+    out_val: list[str] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("seq")
+        ops = pdf["op"].to_numpy()
+        vals = pdf["value"].fillna("").to_numpy()
+        seqs = pdf["seq"].to_numpy()
+        for o, v, s in zip(ops, vals, seqs):
+            if o == "put":
+                cur = v
+                n += 1
+            elif o == "append":
+                cur = cur + v
+                n += 1
+            else:  # get: read-only observation
+                out_seq.append(int(s))
+                out_val.append(cur)
+    state.update((cur, n))
+    yield pd.DataFrame(
+        {
+            "seq": pd.array(out_seq, dtype="int64"),
+            "key": [key[0]] * len(out_seq),
+            "val": out_val,
+        }
+    )
+
+
+def streaming_get_results(oplog_stream: DataFrame) -> DataFrame:
+    """O18 streaming: the read path. Consumes the full op-log stream
+    (put/append/get) and emits one row per get — (seq, key, val) —
+    the same surface as the batch ``kv.get_results``. State per key
+    lives in the executor state store; gets observe the fold state at
+    their log position (batch/stream agreement tested across ≥3
+    micro-batches in tests/test_streaming.py)."""
+    return oplog_stream.groupBy("key").applyInPandasWithState(
+        _fold_one_key_serve_gets,
+        outputStructType=_GETS_OUTPUT_SCHEMA,
+        stateStructType=_FOLD_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "update"):
     """Drive a streaming query to completion over the available batch
     of files and land results in an in-memory table (test harness)."""

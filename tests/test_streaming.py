@@ -89,6 +89,59 @@ def test_streaming_fold_matches_batch_fold(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_gets_match_batch_get_results(spark, tmp_path):
+    """O18 streaming read path: interleaved gets served from the
+    stateful fold equal the batch ``kv.get_results`` output, with the
+    op-log delivered across ≥3 micro-batches in seq order (the
+    exactly-once total order Raft provides in the reference)."""
+    events = load_table(spark, SF, "events")
+    # exactly-once log: the streaming fold consumes a deduped total
+    # order (synth_oplog still retransmits reqid 0 — 0 % anything == 0)
+    oplog = kv.dedup_at_most_once(kv.synth_oplog(events, dup_every=10**9))
+    bounds = [
+        r[0]
+        for r in oplog.selectExpr(
+            "percentile(seq, array(0.33, 0.66)) AS p"
+        ).selectExpr("explode(p)").collect()
+    ]
+    lo, hi = int(bounds[0]), int(bounds[1])
+    d = tmp_path / "oplog_stream"
+    d.mkdir()
+
+    def write_chunk(name, df):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        os.rename(next(stage.glob("part-*.parquet")), d / f"{name}.parquet")
+
+    chunks = [
+        ("b1", oplog.filter(F.col("seq") <= lo)),
+        ("b2", oplog.filter((F.col("seq") > lo) & (F.col("seq") <= hi))),
+        ("b3", oplog.filter(F.col("seq") > hi)),
+    ]
+    write_chunk(*chunks[0])
+    stream = spark.readStream.schema(stream_ops.OPLOG_SCHEMA).parquet(str(d))
+    out = stream_ops.streaming_get_results(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("gets_out")
+        .start()
+    )
+    q.processAllAvailable()
+    for name, df in chunks[1:]:  # deliver remaining micro-batches in order
+        write_chunk(name, df)
+        q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.seq, r.key): r.val
+        for r in spark.sql("SELECT * FROM gets_out").collect()
+    }
+    want = {(r.seq, r.key): r.val for r in kv.get_results(oplog).collect()}
+    assert got == want
+    assert len(got) > 0
+
+
 def test_sliding_avg_matches_batch(spark, events_stream):
     out = stream_ops.sliding_avg(events_stream, window="1 hour", slide="30 minutes")
     stream_ops.run_to_memory(out, "sliding_out", output_mode="update")
