@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import ascii_tokens
+from ..functions.text import ascii_tokens, unicode_tokens
 
 
 def tokenize(documents: DataFrame) -> DataFrame:
@@ -40,6 +40,20 @@ def word_count(documents: DataFrame) -> DataFrame:
     Columns: (word, cnt).
     """
     return tokenize(documents).groupBy("word").agg(F.count("*").alias("cnt"))
+
+
+def word_count_unicode(documents: DataFrame) -> DataFrame:
+    """Word count with full Unicode-letter tokenization — the exact
+    rune classes of the reference's split (mrapps/wc.go:26-29 uses
+    unicode.IsLetter = category L*, which ``\\p{L}`` matches; pinned
+    to a Python category-L model in tests/test_properties.py).
+    Columns: (word, cnt).
+    """
+    return (
+        documents.select(F.explode(unicode_tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
 
 
 def inverted_index(documents: DataFrame) -> DataFrame:

@@ -32,6 +32,25 @@ def q_wordcount(spark, sf_dir):
 
 
 @declare(
+    "wordcount_unicode",
+    r"""
+    SELECT word, COUNT(*) AS cnt
+    FROM (SELECT UNNEST(string_split_regex(text, '[^\p{L}]+')) AS word
+          FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def q_wordcount_unicode(spark, sf_dir):
+    """O12 Unicode variant — the reference's actual rune classes
+    (mrapps/wc.go:26-29 unicode.IsLetter). Java's and RE2's \\p{L}
+    agree with Go's category-L tables on every probed script (Latin-1,
+    CJK, Hangul, Greek/Cyrillic, combining marks, supplementary-plane
+    letters; tests/test_properties.py), so this is oracle-declarable."""
+    return mrapps.word_count_unicode(load_table(spark, sf_dir, "documents"))
+
+
+@declare(
     "inverted_index",
     f"""
     WITH tok AS (
