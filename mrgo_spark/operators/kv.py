@@ -184,7 +184,11 @@ def rebalance(assignment: dict[int, int], groups: list[int]) -> dict[int, int]:
     ``assignment`` maps shard -> gid (0 = unassigned), mirroring
     Config.Shards (reference shardmaster/common.go:20-29). The balance
     invariant max-min ≤ 1 is what shardmaster/test_test.go:35-52
-    checks; minimal moves = only shards that must move do.
+    checks; minimal moves = only shards that must move do: the +1
+    capacities (when shards don't divide evenly) are awarded to the
+    groups currently holding the most shards, so exactly
+    ``n - Σ min(held_g, cap_g)`` shards move — the provable minimum
+    (asserted across Join/Leave sequences in tests/test_properties.py).
     Deterministic: ties broken by gid order.
     """
     shards = sorted(assignment)
@@ -193,8 +197,14 @@ def rebalance(assignment: dict[int, int], groups: list[int]) -> dict[int, int]:
     groups = sorted(set(groups))
     n, g = len(shards), len(groups)
     base, extra = divmod(n, g)
-    # Target capacity per gid: first `extra` gids (by id) get base+1.
-    cap = {gid: base + (1 if i < extra else 0) for i, gid in enumerate(groups)}
+    held_count = {gid: 0 for gid in groups}
+    for s in shards:
+        if assignment[s] in held_count:
+            held_count[assignment[s]] += 1
+    award = sorted(groups, key=lambda gid: (-held_count[gid], gid))
+    cap = {gid: base for gid in groups}
+    for gid in award[:extra]:
+        cap[gid] = base + 1
     holding: dict[int, list[int]] = {gid: [] for gid in groups}
     orphans: list[int] = []
     for s in shards:
@@ -210,3 +220,32 @@ def rebalance(assignment: dict[int, int], groups: list[int]) -> dict[int, int]:
             out[s] = gid
             holding[gid].append(s)
     return out
+
+
+def migration_plan(
+    old_assignment: dict[int, int], new_assignment: dict[int, int]
+) -> list[tuple[int, int, int]]:
+    """O24: the observable of a reconfiguration — which shards move.
+
+    Reference semantics: on a config change, a shard's data migrates
+    between replica groups exactly when its owning gid changes
+    (shardkv/client.go:68-96 ErrWrongGroup retry loop;
+    shardkv/test_test.go:90-141 exercises the handoff). Returns
+    ``[(shard, from_gid, to_gid)]`` sorted by shard; from_gid 0 means
+    the shard was unassigned (initial config).
+    """
+    return [
+        (s, old_assignment[s], new_assignment[s])
+        for s in sorted(old_assignment)
+        if old_assignment[s] != new_assignment[s]
+    ]
+
+
+def reconfigure(
+    assignment: dict[int, int], groups: list[int]
+) -> tuple[dict[int, int], list[tuple[int, int, int]]]:
+    """One Join/Leave step: rebalance onto ``groups`` and report the
+    migration plan — the (new Config, shard handoffs) pair a shardkv
+    deployment acts on."""
+    new = rebalance(assignment, groups)
+    return new, migration_plan(assignment, new)
