@@ -145,6 +145,15 @@ def indexer_reduce(_key: str, values: list[str]) -> str:
     return f"{len(vs)} {','.join(vs)}"
 
 
+def metadata_map(key: str, contents: str) -> Iterator[tuple[str, str]]:
+    """mrapps/crash.go:37-46 — per-file metadata pairs: a=file name,
+    b=len(file name), c=len(contents), d=literal "xyzzy"."""
+    yield "a", key
+    yield "b", str(len(key))
+    yield "c", str(len(contents))
+    yield "d", "xyzzy"
+
+
 def sorted_concat_reduce(_key: str, values: list[str]) -> str:
     """mrapps/crash.go:48-58 — sort values, space-join."""
     return " ".join(sorted(values))
