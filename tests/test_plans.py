@@ -53,6 +53,39 @@ def test_topk_cosine_broadcasts_queries(spark):
     assert plans.has_broadcast_join(df)
 
 
+def test_bucketed_variants_match_declared(spark):
+    """The bucketed q3/q17 bench variants return byte-identical rows
+    to the declared forms, and their fact-side joins/aggs plan no
+    Exchange on the bucket key (broadcast disabled so the real
+    at-scale strategy is what gets planned)."""
+    import uuid
+
+    from mrgo_spark.operators.queries_relational import q3, q17
+    from mrgo_spark.sources import bucketed
+
+    tables = bucketed.materialize_bucketed(
+        spark, SF, n_buckets=4, suffix="_" + uuid.uuid4().hex[:8]
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        b3 = bucketed.q3_bucketed(spark, SF, tables)
+        b17 = bucketed.q17_bucketed(spark, SF, tables)
+        p3 = plans.explain_str(b3, "simple")
+        p17 = plans.explain_str(b17, "simple")
+        assert "Exchange hashpartitioning(l_orderkey" not in p3
+        assert "Exchange hashpartitioning(o_orderkey" not in p3
+        assert "Exchange hashpartitioning(l_partkey" not in p17
+        assert sorted(map(tuple, b3.collect())) == sorted(
+            map(tuple, q3(spark, SF).collect())
+        )
+        assert sorted(map(tuple, b17.collect())) == sorted(
+            map(tuple, q17(spark, SF).collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_ivf_seeding_no_global_window(spark):
     """IVF centroid seeding must not sort/rank the whole corpus: the
     seed plan is a filter scan + TakeOrdered — no Window operator and
