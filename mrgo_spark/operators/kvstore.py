@@ -61,6 +61,13 @@ class KVStore:
         rows = self.state().filter(F.col("key") == key).collect()
         return rows[0].state if rows else ""
 
+    def get_many(self, keys: list[str]) -> dict[str, str]:
+        """Batch read: one fold job for N keys (N ``get`` calls would
+        launch N jobs). Missing keys read as ""."""
+        rows = self.state().filter(F.col("key").isin(list(keys))).collect()
+        found = {r.key: r.state for r in rows}
+        return {k: found.get(k, "") for k in keys}
+
     def checkpoint(self, path: str) -> None:
         """Persist the op-log (parquet) for the batch/streaming folds."""
         self.oplog().write.mode("overwrite").parquet(path)

@@ -18,6 +18,17 @@ def test_get_put_append_semantics(spark):
     assert s.get("y") == "solo"
 
 
+def test_get_many_batches_reads(spark):
+    s = KVStore(spark)
+    s.put("a", "1")
+    s.append("a", "2")
+    s.put("b", "3")
+    got = s.get_many(["a", "b", "missing"])
+    assert got == {"a": "12", "b": "3", "missing": ""}
+    # agrees with single-key reads
+    assert all(s.get(k) == v for k, v in got.items())
+
+
 def test_state_matches_streaming_style_fold(spark, tmp_path):
     s = KVStore(spark)
     for i in range(20):
