@@ -40,3 +40,23 @@ def ws_tokens(text: Column | str) -> Column:
     """Whitespace-split tokens (for token-count statistics)."""
     col = F.col(text) if isinstance(text, str) else text
     return F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+
+
+# GPT-2-style pre-tokenizer, minus the lookahead branches PCRE has
+# and RE2 lacks — contractions, space-prefixed letter/digit/punct
+# runs, whitespace runs. Identical leftmost-first semantics in Java
+# regex (Spark) and RE2 (DuckDB), so it is oracle-declarable.
+BPE_PRETOKEN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    """BPE-ish pre-tokenization: array of matches of BPE_PRETOKEN
+    (whitespace runs included, as the real pre-tokenizer emits them)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(col, F.lit(BPE_PRETOKEN), F.lit(0))
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Count of non-whitespace BPE-ish tokens — the training-cost
+    proxy a data pipeline budgets by."""
+    return F.size(F.filter(bpe_tokens(text), lambda t: ~t.rlike(r"^\s+$")))

@@ -195,6 +195,52 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+_BPE_PAT_SQL = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    .replace("'", "''")
+)
+
+
+@declare(
+    "bpe_token_stats",
+    rf"""
+    WITH tok AS (
+        SELECT lang,
+               len(list_filter(regexp_extract_all(text, '{_BPE_PAT_SQL}'),
+                               x -> NOT regexp_matches(x, '^\s+$'))) AS n_bpe
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_bpe AS BIGINT)) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(CAST(n_bpe AS BIGINT)) * 1.0 / COUNT(*) AS DOUBLE)
+               AS avg_bpe_tokens
+    FROM tok GROUP BY lang
+    """,
+)
+def q_bpe_token_stats(spark, sf_dir):
+    """X4: BPE-ish pre-tokenizer counts per language — the
+    training-cost proxy next to text_token_stats' whitespace count.
+    Java regex and RE2 agree on the lookahead-free pattern
+    (functions/text.py BPE_PRETOKEN), so this is fully
+    oracle-declared, all map-side column expressions."""
+    from ..functions.text import bpe_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = bpe_token_count("text")
+    return (
+        docs.select("lang", n.alias("n_bpe"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_bpe").cast("bigint")).alias("total_bpe_tokens"),
+            (
+                F.sum(F.col("n_bpe").cast("bigint")) * 1.0 / F.count("*")
+            ).alias("avg_bpe_tokens"),
+        )
+    )
+
+
 @declare(
     "ngram_bigrams_top20",
     """
