@@ -151,6 +151,29 @@ def streaming_fold(oplog_stream: DataFrame) -> DataFrame:
     )
 
 
+def dedup_at_most_once_stream(
+    oplog_stream: DataFrame,
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``kv.dedup_at_most_once``: exactly-once
+    ingestion from an at-least-once delivery stream. Seen (client,
+    reqid) pairs live in the state store, so the first delivery wins —
+    the same winner as the batch min-seq rule under the kvraft retry
+    model (client.go retries AFTER the original send; retransmissions
+    arrive later).
+
+    At scale, pass ``ts_col`` so dropDuplicatesWithinWatermark can
+    expire dedup state instead of holding every id forever — the
+    retry window is bounded in practice, the op-log is not.
+    """
+    if ts_col is not None:
+        return oplog_stream.withWatermark(
+            ts_col, watermark
+        ).dropDuplicatesWithinWatermark(["client", "reqid"])
+    return oplog_stream.dropDuplicates(["client", "reqid"])
+
+
 _GETS_OUTPUT_SCHEMA = "seq long, key string, val string"
 
 

@@ -89,22 +89,19 @@ def test_streaming_fold_matches_batch_fold(spark, tmp_path):
     assert got == want
 
 
-def test_streaming_gets_match_batch_get_results(spark, tmp_path):
-    """O18 streaming read path: interleaved gets served from the
-    stateful fold equal the batch ``kv.get_results`` output, with the
-    op-log delivered across ≥3 micro-batches in seq order (the
-    exactly-once total order Raft provides in the reference)."""
-    events = load_table(spark, SF, "events")
-    # exactly-once log: the streaming fold consumes a deduped total
-    # order (synth_oplog still retransmits reqid 0 — 0 % anything == 0)
-    oplog = kv.dedup_at_most_once(kv.synth_oplog(events, dup_every=10**9))
-    bounds = [
-        r[0]
-        for r in oplog.selectExpr(
-            "percentile(seq, array(0.33, 0.66)) AS p"
-        ).selectExpr("explode(p)").collect()
-    ]
-    lo, hi = int(bounds[0]), int(bounds[1])
+def _run_chunked(spark, tmp_path, oplog, build_stream, query_name,
+                 bounds=None):
+    """Deliver ``oplog`` as 3 seq-ordered micro-batches (split at
+    ``bounds``, default terciles) through ``build_stream(raw_stream)``
+    into an in-memory table."""
+    if bounds is None:
+        bounds = [
+            int(r[0])
+            for r in oplog.selectExpr(
+                "percentile(seq, array(0.33, 0.66)) AS p"
+            ).selectExpr("explode(p)").collect()
+        ]
+    lo, hi = bounds
     d = tmp_path / "oplog_stream"
     d.mkdir()
 
@@ -120,11 +117,11 @@ def test_streaming_gets_match_batch_get_results(spark, tmp_path):
     ]
     write_chunk(*chunks[0])
     stream = spark.readStream.schema(stream_ops.OPLOG_SCHEMA).parquet(str(d))
-    out = stream_ops.streaming_get_results(stream)
     q = (
-        out.writeStream.outputMode("update")
+        build_stream(stream)
+        .writeStream.outputMode("update")
         .format("memory")
-        .queryName("gets_out")
+        .queryName(query_name)
         .start()
     )
     q.processAllAvailable()
@@ -133,9 +130,57 @@ def test_streaming_gets_match_batch_get_results(spark, tmp_path):
         q.processAllAvailable()
     q.stop()
 
+
+def test_streaming_gets_match_batch_get_results(spark, tmp_path):
+    """O18 streaming read path: interleaved gets served from the
+    stateful fold equal the batch ``kv.get_results`` output, with the
+    op-log delivered across ≥3 micro-batches in seq order (the
+    exactly-once total order Raft provides in the reference)."""
+    events = load_table(spark, SF, "events")
+    # exactly-once log: the streaming fold consumes a deduped total
+    # order (synth_oplog still retransmits reqid 0 — 0 % anything == 0)
+    oplog = kv.dedup_at_most_once(kv.synth_oplog(events, dup_every=10**9))
+    _run_chunked(
+        spark, tmp_path, oplog, stream_ops.streaming_get_results, "gets_out"
+    )
     got = {
         (r.seq, r.key): r.val
         for r in spark.sql("SELECT * FROM gets_out").collect()
+    }
+    want = {(r.seq, r.key): r.val for r in kv.get_results(oplog).collect()}
+    assert got == want
+    assert len(got) > 0
+
+
+def test_streaming_dedup_then_gets_match_batch(spark, tmp_path):
+    """At-least-once delivery end-to-end: a log WITH retransmissions,
+    streaming-deduped on (client, reqid) then folded, serves the same
+    get results as the batch path (whose dedup is the min-seq window).
+    Retransmissions carry seq+10M, so they arrive in later
+    micro-batches than their originals — the kvraft retry model."""
+    events = load_table(spark, SF, "events")
+    oplog = kv.synth_oplog(events, dup_every=7)  # plenty of dups
+    # Chunk 1/2: originals (split at the base-log median); chunk 3:
+    # every retransmission (seq+10M) — strictly after its original,
+    # so the first-delivery-wins state is already in the store.
+    med = int(
+        oplog.filter(F.col("seq") < 10_000_000)
+        .selectExpr("percentile(seq, 0.5) AS m")
+        .collect()[0].m
+    )
+    _run_chunked(
+        spark,
+        tmp_path,
+        oplog,
+        lambda s: stream_ops.streaming_get_results(
+            stream_ops.dedup_at_most_once_stream(s)
+        ),
+        "dedup_gets_out",
+        bounds=[med, 10_000_000],
+    )
+    got = {
+        (r.seq, r.key): r.val
+        for r in spark.sql("SELECT * FROM dedup_gets_out").collect()
     }
     want = {(r.seq, r.key): r.val for r in kv.get_results(oplog).collect()}
     assert got == want
