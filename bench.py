@@ -98,6 +98,39 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    # Scan-parallelism variants, recorded SEPARATELY: the sf fixtures
+    # are single-row-group parquet files, so every scan is ONE task
+    # and the map side of each heavy query runs single-threaded — a
+    # fixture artifact, not a plan property (at scale inputs arrive
+    # as many splittable files). split_prep rewrites the three heavy
+    # tables as CPUS files; the @split timings show what the same
+    # plans do with real scan parallelism.
+    from mrgo_spark.sources.tables import TABLES, load_table
+
+    SPLIT_TABLES = {"documents", "lineitem", "events"}
+    SPLIT_QUERIES = [
+        "wordcount", "ngram_bigrams_top20", "minhash_lsh_pairs",
+        "kv_fold_state", "dedup_fingerprint", "inverted_index",
+    ]
+    try:
+        t0 = time.perf_counter()
+        staged = tempfile.mkdtemp(prefix="mrgo_split_")
+        for t in TABLES:
+            if t in SPLIT_TABLES:
+                (
+                    load_table(spark, SF_DIR, t)
+                    .repartition(int(CPUS))
+                    .write.mode("overwrite")
+                    .parquet(f"{staged}/{t}.parquet")
+                )
+            else:
+                os.symlink(f"{SF_DIR}/{t}.parquet", f"{staged}/{t}.parquet")
+        timings["split_prep"] = round(time.perf_counter() - t0, 3)
+        for name in SPLIT_QUERIES:
+            timed(f"{name}@split", queries[name](spark, staged))
+    except Exception as e:
+        print(f"bench: split variants failed: {e}", file=sys.stderr)
+
     # Bucketed fact-join variants, recorded SEPARATELY (not in the
     # headline total, which stays comparable round-over-round): the
     # one-time bucketing shuffle is bucket_prep; q3/q17 reruns on the
