@@ -405,6 +405,35 @@ def q_sessionize(spark, sf_dir):
 
 
 @declare(
+    "range_join_errors_after_purchase",
+    """
+    WITH purchases AS (
+        SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS s
+        FROM events WHERE event_type = 'purchase'
+    ),
+    errors AS (
+        SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'error'
+    )
+    SELECT p.purchase_id, p.user_id,
+           CAST(COUNT(e.t) AS BIGINT) AS n_errors_1h
+    FROM purchases p LEFT JOIN errors e
+      ON p.user_id = e.user_id AND e.t >= p.s AND e.t <= p.s + 3600000000
+    GROUP BY p.purchase_id, p.user_id
+    """,
+)
+def q_range_join(spark, sf_dir):
+    """Range/interval join via the binned equi-join reduction
+    (operators/rangejoin.py) — the oracle runs the O(n·m) BETWEEN
+    form this operator exists to avoid; the Spark plan contains no
+    nested loop (pinned in tests/test_plans.py)."""
+    from . import rangejoin
+
+    return rangejoin.errors_within_hour_of_purchase(
+        load_table(spark, sf_dir, "events")
+    )
+
+
+@declare(
     "events_tumbling_hour",
     """
     SELECT date_trunc('hour', ts) AS hour_start, event_type,

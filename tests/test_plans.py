@@ -53,6 +53,53 @@ def test_topk_cosine_broadcasts_queries(spark):
     assert plans.has_broadcast_join(df)
 
 
+def test_range_join_no_nested_loop(spark):
+    """The binned interval join must plan hash/sort-merge equi-joins
+    only — a raw BETWEEN theta-join would be a BroadcastNestedLoop
+    over points x intervals."""
+    from mrgo_spark.operators.queries_relational import q_range_join
+
+    df = q_range_join(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_matches_theta_join(spark):
+    """Binned reduction == naive theta join, including points exactly
+    on both inclusive bounds and intervals spanning bin boundaries."""
+    from mrgo_spark.operators import rangejoin
+    from mrgo_spark.sources.tables import load_table
+
+    events = load_table(spark, SF, "events")
+    got = {
+        (r.purchase_id, r.n_errors_1h)
+        for r in rangejoin.errors_within_hour_of_purchase(events).collect()
+    }
+    us = F.unix_micros(F.col("ts"))
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"),
+        us.alias("s"),
+    )
+    e = events.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("eu"), us.alias("t")
+    )
+    want = {
+        (r.pid, r.n)
+        for r in p.join(
+            e,
+            (F.col("pu") == F.col("eu"))
+            & (F.col("t") >= F.col("s"))
+            & (F.col("t") <= F.col("s") + rangejoin.HOUR_US),
+            "left",
+        )
+        .groupBy("pid")
+        .agg(F.count("t").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_bucketed_variants_match_declared(spark):
     """The bucketed q3/q17 bench variants return byte-identical rows
     to the declared forms, and their fact-side joins/aggs plan no
