@@ -457,6 +457,45 @@ def q_tumbling(spark, sf_dir):
 
 
 @declare(
+    "hypertable_rollup",
+    """
+    WITH minute AS (
+        SELECT date_trunc('minute', ts) AS bucket, event_type,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(value*100) AS BIGINT)) AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    hour AS (
+        SELECT date_trunc('hour', bucket) AS bucket, event_type,
+               SUM(n) AS n, SUM(cents) AS cents
+        FROM minute GROUP BY 1, 2
+    ),
+    day AS (
+        SELECT date_trunc('day', bucket) AS bucket, event_type,
+               SUM(n) AS n, SUM(cents) AS cents
+        FROM hour GROUP BY 1, 2
+    )
+    SELECT grain, bucket, event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(cents AS BIGINT)/100.0 AS total_value
+    FROM (
+        SELECT 'minute' AS grain, * FROM minute
+        UNION ALL SELECT 'hour', * FROM hour
+        UNION ALL SELECT 'day', * FROM day
+    )
+    """,
+)
+def q_hypertable_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate (operators/rollup.py):
+    minute grain aggregates raw events once; hour and day re-aggregate
+    the previous grain's (n, cents) — sums of sums, bit-identical to
+    direct aggregation, which is what the oracle computes."""
+    from . import rollup
+
+    return rollup.rollup_union(load_table(spark, sf_dir, "events"))
+
+
+@declare(
     "percentiles_order_value",
     """
     SELECT o_orderpriority,
