@@ -254,6 +254,44 @@ def q_json_props(spark, sf_dir):
 
 
 @declare(
+    "salted_hot_key_agg",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS cents,
+           MIN(user_id) AS min_user,
+           MAX(user_id) AS max_user
+    FROM events GROUP BY event_type
+    """,
+)
+def q_salted_agg(spark, sf_dir):
+    """Skew-mitigation surface as a declared query: a two-stage
+    salted aggregation over a low-cardinality key (event_type — the
+    hot-key shape where one reducer would otherwise take the whole
+    group). Salting spreads each key across 16 reducers in stage 1;
+    stage 2 folds the partials. Result is provably identical to the
+    direct aggregate — the oracle IS the direct aggregate."""
+    from .skew import salted_agg
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "cents_part", F.round(F.col("value") * 100).cast("long")
+    )
+    out = salted_agg(
+        e,
+        key="event_type",
+        aggs={
+            "n_events": ("count", "*"),
+            "cents": ("sum", "cents_part"),
+            "min_user": ("min", "user_id"),
+            "max_user": ("max", "user_id"),
+        },
+    )
+    return out.select(
+        "event_type", "n_events", "cents", "min_user", "max_user"
+    )
+
+
+@declare(
     "map_battery",
     """
     SELECT event_type,
