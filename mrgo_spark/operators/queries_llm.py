@@ -158,6 +158,95 @@ def q_near_pairs(spark, sf_dir):
     return similarity.near_pairs_cosine(emb, threshold=0.4)
 
 
+@declare(
+    "multimodal_blob_stats",
+    """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                           ELSE 'video' END AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS digest,
+           base64(encode(substring(text, 1, 8))) AS header_b64
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def q_multimodal_blob_stats(spark, sf_dir):
+    """X5 declared surface: opaque-binary column handling with typed
+    metadata, closure-free so it runs under the driver's session (the
+    mapInPandas decode path in operators/multimodal.py stays
+    engine-side — CLAUDE.md conventions). Blobs are synthesized
+    deterministically from text (utf-8 bytes) on BOTH engines; stats
+    are byte length, sha-256 digest, and a base64 header probe —
+    the metadata a real image/audio ingest would carry per blob."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    blob = F.col("text").cast("binary")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        "doc_id",
+        kind.alias("kind"),
+        F.octet_length(blob).alias("n_bytes"),
+        F.sha2(blob, 256).alias("digest"),
+        F.base64(F.substring("text", 1, 8).cast("binary")).alias("header_b64"),
+    )
+
+
+@declare(
+    "embedding_normalize",
+    f"""
+    WITH {_FX_NORMS_SQL}
+    SELECT vec_id,
+           [CAST(embedding[i] AS DOUBLE) / (sqrt(norm_fx) / 1000.0)
+            for i in generate_series(1, len(embedding))] AS unit
+    FROM norms WHERE vec_id % 50 = 0
+    """,
+)
+def q_embedding_normalize(spark, sf_dir):
+    """X3 pipeline op: L2 normalization (declared on the vec_id % 50
+    subset to keep the gated row count modest; the operator itself is
+    map-side over the full corpus)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 50 == 0
+    )
+    return similarity.normalize_unit(emb)
+
+
+@declare(
+    "embedding_centroids",
+    """
+    WITH exploded AS (
+        SELECT vec_id % 8 AS grp,
+               unnest(generate_series(1, len(embedding))) AS pos,
+               unnest([CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+                            AS BIGINT)
+                       for i in generate_series(1, len(embedding))]) AS fx
+        FROM embeddings
+    ),
+    per_dim AS (
+        SELECT grp, pos,
+               CAST(SUM(fx) AS BIGINT) AS sfx,
+               COUNT(*) AS n
+        FROM exploded
+        GROUP BY 1, 2
+    )
+    SELECT grp,
+           CAST(MAX(n) AS BIGINT) AS n_vecs,
+           list(sfx / n / 1000000.0 ORDER BY pos) AS centroid
+    FROM per_dim GROUP BY grp
+    """,
+)
+def q_embedding_centroids(spark, sf_dir):
+    """X3 pipeline op: per-group mean vectors (class-centroid shape),
+    fixed-point so the means are bit-identical to the oracle's."""
+    return similarity.group_centroids(
+        load_table(spark, sf_dir, "embeddings"), n_groups=8
+    )
+
+
 # ----------------------------------------------------------- text stats
 
 @declare(

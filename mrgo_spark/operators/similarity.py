@@ -195,6 +195,55 @@ def near_pairs_cosine(
     )
 
 
+def normalize_unit(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """L2-normalize each vector (fixed-point norm → bit-stable across
+    engines; sqrt and division are IEEE-exact). Columns: (vec_id,
+    unit: array<double>). Map-side only — no shuffle."""
+    nf = F.sqrt(_fx_dot(F.col(vec_col), F.col(vec_col))) / 1000.0
+    return embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / nf).alias(
+            "unit"
+        ),
+    )
+
+
+def group_centroids(
+    embeddings: DataFrame,
+    n_groups: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group mean vector over id-modular groups (the shape of a
+    class/cluster centroid computation). Fixed-point per-dimension
+    sums make the means bit-identical across engines. One explode +
+    two partial-agg shuffles on small keys — corpus scanned once.
+    Columns: (grp, n_vecs, centroid: array<double>)."""
+    fx = lambda c: F.round(c.cast("double") * FX).cast("long")  # noqa: E731
+    per_dim = (
+        embeddings.select(
+            F.pmod(F.col(id_col), F.lit(n_groups)).alias("grp"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        .groupBy("grp", "pos")
+        .agg(F.sum(fx(F.col("x"))).alias("sfx"), F.count("*").alias("n"))
+    )
+    return (
+        per_dim.groupBy("grp")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sfx", "n"))),
+                lambda s: s["sfx"] / s["n"] / float(FX),
+            ).alias("centroid"),
+        )
+    )
+
+
 # ---- IVF (inverted-file) ANN: the high-recall scale path ----------------
 
 
