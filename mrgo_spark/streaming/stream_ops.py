@@ -239,6 +239,80 @@ def streaming_get_results(oplog_stream: DataFrame) -> DataFrame:
     )
 
 
+# ---- transformWithState variant (the arbitrary-state API successor) ------
+
+try:  # Spark >= 4.0, and protobuf present: the transformWithState
+    # Python worker talks to the JVM state server over a protobuf
+    # wire protocol imported lazily at EXECUTION time — without
+    # google.protobuf the worker dies mid-query ("driver worker
+    # exited unexpectedly"), so gate on both up front.
+    import google.protobuf  # noqa: F401
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    HAS_TRANSFORM_WITH_STATE = True
+except ImportError:  # pragma: no cover - older Spark / no protobuf
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    StatefulProcessorHandle = None  # type: ignore[assignment,misc]
+    HAS_TRANSFORM_WITH_STATE = False
+
+
+class KVFoldGetsProcessor(StatefulProcessor):
+    """transformWithStateInPandas twin of ``_fold_one_key_serve_gets``
+    — same fold semantics, expressed against the newer typed-state
+    handle API (ValueState instead of the single GroupState blob;
+    this is the API that also offers list/map state and timers)."""
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._state = handle.getValueState("fold", _FOLD_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        existing = self._state.get()
+        cur, n = existing if existing is not None else ("", 0)
+        out_seq: list[int] = []
+        out_val: list[str] = []
+        for pdf in rows:
+            pdf = pdf.sort_values("seq")
+            for o, v, s in zip(
+                pdf["op"].to_numpy(),
+                pdf["value"].fillna("").to_numpy(),
+                pdf["seq"].to_numpy(),
+            ):
+                if o == "put":
+                    cur, n = v, n + 1
+                elif o == "append":
+                    cur, n = cur + v, n + 1
+                else:
+                    out_seq.append(int(s))
+                    out_val.append(cur)
+        self._state.update((cur, n))
+        yield pd.DataFrame(
+            {
+                "seq": pd.array(out_seq, dtype="int64"),
+                "key": [key[0]] * len(out_seq),
+                "val": out_val,
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_get_results_tws(oplog_stream: DataFrame) -> DataFrame:
+    """``streaming_get_results`` on the transformWithStateInPandas
+    API. Result-identical (agreement tested); prefer this form when
+    an operator needs several typed state variables or timers."""
+    return oplog_stream.groupBy("key").transformWithStateInPandas(
+        KVFoldGetsProcessor(),
+        outputStructType=_GETS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "update"):
     """Drive a streaming query to completion over the available batch
     of files and land results in an in-memory table (test harness)."""

@@ -152,6 +152,42 @@ def test_streaming_gets_match_batch_get_results(spark, tmp_path):
     assert len(got) > 0
 
 
+def test_transform_with_state_gets_match_batch(spark, tmp_path):
+    """The transformWithStateInPandas fold (typed ValueState API)
+    serves the same get results as the batch path — API-equivalence
+    with the applyInPandasWithState form."""
+    import pytest
+
+    if not stream_ops.HAS_TRANSFORM_WITH_STATE:
+        pytest.skip("transformWithState needs Spark >= 4.0 + protobuf")
+    events = load_table(spark, SF, "events")
+    oplog = kv.dedup_at_most_once(kv.synth_oplog(events, dup_every=10**9))
+    # transformWithState requires the RocksDB state store provider
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(
+        conf,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        _run_chunked(
+            spark, tmp_path, oplog, stream_ops.streaming_get_results_tws,
+            "tws_gets_out",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
+    got = {
+        (r.seq, r.key): r.val
+        for r in spark.sql("SELECT * FROM tws_gets_out").collect()
+    }
+    want = {(r.seq, r.key): r.val for r in kv.get_results(oplog).collect()}
+    assert got == want and len(got) > 0
+
+
 def test_streaming_dedup_then_gets_match_batch(spark, tmp_path):
     """At-least-once delivery end-to-end: a log WITH retransmissions,
     streaming-deduped on (client, reqid) then folded, serves the same
