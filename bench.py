@@ -98,6 +98,23 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    # Round-2 operators, recorded SEPARATELY so the headline total
+    # stays comparable to earlier rounds' 20-query set.
+    EXTRA = [
+        "hypertable_rollup",
+        "range_join_errors_after_purchase",
+        "bpe_token_stats",
+        "wordcount_unicode",
+        "salted_hot_key_agg",
+        "embedding_centroids",
+    ]
+    for name in EXTRA:
+        try:
+            timed(name, queries[name](spark, SF_DIR))
+        except Exception as e:
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            timings[name] = -1.0
+
     # Scan-parallelism variants, recorded SEPARATELY: the sf fixtures
     # are single-row-group parquet files, so every scan is ONE task
     # and the map side of each heavy query runs single-threaded — a

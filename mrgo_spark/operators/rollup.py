@@ -59,19 +59,55 @@ def continuous_rollup(
 
 def rollup_union(events: DataFrame) -> DataFrame:
     """Declared form: all grains in one frame.
-    Columns: (grain, bucket, event_type, n, total_value)."""
-    grains = continuous_rollup(events)
-    parts = [
-        df.select(
-            F.lit(g).alias("grain"),
+    Columns: (grain, bucket, event_type, n, total_value).
+
+    Single-pass shape: a UNION of per-grain aggregates would rescan
+    raw events once per grain (Catalyst does not reliably reuse the
+    minute-agg exchange across branches — verified on the physical
+    plan); instead the minute aggregate is exploded into the three
+    (grain, bucket) rows it contributes to and re-aggregated once.
+    One raw scan, two shuffles total, and the second shuffle moves
+    pre-reduced rows only.
+    """
+    minute = (
+        events.groupBy(
+            F.date_trunc("minute", F.col("ts")).alias("bucket"),
+            F.col("event_type").alias("key"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    grains = F.array(
+        F.struct(F.lit("minute").alias("grain"), F.col("bucket").alias("b")),
+        F.struct(
+            F.lit("hour").alias("grain"),
+            F.date_trunc("hour", F.col("bucket")).alias("b"),
+        ),
+        F.struct(
+            F.lit("day").alias("grain"),
+            F.date_trunc("day", F.col("bucket")).alias("b"),
+        ),
+    )
+    # generators can't nest inside expressions: explode in its own select
+    exploded = minute.select(
+        F.explode(grains).alias("g"), "key", "n", "cents"
+    ).select(
+        F.col("g.grain").alias("grain"),
+        F.col("g.b").alias("bucket"),
+        "key",
+        "n",
+        "cents",
+    )
+    return (
+        exploded.groupBy("grain", "bucket", "key")
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+        .select(
+            "grain",
             "bucket",
             F.col("key").alias("event_type"),
             "n",
             (F.col("cents") / 100.0).alias("total_value"),
         )
-        for g, df in grains.items()
-    ]
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionAll(p)
-    return u
+    )

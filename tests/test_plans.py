@@ -53,6 +53,35 @@ def test_topk_cosine_broadcasts_queries(spark):
     assert plans.has_broadcast_join(df)
 
 
+def test_hypertable_rollup_single_scan(spark):
+    """All three grains from ONE raw scan and two shuffles (the union
+    formulation rescans events per grain; the explode formulation is
+    what ships)."""
+    from mrgo_spark.operators.queries_relational import q_hypertable_rollup
+
+    df = q_hypertable_rollup(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_rollup_grain_consistency(spark):
+    """Each coarser grain's totals equal the sum of its finer rows."""
+    from mrgo_spark.operators.queries_relational import q_hypertable_rollup
+
+    rows = q_hypertable_rollup(spark, SF).collect()
+    by_grain = {}
+    for r in rows:
+        by_grain.setdefault(r.grain, []).append(r)
+    for grain in ("minute", "hour", "day"):
+        total_n = sum(r.n for r in by_grain[grain])
+        total_v = round(sum(r.total_value for r in by_grain[grain]), 2)
+        assert total_n == sum(r.n for r in by_grain["minute"])
+        assert total_v == round(
+            sum(r.total_value for r in by_grain["minute"]), 2
+        )
+
+
 def test_range_join_no_nested_loop(spark):
     """The binned interval join must plan hash/sort-merge equi-joins
     only — a raw BETWEEN theta-join would be a BroadcastNestedLoop
