@@ -449,6 +449,116 @@ def q_quality(spark, sf_dir):
     return textstats.quality_score(load_table(spark, sf_dir, "documents"))
 
 
+@declare(
+    "ngram_jaccard_reversed_pairs",
+    f"""
+    WITH {_DUP_CORPUS_SQL},
+    tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t
+        FROM corpus
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                        for i in generate_series(1, len(t)-2)])
+                    ELSE [array_to_string(t, ' ')] END AS s
+        FROM tok
+    ),
+    pairs AS (
+        SELECT doc_id AS id_a, doc_id + 200000 AS id_b
+        FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+           / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+    FROM pairs p JOIN sh a ON a.doc_id = p.id_a
+                 JOIN sh b ON b.doc_id = p.id_b
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """X2 verification operator on the declared surface: exact 3-gram
+    Jaccard for a deterministic candidate set (each doc vs its
+    token-REVERSED copy) — the shape used to verify LSH survivors; at
+    scale candidates come from the LSH blocker, never the corpus
+    square."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 200000).alias("id_b"),
+    )
+    return dedup.ngram_jaccard_pairs(_dup_corpus(spark, sf_dir), cands)
+
+
+@declare(
+    "corpus_quality_filter",
+    r"""
+    WITH base AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t,
+               length(text) AS n_chars
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                   / greatest(n_chars, 1) AS letter_ratio,
+               CASE WHEN len(t) > 0
+                    THEN CAST(coalesce(list_sum([length(x) for x in t]), 0) AS DOUBLE)
+                         / len(t)
+                    ELSE 0.0 END AS mean_word_len,
+               CAST(len(list_filter(t,
+                    x -> x IN ('the','and','of','to','is','in','that'))) AS DOUBLE)
+                   / greatest(len(t), 1) AS stopword_ratio
+        FROM base
+    )
+    SELECT doc_id,
+           CASE WHEN n_tokens < 10 OR n_tokens > 100000
+                     THEN 'length_out_of_band'
+                WHEN letter_ratio < 0.6 THEN 'low_letter_ratio'
+                WHEN mean_word_len < 2.0 OR mean_word_len > 12.0
+                     THEN 'weird_word_len'
+                WHEN stopword_ratio = 0.0 THEN 'no_stopwords'
+                ELSE 'ok' END AS reason,
+           (CASE WHEN n_tokens < 10 OR n_tokens > 100000
+                      THEN 'length_out_of_band'
+                 WHEN letter_ratio < 0.6 THEN 'low_letter_ratio'
+                 WHEN mean_word_len < 2.0 OR mean_word_len > 12.0
+                      THEN 'weird_word_len'
+                 WHEN stopword_ratio = 0.0 THEN 'no_stopwords'
+                 ELSE 'ok' END) = 'ok' AS keep
+    FROM m
+    """,
+)
+def q_corpus_filter(spark, sf_dir):
+    """X4 end-to-end: the keep/drop decision a training-data pipeline
+    materializes per document, with the FIRST failing rule as the drop
+    reason (first-match semantics mirror the CASE chain in the
+    oracle). Built on the quality_score metrics — all map-side column
+    expressions."""
+    m = textstats.quality_score(load_table(spark, sf_dir, "documents"))
+    reason = (
+        F.when(
+            (F.col("n_tokens") < 10) | (F.col("n_tokens") > 100000),
+            "length_out_of_band",
+        )
+        .when(F.col("letter_ratio") < 0.6, "low_letter_ratio")
+        .when(
+            (F.col("mean_word_len") < 2.0) | (F.col("mean_word_len") > 12.0),
+            "weird_word_len",
+        )
+        .when(F.col("stopword_ratio") == 0.0, "no_stopwords")
+        .otherwise("ok")
+    )
+    return m.select(
+        "doc_id", reason.alias("reason"), (reason == "ok").alias("keep")
+    )
+
+
 # ------------------------------------------- rows-only declared (no oracle)
 
 @declare("minhash_lsh_pairs")

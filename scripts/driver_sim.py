@@ -2,7 +2,9 @@
 
 Runs entry() (t1) then every queries() entry vs its oracle_sql() in
 DuckDB (t2) at the given sf dir. Usage:
-    python scripts/driver_sim.py [sf_dir]
+    python scripts/driver_sim.py [sf_dir] [query_name ...]
+Extra args restrict the t2 loop to those query names (entry() still
+runs) — the fast path when iterating on one declaration.
 """
 
 from __future__ import annotations
@@ -17,6 +19,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
 
 spec = importlib.util.spec_from_file_location(
     "__spark_entry__", REPO / "__spark_entry__.py"
@@ -57,7 +60,10 @@ def norm(cols, rows):
 
 
 bad = []
-for name in sorted(q):
+if ONLY:
+    missing = ONLY - set(q)
+    assert not missing, f"unknown query names: {sorted(missing)}"
+for name in sorted(ONLY or q):
     sdf = q[name](spark, SF_DIR)
     srows = [tuple(r) for r in sdf.collect()]
     if name not in o:

@@ -82,6 +82,11 @@ def main() -> None:
         "kv_fold_state",
         "wordcount",
         "events_sessionize",
+        "hypertable_rollup",
+        "range_join_errors_after_purchase",
+        "bpe_token_stats",
+        "minhash_lsh_pairs",
+        "embedding_centroids",
     ]
     results = {}
     for name in probe:
