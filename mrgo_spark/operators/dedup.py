@@ -194,6 +194,70 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", (inter / union).alias("jaccard"))
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 10,
+    converge: bool = False,
+) -> DataFrame:
+    """Connected components over an undirected edge list by min-label
+    propagation: (id, component) where component = min reachable node
+    id. The step after near-dup pair generation — pairs → clusters →
+    keep min-id doc per cluster — completing the dedup pipeline.
+
+    Each round is one equi-join + one partial-min aggregate (both
+    shuffle on the same key, so the exchange is reused); labels move
+    one hop per round, so ``max_iter`` must be ≥ the graph diameter.
+    Dup-graphs in practice are near-stars (copies of one original), so
+    a handful of rounds converges; ``converge=True`` iterates to a
+    fixpoint instead, checking changed-label count per round (one
+    action per round) and localCheckpoint()-ing every 3 rounds to
+    truncate lineage. At 1000-executor scale the same loop holds;
+    the O(log n)-round alternating large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    is the upgrade path if diameters ever grow.
+    """
+    und = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    und = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    und = und.filter(F.col("a") != F.col("b")).distinct()
+    labels = (
+        und.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+    )
+    rounds = max_iter if not converge else 1_000_000
+    for i in range(rounds):
+        prop = und.join(labels, und["a"] == labels["id"]).select(
+            F.col("b").alias("id"), "component"
+        )
+        new_labels = (
+            labels.unionAll(prop)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        # Lineage truncation regardless of mode: without it the plan
+        # nests one join+agg deeper per round and Catalyst analysis
+        # time grows superlinearly long before the data does.
+        if i % 3 == 2:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        if converge:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
+    return labels
+
+
 def _bitmask(b: int) -> F.Column:
     # two's-complement: bit 63's mask is the sign bit
     return F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")

@@ -1,0 +1,132 @@
+"""Training-data pipeline operators (engine-native, beyond the
+reference surface; SURVEY §2.4 mandate "LLM-data-pipeline operators
+... designed for 100 TB scale").
+
+- ``hash_bucket`` / ``dataset_split`` — content-stable deterministic
+  train/val/test assignment. The split depends only on the row's id
+  (md5, engine-portable), never on partitioning, row order, or corpus
+  size — adding documents never reshuffles existing assignments,
+  which is the property a 100 TB incremental pipeline needs.
+- ``mixture_sample`` — per-source downsampling (domain mixture
+  weighting) with the same stable-hash keep rule.
+- ``sequence_chunks`` — fixed-length token windows per document (the
+  pre-training packing unit). Map-side only: tokenize → slice →
+  explode; no shuffle at all.
+- ``pii_scrub`` — regex redaction (emails, phone numbers) with
+  audit counts. Patterns are RE2-compatible (no lookahead) so the
+  DuckDB oracle agrees; at scale this is a pure map over the corpus.
+
+All ops are built-in column expressions — JVM-side, codegen-friendly,
+zero Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import ascii_tokens
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
+
+
+def hash_bucket(col, buckets: int = 100) -> F.Column:
+    """Deterministic bucket in [0, buckets) from md5 of the value.
+
+    md5 hex is identical across engines (unlike xxhash64/murmur3), so
+    the bucket — hence every split/sample decision built on it — is
+    reproducible anywhere, including the DuckDB oracle. Uses the first
+    4 hex chars (16 bits) — plenty of resolution for percent-level
+    splits.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.substring(F.md5(c.cast("string")), 1, 4)
+    return (F.conv(h, 16, 10).cast("long") % buckets).alias("bucket")
+
+
+def dataset_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Stable train/val/test split: adds a ``split`` column.
+
+    Assignment is a pure function of the id — re-running on a grown
+    corpus never moves an existing document between splits (no
+    randomness, no row-order dependence, no repartition sensitivity).
+    """
+    b = hash_bucket(id_col, 100)
+    split = (
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return df.withColumn("split", split)
+
+
+def mixture_sample(
+    df: DataFrame, rate_permille: F.Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep each row iff hash_bucket(id, 1000) < its per-row rate.
+
+    ``rate_permille`` is a Column (0..1000) — typically derived from a
+    source/domain column, implementing mixture weighting: sample web
+    crawl at 10%, keep books at 100%, etc. Deterministic and
+    content-stable like dataset_split; a pure filter, no shuffle.
+    """
+    return df.filter(hash_bucket(id_col, 1000) < rate_permille)
+
+
+def sequence_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 128,
+) -> DataFrame:
+    """Fixed-length token windows per document.
+
+    Columns: (doc_id, chunk_id, n_tokens, chunk_hash) — the hash
+    (sha256 of the space-joined chunk) pins exact chunk content
+    without carrying text through downstream compares. The last chunk
+    per doc may be short; empty docs produce no chunks. Map-side only
+    (generator in its own select, per the projection-collapse rule).
+    """
+    toks = ascii_tokens(text_col, lowercase=True)
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(chunk_size)).cast("int")
+    idx = F.when(n > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"), idx.alias("_i"))
+    ex = base.select("doc_id", "_t", F.explode("_i").alias("chunk_id"))
+    piece = F.slice(ex["_t"], F.col("chunk_id") * chunk_size + 1, chunk_size)
+    return ex.select(
+        "doc_id",
+        "chunk_id",
+        F.size(piece).alias("n_tokens"),
+        F.sha2(F.array_join(piece, " "), 256).alias("chunk_hash"),
+    )
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails/phones; emit audit stats + scrubbed-content hash.
+
+    Columns: (doc_id, n_emails, n_phones, removed_chars, clean_hash).
+    clean_hash = sha256 of the scrubbed text proves byte-exact scrub
+    output across engines without shipping the text. One map pass.
+    """
+    t = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(t, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).alias("n_phones"),
+        (F.length(t) - F.length(clean)).alias("removed_chars"),
+        F.sha2(clean, 256).alias("clean_hash"),
+    )

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..functions.text import ascii_tokens
 from ..registry import declare
 from ..sources.tables import load_table
-from . import dedup, similarity, textstats
+from . import dedup, pipeline, similarity, textstats
 
 # ---------------------------------------------------------------- dedup
 
@@ -557,6 +557,271 @@ def q_corpus_filter(spark, sf_dir):
     return m.select(
         "doc_id", reason.alias("reason"), (reason == "ok").alias("keep")
     )
+
+
+@declare(
+    "dup_cluster_components",
+    """
+    WITH RECURSIVE base AS (
+        SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+    ),
+    edges AS (
+        SELECT doc_id AS src, doc_id + 100000 AS dst FROM base
+        UNION ALL SELECT doc_id + 100000, doc_id + 200000 FROM base
+        UNION ALL SELECT doc_id + 200000, doc_id + 300000 FROM base
+    ),
+    und AS (
+        SELECT src AS a, dst AS b FROM edges
+        UNION SELECT dst, src FROM edges
+    ),
+    reach(id, lbl) AS (
+        SELECT DISTINCT a, a FROM und
+        UNION
+        SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.id
+    )
+    SELECT id AS node_id, MIN(lbl) AS component
+    FROM reach GROUP BY id
+    """,
+)
+def q_dup_cluster_components(spark, sf_dir):
+    """X2 final step: connected components over a dup-pair graph —
+    pairs → clusters, cluster id = min member id (then "keep min id
+    per cluster" finishes dedup). The declared graph is a 4-node chain
+    per every-10th doc (d — d+100000 — d+200000 — d+300000), diameter
+    3, so label propagation needs 3 rounds (max_iter=4 for margin);
+    the oracle walks the same graph with a recursive CTE."""
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+    )
+    d = F.col("doc_id")
+    edges = (
+        base.select(d.alias("src"), (d + 100000).alias("dst"))
+        .unionAll(base.select((d + 100000).alias("src"), (d + 200000).alias("dst")))
+        .unionAll(base.select((d + 200000).alias("src"), (d + 300000).alias("dst")))
+    )
+    return dedup.connected_components(edges, max_iter=4).select(
+        F.col("id").alias("node_id"), "component"
+    )
+
+
+@declare(
+    "repetition_stats",
+    """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 300000, text || ' ' || text
+        FROM documents WHERE doc_id % 20 = 0
+    ),
+    tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t
+        FROM corpus
+    ),
+    g AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN [array_to_string(t[i:i+2], ' ')
+                          for i in generate_series(1, len(t)-2)]
+                    ELSE CAST([] AS VARCHAR[]) END AS grams
+        FROM tok
+    )
+    SELECT doc_id,
+           len(grams) AS n_ngrams,
+           len(list_distinct(grams)) AS n_distinct,
+           CASE WHEN len(grams) > 0
+                THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                     / len(grams)
+                ELSE 0.0 END AS dup_frac
+    FROM g
+    """,
+)
+def q_repetition_stats(spark, sf_dir):
+    """X4 Gopher-style repetition rule: duplicate-3-gram fraction per
+    doc. The corpus adds a doubled copy (text||' '||text) of every
+    20th doc so the high-dup branch is actually exercised — doubled
+    docs land near dup_frac ≈ 0.5."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat_ws(" ", "text", "text").alias("text"),
+    )
+    return textstats.repetition_stats(docs.unionAll(doubled))
+
+
+@declare(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(t) AS term FROM tok),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf_cnt FROM ex GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    scored AS (
+        SELECT doc_id, term, tf_cnt, df,
+               CAST(tf_cnt AS DOUBLE)
+               * ((n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+               AS score
+        FROM tf JOIN dfq USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tf_cnt, df, score, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """X4: top-3 characteristic terms per doc by tf·idf with the
+    rational (log-free) BM25 idf — bit-stable across engines where
+    ln() is not (last-ulp libm differences; queries_scalar.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.tfidf_terms(docs, k=3)
+
+
+# ------------------------------------------------- pipeline (splits etc.)
+
+@declare(
+    "dataset_split",
+    """
+    SELECT doc_id,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS BIGINT) % 100 AS b
+        FROM documents
+    )
+    """,
+)
+def q_dataset_split(spark, sf_dir):
+    """Content-stable train/val/test assignment: split is a pure
+    function of md5(doc_id), so growing the corpus never moves an
+    existing doc between splits — the property an incremental 100 TB
+    pipeline needs (no randomness, no row-order dependence)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.dataset_split(docs).select("doc_id", "split")
+
+
+@declare(
+    "mixture_sample",
+    """
+    SELECT doc_id, source
+    FROM (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS BIGINT) % 1000 AS b,
+               CASE CAST(substr(source, 4) AS INT) % 4
+                    WHEN 0 THEN 1000 WHEN 1 THEN 500
+                    WHEN 2 THEN 250 ELSE 100 END AS rate
+        FROM documents
+    ) WHERE b < rate
+    """,
+)
+def q_mixture_sample(spark, sf_dir):
+    """Domain-mixture sampling: per-source keep rates (100%/50%/25%/10%
+    by source index mod 4) applied via the stable hash bucket — a pure
+    filter, no shuffle, deterministic across engines and re-runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = F.substring("source", 4, 8).cast("int")
+    rate = (
+        F.when(idx % 4 == 0, 1000)
+        .when(idx % 4 == 1, 500)
+        .when(idx % 4 == 2, 250)
+        .otherwise(100)
+    )
+    return pipeline.mixture_sample(docs, rate).select("doc_id", "source")
+
+
+@declare(
+    "sequence_chunks",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    ex AS (
+        SELECT doc_id, t,
+               unnest(generate_series(0,
+                   CAST(ceil(len(t) / 32.0) AS INT) - 1)) AS chunk_id
+        FROM tok WHERE len(t) > 0
+    )
+    SELECT doc_id, chunk_id,
+           len(t[chunk_id * 32 + 1 : chunk_id * 32 + 32]) AS n_tokens,
+           sha256(array_to_string(
+               t[chunk_id * 32 + 1 : chunk_id * 32 + 32], ' ')) AS chunk_hash
+    FROM ex
+    """,
+)
+def q_sequence_chunks(spark, sf_dir):
+    """Pre-training packing unit: 32-token windows per document (small
+    enough that fixture docs span several chunks, exercising tails),
+    content pinned by sha256 so the compare never ships chunk text.
+    Map-side only (tokenize → slice → explode), zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.sequence_chunks(docs, chunk_size=32)
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+\d{1,2}-\d{3}-\d{4}"
+
+@declare(
+    "pii_scrub_audit",
+    f"""
+    WITH synth AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0
+                    THEN text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com or call +1-555-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         || ' now'
+                    ELSE text END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+           length(text) - length(
+               regexp_replace(
+                   regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g')) AS removed_chars,
+           sha256(regexp_replace(
+                   regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g')) AS clean_hash
+    FROM synth
+    """,
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction audit over a corpus with deterministic synthetic
+    emails/phones on every 10th doc (fixtures carry none). clean_hash
+    = sha256 of the scrubbed text proves byte-exact redaction across
+    engines; patterns are RE2-compatible so Java regex and DuckDB
+    agree. One map pass — the 100 TB shape for corpus scrubbing."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    synth = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" now"),
+        ),
+    ).otherwise(F.col("text"))
+    return pipeline.pii_scrub(docs.select("doc_id", synth.alias("text")))
 
 
 # ------------------------------------------- rows-only declared (no oracle)

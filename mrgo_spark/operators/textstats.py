@@ -9,7 +9,7 @@ the n-gram count is tokenize→explode→one partial-agg shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import ascii_tokens, ws_tokens
@@ -154,6 +154,81 @@ def ngram_counts(
         documents.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").alias("cnt"))
+    )
+
+
+def repetition_stats(
+    documents: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition (Gopher-style quality rule): the
+    fraction of duplicate word n-grams. Columns: doc_id, n_ngrams,
+    n_distinct, dup_frac.
+
+    Boilerplate / template spam shows up as dup_frac near 1. Pure
+    map-side array expressions — no shuffle, no Python.
+    """
+    toks = ascii_tokens(text_col, lowercase=True)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return documents.select(
+        "doc_id",
+        total.alias("n_ngrams"),
+        distinct.alias("n_distinct"),
+        F.when(total > 0, (total - distinct).cast("double") / total)
+        .otherwise(0.0)
+        .alias("dup_frac"),
+    )
+
+
+def tfidf_terms(
+    documents: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf.
+
+    Columns: doc_id, term, tf_cnt, df, score, rank. Score uses the
+    BM25-style *rational* idf (N - df + 0.5)/(df + 0.5) instead of its
+    log: transcendentals differ in the last ulp between libm builds
+    (see queries_scalar.py), while +,*,/ are IEEE-correctly-rounded —
+    so this variant is bit-stable across engines. Monotone in the log
+    form, so the ranking is identical.
+
+    Plan shape: one explode → two partial-agg shuffles (per-(doc,term)
+    counts, then per-term df) + a broadcast of the scalar N — the
+    standard scalable TF-IDF; nothing is O(corpus²).
+    """
+    toks = ascii_tokens(text_col, lowercase=True)
+    ex = documents.select("doc_id", F.explode(toks).alias("term"))
+    tf = ex.groupBy("doc_id", "term").agg(F.count("*").alias("tf_cnt"))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = documents.select(
+        F.count("*").cast("double").alias("_n")
+    )  # 1-row broadcast
+    scored = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf_cnt",
+            "df",
+            (
+                F.col("tf_cnt").cast("double")
+                * (
+                    (F.col("_n") - F.col("df").cast("double") + F.lit(0.5))
+                    / (F.col("df").cast("double") + F.lit(0.5))
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
 
 

@@ -76,3 +76,53 @@ def test_shingles_short_doc(spark):
     df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
     row = df.select(dedup.shingles("text", 3).alias("s")).collect()[0]
     assert row.s == ["one two"]
+
+
+def _uf_components(n_nodes, edges):
+    """Reference union-find: node -> min node id of its component."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for v in range(n_nodes):
+        comp.setdefault(find(v), []).append(v)
+    return {v: min(vs) for vs in comp.values() for v in vs}
+
+
+def test_connected_components_vs_union_find(spark):
+    """Seeded random graphs: Spark min-label propagation must agree
+    with a driver-side union-find on every touched node."""
+    import random
+
+    for seed in (1, 42):
+        rng = random.Random(seed)
+        n = 24
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(26)]
+        edges = [(a, b) for a, b in edges if a != b]
+        expected = _uf_components(n, edges)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.id: r.component
+            for r in dedup.connected_components(df, converge=True).collect()
+        }
+        touched = {v for e in edges for v in e}
+        assert got == {v: expected[v] for v in touched}, f"seed {seed}"
+
+
+def test_connected_components_converge_long_chain(spark):
+    """converge=True must reach the fixpoint on a path graph whose
+    diameter exceeds any small fixed round count."""
+    chain = [(i, i + 1) for i in range(8)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    got = dedup.connected_components(df, converge=True).collect()
+    assert {r.component for r in got} == {0}
+    assert len(got) == 9
