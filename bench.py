@@ -107,6 +107,12 @@ def main() -> None:
         "wordcount_unicode",
         "salted_hot_key_agg",
         "embedding_centroids",
+        "dataset_split",
+        "sequence_chunks",
+        "pii_scrub_audit",
+        "tfidf_top_terms",
+        "repetition_stats",
+        "dup_cluster_components",
     ]
     for name in EXTRA:
         try:
@@ -128,6 +134,7 @@ def main() -> None:
     SPLIT_QUERIES = [
         "wordcount", "ngram_bigrams_top20", "minhash_lsh_pairs",
         "kv_fold_state", "dedup_fingerprint", "inverted_index",
+        "repetition_stats", "tfidf_top_terms",
     ]
     try:
         t0 = time.perf_counter()

@@ -46,10 +46,10 @@ MEDIA_SCHEMA = T.StructType(
 class FakeCodec:
     """Deterministic stand-in for image/audio decode.
 
-    Real deployments swap in PIL/ffmpeg here; the container has
-    neither, so 'decoding' derives stable pseudo-pixels from the blob
-    bytes. Everything downstream (batch shapes, schema contracts) is
-    identical to the real thing.
+    Real deployments swap in PIL/ffmpeg here (see ``PilCodec``); the
+    container has neither, so 'decoding' derives stable pseudo-pixels
+    from the blob bytes. Everything downstream (batch shapes, schema
+    contracts) is identical to the real thing.
     """
 
     @staticmethod
@@ -65,11 +65,55 @@ class FakeCodec:
         return bytes((d * ((w * h) // len(d) + 1))[: w * h])
 
 
-def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+class PilCodec:
+    """Real image codec backed by Pillow — the swap-in for FakeCodec.
+
+    Same interface, so ``extract_features``/``resize_thumbnails`` work
+    unchanged when Pillow is installed on the executors (it is not in
+    this container; ``get_codec`` falls back to FakeCodec). Features
+    are a dim-length grayscale intensity profile; thumbnails are raw
+    grayscale pixels — intentionally simple, the contract under test
+    is the seam, not the vision model.
+    """
+
+    @staticmethod
+    def decode_features(blob: bytes, dim: int = 8) -> list[float]:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(blob)).convert("L").resize((dim, 1))
+        return [p / 255.0 for p in img.getdata()]
+
+    @staticmethod
+    def thumbnail_bytes(blob: bytes, w: int = 4, h: int = 4) -> bytes:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(blob)).convert("L").resize((w, h))
+        return bytes(img.getdata())
+
+
+def get_codec():
+    """The codec seam: PilCodec when Pillow is importable, else the
+    deterministic FakeCodec. Ops below take ``codec=`` for explicit
+    injection (tests, ffmpeg-backed video codecs, ...)."""
+    try:
+        import PIL  # noqa: F401
+
+        return PilCodec
+    except ImportError:
+        return FakeCodec
+
+
+def extract_features(media: DataFrame, dim: int = 8, codec=None) -> DataFrame:
     """blob → feature vector via Arrow-batched mapInPandas.
 
-    Output: (media_id, kind, features array<double>).
+    Output: (media_id, kind, features array<double>). ``codec``
+    defaults to get_codec() (PilCodec if available, else FakeCodec).
     """
+    codec = codec or get_codec()
     out_schema = (
         "media_id long, kind string, features array<double>"
     )
@@ -81,7 +125,7 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "features": pdf["blob"].map(
-                        lambda b: FakeCodec.decode_features(b, dim)
+                        lambda b: codec.decode_features(b, dim)
                     ),
                 }
             )
@@ -89,8 +133,11 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(batches, schema=out_schema)
 
 
-def resize_thumbnails(media: DataFrame, w: int = 4, h: int = 4) -> DataFrame:
-    """blob → thumbnail blob (stubbed resize), keeping metadata."""
+def resize_thumbnails(
+    media: DataFrame, w: int = 4, h: int = 4, codec=None
+) -> DataFrame:
+    """blob → thumbnail blob, keeping metadata (codec-injectable)."""
+    codec = codec or get_codec()
     out_schema = "media_id long, kind string, thumb binary, thumb_w int, thumb_h int"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -100,7 +147,7 @@ def resize_thumbnails(media: DataFrame, w: int = 4, h: int = 4) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "thumb": pdf["blob"].map(
-                        lambda b: FakeCodec.thumbnail_bytes(b, w, h)
+                        lambda b: codec.thumbnail_bytes(b, w, h)
                     ),
                     "thumb_w": w,
                     "thumb_h": h,
@@ -110,10 +157,11 @@ def resize_thumbnails(media: DataFrame, w: int = 4, h: int = 4) -> DataFrame:
     return media.mapInPandas(batches, schema=out_schema)
 
 
-def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """video blob → sampled frame rows (stub: frame index plumbing is
-    real; pixel decode is FakeCodec). Output one row per sampled
-    frame: (media_id, frame_idx, frame binary)."""
+def frame_sample(media: DataFrame, every_ms: int = 1000, codec=None) -> DataFrame:
+    """video blob → sampled frame rows (frame-index plumbing is real;
+    pixel decode goes through the codec seam). Output one row per
+    sampled frame: (media_id, frame_idx, frame binary)."""
+    codec = codec or get_codec()
     out_schema = "media_id long, frame_idx int, frame binary"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -125,7 +173,7 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                     rows["media_id"].append(r["media_id"])
                     rows["frame_idx"].append(i)
                     rows["frame"].append(
-                        FakeCodec.thumbnail_bytes(r["blob"] + i.to_bytes(4, "big"))
+                        codec.thumbnail_bytes(r["blob"] + i.to_bytes(4, "big"))
                     )
             yield pd.DataFrame(rows)
 

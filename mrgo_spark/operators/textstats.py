@@ -164,8 +164,14 @@ def repetition_stats(
     fraction of duplicate word n-grams. Columns: doc_id, n_ngrams,
     n_distinct, dup_frac.
 
-    Boilerplate / template spam shows up as dup_frac near 1. Pure
-    map-side array expressions — no shuffle, no Python.
+    Boilerplate / template spam shows up as dup_frac near 1.
+
+    Shape: explode_outer → ONE aggregate with count + count-distinct.
+    The naive form (size(grams), size(array_distinct(grams)), and both
+    again in dup_frac) inlines the gram-building expression four times
+    via projection collapse — measured 10.7 s vs ~1 s at sf0.1. The
+    explode builds grams exactly once; explode_outer keeps gram-less
+    docs (count over NULL → 0). One shuffle on doc_id.
     """
     toks = ascii_tokens(text_col, lowercase=True)
     idx = F.sequence(F.lit(0), F.size(toks) - n)
@@ -173,13 +179,20 @@ def repetition_stats(
         F.size(toks) >= n,
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
     ).otherwise(F.array().cast("array<string>"))
-    total = F.size(grams)
-    distinct = F.size(F.array_distinct(grams))
-    return documents.select(
+    ex = documents.select("doc_id", F.explode_outer(grams).alias("g"))
+    agg = ex.groupBy("doc_id").agg(
+        F.count("g").alias("n_ngrams"),
+        F.count_distinct("g").alias("n_distinct"),
+    )
+    return agg.select(
         "doc_id",
-        total.alias("n_ngrams"),
-        distinct.alias("n_distinct"),
-        F.when(total > 0, (total - distinct).cast("double") / total)
+        "n_ngrams",
+        "n_distinct",
+        F.when(
+            F.col("n_ngrams") > 0,
+            (F.col("n_ngrams") - F.col("n_distinct")).cast("double")
+            / F.col("n_ngrams"),
+        )
         .otherwise(0.0)
         .alias("dup_frac"),
     )

@@ -40,3 +40,30 @@ def test_frame_sample_only_videos(spark):
     }
     assert len(rows) >= n_videos  # ≥1 frame per video
     assert all(isinstance(r.frame, (bytes, bytearray)) for r in rows)
+
+
+def test_codec_seam_injection(spark):
+    """A custom codec injected via ``codec=`` must actually be used —
+    the swap-in path a PIL/ffmpeg deployment takes. (get_codec() falls
+    back to FakeCodec here: no Pillow in this container.)"""
+    from mrgo_spark.operators import multimodal as mm
+    from mrgo_spark.sources.tables import load_table
+
+    assert mm.get_codec() is mm.FakeCodec
+
+    class MarkerCodec:
+        @staticmethod
+        def decode_features(blob, dim=8):
+            return [42.0] * dim
+
+        @staticmethod
+        def thumbnail_bytes(blob, w=4, h=4):
+            return b"\x2a" * (w * h)
+
+    media = mm.synth_media(
+        spark, load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    ).limit(6)
+    feats = mm.extract_features(media, dim=4, codec=MarkerCodec).collect()
+    assert feats and all(r.features == [42.0] * 4 for r in feats)
+    thumbs = mm.resize_thumbnails(media, 2, 2, codec=MarkerCodec).collect()
+    assert thumbs and all(bytes(r.thumb) == b"\x2a" * 4 for r in thumbs)

@@ -219,3 +219,34 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_pipeline_ops_shuffle_free(spark):
+    """dataset_split / mixture_sample / sequence_chunks / pii_scrub
+    are pure map pipelines — zero exchanges, and the chunker reads
+    only the columns it needs."""
+    from mrgo_spark.operators.queries_llm import (
+        q_dataset_split,
+        q_mixture_sample,
+        q_pii_scrub,
+        q_sequence_chunks,
+    )
+
+    for q in (q_dataset_split, q_mixture_sample, q_sequence_chunks, q_pii_scrub):
+        df = q(spark, SF)
+        assert plans.shuffle_count(df) == 0, q.__name__
+    cols = plans.scan_read_schema(q_sequence_chunks(spark, SF))
+    assert set(cols) <= {"doc_id", "text"}
+
+
+def test_tfidf_plan_shape(spark):
+    """tf·idf: the corpus-size side enters via broadcast (no shuffle
+    for the scalar), and the tf→df re-aggregation reuses the (term)
+    clustering — at most 3 hash exchanges total, no nested loop over
+    terms."""
+    from mrgo_spark.operators.queries_llm import q_tfidf_top_terms
+
+    df = q_tfidf_top_terms(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row N: broadcast, harmless
+    assert plan.count("Exchange hashpartitioning") <= 4
