@@ -155,6 +155,25 @@ def main() -> None:
     except Exception as e:
         print(f"bench: split variants failed: {e}", file=sys.stderr)
 
+    # IVF index amortization: one-time partitioned-index build, then
+    # the served query path (reads only probed cell partitions) next
+    # to the one-shot form that re-assigns the corpus every call.
+    from mrgo_spark.operators.similarity import IVFIndex
+    from mrgo_spark.sources.tables import load_table as _load_table
+
+    try:
+        from pyspark.sql import functions as F
+
+        emb = _load_table(spark, SF_DIR, "embeddings")
+        qs = emb.filter(F.col("vec_id") % 100 == 0)
+        timed("topk_cosine_ivf", queries["topk_cosine_ivf"](spark, SF_DIR))
+        t0 = time.perf_counter()
+        idx = IVFIndex.build(emb, tempfile.mkdtemp(prefix="mrgo_ivf_"))
+        timings["ivf_index_build"] = round(time.perf_counter() - t0, 3)
+        timed("topk_cosine_ivf@index", idx.query(qs, k=5, n_probe=6))
+    except Exception as e:
+        print(f"bench: ivf index variants failed: {e}", file=sys.stderr)
+
     # Bucketed fact-join variants, recorded SEPARATELY (not in the
     # headline total, which stays comparable round-over-round): the
     # one-time bucketing shuffle is bucket_prep; q3/q17 reruns on the

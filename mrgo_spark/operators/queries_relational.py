@@ -119,6 +119,82 @@ def q3(spark, sf_dir):
 
 
 @declare(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4(spark, sf_dir):
+    """TPC-H Q4-style order-priority check: orders in 1997Q1 with at
+    least one line shipped >60 days after the order date (the fixture
+    lineitem has no commit/receipt dates — late shipment is the
+    equivalent correlated-EXISTS shape). Spark plans the EXISTS as a
+    left-semi join on (orderkey + the date condition) — decorrelated,
+    no per-row subquery."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@declare(
+    "q9_nation_profit",
+    """
+    SELECT n_name, year(o_orderdate) AS o_year,
+           SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0
+               AS profit
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_type = 'ECONOMY'
+    GROUP BY 1, 2
+    """,
+)
+def q9(spark, sf_dir):
+    """TPC-H Q9-style profit by supplier nation and order year for one
+    part type (fixtures have no partsupp, so profit = discounted
+    revenue). part/supplier/nation broadcast; lineitem⋈orders is the
+    only fact shuffle; fixed-point cents keep the double sum
+    bit-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                / 100.0
+            ).alias("profit")
+        )
+    )
+
+
+@declare(
     "q5_nation_revenue",
     """
     SELECT n_name,

@@ -292,6 +292,43 @@ def q_salted_agg(spark, sf_dir):
 
 
 @declare(
+    "salted_skew_join",
+    """
+    WITH dim AS (
+        SELECT DISTINCT event_type, length(event_type) AS w FROM events
+    )
+    SELECT e.event_type, d.w,
+           COUNT(*) AS n,
+           CAST(SUM(e.event_id) AS BIGINT) AS sum_id
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY 1, 2
+    """,
+)
+def q_salted_skew_join(spark, sf_dir):
+    """Skewed JOIN salting: events' 5-value event_type key means a
+    plain shuffle join lands each key on ONE reducer no matter how
+    many partitions exist. salted_join spreads each key over n_salt
+    partitions by salting the fact side and replicating the dim —
+    provably row-identical to the plain join, so the oracle IS the
+    plain join (the sum over event_id pins exact row multiplicity).
+    tests/test_plans.py asserts the salted exchange shape with
+    broadcast disabled."""
+    from .skew import salted_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .select("event_type", F.length("event_type").alias("w"))
+    )
+    joined = salted_join(e, dim, "event_type", n_salt=8)
+    return joined.groupBy("event_type", "w").agg(
+        F.count("*").alias("n"),
+        F.sum("event_id").alias("sum_id"),
+    )
+
+
+@declare(
     "map_battery",
     """
     SELECT event_type,

@@ -332,6 +332,89 @@ def ivf_centroids(embeddings: DataFrame, k: int = 16,
     return cents
 
 
+class IVFIndex:
+    """Persisted IVF index: the amortization path topk_cosine_ivf's
+    docstring promises. ``build`` writes centroids (tiny parquet) and
+    the corpus cell assignments partitioned BY cell_id; ``query``
+    probes n_probe cells per query and filters on cell_id, so the scan
+    reads only the probed partition directories (partition pruning —
+    asserted in tests/test_plans.py). At 100 TB the one-time build is
+    one broadcast-assign pass + one partitioned write; every
+    subsequent query batch touches ~n_probe/n_cells of the corpus
+    bytes instead of re-assigning the whole corpus per call.
+    """
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+        self.centroids = spark.read.parquet(f"{path}/centroids")
+
+    @staticmethod
+    def build(
+        embeddings: DataFrame,
+        path: str,
+        n_cells: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IVFIndex":
+        cents = ivf_centroids(embeddings, k=n_cells, id_col=id_col, vec_col=vec_col)
+        cents.write.mode("overwrite").parquet(f"{path}/centroids")
+        cells = _assign_cells(
+            embeddings.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec_")
+            ),
+            cents,
+            "neighbor_id",
+            "cvec_",
+            n_probe=1,
+        )
+        (
+            cells.repartition("cell_id")
+            .write.mode("overwrite")
+            .partitionBy("cell_id")
+            .parquet(f"{path}/cells")
+        )
+        return IVFIndex(embeddings.sparkSession, path)
+
+    def query(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        n_probe: int = 6,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Same output contract as topk_cosine_ivf, but the corpus
+        side is the persisted, cell-partitioned index."""
+        query_cells = _assign_cells(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec_")),
+            self.centroids,
+            "query_id",
+            "qvec_",
+            n_probe=n_probe,
+        )
+        probed = [r.cell_id for r in query_cells.select("cell_id").distinct().collect()]
+        corpus_cells = self.spark.read.parquet(f"{self.path}/cells").filter(
+            F.col("cell_id").isin(probed)
+        )
+        cand = corpus_cells.join(F.broadcast(query_cells), "cell_id").filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+        scored = cand.select(
+            "query_id",
+            "neighbor_id",
+            cosine_fx(F.col("qvec_"), F.col("cvec_")).alias("score"),
+        ).distinct()
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "score", "rank")
+        )
+
+
 def topk_cosine_ivf(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -65,3 +65,34 @@ def salted_agg(
             for name, (fn, col) in aggs.items()
         ]
     )
+
+
+def salted_join(
+    big: DataFrame,
+    other: DataFrame,
+    key: str,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Salted equi-join: spread each hot key of ``big`` over n_salt
+    shuffle partitions by salting big's rows and replicating ``other``
+    n_salt× (explode of a literal range — map-side, no shuffle to
+    build). Row-identical to ``big.join(other, key, how)`` for inner/
+    left joins.
+
+    When to use: BOTH sides too big to broadcast and the key
+    distribution has heavy hitters (a handful of event types over
+    billions of rows) — without salting every hot key lands on one
+    reducer regardless of shuffle partition count. AQE's skew-join
+    split handles sort-merge skew after the fact; explicit salting is
+    the declarative form that also survives plan shapes AQE won't
+    touch (e.g. pre-aggregations sharing the exchange). Cost: other
+    is shuffled at n_salt× its size — keep ``other`` the smaller side.
+    """
+    assert how in ("inner", "left"), "salted_join: row-identity proven for inner/left"
+    salt = F.pmod(F.crc32(F.concat_ws("\x00", *big.columns)), F.lit(n_salt))
+    b = big.withColumn("_salt", salt)
+    o = other.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return b.join(o, [key, "_salt"], how).drop("_salt")

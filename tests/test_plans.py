@@ -250,3 +250,32 @@ def test_tfidf_plan_shape(spark):
     plan = plans.explain_str(df, "simple")
     assert "BroadcastNestedLoopJoin" in plan  # 1-row N: broadcast, harmless
     assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_salted_join_row_identity_and_spread(spark):
+    """salted_join must be row-identical to the plain join, and with
+    broadcast disabled its shuffle must partition on (key, salt) —
+    the hot key spreads over n_salt reducers instead of one."""
+    from mrgo_spark.operators.skew import salted_join
+    from mrgo_spark.sources.tables import load_table
+
+    e = load_table(spark, SF, "events").select("event_id", "event_type")
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .select("event_type", F.length("event_type").alias("w"))
+    )
+    plain = sorted(map(tuple, e.join(dim, "event_type").collect()))
+    salted = sorted(map(tuple, salted_join(e, dim, "event_type", 8).collect()))
+    assert plain == salted
+    left = e.join(dim.filter(F.col("w") > 4), "event_type", "left")
+    lsalt = salted_join(e, dim.filter(F.col("w") > 4), "event_type", 8, "left")
+    assert sorted(map(tuple, left.collect())) == sorted(map(tuple, lsalt.collect()))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plans.explain_str(salted_join(e, dim, "event_type", 8), "simple")
+        assert "Exchange hashpartitioning(event_type" in plan
+        assert "_salt" in plan.split("Exchange hashpartitioning(event_type", 1)[1][:40]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

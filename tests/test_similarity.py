@@ -94,3 +94,23 @@ def test_ivf_scores_exact_where_overlapping(spark):
     for r in similarity.topk_cosine_ivf(emb, queries, k=5).collect():
         if (r.query_id, r.neighbor_id) in exact:
             assert r.score == exact[(r.query_id, r.neighbor_id)]
+
+
+def test_ivf_index_persisted_matches_fresh(spark, tmp_path):
+    """The persisted index must return exactly what the one-shot
+    topk_cosine_ivf computes (same deterministic centroids), and its
+    probe scan must prune to the probed cell partitions."""
+    from mrgo_spark import plans
+    from mrgo_spark.operators.similarity import IVFIndex, topk_cosine_ivf
+    from mrgo_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    fresh = topk_cosine_ivf(emb, queries, k=5, n_cells=8, n_probe=3)
+    idx = IVFIndex.build(emb, str(tmp_path / "ivf"), n_cells=8)
+    served = idx.query(queries, k=5, n_probe=3)
+    assert sorted(map(tuple, fresh.collect())) == sorted(map(tuple, served.collect()))
+    plan = plans.explain_str(served, "formatted")
+    assert "PartitionFilters: [cell_id" in plan or "cell_id#" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
