@@ -174,6 +174,39 @@ def dedup_at_most_once_stream(
     return oplog_stream.dropDuplicates(["client", "reqid"])
 
 
+def streaming_dedup_docs(
+    doc_stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup for a document ingest: the streaming twin
+    of ``dedup.exact_dedup``. The content hash (sha2-256) is the dedup
+    key, so the state store holds 32-byte digests — never bodies —
+    mirroring the batch operator's narrow-shuffle design. First
+    arrival wins (same keep-set as batch keep-min-id whenever ingest
+    order follows id order; tested in tests/test_streaming.py).
+
+    At 100 TB pass ``ts_col`` so dropDuplicatesWithinWatermark bounds
+    state to the watermark horizon — unbounded exact dedup state is a
+    batch job's shape, not a stream's.
+
+    Output: (id_col, content_hash) per first-seen document.
+    """
+    hashed = doc_stream.select(
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_hash"),
+        *([F.col(ts_col)] if ts_col else []),
+    )
+    if ts_col is not None:
+        return (
+            hashed.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["content_hash"])
+            .drop(ts_col)
+        )
+    return hashed.dropDuplicates(["content_hash"])
+
+
 _GETS_OUTPUT_SCHEMA = "seq long, key string, val string"
 
 

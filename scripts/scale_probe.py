@@ -87,6 +87,12 @@ def main() -> None:
         "bpe_token_stats",
         "minhash_lsh_pairs",
         "embedding_centroids",
+        "repetition_stats",
+        "tfidf_top_terms",
+        "sequence_chunks",
+        "salted_skew_join",
+        "dup_cluster_components",
+        "q9_nation_profit",
     ]
     results = {}
     for name in probe:

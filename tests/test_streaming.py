@@ -297,3 +297,43 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
     emitted = {r.ws.hour: r.n for r in spark.sql("SELECT * FROM late_out").collect()}
     # hour-0 window emitted with ONE event (the late one was dropped)
     assert emitted.get(0) == 1
+
+
+def test_streaming_doc_dedup_matches_batch_exact_dedup(spark, tmp_path):
+    """X1 streaming twin: content-hash dropDuplicates over a 3-batch
+    document ingest (originals, then exact copies, then reversed
+    copies) must keep exactly the batch exact_dedup keep-set —
+    arrival order follows id order, so first-arrival == min-id."""
+    from mrgo_spark.operators import dedup
+    from mrgo_spark.operators.queries_llm import _dup_corpus
+
+    corpus = _dup_corpus(spark, SF)
+    expected = {r.doc_id for r in dedup.exact_dedup(corpus).select("doc_id").collect()}
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+
+    def write_chunk(name, df):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        os.rename(next(stage.glob("part-*.parquet")), d / f"{name}.parquet")
+
+    write_chunk("b1", corpus.filter(F.col("doc_id") < 100000))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(d))
+    q = (
+        stream_ops.streaming_dedup_docs(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("doc_dedup_out")
+        .start()
+    )
+    q.processAllAvailable()
+    for name, flt in [
+        ("b2", (F.col("doc_id") >= 100000) & (F.col("doc_id") < 200000)),
+        ("b3", F.col("doc_id") >= 200000),
+    ]:
+        write_chunk(name, corpus.filter(flt))
+        q.processAllAvailable()
+    q.stop()
+    got = {r.doc_id for r in spark.sql("SELECT doc_id FROM doc_dedup_out").collect()}
+    assert got == expected
