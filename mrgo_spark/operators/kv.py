@@ -111,6 +111,38 @@ def fold_state(oplog: DataFrame) -> DataFrame:
     return live.groupBy("key").agg(_ordered_concat("seq", "value").alias("state"))
 
 
+def compact_oplog(oplog: DataFrame, upto_seq: int) -> DataFrame:
+    """Log compaction — the Raft-snapshot analog. The reference has
+    the storage hook only (persister.go:53-58, unimplemented); the
+    kvraft 3B tests pin the semantics: applied entries up to a point
+    are replaced by a state snapshot, the tail is kept, and the fold
+    of the compacted log equals the fold of the full log.
+
+    Snapshot rows are synthetic Puts at seq = ``upto_seq`` (one per
+    live key, carrying the folded state); entries with seq > upto_seq
+    pass through verbatim. Input must already be deduped — Raft
+    snapshots cover *applied* (post-dedup) entries, and kvraft
+    serializes the duplicate-detection table alongside the state, not
+    inside the log. Snapshot reqids are xxhash64(key) under client -1
+    so a downstream dedup pass cannot collapse distinct keys.
+
+    Scale shape: one fold over the prefix (one shuffle) + a union —
+    the log store shrinks from O(ops) to O(live keys) + tail, which
+    is the entire point of compaction at 100 TB.
+    """
+    pre = oplog.filter(F.col("seq") <= upto_seq)
+    post = oplog.filter(F.col("seq") > upto_seq)
+    snap = fold_state(pre).select(
+        F.lit(upto_seq).cast("long").alias("seq"),
+        F.lit(-1).cast("long").alias("client"),
+        F.xxhash64("key").alias("reqid"),
+        F.lit("put").alias("op"),
+        "key",
+        F.col("state").alias("value"),
+    )
+    return snap.unionAll(post.select("seq", "client", "reqid", "op", "key", "value"))
+
+
 def get_results(oplog: DataFrame) -> DataFrame:
     """O18: the value each Get observes at its position in the log.
 

@@ -61,6 +61,34 @@ def q_kv_fold(spark, sf_dir):
 
 
 @declare(
+    "kv_compacted_fold",
+    _OPLOG
+    + """
+    , ops AS (SELECT * FROM oplog WHERE op IN ('put','append')),
+    lp AS (SELECT key, max(seq) FILTER (WHERE op = 'put') AS last_put
+           FROM ops GROUP BY key)
+    SELECT key, string_agg(value, '' ORDER BY seq) AS state
+    FROM ops JOIN lp USING (key)
+    WHERE seq >= coalesce(last_put, -1)
+    GROUP BY key
+    """,
+)
+def q_kv_compacted_fold(spark, sf_dir):
+    """Log compaction equivalence (the Raft-snapshot contract the
+    reference leaves unimplemented — persister.go:53-58 — but kvraft
+    3B tests specify): fold over compact(log, S) must equal the fold
+    over the full log, so the oracle IS the full-log fold. S is the
+    midpoint of the seq range (computed with one min/max action);
+    the compacted store is O(live keys) + tail instead of O(ops)."""
+    oplog = kv.dedup_at_most_once(
+        kv.synth_oplog(load_table(spark, sf_dir, "events"))
+    )
+    lo, hi = oplog.selectExpr("min(seq)", "max(seq)").first()
+    compacted = kv.compact_oplog(oplog, (lo + hi) // 2)
+    return kv.fold_state(compacted)
+
+
+@declare(
     "kv_get_results",
     _OPLOG
     + """

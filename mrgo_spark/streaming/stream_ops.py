@@ -174,6 +174,42 @@ def dedup_at_most_once_stream(
     return oplog_stream.dropDuplicates(["client", "reqid"])
 
 
+def stream_stream_errors_after_purchase(
+    purchases: DataFrame,
+    errors: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: error events within ``horizon``
+    after a purchase by the same user — the streaming twin of
+    rangejoin.errors_within_hour_of_purchase.
+
+    Both sides carry watermarks and the join condition bounds e_ts
+    relative to p_ts on both ends, so Spark can expire join state
+    (purchases older than watermark+horizon, errors older than
+    watermark) instead of buffering both streams forever — the state
+    bound is what makes this viable on an unbounded 100 TB/day feed.
+    Output: (purchase_id, user_id, p_ts, e_ts) matched pairs.
+    """
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", watermark)
+    e = errors.select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    ).withWatermark("e_ts", watermark)
+    return p.join(
+        e,
+        (p["p_user"] == e["e_user"])
+        & (e["e_ts"] >= p["p_ts"])
+        & (e["e_ts"] <= p["p_ts"] + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select(
+        "purchase_id", F.col("p_user").alias("user_id"), "p_ts", "e_ts"
+    )
+
+
 def streaming_dedup_docs(
     doc_stream: DataFrame,
     text_col: str = "text",

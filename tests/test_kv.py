@@ -121,3 +121,21 @@ def test_asof_forward_direction(spark):
         ).collect()
     }
     assert out == {1: "a", 2: "b", 3: None}
+
+
+def test_compaction_equivalence_at_any_point(spark):
+    """fold(compact(log, S)) == fold(log) for S below, inside, and
+    above the seq range (empty snapshot / mixed / all-snapshot)."""
+    from mrgo_spark.sources.tables import load_table
+
+    oplog = kv.dedup_at_most_once(
+        kv.synth_oplog(load_table(spark, "/root/testdata/sf0.001", "events"))
+    )
+    expected = sorted(map(tuple, kv.fold_state(oplog).collect()))
+    lo, hi = oplog.selectExpr("min(seq)", "max(seq)").first()
+    for s in (lo - 1, (lo + hi) // 2, hi + 1):
+        got = sorted(map(tuple, kv.fold_state(kv.compact_oplog(oplog, s)).collect()))
+        assert got == expected, f"split at {s}"
+    # and the compacted log is genuinely smaller than the original
+    mid = kv.compact_oplog(oplog, hi + 1)
+    assert mid.count() <= oplog.select("key").distinct().count()

@@ -337,3 +337,99 @@ def test_streaming_doc_dedup_matches_batch_exact_dedup(spark, tmp_path):
     q.stop()
     got = {r.doc_id for r in spark.sql("SELECT doc_id FROM doc_dedup_out").collect()}
     assert got == expected
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (watermarked both sides) must
+    produce exactly the batch inner interval-join pair set."""
+    from mrgo_spark.sources.tables import load_table
+
+    d = tmp_path / "ss_events"
+    d.mkdir()
+    os.symlink(SF + "/events.parquet", d / "events.parquet")
+    raw = stream_ops.read_events_stream(spark, str(d))
+    purchases = raw.filter(F.col("event_type") == "purchase")
+    errors = raw.filter(F.col("event_type") == "error")
+    joined = stream_ops.stream_stream_errors_after_purchase(purchases, errors)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.purchase_id, r.user_id, r.p_ts, r.e_ts)
+        for r in spark.sql("SELECT * FROM ss_join_out").collect()
+    }
+
+    ev = load_table(spark, SF, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    expected = {
+        (r.purchase_id, r.p_user, r.p_ts, r.e_ts)
+        for r in p.join(
+            e,
+            (p["p_user"] == e["e_user"])
+            & (e["e_ts"] >= p["p_ts"])
+            & (e["e_ts"] <= p["p_ts"] + F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_streaming_dedup_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Crash/restart analog of the reference's fault tests (SURVEY §5
+    strategy 3): a checkpointed streaming dedup is stopped after batch
+    1, restarted on the same checkpoint for batches 2-3; the file-sink
+    output must hold the exact batch keep-set — no lost and no
+    duplicated state across the restart."""
+    from mrgo_spark.operators import dedup
+    from mrgo_spark.operators.queries_llm import _dup_corpus
+
+    corpus = _dup_corpus(spark, SF)
+    expected = {r.doc_id for r in dedup.exact_dedup(corpus).select("doc_id").collect()}
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    sink = str(tmp_path / "docs_sink")
+    ckpt = str(tmp_path / "docs_ckpt")
+
+    def write_chunk(name, df):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        os.rename(next(stage.glob("part-*.parquet")), src / f"{name}.parquet")
+
+    def start():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+        return (
+            stream_ops.streaming_dedup_docs(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    write_chunk("b1", corpus.filter(F.col("doc_id") < 100000))
+    q = start()
+    q.processAllAvailable()
+    q.stop()  # "crash" between micro-batches
+
+    write_chunk("b2", corpus.filter((F.col("doc_id") >= 100000) & (F.col("doc_id") < 200000)))
+    write_chunk("b3", corpus.filter(F.col("doc_id") >= 200000))
+    q = start()  # restart from the same checkpoint
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.read.parquet(sink).select("doc_id").collect()
+    ids = [r.doc_id for r in out]
+    assert len(ids) == len(set(ids)), "duplicated output after restart"
+    assert set(ids) == expected
