@@ -167,6 +167,9 @@ def main() -> None:
         emb = _load_table(spark, SF_DIR, "embeddings")
         qs = emb.filter(F.col("vec_id") % 100 == 0)
         timed("topk_cosine_ivf", queries["topk_cosine_ivf"](spark, SF_DIR))
+        from mrgo_spark.operators.similarity import topk_cosine_numpy
+
+        timed("topk_cosine@numpy", topk_cosine_numpy(emb, qs, k=5))
         t0 = time.perf_counter()
         idx = IVFIndex.build(emb, tempfile.mkdtemp(prefix="mrgo_ivf_"))
         timings["ivf_index_build"] = round(time.perf_counter() - t0, 3)

@@ -119,6 +119,37 @@ def q3(spark, sf_dir):
 
 
 @declare(
+    "q6_forecast_revenue",
+    """
+    SELECT SUM(CAST(ROUND(l_extendedprice*l_discount*100) AS BIGINT))/100.0
+               AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6(spark, sf_dir):
+    """TPC-H Q6-style forecast revenue: pure filter + global agg —
+    the pushdown showcase (all four predicates reach the parquet
+    scan; only 4 columns read)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            (F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"))) / 100.0)
+            .alias("revenue")
+        )
+    )
+
+
+@declare(
     "q4_order_priority",
     """
     SELECT o_orderpriority, COUNT(*) AS order_count

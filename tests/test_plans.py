@@ -279,3 +279,13 @@ def test_salted_join_row_identity_and_spread(spark):
         assert "_salt" in plan.split("Exchange hashpartitioning(event_type", 1)[1][:40]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q6_pushdown_and_pruning(spark):
+    from mrgo_spark.operators.queries_relational import q6
+
+    df = q6(spark, SF)
+    assert plans.has_pushed_filters(df, "l_shipdate")
+    assert plans.has_pushed_filters(df, "l_discount")
+    cols = plans.scan_read_schema(df)
+    assert set(cols) <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
