@@ -258,6 +258,201 @@ def connected_components(
     return labels
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_prefix: int = 30,
+    window: int = 200,
+    max_dist: int = 5,
+) -> DataFrame:
+    """X2 variant: near-dup pairs by bounded edit distance.
+
+    Blocking is prefix-equality (docs agreeing on their first
+    ``block_prefix`` chars) — an equi-join, never a cross join — and
+    the exact Levenshtein check runs on a ``window``-char prefix with
+    Spark's threshold form (O(max_dist·window) per pair instead of
+    O(window²), -1 when the bound is exceeded). Recall covers edits
+    past the blocking prefix (truncations, tail corruptions, OCR
+    noise); edits inside the first ``block_prefix`` chars need the
+    fingerprint/MinHash paths. At 100 TB both knobs bound cost:
+    candidate pairs are per-block, and the distance window caps the
+    per-pair work regardless of document length.
+    Columns: (id_a, id_b, dist).
+    """
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(F.col(text_col), 1, block_prefix).alias("blk"),
+        F.substring(F.col(text_col), 1, window).alias("win"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    dist = F.levenshtein(F.col("a.win"), F.col("b.win"), max_dist)
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") != -1)
+    )
+
+
+def star_edges(df: DataFrame, key_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Blocking-key → star edge list: every member of a key block is
+    linked to the block's min id. Linear in block size (a block of B
+    docs emits B-1 edges, not B²/2) — the edge generator that keeps
+    equality-blocked dedup (fingerprint, prefix, length-bucket)
+    O(n) at 100 TB. Columns: (src, dst), src = block min.
+    """
+    w = Window.partitionBy(key_col)
+    return (
+        df.withColumn("_src", F.min(id_col).over(w))
+        .filter(F.col("_src") != F.col(id_col))
+        .select(F.col("_src").alias("src"), F.col(id_col).alias("dst"))
+    )
+
+
+def dup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 10,
+    converge: bool = False,
+) -> DataFrame:
+    """End-to-end cluster assignment: candidate pairs → connected
+    components → canonical id (= min cluster member) for EVERY input
+    row, singletons mapping to themselves. Columns:
+    (id_col, canonical_id, cluster_size, keep) where keep marks the
+    one row per cluster a dedup pass retains.
+
+    Scale shape: components are computed only over ids that appear in
+    pairs (tiny vs the corpus — dup rate × corpus), so the left join
+    back is corpus-sized but its right side is broadcastable at real
+    dup rates; the cluster_size window shuffles on canonical_id once.
+    """
+    comp = connected_components(
+        pairs, src=src, dst=dst, max_iter=max_iter, converge=converge
+    )
+    joined = df.select(F.col(id_col)).join(
+        comp, F.col(id_col) == F.col("id"), "left"
+    )
+    out = joined.select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("canonical_id"),
+    )
+    w = Window.partitionBy("canonical_id")
+    return out.select(
+        F.col(id_col),
+        "canonical_id",
+        F.count("*").over(w).cast("long").alias("cluster_size"),
+        (F.col(id_col) == F.col("canonical_id")).alias("keep"),
+    )
+
+
+def canonical_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 10,
+    converge: bool = False,
+) -> DataFrame:
+    """Final dedup: drop every non-canonical cluster member, keep the
+    full original rows (no wide window over the corpus — just a
+    left-anti join against the small non-canonical id set)."""
+    non_canon = (
+        connected_components(
+            pairs, src=src, dst=dst, max_iter=max_iter, converge=converge
+        )
+        .filter(F.col("id") != F.col("component"))
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(non_canon, id_col, "left_anti")
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — O(log n) rounds regardless of graph diameter,
+    vs one hop per round for ``connected_components``. The upgrade
+    path when dup-graphs stop being near-stars (chains of partial
+    copies, web-crawl link graphs).
+
+    large-star: every node links its larger neighbors to the min of
+    its neighborhood (incl. itself); small-star: every node links its
+    smaller neighbors (and itself) to that min. Each round is a
+    groupBy-min + join — same shuffle key, exchange reused. Converges
+    when the edge multiset fingerprint (count + xor of xxhash64) is
+    stable; the fixpoint is a forest of stars rooted at component
+    minima. Returns (id, component) for every node.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+    def fingerprint(df: DataFrame):
+        r = df.select(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("a", "b")).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    def large_star(df: DataFrame) -> DataFrame:
+        und = df.unionAll(df.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        m = (
+            und.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select("a", F.least("mb", "a").alias("m"))
+        )
+        return (
+            und.join(m, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+
+    def small_star(df: DataFrame) -> DataFrame:
+        directed = df.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        ).distinct()
+        m = directed.groupBy("u").agg(F.min("v").alias("m"))
+        to_min = directed.join(m, "u")
+        self_edge = m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        nbr_edges = to_min.filter(F.col("v") != F.col("m")).select(
+            F.col("v").alias("a"), F.col("m").alias("b")
+        )
+        return self_edge.unionAll(nbr_edges).distinct()
+
+    prev = None
+    for i in range(max_iter):
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        fp = fingerprint(e)
+        if fp == prev:
+            break
+        prev = fp
+    members = e.select(F.col("a").alias("id"), F.col("b").alias("component"))
+    centers = e.select(F.col("b").alias("id"), F.col("b").alias("component")).distinct()
+    return members.unionAll(centers).groupBy("id").agg(
+        F.min("component").alias("component")
+    )
+
+
 def _bitmask(b: int) -> F.Column:
     # two's-complement: bit 63's mask is the sign bit
     return F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")

@@ -607,6 +607,167 @@ def q_dup_cluster_components(spark, sf_dir):
 
 
 @declare(
+    "dedup_pipeline_canonical",
+    """
+    WITH RECURSIVE corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 200000,
+               array_to_string(list_reverse(list_filter(
+                   string_split_regex(text, '[^A-Za-z]+'), x -> x <> '')), ' ')
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 300000,
+               array_to_string(list_slice(list_filter(
+                   string_split_regex(text, '[^A-Za-z]+'), x -> x <> ''),
+                   1, 50), ' ')
+        FROM documents WHERE doc_id % 20 = 0
+    ),
+    keys AS (
+        SELECT doc_id,
+               array_to_string(list_sort(toks), ' ') AS fp,
+               array_to_string(list_slice(toks, 1, 5), ' ') AS pre
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                               x -> x <> '') AS toks
+            FROM corpus
+        )
+    ),
+    e1 AS (
+        SELECT MIN(doc_id) OVER (PARTITION BY fp) AS src, doc_id AS dst
+        FROM keys
+    ),
+    e2 AS (
+        SELECT MIN(doc_id) OVER (PARTITION BY pre) AS src, doc_id AS dst
+        FROM keys
+    ),
+    edges AS (
+        SELECT src, dst FROM e1 WHERE src <> dst
+        UNION
+        SELECT src, dst FROM e2 WHERE src <> dst
+    ),
+    und AS (
+        SELECT src AS a, dst AS b FROM edges
+        UNION SELECT dst, src FROM edges
+    ),
+    reach(id, lbl) AS (
+        SELECT DISTINCT a, a FROM und
+        UNION
+        SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.id
+    ),
+    comp AS (SELECT id, MIN(lbl) AS canonical FROM reach GROUP BY id)
+    SELECT c.doc_id,
+           COALESCE(p.canonical, c.doc_id) AS canonical_id,
+           CAST(COUNT(*) OVER (
+               PARTITION BY COALESCE(p.canonical, c.doc_id)
+           ) AS BIGINT) AS cluster_size,
+           c.doc_id = COALESCE(p.canonical, c.doc_id) AS keep
+    FROM corpus c LEFT JOIN comp p ON c.doc_id = p.id
+    """,
+)
+def q_dedup_pipeline_canonical(spark, sf_dir):
+    """X2 end-to-end (deterministic): blocking keys → star edges →
+    connected components → canonical assignment, in ONE declared
+    pipeline. Corpus plants exact copies (+100000), token-reversed
+    copies (+200000) and 50-token truncations (+300000); two blocking
+    keys (token-multiset fingerprint + 5-token prefix) produce edges
+    that only TRANSITIVITY merges: the truncation shares a prefix with
+    the original but not its fingerprint, the reversed copy shares the
+    fingerprint but not the prefix — so {orig, copy, reversed, trunc}
+    become one cluster only through the original. Oracle walks the
+    same graph with a recursive CTE.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tenth = docs.filter(F.col("doc_id") % 10 == 0)
+    toks_raw = ascii_tokens("text")
+    corpus = (
+        docs.unionAll(
+            tenth.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        )
+        .unionAll(
+            tenth.select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.array_join(F.reverse(toks_raw), " ").alias("text"),
+            )
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                F.array_join(F.slice(toks_raw, 1, 50), " ").alias("text"),
+            )
+        )
+    )
+    toks = ascii_tokens("text", lowercase=True)
+    keys = corpus.select(
+        "doc_id",
+        F.array_join(F.array_sort(toks), " ").alias("fp"),
+        F.array_join(F.slice(toks, 1, 5), " ").alias("pre"),
+    )
+    pairs = dedup.star_edges(keys, "fp").unionAll(dedup.star_edges(keys, "pre"))
+    return dedup.dup_clusters(
+        corpus, pairs, id_col="doc_id", src="src", dst="dst", converge=True
+    )
+
+
+@declare(
+    "edit_distance_pairs",
+    """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000,
+               substr(text, 1, 49) || 'xqz' || substr(text, 53)
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    keyed AS (
+        SELECT doc_id,
+               substr(text, 1, 30) AS blk,
+               substr(text, 1, 200) AS win
+        FROM corpus
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.win, b.win) AS INTEGER) AS dist
+    FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.win, b.win) <= 5
+    """,
+)
+def q_edit_distance_pairs(spark, sf_dir):
+    """X2 variant: bounded-edit-distance near-dup pairs. Plants
+    3-char-substitution copies (chars 50-52 → 'xqz', id+100000) that
+    exact and fingerprint dedup both miss; prefix blocking (first 30
+    chars, untouched by the mutation) pairs them with their originals
+    and the threshold Levenshtein confirms dist ≤ 5 on a 200-char
+    window. Oracle runs DuckDB's unbounded levenshtein with the same
+    blocking + filter."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 49),
+            F.lit("xqz"),
+            F.col("text").substr(F.lit(53), F.lit(1 << 30)),
+        ).alias("text"),
+    )
+    return dedup.edit_distance_pairs(docs.unionAll(mutated))
+
+
+@declare("dedup_pipeline_minhash")
+def q_dedup_pipeline_minhash(spark, sf_dir):
+    """X2 end-to-end (probabilistic): MinHash-LSH candidate pairs →
+    connected components → canonical assignment over the planted-dup
+    corpus. xxhash64-seeded, so rows-only at the gate; recall of the
+    planted clusters is pinned in tests/test_dedup.py."""
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(corpus)
+    return dedup.dup_clusters(
+        corpus, pairs, id_col="doc_id", src="id_a", dst="id_b", converge=True
+    )
+
+
+@declare(
     "repetition_stats",
     """
     WITH corpus AS (

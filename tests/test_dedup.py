@@ -126,3 +126,105 @@ def test_connected_components_converge_long_chain(spark):
     got = dedup.connected_components(df, converge=True).collect()
     assert {r.component for r in got} == {0}
     assert len(got) == 9
+
+
+def test_dup_clusters_singletons_and_sizes(spark):
+    """Every input id appears exactly once; singletons map to
+    themselves; cluster_size is consistent with the assignment."""
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 3), (3, 7), (5, 6)], "id_a long, id_b long")
+    rows = dedup.dup_clusters(docs, pairs, converge=True).collect()
+    assert sorted(r.doc_id for r in rows) == list(range(10))
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[7].canonical_id == 0 and by_id[3].canonical_id == 0
+    assert by_id[6].canonical_id == 5
+    for i in (1, 2, 4, 8, 9):
+        assert by_id[i].canonical_id == i and by_id[i].cluster_size == 1
+    assert by_id[0].cluster_size == 3 and by_id[5].cluster_size == 2
+    assert sum(r.keep for r in rows) == 7  # 2 clusters + 5 singletons
+
+
+def test_canonical_dedup_keeps_full_rows(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 4), (4, 2)], "id_a long, id_b long")
+    kept = dedup.canonical_dedup(docs, pairs, converge=True).collect()
+    assert sorted(r.doc_id for r in kept) == [0, 1, 3, 5]
+    assert all(r.text == f"t{r.doc_id}" for r in kept)
+
+
+def test_star_edges_linear_in_block(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (5, "a"), (9, "a"), (7, "b"), (2, "c")], "doc_id long, k string"
+    )
+    edges = dedup.star_edges(df, "k").collect()
+    assert sorted((r.src, r.dst) for r in edges) == [(1, 5), (1, 9)]
+
+
+def test_minhash_pipeline_recovers_exact_copies(spark):
+    """The probabilistic end-to-end pipeline must cluster every
+    planted exact copy with its original (identical signatures ⇒
+    identical LSH buckets — recall 1.0 on exact dups by construction)."""
+    from mrgo_spark.operators.queries_llm import q_dedup_pipeline_minhash
+
+    rows = q_dedup_pipeline_minhash(spark, SF).collect()
+    by_id = {r.doc_id: r for r in rows}
+    originals = [i for i in by_id if i < 100000 and i % 10 == 0]
+    assert originals
+    for d in originals:
+        copy = d + 100000
+        assert by_id[copy].canonical_id == by_id[d].canonical_id
+        assert not by_id[copy].keep or by_id[d].canonical_id == copy
+    assert sum(r.keep for r in rows) <= len(rows) - len(originals)
+
+
+def test_edit_distance_pairs_blocking_semantics(spark):
+    """Tail edits are caught with the exact distance; edits inside the
+    blocking prefix escape (documented recall bound); pairs past the
+    threshold return nothing."""
+    base = "the quick brown fox jumps over the lazy dog and keeps on running"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base[:-3] + "zzz"),        # 3 tail substitutions
+            (3, "XX" + base[2:]),          # edit inside blocking prefix
+            (4, base[:40] + "Y" * 20),     # tail rewrite beyond max_dist
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.dist
+        for r in dedup.edit_distance_pairs(docs, max_dist=5).collect()
+    }
+    assert pairs == {(1, 2): 3}
+
+
+def test_star_cc_vs_union_find(spark):
+    """Large-star/small-star CC must agree with driver-side union-find
+    on seeded random graphs (same contract as min-label CC)."""
+    import random
+
+    for seed in (7, 99):
+        rng = random.Random(seed)
+        n = 30
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(32)]
+        edges = [(a, b) for a, b in edges if a != b]
+        expected = _uf_components(n, edges)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.id: r.component
+            for r in dedup.connected_components_star(df).collect()
+        }
+        touched = {v for e in edges for v in e}
+        assert got == {v: expected[v] for v in touched}, f"seed {seed}"
+
+
+def test_star_cc_long_chain_few_rounds(spark):
+    """A 64-node path (diameter 63) must converge in O(log n) star
+    rounds — the property min-label propagation lacks."""
+    chain = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    got = dedup.connected_components_star(df, max_iter=10).collect()
+    assert {r.component for r in got} == {0}
+    assert len(got) == 64
