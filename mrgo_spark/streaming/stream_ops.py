@@ -382,6 +382,118 @@ def streaming_get_results_tws(oplog_stream: DataFrame) -> DataFrame:
     )
 
 
+# ---- streaming ANN serve over a persisted IVF index ----------------------
+
+
+def _probe_cells_column(centroids: list, qvec, n_probe: int):
+    """n_probe nearest cell_ids as a pure column expression over the
+    (tiny, collected) centroid table — window-free, so it is legal on
+    a streaming DataFrame where ``_assign_cells``'s row_number is not.
+    Ordering matches the batch path exactly: desc affinity, asc
+    cell_id (encoded as an asc sort on (-aff, cell_id) structs)."""
+    from ..operators.similarity import _fx_dot
+
+    scored = F.array(
+        *[
+            F.struct(
+                (-_fx_dot(qvec, F.array(*[F.lit(float(x)) for x in cvec]))).alias(
+                    "neg"
+                ),
+                F.lit(int(cid)).alias("cell_id"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, n_probe), lambda s: s["cell_id"]
+    )
+
+
+def streaming_ann_topk(
+    index,
+    query_stream: DataFrame,
+    k: int = 5,
+    n_probe: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X3 streaming: serve ANN queries from an unbounded query stream
+    against a persisted ``IVFIndex`` — index once, answer forever.
+
+    Shape: probe-cell assignment is a map-side expression over the
+    collected centroids (K ≈ √n rows — driver-tiny by construction);
+    the only join is stream-STATIC on cell_id (no stream-stream state);
+    per-query top-k is a streaming groupBy whose candidates all arrive
+    in the query's own micro-batch, folded to one sorted array (window
+    functions are illegal on streams). Output one row per query:
+    (query_id, topk: array<struct<neighbor_id, score>>), update mode.
+
+    Each neighbor lives in exactly one index cell, so (query,
+    neighbor) candidate pairs are already unique — no distinct needed.
+    For per-batch partition pruning of the static side, use
+    ``serve_ann_foreach_batch`` instead.
+    """
+    from ..operators.similarity import cosine_fx
+
+    cents = [(r["cell_id"], list(r["cvec"])) for r in index.centroids.collect()]
+    qc = query_stream.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec_"),
+        _probe_cells_column(cents, F.col(vec_col), n_probe).alias("_cells"),
+    ).select("query_id", "qvec_", F.explode("_cells").alias("cell_id"))
+    corpus = index.spark.read.parquet(f"{index.path}/cells")
+    scored = (
+        qc.join(corpus, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_fx(F.col("qvec_"), F.col("cvec_")).alias("score"),
+        )
+    )
+    by_rank = lambda l, r: (  # noqa: E731 — desc score, asc neighbor
+        F.when(l["score"] > r["score"], -1)
+        .when(l["score"] < r["score"], 1)
+        .when(l["neighbor_id"] < r["neighbor_id"], -1)
+        .when(l["neighbor_id"] > r["neighbor_id"], 1)
+        .otherwise(0)
+    )
+    agg = scored.groupBy("query_id").agg(
+        F.collect_list(F.struct("score", "neighbor_id")).alias("_cands")
+    )
+    topk = F.transform(
+        F.slice(F.array_sort("_cands", by_rank), 1, k),
+        lambda s: F.struct(
+            s["neighbor_id"].alias("neighbor_id"), s["score"].alias("score")
+        ),
+    )
+    return agg.select("query_id", topk.alias("topk"))
+
+
+def serve_ann_foreach_batch(
+    index,
+    query_stream: DataFrame,
+    sink,
+    k: int = 5,
+    n_probe: int = 6,
+):
+    """X3 streaming, foreachBatch form: every micro-batch of queries
+    runs through ``IVFIndex.query`` — which collects the batch's probe
+    set and filters the cell-partitioned parquet on it, so the static
+    side gets REAL partition pruning per batch (the stream-static join
+    in ``streaming_ann_topk`` cannot prune — it reads whichever cells
+    the join touches). ``sink(result_df, batch_id)`` receives the
+    ranked (query_id, neighbor_id, score, rank) rows per batch.
+    Returns the started-query builder (caller starts/awaits)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sink(index.query(batch_df, k=k, n_probe=n_probe), batch_id)
+
+    return query_stream.writeStream.foreachBatch(_process)
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "update"):
     """Drive a streaming query to completion over the available batch
     of files and land results in an in-memory table (test harness)."""

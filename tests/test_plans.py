@@ -289,3 +289,34 @@ def test_q6_pushdown_and_pruning(spark):
     assert plans.has_pushed_filters(df, "l_discount")
     cols = plans.scan_read_schema(df)
     assert set(cols) <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_q19_or_predicate_stays_hash_join(spark):
+    """The OR-of-ANDs disjunction must ride the broadcast hash join on
+    partkey as a join filter — never a BroadcastNestedLoopJoin."""
+    from mrgo_spark.operators.queries_relational import q19
+
+    plan = plans.explain_str(q19(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_q18_broadcasts_filtered_agg(spark):
+    """The HAVING-filtered agg (tiny) must broadcast into both joins —
+    orders and customer must not shuffle against it."""
+    from mrgo_spark.operators.queries_relational import q18
+
+    plan = plans.explain_str(q18(spark, SF), "simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q22_anti_join_and_broadcast_threshold(spark):
+    from mrgo_spark.operators.queries_relational import q22
+
+    plan = plans.explain_str(q22(spark, SF), "simple")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row threshold side
+    from mrgo_spark.operators.queries_relational import q7
+
+    plan7 = plans.explain_str(q7(spark, SF), "simple")
+    assert plan7.count("BroadcastHashJoin") >= 4

@@ -433,3 +433,65 @@ def test_streaming_dedup_checkpoint_restart_exactly_once(spark, tmp_path):
     ids = [r.doc_id for r in out]
     assert len(ids) == len(set(ids)), "duplicated output after restart"
     assert set(ids) == expected
+
+
+def _build_query_dir(spark, tmp_path):
+    """Stage every-100th embedding as a parquet dir for readStream."""
+    emb = load_table(spark, SF, "embeddings")
+    d = tmp_path / "ann_queries"
+    emb.filter(F.col("vec_id") % 100 == 0).write.parquet(str(d))
+    return emb, str(d)
+
+
+def test_streaming_ann_topk_matches_index_query(spark, tmp_path):
+    """The stream-static ANN serve must return the same neighbor sets
+    and scores as the batch IVFIndex.query for the same query set."""
+    from mrgo_spark.operators.similarity import IVFIndex
+
+    emb, qdir = _build_query_dir(spark, tmp_path)
+    idx = IVFIndex.build(emb, str(tmp_path / "ivf"))
+    qstream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).parquet(qdir)
+    out = stream_ops.streaming_ann_topk(idx, qstream, k=5)
+    stream_ops.run_to_memory(out, "ann_serve")
+    got = {
+        r.query_id: {(n.neighbor_id, round(n.score, 9)) for n in r.topk}
+        for r in spark.sql("SELECT * FROM ann_serve").collect()
+    }
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    expected = {}
+    for r in idx.query(queries, k=5).collect():
+        expected.setdefault(r.query_id, set()).add(
+            (r.neighbor_id, round(r.score, 9))
+        )
+    assert got == expected
+
+
+def test_serve_ann_foreach_batch_matches_batch(spark, tmp_path):
+    """foreachBatch serve: per-micro-batch IVFIndex.query results must
+    union to the batch answer (availableNow one-shot here)."""
+    from mrgo_spark.operators.similarity import IVFIndex
+
+    emb, qdir = _build_query_dir(spark, tmp_path)
+    idx = IVFIndex.build(emb, str(tmp_path / "ivf_fb"))
+    qstream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).parquet(qdir)
+    got = []
+
+    def sink(df, batch_id):
+        got.extend((r.query_id, r.neighbor_id, r.rank) for r in df.collect())
+
+    q = (
+        stream_ops.serve_ann_foreach_batch(idx, qstream, sink, k=5)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    expected = [
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in idx.query(queries, k=5).collect()
+    ]
+    assert sorted(got) == sorted(expected)
