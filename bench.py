@@ -80,9 +80,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def timed(name, df):
+    def timed(name, df_or_thunk):
+        # Accepts a DataFrame or a thunk returning one. Thunks let the
+        # clock cover plan CONSTRUCTION too — iterative operators
+        # (converge-CC, eager checkpoints) run real jobs before the
+        # final materialization, and those must not escape the timing.
         try:
             t0 = time.perf_counter()
+            df = df_or_thunk() if callable(df_or_thunk) else df_or_thunk
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # keep the one-JSON-line contract
@@ -90,11 +95,7 @@ def main() -> None:
             timings[name] = -1.0
 
     for name in HEADLINE:
-        try:
-            timed(name, queries[name](spark, SF_DIR))
-        except Exception as e:
-            print(f"bench: {name} failed: {e}", file=sys.stderr)
-            timings[name] = -1.0
+        timed(name, lambda n=name: queries[n](spark, SF_DIR))
 
     total = round(sum(timings.values()), 3)
 
@@ -113,13 +114,16 @@ def main() -> None:
         "tfidf_top_terms",
         "repetition_stats",
         "dup_cluster_components",
+        "dedup_pipeline_canonical",
+        "edit_distance_pairs",
+        "sequence_packing",
+        "corpus_prep",
+        "q7_volume_shipping",
+        "q10_returned_items",
+        "q18_large_volume_customers",
     ]
     for name in EXTRA:
-        try:
-            timed(name, queries[name](spark, SF_DIR))
-        except Exception as e:
-            print(f"bench: {name} failed: {e}", file=sys.stderr)
-            timings[name] = -1.0
+        timed(name, lambda n=name: queries[n](spark, SF_DIR))
 
     # Scan-parallelism variants, recorded SEPARATELY: the sf fixtures
     # are single-row-group parquet files, so every scan is ONE task
@@ -151,7 +155,7 @@ def main() -> None:
                 os.symlink(f"{SF_DIR}/{t}.parquet", f"{staged}/{t}.parquet")
         timings["split_prep"] = round(time.perf_counter() - t0, 3)
         for name in SPLIT_QUERIES:
-            timed(f"{name}@split", queries[name](spark, staged))
+            timed(f"{name}@split", lambda n=name: queries[n](spark, staged))
     except Exception as e:
         print(f"bench: split variants failed: {e}", file=sys.stderr)
 
@@ -166,10 +170,10 @@ def main() -> None:
 
         emb = _load_table(spark, SF_DIR, "embeddings")
         qs = emb.filter(F.col("vec_id") % 100 == 0)
-        timed("topk_cosine_ivf", queries["topk_cosine_ivf"](spark, SF_DIR))
+        timed("topk_cosine_ivf", lambda: queries["topk_cosine_ivf"](spark, SF_DIR))
         from mrgo_spark.operators.similarity import topk_cosine_numpy
 
-        timed("topk_cosine@numpy", topk_cosine_numpy(emb, qs, k=5))
+        timed("topk_cosine@numpy", lambda: topk_cosine_numpy(emb, qs, k=5))
         t0 = time.perf_counter()
         idx = IVFIndex.build(emb, tempfile.mkdtemp(prefix="mrgo_ivf_"))
         timings["ivf_index_build"] = round(time.perf_counter() - t0, 3)

@@ -238,12 +238,15 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("component").alias("component"))
         )
-        # Lineage truncation regardless of mode: without it the plan
-        # nests one join+agg deeper per round and Catalyst analysis
-        # time grows superlinearly long before the data does.
-        if i % 3 == 2:
-            new_labels = new_labels.localCheckpoint(eager=True)
+        # Lineage truncation: without it the plan nests one join+agg
+        # deeper per round and Catalyst analysis time grows
+        # superlinearly long before the data does. In converge mode
+        # checkpoint EVERY round — the changed-count action would
+        # otherwise recompute the open lineage once for the count and
+        # again for the next round's join (measured 2-3× on the
+        # declared dedup pipeline).
         if converge:
+            new_labels = new_labels.localCheckpoint(eager=True)
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "id")
@@ -254,6 +257,8 @@ def connected_components(
             if changed == 0:
                 break
         else:
+            if i % 3 == 2:
+                new_labels = new_labels.localCheckpoint(eager=True)
             labels = new_labels
     return labels
 

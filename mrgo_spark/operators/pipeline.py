@@ -110,6 +110,56 @@ def sequence_chunks(
     )
 
 
+def sequence_pack(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 512,
+    n_groups: int = 64,
+) -> DataFrame:
+    """Pack documents into fixed-``budget`` training sequences by
+    concat-and-cut (the standard pretraining packing: all docs in a
+    pack group are concatenated in deterministic id order and the
+    token stream is cut every ``budget`` tokens; a document may span
+    sequences).
+
+    The corpus is first split into ``n_groups`` hash groups
+    (md5-stable like dataset_split), and packing is independent per
+    group — the window cumsum runs per-group, so at 100 TB each group
+    is one partition-local sort, never a global one, and groups scale
+    the parallelism. Columns per doc: (doc_id, pack_group, n_tokens,
+    tok_offset, seq_id, seq_pos, n_seqs) where seq_id is the group's
+    sequence index holding the doc's first token, seq_pos the offset
+    inside it, n_seqs how many sequences the doc spans. Empty docs are
+    dropped.
+    """
+    from pyspark.sql import Window
+
+    toks = ascii_tokens(text_col, lowercase=True)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        hash_bucket(id_col, n_groups).alias("pack_group"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return base.select(
+        "doc_id",
+        "pack_group",
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("tok_offset"),
+        F.floor((cum - F.col("n_tokens")) / budget).cast("long").alias("seq_id"),
+        ((cum - F.col("n_tokens")) % budget).alias("seq_pos"),
+        (F.floor((cum - 1) / budget) - F.floor((cum - F.col("n_tokens")) / budget) + 1)
+        .cast("long")
+        .alias("n_seqs"),
+    )
+
+
 def pii_scrub(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

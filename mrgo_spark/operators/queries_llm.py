@@ -1022,3 +1022,126 @@ def q_topk_ivf(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return similarity.topk_cosine_ivf(emb, queries, k=5)
+
+
+@declare(
+    "sequence_packing",
+    """
+    WITH base AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS BIGINT) % 64 AS pack_group,
+               len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                               x -> x <> '')) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, pack_group, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM base WHERE n_tokens > 0
+    )
+    SELECT doc_id,
+           CAST(pack_group AS BIGINT) AS pack_group,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS tok_offset,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+           CAST((cum - n_tokens) % 512 AS BIGINT) AS seq_pos,
+           CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS BIGINT)
+               AS n_seqs
+    FROM c
+    """,
+)
+def q_sequence_packing(spark, sf_dir):
+    """Pretraining sequence packing (concat-and-cut at 512 tokens,
+    64 md5-stable pack groups): per-doc placement in the packed token
+    stream. The per-group window cumsum is the whole cost — one
+    shuffle on pack_group, partition-local sort, no global ordering
+    anywhere (the property that holds at 1000 executors)."""
+    return pipeline.sequence_pack(load_table(spark, sf_dir, "documents"))
+
+
+@declare(
+    "corpus_prep",
+    r"""
+    WITH base AS (
+        SELECT doc_id, text, lang,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t,
+               length(text) AS n_chars
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, text, lang,
+               len(t) AS n_tokens,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                   / greatest(n_chars, 1) AS letter_ratio,
+               CASE WHEN len(t) > 0
+                    THEN CAST(coalesce(list_sum([length(x) for x in t]), 0)
+                              AS DOUBLE) / len(t)
+                    ELSE 0.0 END AS mean_word_len,
+               CAST(len(list_filter(t,
+                    x -> x IN ('the','and','of','to','is','in','that'))) AS DOUBLE)
+                   / greatest(len(t), 1) AS stopword_ratio
+        FROM base
+    ),
+    kept AS (
+        SELECT doc_id, text, lang, n_tokens FROM m
+        WHERE n_tokens BETWEEN 10 AND 100000
+          AND letter_ratio >= 0.6
+          AND mean_word_len BETWEEN 2.0 AND 12.0
+          AND stopword_ratio > 0.0
+    ),
+    deduped AS (
+        SELECT doc_id, lang, n_tokens FROM (
+            SELECT doc_id, lang, n_tokens,
+                   row_number() OVER (
+                       PARTITION BY array_to_string(list_sort(list_filter(
+                           string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '')), ' ')
+                       ORDER BY doc_id) AS rn
+            FROM kept
+        ) WHERE rn = 1
+    )
+    SELECT CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
+    FROM (
+        SELECT lang, n_tokens,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS BIGINT) % 100 AS b
+        FROM deduped
+    )
+    GROUP BY split, lang
+    """,
+)
+def q_corpus_prep(spark, sf_dir):
+    """The flagship end-to-end preprocessing pass a training-data
+    pipeline runs nightly: quality filter (keep rules) → fingerprint
+    dedup (keep min id) → stable train/val/test split → per-(split,
+    lang) doc and token budget. Chains quality_score, fingerprint_dedup
+    and dataset_split — each oracle-verified alone — into one declared
+    plan: two shuffles total (dedup window on the fingerprint, final
+    small agg); everything else is map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = textstats.quality_score(docs).join(
+        docs.select("doc_id", "text", "lang"), "doc_id"
+    )
+    kept = m.filter(
+        F.col("n_tokens").between(10, 100000)
+        & (F.col("letter_ratio") >= 0.6)
+        & F.col("mean_word_len").between(2.0, 12.0)
+        & (F.col("stopword_ratio") > 0.0)
+    ).select("doc_id", "text", "lang", "n_tokens")
+    deduped = dedup.fingerprint_dedup(kept).select("doc_id", "lang", "n_tokens")
+    return (
+        pipeline.dataset_split(deduped)
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
+        )
+    )

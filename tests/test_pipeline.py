@@ -88,3 +88,46 @@ def test_pii_scrub_counts_and_idempotence(spark):
     )
     again = {r.doc_id: r for r in pipeline.pii_scrub(clean).collect()}
     assert all(r.n_emails == 0 and r.n_phones == 0 for r in again.values())
+
+
+def test_sequence_pack_concat_and_cut(spark):
+    """Within one pack group, offsets are contiguous in id order, cuts
+    fall every `budget` tokens, and span counts are right."""
+    from mrgo_spark.operators.pipeline import sequence_pack
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["tok"] * n)) for i, n in [(1, 60), (2, 60), (3, 10), (4, 100)]],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in sequence_pack(docs, budget=64, n_groups=1).collect()
+    }
+    assert rows[1].tok_offset == 0 and rows[1].seq_id == 0 and rows[1].seq_pos == 0
+    assert rows[1].n_seqs == 1  # tokens 0-59 fit sequence 0
+    assert rows[2].tok_offset == 60 and rows[2].seq_id == 0 and rows[2].seq_pos == 60
+    assert rows[2].n_seqs == 2  # 60..119 spans the 64 cut
+    assert rows[3].tok_offset == 120 and rows[3].seq_id == 1
+    # tokens 130..229: starts in seq 2 (128..191), crosses the 192 cut
+    assert rows[4].tok_offset == 130 and rows[4].seq_id == 2 and rows[4].n_seqs == 2
+    total = sum(r.n_tokens for r in rows.values())
+    assert total == 230
+
+
+def test_sequence_pack_group_stability(spark):
+    """Adding documents never changes existing docs' groups (md5
+    stability) and empty docs are dropped."""
+    from mrgo_spark.operators.pipeline import sequence_pack
+
+    small = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, "d e")], "doc_id long, text string"
+    )
+    grown = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, "d e"), (9, "x y z")],
+        "doc_id long, text string",
+    )
+    g1 = {r.doc_id: r.pack_group for r in sequence_pack(small).collect()}
+    g2 = {r.doc_id: r.pack_group for r in sequence_pack(grown).collect()}
+    assert 2 not in g1 and 2 not in g2
+    for d in g1:
+        assert g1[d] == g2[d]
