@@ -118,6 +118,7 @@ def main() -> None:
         "edit_distance_pairs",
         "sequence_packing",
         "corpus_prep",
+        "line_dedup_stats",
         "q7_volume_shipping",
         "q10_returned_items",
         "q18_large_volume_customers",

@@ -382,6 +382,59 @@ def canonical_dedup(
     return df.join(non_canon, id_col, "left_anti")
 
 
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_tokens: int = 12,
+) -> DataFrame:
+    """C4-style line-level dedup: a line occurring in several
+    documents is kept only at its first occurrence (min (doc_id,
+    position)); every later occurrence corpus-wide is dropped.
+
+    The fixtures have no newline structure, so a "line" is a fixed
+    ``line_tokens``-token window (swap the liner expression for
+    split-on-newline on real corpora — the dedup shape is identical).
+    The corpus-wide first-occurrence window shuffles 32-byte sha2 line
+    hashes, never line text — at 100 TB the shuffle volume is
+    hashes × lines, independent of line length.
+
+    Per-doc output: (doc_id, n_lines, n_kept, kept_fingerprint) where
+    kept_fingerprint = sha2 over the kept lines' hashes in document
+    order ('' hash when nothing survives) — pins the exact surviving
+    content without re-materializing text.
+    """
+    toks = ascii_tokens(text_col, lowercase=True)
+    n_lines = F.ceil(F.size(toks) / F.lit(line_tokens)).cast("int")
+    liner = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_lines),
+            lambda i: F.array_join(
+                F.slice(toks, (i - 1) * line_tokens + 1, line_tokens), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lines = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(liner).alias("pos", "line")
+    ).select("doc_id", "pos", F.sha2(F.col("line"), 256).alias("line_hash"))
+    w = Window.partitionBy("line_hash").orderBy("doc_id", "pos")
+    flagged = lines.withColumn("keep", F.row_number().over(w) == 1)
+    kept_sorted = F.array_sort(
+        F.collect_list(F.when(F.col("keep"), F.struct("pos", "line_hash")))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
+        F.sha2(
+            F.array_join(
+                F.transform(kept_sorted, lambda s: s["line_hash"]), ""
+            ),
+            256,
+        ).alias("kept_fingerprint"),
+    )
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "src",

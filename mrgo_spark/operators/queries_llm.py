@@ -1145,3 +1145,56 @@ def q_corpus_prep(spark, sf_dir):
             F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
         )
     )
+
+
+@declare(
+    "line_dedup_stats",
+    f"""
+    WITH {_DUP_CORPUS_SQL},
+    tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t
+        FROM corpus
+    ),
+    lined AS (
+        SELECT doc_id,
+               CASE WHEN len(t) > 0 THEN
+                   [array_to_string(list_slice(t, (i-1)*12 + 1, i*12), ' ')
+                    for i in generate_series(
+                        1, CAST(ceil(len(t)/12.0) AS BIGINT))]
+               ELSE [] END AS lines
+        FROM tok
+    ),
+    ex AS (
+        SELECT doc_id, u.pos AS pos, u.h AS line_hash
+        FROM (
+            SELECT doc_id,
+                   unnest([{{'pos': i - 1, 'h': sha256(lines[i])}}
+                           for i in generate_series(1, len(lines))]) AS u
+            FROM lined
+        )
+    ),
+    flagged AS (
+        SELECT doc_id, pos, line_hash,
+               row_number() OVER (PARTITION BY line_hash
+                                  ORDER BY doc_id, pos) = 1 AS keep
+        FROM ex
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           sha256(coalesce(
+               string_agg(CASE WHEN keep THEN line_hash END, ''
+                          ORDER BY pos), '')) AS kept_fingerprint
+    FROM flagged
+    GROUP BY doc_id
+    """,
+)
+def q_line_dedup_stats(spark, sf_dir):
+    """X2 variant (C4-style): corpus-wide line-level dedup over the
+    planted-dup corpus — every 12-token line of an exact copy
+    (+100000) is a repeat of the original's, so copies keep 0 lines;
+    reversed copies keep most of theirs. The first-occurrence window
+    shuffles line HASHES only (32 bytes/line at any line length)."""
+    return dedup.line_dedup(_dup_corpus(spark, sf_dir))

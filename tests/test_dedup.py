@@ -228,3 +228,37 @@ def test_star_cc_long_chain_few_rounds(spark):
     got = dedup.connected_components_star(df, max_iter=10).collect()
     assert {r.component for r in got} == {0}
     assert len(got) == 64
+
+
+def test_line_dedup_drops_copied_lines(spark):
+    """Exact copies keep zero lines (every line is a corpus repeat);
+    originals keep all theirs; fingerprint of an all-kept doc differs
+    from the empty-kept hash."""
+    rows = {
+        r.doc_id: r
+        for r in dedup.line_dedup(_dup_corpus(spark, SF)).collect()
+    }
+    import hashlib
+
+    empty = hashlib.sha256(b"").hexdigest()
+    copies = [d for d in rows if 100000 <= d < 200000]
+    assert copies
+    for d in copies:
+        assert rows[d].n_kept == 0
+        assert rows[d].kept_fingerprint == empty
+    # Global invariant: exactly one keeper per distinct line — checked
+    # against an independent pure-Python tokenize/window pass.
+    import re
+
+    corpus = _dup_corpus(spark, SF).collect()
+    distinct_lines = set()
+    for r in corpus:
+        toks = [t for t in re.split(r"[^a-z]+", r.text.lower()) if t]
+        lines = [
+            " ".join(toks[i : i + 12]) for i in range(0, len(toks), 12)
+        ] or ([""] if not toks else [])
+        if not toks:
+            continue
+        distinct_lines.update(lines)
+    assert sum(r.n_kept for r in rows.values()) == len(distinct_lines)
+    assert all(r.n_kept <= r.n_lines for r in rows.values())
