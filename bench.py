@@ -119,6 +119,7 @@ def main() -> None:
         "sequence_packing",
         "corpus_prep",
         "line_dedup_stats",
+        "embedding_quantize",
         "q7_volume_shipping",
         "q10_returned_items",
         "q18_large_volume_customers",

@@ -270,6 +270,7 @@ def edit_distance_pairs(
     block_prefix: int = 30,
     window: int = 200,
     max_dist: int = 5,
+    max_block: int | None = 100,
 ) -> DataFrame:
     """X2 variant: near-dup pairs by bounded edit distance.
 
@@ -280,9 +281,13 @@ def edit_distance_pairs(
     O(window²), -1 when the bound is exceeded). Recall covers edits
     past the blocking prefix (truncations, tail corruptions, OCR
     noise); edits inside the first ``block_prefix`` chars need the
-    fingerprint/MinHash paths. At 100 TB both knobs bound cost:
-    candidate pairs are per-block, and the distance window caps the
-    per-pair work regardless of document length.
+    fingerprint/MinHash paths. At 100 TB three knobs bound cost:
+    candidate pairs are per-block, the distance window caps the
+    per-pair work regardless of document length, and ``max_block``
+    drops degenerate blocks (shared boilerplate prefixes produce
+    B²/2 pairs — a block of B exact copies is exact-dedup's job,
+    which is O(B), not pairwise; scale_probe measured the quadratic
+    growth under 10× duplication before the cap existed).
     Columns: (id_a, id_b, dist).
     """
     keyed = df.select(
@@ -290,6 +295,13 @@ def edit_distance_pairs(
         F.substring(F.col(text_col), 1, block_prefix).alias("blk"),
         F.substring(F.col(text_col), 1, window).alias("win"),
     )
+    if max_block is not None:
+        w_b = Window.partitionBy("blk")
+        keyed = (
+            keyed.withColumn("_bsz", F.count("*").over(w_b))
+            .filter(F.col("_bsz") <= max_block)
+            .drop("_bsz")
+        )
     a, b = keyed.alias("a"), keyed.alias("b")
     dist = F.levenshtein(F.col("a.win"), F.col("b.win"), max_dist)
     return (

@@ -723,10 +723,13 @@ def q_dedup_pipeline_canonical(spark, sf_dir):
         FROM documents WHERE doc_id % 10 = 0
     ),
     keyed AS (
-        SELECT doc_id,
-               substr(text, 1, 30) AS blk,
-               substr(text, 1, 200) AS win
-        FROM corpus
+        SELECT doc_id, blk, win FROM (
+            SELECT doc_id,
+                   substr(text, 1, 30) AS blk,
+                   substr(text, 1, 200) AS win,
+                   COUNT(*) OVER (PARTITION BY substr(text, 1, 30)) AS bsz
+            FROM corpus
+        ) WHERE bsz <= 100
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(levenshtein(a.win, b.win) AS INTEGER) AS dist
@@ -1198,3 +1201,32 @@ def q_line_dedup_stats(spark, sf_dir):
     reversed copies keep most of theirs. The first-occurrence window
     shuffles line HASHES only (32 bytes/line at any line length)."""
     return dedup.line_dedup(_dup_corpus(spark, sf_dir))
+
+
+@declare(
+    "embedding_quantize",
+    """
+    WITH s AS (
+        SELECT vec_id, embedding,
+               greatest(list_max([abs(CAST(x AS DOUBLE)) for x in embedding]),
+                        1e-12) / 127.0 AS scale
+        FROM embeddings WHERE vec_id % 50 = 0
+    )
+    SELECT vec_id, scale,
+           [CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER)
+            for x in embedding] AS qvec,
+           CAST(list_max([CAST(round(abs(CAST(x AS DOUBLE)
+                    - round(CAST(x AS DOUBLE) / scale) * scale)
+                    * 1000000.0) AS BIGINT)
+                for x in embedding]) AS BIGINT) AS max_err_fx
+    FROM s
+    """,
+)
+def q_embedding_quantize(spark, sf_dir):
+    """X3 serving compression: per-vector symmetric int8 quantization
+    (declared on the vec_id % 50 subset like embedding_normalize; the
+    operator is map-side over the full corpus)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 50 == 0
+    )
+    return similarity.quantize_embeddings(emb)

@@ -392,6 +392,45 @@ def topk_cosine_numpy(
     )
 
 
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127,
+    q_i = round(x_i/scale) ∈ [-127, 127]. 4× less memory/shuffle/
+    scan than float32 — the standard serving compression for ANN
+    corpora (score with q·q' × scale·scale', re-rank survivors at
+    full precision). Deterministic: round-half-up on identical
+    doubles on both engines; the error column is fixed-point so the
+    max is an exact integer. Columns: (vec_id, scale, qvec,
+    max_err_fx) with max_err_fx = max_i round(|x_i − q_i·scale|·1e6)
+    — bounded by round(scale/2·1e6) by construction (tested).
+    Map-side only, no shuffle."""
+    x = F.col(vec_col)
+    absmax = F.greatest(
+        F.array_max(F.transform(x, lambda v: F.abs(v.cast("double")))),
+        F.lit(1e-12),
+    )
+    base = embeddings.select(
+        F.col(id_col), x.alias("_v"), (absmax / 127.0).alias("scale")
+    )
+    q_of = lambda v: F.round(v.cast("double") / F.col("scale"))  # noqa: E731
+    return base.select(
+        F.col(id_col),
+        "scale",
+        F.transform("_v", lambda v: q_of(v).cast("int")).alias("qvec"),
+        F.array_max(
+            F.transform(
+                "_v",
+                lambda v: F.round(
+                    F.abs(v.cast("double") - q_of(v) * F.col("scale")) * 1e6
+                ).cast("long"),
+            )
+        ).alias("max_err_fx"),
+    )
+
+
 class IVFIndex:
     """Persisted IVF index: the amortization path topk_cosine_ivf's
     docstring promises. ``build`` writes centroids (tiny parquet) and

@@ -111,6 +111,36 @@ def quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_keep(text_col: str = "text") -> F.Column:
+    """The corpus keep-rule as ONE boolean column expression (same
+    thresholds as the declared corpus filter) — usable where a join
+    back onto metrics is not (e.g. a streaming filter, where a
+    metrics self-join would be stream-stream)."""
+    t = F.col(text_col)
+    toks = ascii_tokens(t, lowercase=True)
+    n_tokens = F.size(toks)
+    n_chars = F.length(t)
+    letter_ratio = F.length(F.regexp_replace(t, "[^A-Za-z]", "")).cast(
+        "double"
+    ) / F.greatest(n_chars, F.lit(1)).cast("double")
+    mean_wl = F.when(
+        n_tokens > 0,
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).cast("double")
+        / n_tokens,
+    ).otherwise(0.0)
+    stop = F.size(
+        F.filter(toks, lambda x: x.isin(*LANG_MARKERS["en"]))
+    ).cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")
+    return (
+        n_tokens.between(10, 100000)
+        & (letter_ratio >= 0.6)
+        & mean_wl.between(2.0, 12.0)
+        & (stop > 0.0)
+    )
+
+
 def lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-stopword language ID. Columns: doc_id, pred_lang.
 

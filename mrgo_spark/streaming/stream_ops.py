@@ -382,6 +382,36 @@ def streaming_get_results_tws(oplog_stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_corpus_prep(
+    doc_stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of the declared ``corpus_prep`` pipeline:
+    quality filter (map-side exprs) → exact content dedup (state
+    store holds 32-byte digests) → stable md5 split assignment
+    (map-side). Ingest-time preprocessing: a document emerges already
+    filtered, deduped and split-tagged, one state lookup per doc.
+
+    First-arrival-wins dedup matches batch keep-min-id whenever
+    ingest follows id order (same contract as streaming_dedup_docs);
+    at scale pass ``ts_col`` so dedup state expires at the watermark.
+    Output: (doc_id, split, content_hash) per surviving document.
+    """
+    from ..operators.pipeline import dataset_split
+    from ..operators.textstats import quality_keep
+
+    kept = doc_stream.filter(quality_keep(text_col))
+    deduped = streaming_dedup_docs(
+        kept, text_col=text_col, id_col=id_col, ts_col=ts_col, watermark=watermark
+    )
+    return dataset_split(deduped, id_col=id_col).select(
+        id_col, "split", "content_hash"
+    )
+
+
 # ---- streaming ANN serve over a persisted IVF index ----------------------
 
 

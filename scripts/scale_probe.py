@@ -93,6 +93,12 @@ def main() -> None:
         "salted_skew_join",
         "dup_cluster_components",
         "q9_nation_profit",
+        "dedup_pipeline_canonical",
+        "edit_distance_pairs",
+        "line_dedup_stats",
+        "sequence_packing",
+        "corpus_prep",
+        "q10_returned_items",
     ]
     results = {}
     for name in probe:

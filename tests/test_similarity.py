@@ -138,3 +138,43 @@ def test_topk_numpy_matches_expression_path(spark):
         len(by_q_a[q] & by_q_b[q]) / len(by_q_a[q]) for q in by_q_a
     ]
     assert sum(overlaps) / len(overlaps) >= 0.95, overlaps
+
+
+def test_quantize_error_bound_and_cosine_preserved(spark):
+    """Quantization error must respect the half-step bound per
+    element, and cosine on dequantized vectors must stay within 2%
+    of the exact score for the fixture corpus."""
+    from mrgo_spark.operators.similarity import (
+        cosine_fx,
+        quantize_embeddings,
+    )
+    from mrgo_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = quantize_embeddings(emb)
+    rows = q.collect()
+    assert rows
+    for r in rows:
+        assert all(-127 <= v <= 127 for v in r.qvec)
+        assert r.max_err_fx <= round(r.scale / 2 * 1e6) + 1
+    # dequantize → cosine parity on a sample pair set
+    deq = q.select(
+        "vec_id",
+        F.transform("qvec", lambda v: v.cast("double") * F.col("scale")).alias(
+            "embedding"
+        ),
+    )
+    a = {r.vec_id: r for r in emb.filter(F.col("vec_id") < 20).collect()}
+    b = {r.vec_id: r for r in deq.filter(F.col("vec_id") < 20).collect()}
+    import math
+
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        return d / (math.sqrt(sum(x * x for x in u)) * math.sqrt(sum(x * x for x in v)))
+
+    for i in a:
+        for j in a:
+            if i < j:
+                exact = cos(list(a[i].embedding), list(a[j].embedding))
+                approx = cos(list(b[i].embedding), list(b[j].embedding))
+                assert abs(exact - approx) < 0.02, (i, j, exact, approx)

@@ -495,3 +495,54 @@ def test_serve_ann_foreach_batch_matches_batch(spark, tmp_path):
         for r in idx.query(queries, k=5).collect()
     ]
     assert sorted(got) == sorted(expected)
+
+
+def test_streaming_corpus_prep_matches_batch(spark, tmp_path):
+    """The ingest-time prep pipeline (filter → dedup → split) over a
+    3-batch stream must produce the batch keep-set with identical
+    split assignments."""
+    from mrgo_spark.operators import dedup, pipeline, textstats
+    from mrgo_spark.operators.queries_llm import _dup_corpus
+
+    corpus = _dup_corpus(spark, SF)
+    batch_kept = dedup.exact_dedup(
+        corpus.filter(textstats.quality_keep("text"))
+    )
+    expected = {
+        (r.doc_id, r.split)
+        for r in pipeline.dataset_split(batch_kept)
+        .select("doc_id", "split")
+        .collect()
+    }
+
+    d = tmp_path / "prep_stream"
+    d.mkdir()
+
+    def write_chunk(name, df):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        os.rename(next(stage.glob("part-*.parquet")), d / f"{name}.parquet")
+
+    write_chunk("b1", corpus.filter(F.col("doc_id") < 100000))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(d))
+    q = (
+        stream_ops.streaming_corpus_prep(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("prep_out")
+        .start()
+    )
+    q.processAllAvailable()
+    for name, flt in [
+        ("b2", (F.col("doc_id") >= 100000) & (F.col("doc_id") < 200000)),
+        ("b3", F.col("doc_id") >= 200000),
+    ]:
+        write_chunk(name, corpus.filter(flt))
+        q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.doc_id, r.split)
+        for r in spark.sql("SELECT doc_id, split FROM prep_out").collect()
+    }
+    assert got == expected
+    assert len(got) > 0
