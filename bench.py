@@ -120,6 +120,8 @@ def main() -> None:
         "corpus_prep",
         "line_dedup_stats",
         "embedding_quantize",
+        "kv_state_at_seq",
+        "lateral_latest_order",
         "q7_volume_shipping",
         "q10_returned_items",
         "q18_large_volume_customers",

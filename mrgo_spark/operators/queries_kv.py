@@ -131,3 +131,44 @@ def q_shard_stats(spark, sf_dir):
     return kv.shard_stats(
         kv.dedup_at_most_once(kv.synth_oplog(load_table(spark, sf_dir, "events")))
     )
+
+
+@declare(
+    "kv_state_at_seq",
+    _OPLOG
+    + """
+    , cut AS (SELECT (min(seq) + max(seq)) // 2 AS s FROM oplog),
+    ops AS (
+        SELECT o.* FROM oplog o, cut
+        WHERE o.op IN ('put','append') AND o.seq <= cut.s
+    ),
+    lp AS (SELECT key, max(seq) FILTER (WHERE op = 'put') AS last_put
+           FROM ops GROUP BY key)
+    SELECT key, string_agg(value, '' ORDER BY seq) AS state
+    FROM ops JOIN lp USING (key)
+    WHERE seq >= coalesce(last_put, -1)
+    GROUP BY key
+    """,
+)
+def q_kv_state_at_seq(spark, sf_dir):
+    """O21 time-travel: state snapshot as of the log midpoint — the
+    point-in-time read a Raft snapshot install serves. The cutoff is
+    a 1-row aggregate cross-joined (broadcast), never a driver
+    collect; the fold below it is the standard last-put-prefix fold
+    (state is O(live value), not O(log))."""
+    from pyspark.sql import functions as F
+
+    # dedup BEFORE the cutoff: retransmissions carry inflated seqs
+    # (seq+10M), and the snapshot point must be over the logical log
+    oplog = kv.dedup_at_most_once(
+        kv.synth_oplog(load_table(spark, sf_dir, "events"))
+    )
+    cut = oplog.agg(
+        F.floor((F.min("seq") + F.max("seq")) / 2).cast("long").alias("_s")
+    )
+    snap = (
+        oplog.crossJoin(F.broadcast(cut))
+        .filter(F.col("seq") <= F.col("_s"))
+        .drop("_s")
+    )
+    return kv.fold_state(snap)

@@ -1043,3 +1043,38 @@ def q7(spark, sf_dir):
             .alias("revenue")
         )
     )
+
+
+@declare(
+    "lateral_latest_order",
+    """
+    SELECT c.c_custkey, c.c_name,
+           l.o_orderkey AS latest_order,
+           CAST(l.o_orderdate AS DATE) AS latest_date
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_orderdate FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_orderdate DESC, o_orderkey LIMIT 1) l
+    """,
+)
+def q_lateral_latest_order(spark, sf_dir):
+    """Correlated LATERAL (CROSS APPLY) top-1-per-group: Catalyst
+    decorrelates it into a WindowGroupLimit + one equi-join — no
+    per-row re-execution of the subquery at any scale (plan asserted
+    in tests/test_plans.py). Same answer shape as the as-of/window
+    forms, exercised through the lateral-subquery path."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "mrgo_lat_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("mrgo_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+               l.o_orderkey AS latest_order,
+               CAST(l.o_orderdate AS DATE) AS latest_date
+        FROM mrgo_lat_customer c,
+        LATERAL (SELECT o_orderkey, o_orderdate FROM mrgo_lat_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey LIMIT 1) l
+        """
+    )

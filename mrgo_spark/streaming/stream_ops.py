@@ -382,6 +382,31 @@ def streaming_get_results_tws(oplog_stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_trending_terms(
+    doc_stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """X4 streaming: watermarked tumbling-window term counts over a
+    timestamped document stream — the trending-terms feed. Tokenize
+    is map-side (explode in its own select, per the projection rule);
+    the windowed agg is the only shuffle and is map-side partial
+    first. Output: (win_start, token, n), update mode; consumers
+    top-k the (tiny) per-window result."""
+    from ..functions.text import ascii_tokens
+
+    toks = doc_stream.withWatermark(ts_col, watermark).select(
+        F.col(ts_col), F.explode(ascii_tokens(text_col, lowercase=True)).alias("token")
+    )
+    return (
+        toks.groupBy(F.window(ts_col, window).alias("w"), "token")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), "token", "n")
+    )
+
+
 def streaming_corpus_prep(
     doc_stream: DataFrame,
     text_col: str = "text",

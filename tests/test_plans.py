@@ -320,3 +320,14 @@ def test_q22_anti_join_and_broadcast_threshold(spark):
 
     plan7 = plans.explain_str(q7(spark, SF), "simple")
     assert plan7.count("BroadcastHashJoin") >= 4
+
+
+def test_lateral_decorrelates_to_window_group_limit(spark):
+    """The correlated LATERAL top-1 must decorrelate: no per-row
+    subquery re-execution, no cartesian/nested-loop join."""
+    from mrgo_spark.operators.queries_relational import q_lateral_latest_order
+
+    plan = plans.explain_str(q_lateral_latest_order(spark, SF), "simple")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -546,3 +546,44 @@ def test_streaming_corpus_prep_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_streaming_trending_terms_matches_batch(spark, tmp_path):
+    """Windowed term counts over a timestamped doc stream must equal
+    the batch tumbling tokenize+count."""
+    from mrgo_spark.functions.text import ascii_tokens
+    from mrgo_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, SF, "documents")
+        .limit(200)
+        .select(
+            "doc_id",
+            "text",
+            F.timestamp_seconds(
+                F.lit(1700000000) + F.col("doc_id") * 600
+            ).alias("ts"),
+        )
+    )
+    expected = {
+        (r.win_start, r.token): r.n
+        for r in docs.select(
+            "ts", F.explode(ascii_tokens("text", lowercase=True)).alias("token")
+        )
+        .groupBy(F.window("ts", "1 hour").alias("w"), "token")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), "token", "n")
+        .collect()
+    }
+    d = tmp_path / "trend_stream"
+    docs.coalesce(1).write.parquet(str(d))
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(str(d))
+    out = stream_ops.streaming_trending_terms(stream)
+    stream_ops.run_to_memory(out, "trend_out")
+    got = {
+        (r.win_start, r.token): r.n
+        for r in spark.sql("SELECT * FROM trend_out").collect()
+    }
+    assert got == expected and len(got) > 0
