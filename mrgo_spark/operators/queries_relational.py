@@ -1078,3 +1078,405 @@ def q_lateral_latest_order(spark, sf_dir):
                  ORDER BY o_orderdate DESC, o_orderkey LIMIT 1) l
         """
     )
+
+
+# --- TPC-H completion set (q2/q8/q11/q12/q13/q16/q20/q21 variants) ---
+# The fixtures have no partsupp / commitdate / comment columns, so
+# each variant keeps the ORIGINAL query's operator shape (correlated
+# MIN, market-share ratio, HAVING vs global aggregate, CASE counts,
+# left-outer distribution, NOT-IN + COUNT DISTINCT, nested two-level
+# agg, EXISTS + NOT-EXISTS) re-targeted at the columns that exist —
+# lineitem doubles as the supply relation, shipment lateness as the
+# commit/receipt lateness.
+
+
+@declare(
+    "q2_min_cost_supplier",
+    """
+    WITH eu_supply AS (
+        SELECT l_partkey, l_suppkey, l_extendedprice AS cost,
+               s_name, s_acctbal, n_name
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                      JOIN nation   ON n_nationkey = s_nationkey
+                      JOIN region   ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    mincost AS (
+        SELECT l_partkey AS mk, MIN(cost) AS min_cost
+        FROM eu_supply GROUP BY l_partkey
+    )
+    SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, min_cost AS cost
+    FROM part JOIN eu_supply ON l_partkey = p_partkey
+              JOIN mincost   ON mk = p_partkey AND cost = min_cost
+    WHERE p_size = 15
+    """,
+)
+def q2(spark, sf_dir):
+    """TPC-H Q2-style min-cost supplier: for each size-15 part, the
+    EUROPE supplier(s) observed at the minimum price (lineitem is the
+    supply relation — fixtures have no partsupp). The correlated
+    `cost = (SELECT MIN ...)` is decorrelated the way Catalyst would:
+    one partial agg per partkey over the region-filtered supply, then
+    an equi-join back on (partkey, price). MIN over doubles is an
+    element of the input (no accumulation), so it is bit-stable
+    cross-engine. supplier/nation/region broadcast; the min-per-part
+    agg output is ~|part| rows and broadcast back — lineitem is
+    scanned once and shuffled once (the groupBy)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    eu = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "l_partkey",
+            F.col("l_extendedprice").alias("cost"),
+            "s_name",
+            "s_acctbal",
+            "n_name",
+        )
+    )
+    mincost = eu.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        eu.join(
+            F.broadcast(mincost),
+            (eu.l_partkey == mincost.mk) & (eu.cost == mincost.min_cost),
+        )
+        .join(F.broadcast(p), eu.l_partkey == p.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            F.col("min_cost").alias("cost"),
+        )
+        .distinct()
+    )
+
+
+@declare(
+    "q8_market_share",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(CASE WHEN n1.n_name = 'NATION_2'
+                    THEN CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT)
+           / CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+                  AS BIGINT) AS mkt_share
+    FROM lineitem JOIN orders   ON o_orderkey = l_orderkey
+                  JOIN customer ON c_custkey = o_custkey
+                  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+                  JOIN region   ON r_regionkey = n2.n_regionkey
+                  JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+                  JOIN part     ON p_partkey = l_partkey
+    WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    GROUP BY o_year
+    """,
+)
+def q8(spark, sf_dir):
+    """TPC-H Q8-style national market share: NATION_2's fraction of
+    ECONOMY-part revenue delivered into ASIA customers, per order
+    year. Both the numerator (CASE-guarded) and denominator are exact
+    integer cent sums; the share is ONE final bigint/bigint double
+    division — bit-identical regardless of partition order. One
+    fact-fact shuffle (lineitem⋈orders); every dimension broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_rk")
+    )
+    cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    nat = F.when(F.col("supp_nation") == "NATION_2", cents).otherwise(F.lit(0))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg((F.sum(nat) / F.sum(cents)).alias("mkt_share"))
+    )
+
+
+@declare(
+    "q11_important_parts",
+    """
+    WITH val AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+                   AS v_cents
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        WHERE s_nationkey = 3
+        GROUP BY l_partkey
+    ),
+    tot AS (
+        SELECT CAST(SUM(v_cents) AS BIGINT) AS t_cents FROM val
+    )
+    SELECT l_partkey, v_cents/100.0 AS part_value
+    FROM val, tot
+    WHERE CAST(v_cents AS DOUBLE) > CAST(t_cents AS DOUBLE) * 0.001
+    """,
+)
+def q11(spark, sf_dir):
+    """TPC-H Q11-style important stock: parts whose NATION_3-supplied
+    value exceeds 0.1% of that nation's total (lineitem value stands
+    in for partsupp). The global total is re-aggregated from the
+    per-part agg (no second fact scan) and cross-joined as a 1-row
+    broadcast; the threshold compare is double-on-exact-bigints, so
+    it is deterministic. One fact shuffle (groupBy partkey)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents("l_extendedprice")).alias("v_cents"))
+    )
+    tot = val.agg(F.sum("v_cents").alias("t_cents"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("v_cents").cast("double") > F.col("t_cents").cast("double") * 0.001
+        )
+        .select("l_partkey", (F.col("v_cents") / 100.0).alias("part_value"))
+    )
+
+
+@declare(
+    "q12_priority_shipping",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q12(spark, sf_dir):
+    """TPC-H Q12-style shipping-priority counts: 1997 lines shipped
+    >30 days after order placement (the fixture's lateness analog of
+    commit/receipt), split into high/low priority CASE counts per
+    return flag (the shipmode analog). The date filters push to the
+    lineitem scan; one fact-fact shuffle; CASE counts are map-side
+    partial sums."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@declare(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON o_custkey = c_custkey AND o_orderpriority <> '5-LOW'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13(spark, sf_dir):
+    """TPC-H Q13-style order-count distribution: customers left-outer
+    joined to their non-LOW-priority orders (the comment-pattern
+    exclusion analog), counted per customer, then the histogram of
+    those counts. COUNT(o_orderkey) counts only matched rows — the
+    outer-join-then-count-child-key idiom. Two shuffles total
+    (join+agg share the custkey partitioning; the second agg is over
+    at most |distinct counts| rows)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("bigint").alias("custdist")
+    )
+
+
+@declare(
+    "q16_supplier_part_count",
+    """
+    SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+               AS supplier_cnt
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#12'
+      AND p_size IN (1, 5, 15, 25, 35, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+)
+def q16(spark, sf_dir):
+    """TPC-H Q16-style supplier diversity per part attribute:
+    distinct suppliers observed shipping each (brand, size) bucket,
+    excluding complained-about suppliers (negative balance — the
+    comment-LIKE analog) via NOT IN → left-anti broadcast join.
+    COUNT(DISTINCT) expands to a two-phase partial-distinct agg
+    (dedup on (brand,size,suppkey) map-side, then count) — no
+    single-point collect of the distinct set."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#12")
+        & F.col("p_size").isin(1, 5, 15, 25, 35, 45)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@declare(
+    "q20_part_promotion",
+    """
+    WITH shipped AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sup_q
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+        SELECT l_partkey AS tp, CAST(SUM(sup_q) AS BIGINT) AS total_q
+        FROM shipped GROUP BY l_partkey
+    )
+    SELECT DISTINCT s_name, n_name
+    FROM shipped JOIN tot ON tp = l_partkey
+                 JOIN part ON p_partkey = l_partkey
+                 JOIN supplier ON s_suppkey = l_suppkey
+                 JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE 'small%'
+      AND CAST(sup_q AS DOUBLE) > 0.5 * CAST(total_q AS DOUBLE)
+    """,
+)
+def q20(spark, sf_dir):
+    """TPC-H Q20-style dominant suppliers: suppliers shipping more
+    than half of a 'small%' part's 1997 volume (availqty>0.5*sum
+    analog — fixtures have no partsupp). Two-level nested agg: ONE
+    fact scan aggregated at (part,supplier) grain, then the per-part
+    total as a window SUM over that already-reduced output — a
+    join-back formulation re-expands the fact subplan into a second
+    scan (measured), whereas the window reuses the ~|part×supplier|
+    agg rows. Fixed-point quantity cents keep the double threshold
+    deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_cents("l_quantity")).alias("sup_q")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        shipped.withColumn("total_q", F.sum("sup_q").over(w))
+        .filter(
+            F.col("sup_q").cast("double") > 0.5 * F.col("total_q").cast("double")
+        )
+        .join(F.broadcast(p), shipped.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), shipped.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+        .distinct()
+    )
+
+
+@declare(
+    "q21_waiting_suppliers",
+    """
+    WITH late AS (
+        SELECT l_orderkey AS lo, l_suppkey AS ls
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late JOIN supplier ON s_suppkey = ls
+              JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_1'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = lo AND l2.l_suppkey <> ls)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.lo = late.lo AND l3.ls <> late.ls)
+    GROUP BY s_name
+    """,
+)
+def q21(spark, sf_dir):
+    """TPC-H Q21-style suppliers who kept orders waiting: NATION_1
+    suppliers with a late line (shipped >60d after order, status F)
+    on a multi-supplier order where NO other supplier was late —
+    i.e. solely responsible. The EXISTS becomes a left-semi and the
+    NOT EXISTS a left-anti, both equi-keyed on orderkey with the
+    supplier-inequality as a join residual — decorrelated, shuffle
+    on orderkey only. The nation filter is applied before the
+    semi/anti joins (smaller probe side; the oracle's WHERE is
+    commutative with them)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    late = (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        )
+        .select(F.col("l_orderkey").alias("lo"), F.col("l_suppkey").alias("ls"))
+    )
+    l1 = (
+        late.join(F.broadcast(s), late.ls == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("lo", "ls", "s_name")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = late.select(F.col("lo").alias("o3"), F.col("ls").alias("s3")).distinct()
+    return (
+        l1.join(l2, (l1.lo == l2.o2) & (l1.ls != l2.s2), "left_semi")
+        .join(l3, (F.col("lo") == l3.o3) & (F.col("ls") != l3.s3), "left_anti")
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+    )

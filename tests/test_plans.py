@@ -331,3 +331,46 @@ def test_lateral_decorrelates_to_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_semi_anti_decorrelation(spark):
+    """EXISTS → LeftSemi, NOT EXISTS → LeftAnti, both equi-keyed on
+    orderkey (never a nested loop over the order square); dims
+    broadcast."""
+    from mrgo_spark.operators.queries_relational import q21
+
+    plan = plans.explain_str(q21(spark, SF), "simple")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_single_fact_scan(spark):
+    """The two-level nested agg must re-aggregate the (part,supplier)
+    agg — exactly one lineitem scan in the plan."""
+    from mrgo_spark.operators.queries_relational import q20
+
+    plan = plans.explain_str(q20(spark, SF), "formatted")
+    assert plan.count("lineitem.parquet") == 1
+    assert plans.has_pushed_filters(q20(spark, SF), "l_shipdate")
+
+
+def test_q2_broadcast_min_join_back(spark):
+    """The decorrelated per-part MIN joins back as a broadcast (its
+    output is ~|part| rows); supplier/nation/region broadcast; the
+    only shuffle is the min-per-part groupBy."""
+    from mrgo_spark.operators.queries_relational import q2
+
+    df = q2(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "NestedLoop" not in plan
+
+
+def test_q16_anti_join_before_distinct_count(spark):
+    from mrgo_spark.operators.queries_relational import q16
+
+    plan = plans.explain_str(q16(spark, SF), "simple")
+    assert "LeftAnti" in plan
+    assert "NestedLoop" not in plan
