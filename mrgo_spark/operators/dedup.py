@@ -318,6 +318,95 @@ def edit_distance_pairs(
     )
 
 
+def edit_distance_pairs_symdelete(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_len: int = 30,
+    window: int = 200,
+    max_dist: int = 5,
+    max_bucket: int | None = 200,
+) -> DataFrame:
+    """X2 variant: SymSpell-style symmetric-delete blocking for edits
+    INSIDE the leading chars — the complement of
+    ``edit_distance_pairs``'s prefix-equality blocking (which, by
+    construction, misses any edit in the first ``block_prefix``
+    chars; self-noted gap, CLAUDE.md round-2 candidates).
+
+    Blocking key = the first ``key_len`` chars. Each doc emits that
+    key plus every single-deletion variant of it (``key_len + 1``
+    short strings); two keys at edit distance ≤ 1 provably share a
+    variant (substitution: delete the differing position from both;
+    indel: delete the inserted char from the longer side), so recall
+    is COMPLETE for key-distance ≤ 1 — which makes the final output
+    ("all pairs with key edit distance ≤ 1 and window distance ≤
+    ``max_dist``") an exact, oracle-checkable set, not a heuristic.
+    (Caveat on DOCUMENT edits: an indel inside the prefix of a
+    longer-than-``key_len`` doc shifts the fixed-width key window,
+    making the KEYS distance 2 — substitutions are the distance-1
+    case this targets; in-prefix indels need the MinHash path.)
+    Variant sharing admits distance-2 pairs too (1 deletion each
+    side), so candidates are post-filtered with the threshold
+    Levenshtein; the output is identical to the O(n²) definition.
+
+    100 TB shape: the variant shuffle carries (id, ≤key_len-char
+    variant) — ~``key_len``·(``key_len``+8) bytes/doc, no document
+    bodies; the self-join is an equi-join on the variant string;
+    window texts are fetched AFTER pair deduplication by two id
+    equi-joins, so the 200-char windows never ride the candidate
+    fan-out. ``max_bucket`` drops degenerate variant buckets (shared
+    boilerplate heads → B²/2 pairs; exact-dedup's job, O(B) there).
+    Columns: (id_a, id_b, dist).
+    """
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(F.col(text_col), 1, key_len).alias("k"),
+        F.substring(F.col(text_col), 1, window).alias("win"),
+    )
+    # k itself + all single-deletion variants, deduped per doc
+    # (deleting either of a doubled letter yields the same string).
+    # One array expression — a single pass, not a key_len-wide
+    # projection fan. greatest() guards sequence(1,0) which would
+    # count DOWN for empty keys.
+    variants = keyed.select(
+        "id",
+        F.explode(
+            F.expr(
+                "array_distinct(concat(array(k), "
+                "transform(sequence(1, greatest(length(k), 1)), "
+                "i -> concat(substring(k, 1, i-1), substring(k, i+1)))))"
+            )
+        ).alias("v"),
+    )
+    if max_bucket is not None:
+        w_v = Window.partitionBy("v")
+        variants = (
+            variants.withColumn("_vsz", F.count("*").over(w_v))
+            .filter(F.col("_vsz") <= max_bucket)
+            .drop("_vsz")
+        )
+    a, b = variants.alias("a"), variants.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ta = keyed.select(
+        F.col("id").alias("id_a"), F.col("k").alias("ka"), F.col("win").alias("wa")
+    )
+    tb = keyed.select(
+        F.col("id").alias("id_b"), F.col("k").alias("kb"), F.col("win").alias("wb")
+    )
+    dist = F.levenshtein(F.col("wa"), F.col("wb"), max_dist)
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(F.levenshtein(F.col("ka"), F.col("kb"), 1) >= 0)
+        .select("id_a", "id_b", dist.alias("dist"))
+        .filter(F.col("dist") != -1)
+    )
+
+
 def star_edges(df: DataFrame, key_col: str, id_col: str = "doc_id") -> DataFrame:
     """Blocking-key → star edge list: every member of a key block is
     linked to the block's min id. Linear in block size (a block of B

@@ -180,3 +180,73 @@ def pii_scrub(
         (F.length(t) - F.length(clean)).alias("removed_chars"),
         F.sha2(clean, 256).alias("clean_hash"),
     )
+
+
+def _word_ngrams(text_col: str, n: int) -> F.Column:
+    toks = ascii_tokens(text_col, lowercase=True)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_overlap: int = 0,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs that share any
+    word ``n``-gram with an eval/benchmark set (the standard
+    eval-leakage guard run before pre-training; GPT-3 appendix-C /
+    Dolma style — typically n in 8..13).
+
+    Per doc: total gram instances, distinct grams, distinct grams
+    also present anywhere in the benchmark, the contaminated
+    fraction, and keep = (contaminated ≤ ``max_overlap``).
+    Columns: (doc_id, n_grams, n_distinct, n_contaminated,
+    contaminated_frac, keep).
+
+    Shape: corpus grams are built map-side and exploded ONCE into a
+    single groupBy(doc_id) agg (count + two count-distincts); the
+    benchmark gram set — eval suites are MBs, not TBs — is
+    dedup-aggregated and BROADCAST into the probe, so the corpus
+    never shuffles by gram. For a benchmark too big to broadcast,
+    swap the mark-join to an xxhash64(gram) equi-join (collisions
+    only over-flag, never leak) — same plan shape, one extra shuffle
+    of (doc_id, 8-byte hash). The contaminated fraction is one
+    bigint/bigint division — deterministic.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(_word_ngrams(text_col, n)).alias("bg"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    ex = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(_word_ngrams(text_col, n)).alias("g"),
+    )
+    marked = ex.join(F.broadcast(bench_grams), ex.g == bench_grams.bg, "left")
+    agg = marked.groupBy("doc_id").agg(
+        F.count("g").alias("n_grams"),
+        F.count_distinct("g").alias("n_distinct"),
+        F.count_distinct(F.when(F.col("_hit") == 1, F.col("g"))).alias(
+            "n_contaminated"
+        ),
+    )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        "n_contaminated",
+        F.when(
+            F.col("n_distinct") > 0,
+            F.col("n_contaminated").cast("double") / F.col("n_distinct"),
+        )
+        .otherwise(0.0)
+        .alias("contaminated_frac"),
+        (F.col("n_contaminated") <= max_overlap).alias("keep"),
+    )

@@ -757,6 +757,66 @@ def q_edit_distance_pairs(spark, sf_dir):
     return dedup.edit_distance_pairs(docs.unionAll(mutated))
 
 
+@declare(
+    "edit_distance_pairs_symdelete",
+    """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, substr(text, 1, 1) || 'q' || substr(text, 3)
+        FROM documents WHERE doc_id % 10 = 3
+    ),
+    keyed AS (
+        SELECT doc_id, substr(text, 1, 30) AS k, substr(text, 1, 200) AS win
+        FROM corpus
+    ),
+    vars AS (
+        SELECT DISTINCT doc_id, v FROM (
+            SELECT doc_id, k AS v FROM keyed
+            UNION ALL
+            SELECT doc_id, substr(k, 1, i-1) || substr(k, i+1)
+            FROM keyed, generate_series(1, 30) AS t(i)
+            WHERE i <= length(k)
+        )
+    ),
+    capped AS (
+        SELECT doc_id, v FROM (
+            SELECT doc_id, v, COUNT(*) OVER (PARTITION BY v) AS c FROM vars
+        ) WHERE c <= 200
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM capped a JOIN capped b ON a.v = b.v AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(levenshtein(ka.win, kb.win) AS INTEGER) AS dist
+    FROM cand JOIN keyed ka ON ka.doc_id = id_a
+              JOIN keyed kb ON kb.doc_id = id_b
+    WHERE levenshtein(ka.k, kb.k) <= 1 AND levenshtein(ka.win, kb.win) <= 5
+    """,
+)
+def q_edit_distance_pairs_symdelete(spark, sf_dir):
+    """X2 variant: symmetric-delete (SymSpell) blocked edit-distance
+    pairs — the complement of `edit_distance_pairs`: plants a
+    SINGLE-substitution copy at char 2 (id+200000), which changes the
+    30-char blocking prefix and is therefore invisible to
+    prefix-equality blocking, but provably recalled here (keys at
+    edit distance ≤ 1 always share a deletion variant). The oracle
+    replays the identical variant generation / bucket cap / distance
+    filters in SQL, so the output is the exact set "key distance ≤ 1
+    AND 200-char-window distance ≤ 5" — blocking is an optimization,
+    not an approximation."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 1),
+            F.lit("q"),
+            F.col("text").substr(F.lit(3), F.lit(1 << 30)),
+        ).alias("text"),
+    )
+    return dedup.edit_distance_pairs_symdelete(docs.unionAll(mutated))
+
+
 @declare("dedup_pipeline_minhash")
 def q_dedup_pipeline_minhash(spark, sf_dir):
     """X2 end-to-end (probabilistic): MinHash-LSH candidate pairs →

@@ -262,3 +262,103 @@ def test_line_dedup_drops_copied_lines(spark):
         distinct_lines.update(lines)
     assert sum(r.n_kept for r in rows.values()) == len(distinct_lines)
     assert all(r.n_kept <= r.n_lines for r in rows.values())
+
+
+def test_symdelete_catches_early_edits(spark):
+    """The exact case prefix blocking documents as its recall gap —
+    a single edit inside the blocking prefix — must be recalled by
+    symmetric-delete blocking (provable for key distance ≤ 1), with
+    the exact window distance; key-distance-2 pairs and
+    over-threshold tails stay out."""
+    base = "the quick brown fox jumps over the lazy dog and keeps on running"
+    short = "short doc text"  # < key_len: key == whole string, no shift
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "tXe" + base[3:]),          # 1 sub at char 2 (in-prefix)
+            (3, "AB" + base[2:]),           # 2 subs in prefix: key dist 2
+            (4, base[:1] + base[2:]),       # del at char 2: the window
+            # SHIFTS, so the fixed-width key is at distance 2 (del +
+            # trailing shift-in) — excluded by the exact predicate.
+            (5, base[:40] + "Z" * 30),      # key dist 0, window dist ≫ 5
+            (6, short),
+            (7, short[:1] + short[2:]),     # deletion, no shift-in
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.dist
+        for r in dedup.edit_distance_pairs_symdelete(docs, max_dist=5).collect()
+    }
+    assert pairs == {(1, 2): 1, (6, 7): 1}
+
+
+def test_symdelete_equals_bruteforce(spark):
+    """Output must equal the O(n²) definition (key dist ≤ 1 AND
+    window dist ≤ max_dist) on a corpus of randomly mutated strings —
+    blocking is an optimization, not an approximation."""
+    import random
+
+    try:
+        import Levenshtein  # noqa: F401
+
+        have_lev = True
+    except Exception:
+        have_lev = False
+
+    def lev(a, b):
+        if have_lev:
+            return Levenshtein.distance(a, b)
+        la, lb = len(a), len(b)
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[lb]
+
+    rng = random.Random(17)
+    alpha = "abcdef ghij"
+    bases = [
+        "".join(rng.choice(alpha) for _ in range(60)) for _ in range(12)
+    ]
+    rows = []
+    did = 0
+    for b in bases:
+        for _ in range(3):
+            s = list(b)
+            for _ in range(rng.randrange(3)):
+                pos = rng.randrange(len(s))
+                op = rng.randrange(3)
+                if op == 0:
+                    s[pos] = rng.choice(alpha)
+                elif op == 1:
+                    s.pop(pos)
+                else:
+                    s.insert(pos, rng.choice(alpha))
+            rows.append((did, "".join(s)))
+            did += 1
+    key_len, window, max_dist = 30, 200, 5
+    expected = {}
+    for i, ta in rows:
+        for j, tb in rows:
+            if i >= j:
+                continue
+            if lev(ta[:key_len], tb[:key_len]) <= 1:
+                d = lev(ta[:window], tb[:window])
+                if d <= max_dist:
+                    expected[(i, j)] = d
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in dedup.edit_distance_pairs_symdelete(
+            docs, key_len=key_len, window=window, max_dist=max_dist,
+            max_bucket=None,
+        ).collect()
+    }
+    assert got == expected
