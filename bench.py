@@ -125,6 +125,13 @@ def main() -> None:
         "q7_volume_shipping",
         "q10_returned_items",
         "q18_large_volume_customers",
+        "q2_min_cost_supplier",
+        "q8_market_share",
+        "q13_customer_distribution",
+        "q21_waiting_suppliers",
+        "edit_distance_pairs_symdelete",
+        "decontaminate_stats",
+        "corpus_shuffle_order",
     ]
     for name in EXTRA:
         timed(name, lambda n=name: queries[n](spark, SF_DIR))

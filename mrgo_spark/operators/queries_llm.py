@@ -1290,3 +1290,109 @@ def q_embedding_quantize(spark, sf_dir):
         F.col("vec_id") % 50 == 0
     )
     return similarity.quantize_embeddings(emb)
+
+
+@declare(
+    "decontaminate_stats",
+    """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id + 400000, 'leaked eval item follows ' || text
+        FROM documents WHERE doc_id % 97 = 0
+    ),
+    bench AS (
+        SELECT text FROM documents WHERE doc_id % 97 = 0
+    ),
+    tokc AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t
+        FROM corpus
+    ),
+    gc AS (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 8
+                    THEN [array_to_string(t[i:i+7], ' ')
+                          for i in generate_series(1, len(t)-7)]
+                    ELSE CAST([] AS VARCHAR[]) END AS grams
+        FROM tokc
+    ),
+    tokb AS (
+        SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t
+        FROM bench
+    ),
+    gb AS (
+        SELECT CASE WHEN len(t) >= 8
+                    THEN [array_to_string(t[i:i+7], ' ')
+                          for i in generate_series(1, len(t)-7)]
+                    ELSE CAST([] AS VARCHAR[]) END AS grams
+        FROM tokb
+    ),
+    bgl AS (
+        SELECT COALESCE(list(DISTINCT g), CAST([] AS VARCHAR[])) AS bg
+        FROM (SELECT unnest(grams) AS g FROM gb)
+    ),
+    per AS (
+        SELECT doc_id,
+               CAST(len(grams) AS BIGINT) AS n_grams,
+               CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+               CAST(len(list_intersect(list_distinct(grams), bg)) AS BIGINT)
+                   AS n_contaminated
+        FROM gc, bgl
+    )
+    SELECT doc_id, n_grams, n_distinct, n_contaminated,
+           CASE WHEN n_distinct > 0
+                THEN CAST(n_contaminated AS DOUBLE) / n_distinct
+                ELSE 0.0 END AS contaminated_frac,
+           n_contaminated <= 0 AS keep
+    FROM per
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination audit: every 97th document plays the
+    eval set; the rest of the corpus is scored by 8-gram overlap
+    against it (the pre-training leakage guard — exact copies and
+    near-dups of benchmark docs light up; unrelated word salad does
+    not). Planted leaks (id+400000: a benchmark doc's text behind a
+    noise prefix — invisible to exact dedup) must flag with
+    contaminated_frac near 1. Benchmark grams broadcast; the corpus
+    aggregates once by doc_id. The oracle replays tokenize → 8-grams
+    → distinct-set intersection in DuckDB list algebra."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    leaked = bench.select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.lit("leaked eval item follows "), F.col("text")).alias("text"),
+    )
+    corpus = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", "text")
+        .unionAll(leaked)
+    )
+    return pipeline.decontaminate(corpus, bench, n=8)
+
+
+@declare(
+    "corpus_shuffle_order",
+    """
+    SELECT doc_id, source,
+           CAST(row_number() OVER (
+               ORDER BY md5('epoch0' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) - 1 AS shuffle_pos
+    FROM documents
+    """,
+)
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle: every doc gets a
+    stable epoch position from md5('epoch0'||id). The oracle is the
+    naive single-partition ``row_number() OVER (ORDER BY md5)``; the
+    engine computes the IDENTICAL positions with the distributed
+    ranking decomposition (4096 hash-prefix buckets + broadcast
+    prefix-sum offsets — no global window anywhere in the plan,
+    asserted in tests/test_plans.py)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return pipeline.corpus_shuffle(docs, salt="epoch0").select(
+        "doc_id", "source", "shuffle_pos"
+    )

@@ -99,6 +99,11 @@ def main() -> None:
         "sequence_packing",
         "corpus_prep",
         "q10_returned_items",
+        "q8_market_share",
+        "q21_waiting_suppliers",
+        "edit_distance_pairs_symdelete",
+        "decontaminate_stats",
+        "corpus_shuffle_order",
     ]
     results = {}
     for name in probe:

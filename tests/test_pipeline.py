@@ -131,3 +131,73 @@ def test_sequence_pack_group_stability(spark):
     assert 2 not in g1 and 2 not in g2
     for d in g1:
         assert g1[d] == g2[d]
+
+
+def test_decontaminate_flags_leaks_only(spark):
+    """A doc embedding a benchmark doc's text is flagged (any shared
+    8-gram); unrelated and gram-less docs keep with frac 0."""
+    from mrgo_spark.operators import pipeline
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, "noise prefix " + bench_text + " noise suffix"),  # leak
+            (2, "totally different words all the way down here now ok"),
+            (3, "short"),                                          # no grams
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(99, bench_text)], "doc_id long, text string")
+    out = {r.doc_id: r for r in pipeline.decontaminate(docs, bench, n=8).collect()}
+    assert not out[1].keep and out[1].n_contaminated == 3  # 10-token leak
+    assert out[2].keep and out[2].n_contaminated == 0
+    assert out[3].keep and out[3].n_grams == 0 and out[3].contaminated_frac == 0.0
+
+
+def test_corpus_shuffle_is_exact_permutation(spark):
+    """Positions must be 0..n-1 exactly and equal the naive global
+    md5 sort; different salts give different orders."""
+    import hashlib
+
+    from mrgo_spark.operators import pipeline
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(257)], "doc_id long, source string"
+    )
+    rows = pipeline.corpus_shuffle(docs, salt="epoch0").collect()
+    got = {r.doc_id: r.shuffle_pos for r in rows}
+    expected_order = sorted(
+        range(257),
+        key=lambda i: (hashlib.md5(f"epoch0{i}".encode()).hexdigest(), i),
+    )
+    assert got == {d: p for p, d in enumerate(expected_order)}
+    other = {
+        r.doc_id: r.shuffle_pos
+        for r in pipeline.corpus_shuffle(docs, salt="epoch1").collect()
+    }
+    assert other != got and sorted(other.values()) == list(range(257))
+
+
+def test_corpus_shuffle_no_global_window(spark):
+    """The corpus-side window must be partitioned by bucket; the only
+    SinglePartition exchange feeds the 4096-row offsets agg."""
+    from mrgo_spark.operators import pipeline
+    from mrgo_spark.sources.tables import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "source"
+    )
+    plan = (
+        pipeline.corpus_shuffle(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    windows = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert any("_bkt" in w and "row_number" in w for w in windows)
+    # the row_number window spec must name a partition column, not
+    # windowspecdefinition(<sort-only>) over everything
+    for w in windows:
+        if "row_number" in w:
+            assert "windowspecdefinition(_bkt" in w
+    assert plan.count("Exchange SinglePartition") <= 1
