@@ -40,6 +40,7 @@ def _load_all() -> None:
     from .operators import queries_kv  # noqa: F401
     from .operators import queries_llm  # noqa: F401
     from .operators import queries_scalar  # noqa: F401
+    from .operators import queries_timeseries  # noqa: F401
 
 
 _LOADED = False

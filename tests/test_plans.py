@@ -374,3 +374,54 @@ def test_q16_anti_join_before_distinct_count(spark):
     plan = plans.explain_str(q16(spark, SF), "simple")
     assert "LeftAnti" in plan
     assert "NestedLoop" not in plan
+
+
+def test_gapfill_window_is_partitioned(spark):
+    """The LOCF window must partition by series key — a global-order
+    window would funnel the whole spine through one task. The only
+    single-partition exchange allowed is the scalar bounds agg
+    (a few bytes of partial aggs)."""
+    from mrgo_spark.operators.queries_timeseries import q_gapfill
+
+    df = q_gapfill(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert "Window" in plan
+    assert "windowspecdefinition(event_type" in plan  # partitioned LOCF
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_funnel_stage_filters_pushed(spark):
+    """Each funnel stage scans events with its event_type filter
+    pushed to parquet — three pruned scans, not one wide scan."""
+    from mrgo_spark.operators.queries_timeseries import q_funnel
+
+    df = q_funnel(spark, SF)
+    assert plans.has_pushed_filters(df, "view")
+    assert plans.has_pushed_filters(df, "click")
+    assert plans.has_pushed_filters(df, "purchase")
+    cols = plans.scan_read_schema(df)
+    assert "props" not in cols and "value" not in cols
+
+
+def test_zscore_stats_broadcast(spark):
+    """The per-type moments frame (|event_types| rows) broadcasts
+    back onto the fact scan — no shuffle of the fact side for the
+    join."""
+    from mrgo_spark.operators.queries_timeseries import q_zscore
+
+    df = q_zscore(spark, SF)
+    assert plans.has_broadcast_join(df)
+
+
+def test_group_sample_no_global_window(spark):
+    from mrgo_spark.operators.queries_timeseries import q_group_sample
+
+    plan = plans.explain_str(q_group_sample(spark, SF), "simple")
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_histogram_single_shuffle(spark):
+    from mrgo_spark.operators.queries_timeseries import q_histogram
+
+    df = q_histogram(spark, SF)
+    assert plans.shuffle_count(df) <= 1
