@@ -207,6 +207,44 @@ def shard_stats(oplog: DataFrame) -> DataFrame:
     )
 
 
+NGROUPS = 3  # replica groups in the synthetic config schedule
+EPOCH_WIDTH = 1000  # log entries per config epoch
+
+
+def epoch_serving(oplog: DataFrame) -> DataFrame:
+    """O24: serving during reconfiguration — the ErrWrongGroup
+    observable (reference shardkv/client.go:68-96 retry loop;
+    shardkv/test_test.go:90-141 TestJoinLeave).
+
+    A deterministic config schedule rotates shard ownership every
+    ``EPOCH_WIDTH`` log entries: owner(shard, epoch) =
+    (shard + epoch) % NGROUPS + 1. Clients contact the group from
+    their cached config (client % NGROUPS + 1); a request is served
+    iff the contacted group owns the key's shard in the request's
+    epoch, else the group answers ErrWrongGroup. Per (epoch,
+    contacted gid): ops served, ops rejected, distinct keys served.
+
+    Scale shape: dedup window + one groupBy — the epoch/owner/served
+    columns are pure row-local expressions, so this costs the same
+    two exchanges as any keyed fold; no config table is joined
+    because the schedule is computable per-row.
+    """
+    epoch = F.expr(f"seq div {EPOCH_WIDTH}")
+    d = (
+        dedup_at_most_once(oplog)
+        .withColumn("epoch", epoch)
+        .withColumn("shard", key2shard("key"))
+        .withColumn("owner", (F.col("shard") + F.col("epoch")) % NGROUPS + 1)
+        .withColumn("gid", F.col("client") % NGROUPS + 1)
+    )
+    served = F.col("owner") == F.col("gid")
+    return d.groupBy("epoch", "gid").agg(
+        F.count(F.when(served, 1)).alias("n_served"),
+        F.count(F.when(~served, 1)).alias("n_wrong_group"),
+        F.countDistinct(F.when(served, F.col("key"))).alias("n_keys_served"),
+    )
+
+
 # --- O23: shard rebalancing (metadata op; reference shardmaster) -----------
 
 

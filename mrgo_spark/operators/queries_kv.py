@@ -134,6 +134,32 @@ def q_shard_stats(spark, sf_dir):
 
 
 @declare(
+    "kv_epoch_serving",
+    _OPLOG
+    + """
+    SELECT seq // 1000 AS epoch,
+           client % 3 + 1 AS gid,
+           count(*) FILTER (
+               WHERE (ascii(substr(key,1,1)) % 10 + seq // 1000) % 3 + 1
+                     = client % 3 + 1) AS n_served,
+           count(*) FILTER (
+               WHERE (ascii(substr(key,1,1)) % 10 + seq // 1000) % 3 + 1
+                     <> client % 3 + 1) AS n_wrong_group,
+           count(DISTINCT key) FILTER (
+               WHERE (ascii(substr(key,1,1)) % 10 + seq // 1000) % 3 + 1
+                     = client % 3 + 1) AS n_keys_served
+    FROM oplog
+    GROUP BY 1, 2
+    """,
+)
+def q_kv_epoch_serving(spark, sf_dir):
+    """O24 — each key served only by its epoch's owning group;
+    stale-config requests surface as ErrWrongGroup counts
+    (reference shardkv/client.go:68-96)."""
+    return kv.epoch_serving(kv.synth_oplog(load_table(spark, sf_dir, "events")))
+
+
+@declare(
     "kv_state_at_seq",
     _OPLOG
     + """

@@ -28,22 +28,55 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_events_session_confs(spark: SparkSession) -> None:
+    """Runtime confs the events surface depends on, safe to set on any
+    session (the grading driver's included):
+
+    - ``nanosAsLong`` so a TIMESTAMP(NANOS) fixture (the round-1/2
+      encoding) reads as bigint instead of throwing.
+    - session timezone pinned to UTC so the naive-µs fixture's
+      wall-clock values convert to TIMESTAMP instants with identical
+      micros — tz-independent math regardless of the host session's
+      default timezone. The fixtures carry no timezone, and the DuckDB
+      oracle treats naive timestamps as UTC, so UTC is the only
+      rendering that round-trips.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to TIMESTAMP with micros == the stored
+    naive micros, whatever encoding the fixture generation used:
+
+    - bigint        — TIMESTAMP(NANOS) surfaced via ``nanosAsLong``;
+                      floor-divide to µs (fixture has no sub-µs parts).
+    - timestamp_ntz — naive µs (the current fixtures). Under the UTC
+                      session pin the cast is an exact reinterpretation
+                      (same internal micros), matching DuckDB's
+                      ``epoch_us`` on the same file.
+    - timestamp     — already an instant; pass through.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    reader rejects by default; read it as long (runtime-settable
-    legacy conf) and floor to microsecond timestamps. The fixture has
-    no sub-microsecond components, so this is lossless, and the DuckDB
-    oracle's ns→µs cast truncates identically.
+    ``events.ts`` encoding has drifted across fixture generations
+    (TIMESTAMP(NANOS) → naive-µs TIMESTAMP_NTZ); ``normalize_events_ts``
+    branches on the observed dtype so every downstream operator sees a
+    plain TIMESTAMP whose ``unix_micros`` equals the stored value.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        ensure_events_session_confs(spark)
+        return normalize_events_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

@@ -34,19 +34,18 @@ OPLOG_SCHEMA = (
 def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
     """File-source stream over the events fixture directory.
 
-    (The fixture's TIMESTAMP(NANOS) column needs the same legacy conf
-    as the batch loader; the stream reader uses an explicit schema
-    with ts as long nanos, converted after read.)
+    File streams need an explicit schema; the fixture's ts encoding
+    has drifted across generations (TIMESTAMP(NANOS)-as-long vs naive
+    µs), so probe the parquet footer with a batch read and reuse the
+    batch loader's dtype-branch normalization — batch and stream then
+    agree on ts by construction.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    return (
-        spark.readStream.schema(raw_schema)
-        .parquet(dir_path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from ..sources.tables import ensure_events_session_confs, normalize_events_ts
+
+    ensure_events_session_confs(spark)
+    raw_schema = spark.read.parquet(dir_path).schema
+    return normalize_events_ts(
+        spark.readStream.schema(raw_schema).parquet(dir_path)
     )
 
 

@@ -59,20 +59,38 @@ def norm(cols, rows):
     return sorted(tuple(repr(r[i]) for i in order) for r in rows)
 
 
+# The driver's CORRECTNESS gate only covers a prefix of queries()
+# (observed: first 50); flag what sits outside it so a reordering
+# regression is visible here, not in the round verdict.
+DRIVER_WINDOW = 50
+names = list(q)
+if len(names) > DRIVER_WINDOW:
+    outside = names[DRIVER_WINDOW:]
+    print(
+        f"NOTE: {len(names)} declared queries; {len(outside)} sit outside "
+        f"the driver's first-{DRIVER_WINDOW} gate window:\n  " + " ".join(outside)
+    )
+
 bad = []
 if ONLY:
     missing = ONLY - set(q)
     assert not missing, f"unknown query names: {sorted(missing)}"
 for name in sorted(ONLY or q):
-    sdf = q[name](spark, SF_DIR)
-    srows = [tuple(r) for r in sdf.collect()]
-    if name not in o:
-        print(f"{name}: rows-only ({len(srows)} rows)", flush=True)
-        continue
-    dcols, drows = duck_fetch(con, o[name])
-    ok = norm(sdf.columns, srows) == norm(dcols, drows)
-    print(f"{name}: {'OK' if ok else 'MISMATCH'} ({len(srows)} vs {len(drows)})", flush=True)
-    if not ok:
+    # fail-soft per query, mirroring the driver's per-entry `err`
+    # capture — one broken query must not hide the rest's status
+    try:
+        sdf = q[name](spark, SF_DIR)
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in o:
+            print(f"{name}: rows-only ({len(srows)} rows)", flush=True)
+            continue
+        dcols, drows = duck_fetch(con, o[name])
+        ok = norm(sdf.columns, srows) == norm(dcols, drows)
+        print(f"{name}: {'OK' if ok else 'MISMATCH'} ({len(srows)} vs {len(drows)})", flush=True)
+        if not ok:
+            bad.append(name)
+    except Exception as e:
+        print(f"{name}: ERROR {type(e).__name__}: {e}", flush=True)
         bad.append(name)
 
 print("BAD:", bad)

@@ -134,3 +134,48 @@ def test_task_retry_in_reduce_phase(spark):
     chaotic = _kv_dict(mr.MRJob(mr.wc_map, chaotic_reduce).run_documents(docs))
     assert chaotic == golden
     assert os.listdir(marker_dir), "reduce chaos never triggered"
+
+
+def test_reduce_phase_parallelism(spark):
+    """rtiming analog (reference mrapps/rtiming.go:20-63,
+    test-mr.sh:141-149): assert >=2-way overlap specifically among
+    REDUCE tasks — i.e. across the shuffle boundary — not just generic
+    task overlap (mtiming, above). Each reduce task logs wall-clock
+    timestamps per reduce_fn call and sleeps on its first call, so
+    serial execution could not produce overlapping intervals."""
+    import time
+
+    docs = load_table(spark, SF, "documents")
+    log_dir = "/tmp/mrgo_rtiming"
+    os.makedirs(log_dir, exist_ok=True)
+    for f in os.listdir(log_dir):
+        os.unlink(os.path.join(log_dir, f))
+
+    def timing_reduce(key: str, values: list[str]) -> str:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(log_dir, f"p{pid}")
+        first = not os.path.exists(path)
+        with open(path, "a") as fh:
+            fh.write(f"{time.time()}\n")
+        if first:
+            time.sleep(0.3)
+        with open(path, "a") as fh:
+            fh.write(f"{time.time()}\n")
+        return str(len(values))
+
+    mr.MRJob(mr.wc_map, timing_reduce, n_reduce=8).run_documents(docs).count()
+
+    intervals = []
+    for fn in os.listdir(log_dir):
+        ts = [float(x) for x in open(os.path.join(log_dir, fn))]
+        intervals.append((min(ts), max(ts)))
+    assert len(intervals) >= 2, f"expected >=2 reduce tasks, got {intervals}"
+    overlaps = sum(
+        1
+        for i, (s1, e1) in enumerate(intervals)
+        for s2, e2 in intervals[i + 1 :]
+        if s1 < e2 and s2 < e1
+    )
+    assert overlaps >= 1, f"no reduce-phase overlap observed: {intervals}"

@@ -3,10 +3,16 @@ a documented stub — FakeCodec — per the build mandate)."""
 
 from __future__ import annotations
 
+import importlib.util
+import inspect
+
+import pytest
+
 from mrgo_spark.operators import multimodal
 from mrgo_spark.sources.tables import load_table
 
 SF = "/root/testdata/sf0.001"
+HAS_PIL = importlib.util.find_spec("PIL") is not None
 
 
 def _media(spark):
@@ -44,12 +50,12 @@ def test_frame_sample_only_videos(spark):
 
 def test_codec_seam_injection(spark):
     """A custom codec injected via ``codec=`` must actually be used —
-    the swap-in path a PIL/ffmpeg deployment takes. (get_codec() falls
-    back to FakeCodec here: no Pillow in this container.)"""
+    the swap-in path a PIL/ffmpeg deployment takes. (get_codec()
+    resolves PilCodec when Pillow exists, else FakeCodec.)"""
     from mrgo_spark.operators import multimodal as mm
     from mrgo_spark.sources.tables import load_table
 
-    assert mm.get_codec() is mm.FakeCodec
+    assert mm.get_codec() is (mm.PilCodec if HAS_PIL else mm.FakeCodec)
 
     class MarkerCodec:
         @staticmethod
@@ -67,3 +73,45 @@ def test_codec_seam_injection(spark):
     assert feats and all(r.features == [42.0] * 4 for r in feats)
     thumbs = mm.resize_thumbnails(media, 2, 2, codec=MarkerCodec).collect()
     assert thumbs and all(bytes(r.thumb) == b"\x2a" * 4 for r in thumbs)
+
+
+def test_codec_interface_parity():
+    """FakeCodec and PilCodec must expose identical signatures — the
+    seam is only a seam if the swap needs zero call-site changes."""
+    for meth in ("decode_features", "thumbnail_bytes"):
+        fake = inspect.signature(getattr(multimodal.FakeCodec, meth))
+        pil = inspect.signature(getattr(multimodal.PilCodec, meth))
+        assert fake.parameters.keys() == pil.parameters.keys(), meth
+
+
+@pytest.mark.skipif(not HAS_PIL, reason="Pillow not installed in this container")
+def test_pil_codec_contract(spark):
+    """Where Pillow exists, PilCodec must swap in where FakeCodec sits:
+    real PNG bytes through the SAME mapInPandas plumbing, same output
+    schema and shapes, with verifiable pixel semantics (a constant-gray
+    image yields a constant intensity profile)."""
+    import io
+
+    from PIL import Image
+
+    rows = []
+    for i in range(6):
+        buf = io.BytesIO()
+        Image.new("L", (16, 16), color=i * 40).save(buf, format="PNG")
+        rows.append((i, "image", buf.getvalue(), ("png", 16, 16, None)))
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+
+    feats = multimodal.extract_features(
+        media, dim=8, codec=multimodal.PilCodec
+    ).collect()
+    assert len(feats) == 6
+    by_id = {r.media_id: r.features for r in feats}
+    for i in range(6):
+        assert len(by_id[i]) == 8
+        assert all(abs(x - (i * 40) / 255.0) < 2 / 255 for x in by_id[i])
+
+    thumbs = multimodal.resize_thumbnails(
+        media, w=4, h=4, codec=multimodal.PilCodec
+    ).collect()
+    assert all(len(bytes(r.thumb)) == 16 for r in thumbs)
+    assert all(r.thumb_w == 4 and r.thumb_h == 4 for r in thumbs)
