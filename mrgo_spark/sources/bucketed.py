@@ -11,6 +11,15 @@ test_bucketed_variants_match_declared).
 ``bench.py`` materializes these and times bucketed q3/q17 variants
 next to the shuffle-per-query declared forms, so the delta is recorded
 per round rather than asserted.
+
+Crossover (measured, round 3): at sf0.1 the declared q3 BEATS
+q3_bucketed — orders fits under the broadcast threshold, so the plain
+plan is a BHJ with no shuffle at all, and bucketing can't improve on
+zero exchanges. Bucketing's regime is the one where NEITHER side
+broadcasts (the 100 TB norm): with broadcast disabled, the bare
+lineitem⋈orders repeated 3x ran 2.41 s shuffled vs 1.10 s bucketed
+(bench's factjoin_nobhj_* pair) — the per-query shuffle the bucket
+write amortizes away.
 """
 
 from __future__ import annotations
