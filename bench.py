@@ -108,6 +108,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     failed: list[str] = []
 
+    # Spawn the Python worker pool before the clock starts: the first
+    # RDD job otherwise pays ~5 s of worker startup that belongs to
+    # the session, not to whichever query happens to run first
+    # (wordcount, in this file's order). Recorded in the JSON so the
+    # exclusion is visible when comparing to rounds without it.
+    t0 = time.perf_counter()
+    spark.sparkContext.parallelize(range(256), int(CPUS)).map(lambda x: x).count()
+    timings["session_warmup"] = round(time.perf_counter() - t0, 3)
+
     def timed(name, df_or_thunk):
         # Accepts a DataFrame or a thunk returning one. Thunks let the
         # clock cover plan CONSTRUCTION too — iterative operators

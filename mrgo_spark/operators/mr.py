@@ -79,6 +79,18 @@ class MRJob:
     def _execute(self, spark: SparkSession, rdd) -> DataFrame:
         map_fn, reduce_fn = self.map_fn, self.reduce_fn
 
+        # The reference schedules one map task per input file and runs
+        # them across all workers (mr/master.go:116-134); a degenerate
+        # input partitioning (e.g. one single-row-group parquet file →
+        # one partition) would serialize the Python map phase on one
+        # core. Widen it to the cluster's parallelism first — a cheap
+        # redistribution of raw input vs. an idle map phase. No-op
+        # whenever the input already arrives as ≥cores splits, which
+        # is the normal case at scale.
+        target = spark.sparkContext.defaultParallelism
+        if rdd.getNumPartitions() < target:
+            rdd = rdd.repartition(target)
+
         def do_map(kv: tuple[str, str]) -> Iterator[tuple[str, str]]:
             yield from map_fn(kv[0], kv[1])
 

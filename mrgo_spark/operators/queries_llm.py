@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import ascii_tokens
 from ..registry import declare
-from ..sources.tables import load_table
+from ..sources.tables import load_table, widen_scan
 from . import dedup, pipeline, similarity, textstats
 
 # ---------------------------------------------------------------- dedup
@@ -35,7 +35,11 @@ _DUP_CORPUS_SQL = """
 
 
 def _dup_corpus(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # widen_scan: the expensive tokenize/shingle map phases downstream
+    # must not serialize on the fixture's single-row-group scan
+    docs = widen_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     exact_copies = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
@@ -156,6 +160,73 @@ def q_near_pairs(spark, sf_dir):
         F.col("vec_id") % 2 == 0
     )
     return similarity.near_pairs_cosine(emb, threshold=0.4)
+
+
+@declare(
+    "semantic_dedup",
+    f"""
+    WITH {_FX_NORMS_SQL},
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+        WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 0
+          AND {_FX_DOT_SQL} / (sqrt(a.norm_fx) * sqrt(b.norm_fx)) > 0.4
+    ),
+    membership AS (
+        SELECT id, count(*) AS n_near FROM (
+            SELECT id_a AS id FROM pairs
+            UNION ALL
+            SELECT id_b AS id FROM pairs
+        ) GROUP BY id
+    ),
+    dropped AS (SELECT DISTINCT id_b AS id FROM pairs)
+    SELECT d.doc_id, d.lang,
+           COALESCE(m.n_near, 0) AS n_near,
+           (dr.id IS NULL) AS kept
+    FROM documents d
+    LEFT JOIN membership m ON m.id = d.doc_id
+    LEFT JOIN dropped dr ON dr.id = d.doc_id
+    WHERE d.doc_id % 2 = 0
+    """,
+)
+def q_semantic_dedup(spark, sf_dir):
+    """X2: embedding-cosine near-duplicate DEDUP over documents — the
+    keep/drop decision, not just pair detection (embedding_near_pairs).
+    Documents join their embeddings on doc_id = vec_id; a document is
+    dropped when any smaller-id document sits above the cosine
+    threshold (greedy min-id rule — deterministic and local, unlike
+    full connected components, which dup_cluster_components covers).
+
+    Scale shape: candidate pairs at 100 TB come from the LSH/IVF
+    bucketed generators (topk_cosine_lsh / IVFIndex); the declared
+    form bounds the exact O(n²) verify the same way embedding_near_pairs
+    does (deterministic doc_id % 2 subset). The keep/drop fold is two
+    hash-aggregates on 8-byte ids — no vectors cross that shuffle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 2 == 0
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    pairs = similarity.near_pairs_cosine(emb, threshold=0.4).select(
+        "id_a", "id_b"
+    )
+    # one aggregate carries BOTH per-doc facts (membership count and
+    # appears-as-larger-id), so documents is joined — and shuffled —
+    # exactly once instead of once per fact
+    flags = (
+        pairs.select(F.col("id_a").alias("id"), F.lit(0).alias("d"))
+        .unionAll(pairs.select(F.col("id_b").alias("id"), F.lit(1).alias("d")))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_near"), F.max("d").alias("dropped"))
+    )
+    return docs.join(flags, docs.doc_id == flags.id, "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce("n_near", F.lit(0)).alias("n_near"),
+        (F.coalesce("dropped", F.lit(0)) == 0).alias("kept"),
+    )
 
 
 @declare(
@@ -868,7 +939,9 @@ def q_repetition_stats(spark, sf_dir):
     doc. The corpus adds a doubled copy (text||' '||text) of every
     20th doc so the high-dup branch is actually exercised — doubled
     docs land near dup_frac ≈ 0.5."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = widen_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     doubled = docs.filter(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + 300000).alias("doc_id"),
         F.concat_ws(" ", "text", "text").alias("text"),
@@ -907,7 +980,7 @@ def q_tfidf_top_terms(spark, sf_dir):
     """X4: top-3 characteristic terms per doc by tf·idf with the
     rational (log-free) BM25 idf — bit-stable across engines where
     ln() is not (last-ulp libm differences; queries_scalar.py)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
     return textstats.tfidf_terms(docs, k=3)
 
 
@@ -1381,7 +1454,7 @@ def q_decontaminate(spark, sf_dir):
     contaminated_frac near 1. Benchmark grams broadcast; the corpus
     aggregates once by doc_id. The oracle replays tokenize → 8-grams
     → distinct-set intersection in DuckDB list algebra."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     leaked = bench.select(
         (F.col("doc_id") + 400000).alias("doc_id"),

@@ -80,6 +80,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def widen_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a degenerate-parallelism scan up to the
+    session's default parallelism.
+
+    The sf fixtures are single-row-group parquet files, so a scan is
+    ONE task and any map-heavy stage over it (tokenize/shingle/
+    minhash) runs single-threaded no matter how many cores exist —
+    a fixture artifact, not a plan property. Self-disabling at scale:
+    input that already arrives as >= target splits passes through
+    untouched, so the extra exchange exists only where it buys map
+    parallelism the source cannot provide (the reference equivalent:
+    the master schedules one map task per input file,
+    mr/master.go:116-134).
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

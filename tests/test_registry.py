@@ -15,6 +15,7 @@ MUST_BE_GATED = [
     "kv_shard_stats",               # O22 shard routing
     "dedup_exact",                  # X1
     "dedup_fingerprint",            # X2 near-dup
+    "semantic_dedup",               # X2 embedding-cosine dedup
     "minhash_lsh_pairs",            # X2 MinHash LSH
     "dup_cluster_components",       # X2 connected components
     "dedup_pipeline_canonical",     # X2 end-to-end pipeline
