@@ -419,9 +419,13 @@ def q_bpe_token_stats(spark, sf_dir):
     """,
 )
 def q_bigrams(spark, sf_dir):
-    """X4: corpus-wide word-bigram top-20 (deterministic tie-break)."""
+    """X4: corpus-wide word-bigram top-20 (deterministic tie-break).
+    widen_scan: explode-per-bigram is the dominant map cost and must
+    not serialize on the fixture's single-row-group scan."""
     return (
-        textstats.ngram_counts(load_table(spark, sf_dir, "documents"), n=2)
+        textstats.ngram_counts(
+            widen_scan(load_table(spark, sf_dir, "documents")), n=2
+        )
         .orderBy(F.desc("cnt"), F.asc("ngram"))
         .limit(20)
     )

@@ -124,3 +124,19 @@ def test_real_fixture_loads_as_timestamp(spark):
     ).first()
     # not 1970 (double-divide regression), not year-56k (missed ns div)
     assert 2000 <= lo <= hi <= 2100
+
+
+def test_widen_scan_self_disables(spark, tmp_path):
+    """widen_scan repartitions a 1-split scan up to default
+    parallelism, and passes an already-wide frame through untouched
+    (no extra exchange at scale)."""
+    from mrgo_spark.sources.tables import widen_scan
+
+    df = spark.range(1000).toDF("x")
+    narrow = df.coalesce(1)
+    widened = widen_scan(narrow)
+    assert widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert widened.count() == 1000
+
+    wide = df.repartition(spark.sparkContext.defaultParallelism + 4)
+    assert widen_scan(wide) is wide
