@@ -104,6 +104,8 @@ def main() -> None:
         "edit_distance_pairs_symdelete",
         "decontaminate_stats",
         "corpus_shuffle_order",
+        "ngram_bigrams_top20",
+        "kv_epoch_serving",
     ]
     results = {}
     for name in probe:
