@@ -133,8 +133,24 @@ def main() -> None:
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             failed.append(name)
 
+    # Headline = FIRST execution per query (comparable to earlier
+    # rounds). A first execution also pays the plan's whole-stage-
+    # codegen compile, which box load amplifies (measured 10-15 s on
+    # heavy plans under contention vs ~1 s of real work) — so record
+    # a SECOND, warm run per query separately: that's the steady-state
+    # per-query cost, decoupled from JIT-under-load noise.
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         timed(name, lambda n=name: queries[n](spark, SF_DIR))
+        if name in timings:
+            try:
+                t0 = time.perf_counter()
+                queries[name](spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                warm[name] = round(time.perf_counter() - t0, 3)
+            except Exception as e:
+                print(f"bench: warm {name} failed: {e}", file=sys.stderr)
 
     # headline total covers HEADLINE successes only; a failed query
     # poisons comparability, so surface it loudly in the JSON instead
@@ -308,6 +324,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "warm_total": round(sum(warm.values()), 3),
                 "failed": failed,
                 "calibration": calibration,
                 "note": (
