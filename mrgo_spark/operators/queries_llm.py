@@ -214,10 +214,20 @@ def q_semantic_dedup(spark, sf_dir):
     )
     # one aggregate carries BOTH per-doc facts (membership count and
     # appears-as-larger-id), so documents is joined — and shuffled —
-    # exactly once instead of once per fact
+    # exactly once. Membership rows come from EXPLODE, not a UNION of
+    # two selects over `pairs`: a union would duplicate the O(n²)
+    # pair-scoring subtree into the plan twice (no exchange reuse
+    # across differing projections — caught in PLANS.md review).
     flags = (
-        pairs.select(F.col("id_a").alias("id"), F.lit(0).alias("d"))
-        .unionAll(pairs.select(F.col("id_b").alias("id"), F.lit(1).alias("d")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a").alias("id"), F.lit(0).alias("d")),
+                    F.struct(F.col("id_b").alias("id"), F.lit(1).alias("d")),
+                )
+            ).alias("m")
+        )
+        .select("m.id", "m.d")
         .groupBy("id")
         .agg(F.count("*").alias("n_near"), F.max("d").alias("dropped"))
     )
