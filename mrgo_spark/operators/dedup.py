@@ -120,6 +120,15 @@ def minhash_lsh_pairs(
     threshold — the hash evaluation dominates bench time).
     Columns: (id_a, id_b, n_bands) — verify candidates with
     ``ngram_jaccard_pairs`` downstream.
+
+    Plan note (measured, round 3): the a⋈b self-join duplicates the
+    signature subtree (Spark plans one side broadcast, so there is no
+    identical-exchange reuse). Both remedies LOST to recompute at
+    sf0.1 warm: shuffle_hash hint 1.50 s, eager localCheckpoint of
+    ``banded`` 2.05 s, vs 1.49 s as-is — signature compute is cheap
+    and parallel post-widen. At 100 TB, if signature compute ever
+    dominates, persist ``banded`` once (parquet, bucketed by
+    band+bucket) and self-join the persisted table instead.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
