@@ -139,3 +139,54 @@ def test_compaction_equivalence_at_any_point(spark):
     # and the compacted log is genuinely smaller than the original
     mid = kv.compact_oplog(oplog, hi + 1)
     assert mid.count() <= oplog.select("key").distinct().count()
+
+
+def test_epoch_serving_conservation_and_ownership(spark):
+    """O24 invariants: (1) every deduped op is either served or
+    rejected — per-epoch totals are conserved; (2) a group only
+    serves shards it owns in that epoch per the rotating schedule;
+    (3) rejected ops are exactly those whose client-cached group
+    differs from the epoch owner."""
+    from pyspark.sql import functions as F
+
+    from mrgo_spark.operators import kv
+    from mrgo_spark.sources.tables import load_table
+
+    oplog = kv.synth_oplog(load_table(spark, "/root/testdata/sf0.001", "events"))
+    deduped = kv.dedup_at_most_once(oplog)
+    out = kv.epoch_serving(oplog)
+
+    per_epoch = {
+        r.epoch: (r.total_served, r.total_rejected)
+        for r in out.groupBy("epoch")
+        .agg(
+            F.sum("n_served").alias("total_served"),
+            F.sum("n_wrong_group").alias("total_rejected"),
+        )
+        .collect()
+    }
+    want = {
+        r.epoch: r.n
+        for r in deduped.withColumn("epoch", F.expr(f"seq div {kv.EPOCH_WIDTH}"))
+        .groupBy("epoch")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(per_epoch) == set(want)
+    for e, (srv, rej) in per_epoch.items():
+        assert srv + rej == want[e], (e, srv, rej, want[e])
+
+    # ownership: recompute served counts per (epoch, gid) directly
+    direct = {
+        (r.epoch, r.gid): r.n
+        for r in deduped.withColumn("epoch", F.expr(f"seq div {kv.EPOCH_WIDTH}"))
+        .withColumn("shard", kv.key2shard("key"))
+        .withColumn("owner", (F.col("shard") + F.col("epoch")) % kv.NGROUPS + 1)
+        .withColumn("gid", F.col("client") % kv.NGROUPS + 1)
+        .filter(F.col("owner") == F.col("gid"))
+        .groupBy("epoch", "gid")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {(r.epoch, r.gid): r.n_served for r in out.collect() if r.n_served > 0}
+    assert got == direct
