@@ -189,6 +189,9 @@ def main() -> None:
         "edit_distance_pairs_symdelete",
         "decontaminate_stats",
         "corpus_shuffle_order",
+        # round-3 additions
+        "semantic_dedup",
+        "kv_epoch_serving",
     ]
     for name in EXTRA:
         timed(name, lambda n=name: queries[n](spark, SF_DIR))
