@@ -189,8 +189,11 @@ def main() -> None:
         "edit_distance_pairs_symdelete",
         "decontaminate_stats",
         "corpus_shuffle_order",
-        # round-3 additions
-        "semantic_dedup",
+        # round-3 addition. semantic_dedup is deliberately NOT here:
+        # its declared form is the bounded exact O(n²) verify (84 s
+        # warm at sf0.1 — real pair compute, not JIT), same reason
+        # embedding_near_pairs isn't benched; the scale path for both
+        # is LSH/IVF candidate generation, which IS benched.
         "kv_epoch_serving",
     ]
     for name in EXTRA:
