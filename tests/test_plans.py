@@ -425,3 +425,18 @@ def test_histogram_single_shuffle(spark):
 
     df = q_histogram(spark, SF)
     assert plans.shuffle_count(df) <= 1
+
+
+def test_semantic_dedup_single_pair_subtree(spark):
+    """The membership fold must not duplicate the O(n²) pair-scoring
+    subtree (round-3 regression: a UNION of two selects over `pairs`
+    planned the nested-loop pair generator twice — no exchange reuse
+    across differing projections). Exactly ONE nested-loop join and
+    ONE embeddings-side distinct scan pair in the plan."""
+    from mrgo_spark.operators.queries_llm import q_semantic_dedup
+
+    plan = plans.explain_str(
+        q_semantic_dedup(spark, "/root/testdata/sf0.001"), "formatted"
+    )
+    tree = plan.split("\n(1)")[0]
+    assert tree.count("BroadcastNestedLoopJoin") == 1, tree
