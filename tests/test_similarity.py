@@ -178,3 +178,55 @@ def test_quantize_error_bound_and_cosine_preserved(spark):
                 exact = cos(list(a[i].embedding), list(a[j].embedding))
                 approx = cos(list(b[i].embedding), list(b[j].embedding))
                 assert abs(exact - approx) < 0.02, (i, j, exact, approx)
+
+
+def test_semantic_dedup_matches_bruteforce(spark):
+    """The declared semantic_dedup keep/drop fold, cross-checked
+    against a pure-Python brute force on the real fixture subset:
+    kept == no smaller-id neighbor above threshold; n_near == count
+    of above-threshold neighbors on either side."""
+    import math
+
+    from mrgo_spark.operators.queries_llm import q_semantic_dedup
+    from mrgo_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    vecs = {
+        r.vec_id: r.embedding
+        for r in load_table(spark, sf, "embeddings")
+        .filter("vec_id % 2 = 0")
+        .collect()
+    }
+
+    def cos_fx(a, b):
+        # mirror the engine's fixed-point dot (round half-up per term)
+        dot = sum(
+            math.floor(float(x) * float(y) * 1_000_000 + 0.5)
+            if float(x) * float(y) >= 0
+            else math.ceil(float(x) * float(y) * 1_000_000 - 0.5)
+            for x, y in zip(a, b)
+        )
+        na = sum(
+            math.floor(float(x) * float(x) * 1_000_000 + 0.5) for x in a
+        )
+        nb = sum(
+            math.floor(float(y) * float(y) * 1_000_000 + 0.5) for y in b
+        )
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    ids = sorted(vecs)
+    neighbors = {i: set() for i in ids}
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            if cos_fx(vecs[a], vecs[b]) > 0.4:
+                neighbors[a].add(b)
+                neighbors[b].add(a)
+
+    got = {r.doc_id: (r.n_near, r.kept) for r in q_semantic_dedup(spark, sf).collect()}
+    assert set(got) == set(ids)
+    for i in ids:
+        want_kept = not any(j < i for j in neighbors[i])
+        assert got[i] == (len(neighbors[i]), want_kept), (
+            i, got[i], len(neighbors[i]), want_kept,
+        )
