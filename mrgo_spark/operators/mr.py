@@ -42,6 +42,12 @@ class MRJob:
 
     map_fn(key, value) -> iterable of (k, v) pairs   [the Map UDTF]
     reduce_fn(k, [v...]) -> str                      [the Reduce UDAF]
+
+    Contract: the value list passed to reduce_fn is UNORDERED — the
+    input widen/repartition makes within-key arrival order vary run
+    to run, matching the reference, whose Reduce([]string) receives
+    values in unspecified order (mr/worker.go:161-183 sorts by KEY
+    only). An order-sensitive reduce_fn must sort its values itself.
     """
 
     def __init__(

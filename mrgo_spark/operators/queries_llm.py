@@ -212,12 +212,20 @@ def q_semantic_dedup(spark, sf_dir):
     pairs = similarity.near_pairs_cosine(emb, threshold=0.4).select(
         "id_a", "id_b"
     )
-    # one aggregate carries BOTH per-doc facts (membership count and
-    # appears-as-larger-id), so documents is joined — and shuffled —
-    # exactly once. Membership rows come from EXPLODE, not a UNION of
-    # two selects over `pairs`: a union would duplicate the O(n²)
-    # pair-scoring subtree into the plan twice (no exchange reuse
-    # across differing projections — caught in PLANS.md review).
+    return _semantic_keep_drop(docs, pairs)
+
+
+def _semantic_keep_drop(docs, pairs):
+    """The shared keep/drop fold: greedy min-id rule over candidate
+    pairs (drop any doc that appears as the larger id of a pair).
+
+    One aggregate carries BOTH per-doc facts (membership count and
+    appears-as-larger-id), so documents is joined — and shuffled —
+    exactly once. Membership rows come from EXPLODE, not a UNION of
+    two selects over `pairs`: a union would duplicate the pair-scoring
+    subtree into the plan twice (no exchange reuse across differing
+    projections — caught in PLANS.md review). Only 8-byte ids cross
+    the fold's shuffles regardless of the pair generator feeding it."""
     flags = (
         pairs.select(
             F.explode(
@@ -237,6 +245,30 @@ def q_semantic_dedup(spark, sf_dir):
         F.coalesce("n_near", F.lit(0)).alias("n_near"),
         (F.coalesce("dropped", F.lit(0)) == 0).alias("kept"),
     )
+
+
+@declare("semantic_dedup_lsh")
+def q_semantic_dedup_lsh(spark, sf_dir):
+    """X2 scale path: the SAME keep/drop fold as semantic_dedup, fed
+    by banded hyperplane-LSH candidates instead of the exact O(n²)
+    pair join — the composition a user runs on a real corpus
+    (similarity.near_pairs_cosine_lsh generates + exactly verifies
+    candidates; _semantic_keep_drop decides).
+
+    Rows-only by design: the LCG hyperplanes are deterministic but not
+    SQL-expressible; correctness evidence is (a) every emitted pair is
+    exactly cosine-verified, so the pair set is a subset of the
+    declared exact form's, and (b) the recall floor test vs
+    semantic_dedup in tests/test_similarity.py. Unlike the exact
+    form there is no %2 subset — the generator is subquadratic, so it
+    runs over the FULL corpus (the bound the exact verify needs is the
+    quadratic join, not the fold)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = similarity.near_pairs_cosine_lsh(emb, threshold=0.4).select(
+        "id_a", "id_b"
+    )
+    return _semantic_keep_drop(docs, pairs)
 
 
 @declare(
@@ -280,50 +312,64 @@ def q_multimodal_blob_stats(spark, sf_dir):
     "embedding_normalize",
     f"""
     WITH {_FX_NORMS_SQL}
-    SELECT vec_id,
-           [CAST(embedding[i] AS DOUBLE) / (sqrt(norm_fx) / 1000.0)
-            for i in generate_series(1, len(embedding))] AS unit
-    FROM norms WHERE vec_id % 50 = 0
+    SELECT vec_id, u.pos AS pos, u.value AS value FROM (
+        SELECT vec_id,
+               unnest([{{'pos': i - 1,
+                         'value': CAST(embedding[i] AS DOUBLE)
+                                  / (sqrt(norm_fx) / 1000.0)}}
+                       for i in generate_series(1, len(embedding))]) AS u
+        FROM norms WHERE vec_id % 50 = 0
+    )
     """,
 )
 def q_embedding_normalize(spark, sf_dir):
     """X3 pipeline op: L2 normalization (declared on the vec_id % 50
     subset to keep the gated row count modest; the operator itself is
-    map-side over the full corpus)."""
+    map-side over the full corpus).
+
+    Declared in LONG form — one (vec_id, pos, value) row per dimension
+    — because the driver's comparator canonicalizes via pandas
+    sort_values, which throws on array cells (the r3 red rows). The
+    array-returning form stays the library API
+    (similarity.normalize_unit)."""
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % 50 == 0
     )
-    return similarity.normalize_unit(emb)
+    return similarity.normalize_unit(emb).select(
+        "vec_id", F.posexplode("unit").alias("pos", "value")
+    ).select("vec_id", F.col("pos").cast("long").alias("pos"), "value")
 
 
 @declare(
     "embedding_centroids",
     """
     WITH exploded AS (
-        SELECT vec_id % 8 AS grp,
-               unnest(generate_series(1, len(embedding))) AS pos,
-               unnest([CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
-                            AS BIGINT)
-                       for i in generate_series(1, len(embedding))]) AS fx
-        FROM embeddings
-    ),
-    per_dim AS (
-        SELECT grp, pos,
-               CAST(SUM(fx) AS BIGINT) AS sfx,
-               COUNT(*) AS n
-        FROM exploded
-        GROUP BY 1, 2
+        SELECT vec_id % 8 AS grp, u.pos AS pos, u.fx AS fx FROM (
+            SELECT vec_id,
+                   unnest([{'pos': i - 1,
+                            'fx': CAST(round(CAST(embedding[i] AS DOUBLE)
+                                             * 1000000) AS BIGINT)}
+                           for i in generate_series(1, len(embedding))]) AS u
+            FROM embeddings
+        )
     )
-    SELECT grp,
-           CAST(MAX(n) AS BIGINT) AS n_vecs,
-           list(sfx / n / 1000000.0 ORDER BY pos) AS centroid
-    FROM per_dim GROUP BY grp
+    SELECT grp, pos,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(fx) AS BIGINT) / COUNT(*) / 1000000.0 AS value
+    FROM exploded
+    GROUP BY 1, 2
     """,
 )
 def q_embedding_centroids(spark, sf_dir):
     """X3 pipeline op: per-group mean vectors (class-centroid shape),
-    fixed-point so the means are bit-identical to the oracle's."""
-    return similarity.group_centroids(
+    fixed-point so the means are bit-identical to the oracle's.
+
+    Declared in LONG form (grp, pos, n_vecs, value) — scalar cells
+    only, so the driver's pandas canonicalizer can sort them (the r3
+    red rows were array columns). The array-returning form stays the
+    library API (similarity.group_centroids); both share the same
+    per-dimension fixed-point aggregate."""
+    return similarity.group_centroids_long(
         load_table(spark, sf_dir, "embeddings"), n_groups=8
     )
 
@@ -1181,18 +1227,33 @@ def q_topk_ivf(spark, sf_dir):
     cell-partitioned index (recall property-tested vs exact in
     tests/test_similarity.py; partition pruning in tests/test_plans.py).
     """
-    import tempfile
-
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     key = f"{id(spark)}:{sf_dir}"
     idx = _IVF_CACHE.get(key)
-    if idx is None:
-        idx = similarity.IVFIndex.build(
-            emb, tempfile.mkdtemp(prefix="mrgo_ivf_idx_")
-        )
-        _IVF_CACHE[key] = idx
+    if idx is not None:
+        try:
+            return idx.query(queries, k=5, n_probe=6)
+        except Exception:
+            # cached index path died (e.g. /tmp reaped mid-session):
+            # drop the stale entry and rebuild below instead of
+            # failing the declared entry with no recovery path.
+            _IVF_CACHE.pop(key, None)
+    idx = similarity.IVFIndex.build(emb, _ivf_tmpdir())
+    _IVF_CACHE[key] = idx
     return idx.query(queries, k=5, n_probe=6)
+
+
+def _ivf_tmpdir() -> str:
+    """mkdtemp for the served-index cache, registered for atexit
+    removal so long-lived sessions don't leak index dirs."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="mrgo_ivf_idx_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 @declare(
@@ -1379,25 +1440,48 @@ def q_line_dedup_stats(spark, sf_dir):
                greatest(list_max([abs(CAST(x AS DOUBLE)) for x in embedding]),
                         1e-12) / 127.0 AS scale
         FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    q AS (
+        SELECT vec_id, scale,
+               CAST(list_max([CAST(round(abs(CAST(x AS DOUBLE)
+                        - round(CAST(x AS DOUBLE) / scale) * scale)
+                        * 1000000.0) AS BIGINT)
+                    for x in embedding]) AS BIGINT) AS max_err_fx,
+               unnest([{'pos': i - 1,
+                        'qval': CAST(round(CAST(embedding[i] AS DOUBLE)
+                                           / scale) AS BIGINT)}
+                       for i in generate_series(1, len(embedding))]) AS u
+        FROM s
     )
-    SELECT vec_id, scale,
-           [CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER)
-            for x in embedding] AS qvec,
-           CAST(list_max([CAST(round(abs(CAST(x AS DOUBLE)
-                    - round(CAST(x AS DOUBLE) / scale) * scale)
-                    * 1000000.0) AS BIGINT)
-                for x in embedding]) AS BIGINT) AS max_err_fx
-    FROM s
+    SELECT vec_id, u.pos AS pos, u.qval AS qval, scale, max_err_fx FROM q
     """,
 )
 def q_embedding_quantize(spark, sf_dir):
     """X3 serving compression: per-vector symmetric int8 quantization
     (declared on the vec_id % 50 subset like embedding_normalize; the
-    operator is map-side over the full corpus)."""
+    operator is map-side over the full corpus).
+
+    Declared in LONG form (vec_id, pos, qval, scale, max_err_fx) —
+    scalar cells only, sortable by the driver's pandas canonicalizer
+    (the r3 red rows were array columns). The array-returning form
+    stays the library API (similarity.quantize_embeddings)."""
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % 50 == 0
     )
-    return similarity.quantize_embeddings(emb)
+    return (
+        similarity.quantize_embeddings(emb)
+        .select(
+            "vec_id", "scale", "max_err_fx",
+            F.posexplode("qvec").alias("pos", "qval"),
+        )
+        .select(
+            "vec_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("qval").cast("long").alias("qval"),
+            "scale",
+            "max_err_fx",
+        )
+    )
 
 
 @declare(

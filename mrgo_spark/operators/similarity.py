@@ -195,6 +195,86 @@ def near_pairs_cosine(
     )
 
 
+def near_pairs_cosine_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Banded hyperplane-LSH candidates + exact fixed-point verify —
+    the 100 TB path for ``near_pairs_cosine`` (which is O(n²) and
+    exists as the verification/small-set tool).
+
+    Shape: each vector lands in ``bands`` (band, bucket) cells, where
+    band b's bucket is the sign-bit pack of ONLY its own
+    ``n_planes/bands`` hyperplanes — per-band signatures instead of
+    slicing one full signature, so projection collapse cannot
+    duplicate the plane-projection subtree across the band fan
+    (CLAUDE.md round-2 lesson). Candidates = pairs sharing ≥1 cell
+    (equi-join on (band, bucket), id_a < id_b, distinct — hash-only
+    shuffle, no vectors). Vectors join back once per side for the
+    exact ``cosine_fx`` verify, so every emitted pair is exactly
+    scored: output ⊆ near_pairs_cosine(embeddings, threshold)
+    (exact precision; banding misses are the recall loss —
+    property-tested floor in tests/test_similarity.py).
+
+    ``max_bucket`` caps degenerate buckets (a B-vector bucket yields
+    B²/2 candidates); dropped buckets are near-cliques better handled
+    by exact-dup hashing, same valve as minhash_lsh_pairs.
+    Columns: (id_a, id_b, score)."""
+    planes = _fixed_planes(dim, n_planes)
+    per_band = n_planes // bands
+    banded = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        hyperplane_signature(
+                            F.col(vec_col),
+                            planes[b * per_band:(b + 1) * per_band],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    if max_bucket is not None:
+        w_b = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("_bsz", F.count("*").over(w_b))
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b", cosine_fx(F.col("va"), F.col("vb")).alias("score")
+        )
+        .filter(F.col("score") > threshold)
+    )
+
+
 def normalize_unit(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -212,6 +292,43 @@ def normalize_unit(
     )
 
 
+def _centroid_per_dim(
+    embeddings: DataFrame, n_groups: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(grp, pos, sfx, n): fixed-point per-dimension sums — the shared
+    core of both centroid output shapes. One explode + one partial-agg
+    shuffle on small (grp, pos) keys; corpus scanned once."""
+    fx = lambda c: F.round(c.cast("double") * FX).cast("long")  # noqa: E731
+    return (
+        embeddings.select(
+            F.pmod(F.col(id_col), F.lit(n_groups)).alias("grp"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        .groupBy("grp", "pos")
+        .agg(F.sum(fx(F.col("x"))).alias("sfx"), F.count("*").alias("n"))
+    )
+
+
+def group_centroids_long(
+    embeddings: DataFrame,
+    n_groups: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group mean vectors in LONG form: one scalar row per
+    (grp, pos) instead of an array column. This is the declared-gate
+    shape — the driver canonicalizes results via pandas sort_values,
+    which cannot sort array cells (the r3 red rows). Columns:
+    (grp, pos, n_vecs, value); value = mean of dimension `pos`."""
+    per_dim = _centroid_per_dim(embeddings, n_groups, id_col, vec_col)
+    return per_dim.select(
+        "grp",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("n").alias("n_vecs"),
+        (F.col("sfx") / F.col("n") / float(FX)).alias("value"),
+    )
+
+
 def group_centroids(
     embeddings: DataFrame,
     n_groups: int = 8,
@@ -220,18 +337,9 @@ def group_centroids(
 ) -> DataFrame:
     """Per-group mean vector over id-modular groups (the shape of a
     class/cluster centroid computation). Fixed-point per-dimension
-    sums make the means bit-identical across engines. One explode +
-    two partial-agg shuffles on small keys — corpus scanned once.
+    sums make the means bit-identical across engines.
     Columns: (grp, n_vecs, centroid: array<double>)."""
-    fx = lambda c: F.round(c.cast("double") * FX).cast("long")  # noqa: E731
-    per_dim = (
-        embeddings.select(
-            F.pmod(F.col(id_col), F.lit(n_groups)).alias("grp"),
-            F.posexplode(F.col(vec_col)).alias("pos", "x"),
-        )
-        .groupBy("grp", "pos")
-        .agg(F.sum(fx(F.col("x"))).alias("sfx"), F.count("*").alias("n"))
-    )
+    per_dim = _centroid_per_dim(embeddings, n_groups, id_col, vec_col)
     return (
         per_dim.groupBy("grp")
         .agg(

@@ -136,20 +136,21 @@ def test_task_retry_in_reduce_phase(spark):
     assert os.listdir(marker_dir), "reduce chaos never triggered"
 
 
-def test_reduce_phase_parallelism(spark):
+def test_reduce_phase_parallelism(spark, tmp_path):
     """rtiming analog (reference mrapps/rtiming.go:20-63,
     test-mr.sh:141-149): assert >=2-way overlap specifically among
     REDUCE tasks — i.e. across the shuffle boundary — not just generic
     task overlap (mtiming, above). Each reduce task logs wall-clock
     timestamps per reduce_fn call and sleeps on its first call, so
-    serial execution could not produce overlapping intervals."""
+    serial execution could not produce overlapping intervals.
+    tmp_path (not a shared /tmp dir) so concurrent invocations can't
+    collide; 0.5 s first-call sleep widens the overlap margin on a
+    loaded box."""
     import time
 
     docs = load_table(spark, SF, "documents")
-    log_dir = "/tmp/mrgo_rtiming"
+    log_dir = str(tmp_path / "rtiming")
     os.makedirs(log_dir, exist_ok=True)
-    for f in os.listdir(log_dir):
-        os.unlink(os.path.join(log_dir, f))
 
     def timing_reduce(key: str, values: list[str]) -> str:
         from pyspark import TaskContext
@@ -160,7 +161,7 @@ def test_reduce_phase_parallelism(spark):
         with open(path, "a") as fh:
             fh.write(f"{time.time()}\n")
         if first:
-            time.sleep(0.3)
+            time.sleep(0.5)
         with open(path, "a") as fh:
             fh.write(f"{time.time()}\n")
         return str(len(values))

@@ -69,6 +69,53 @@ def test_near_pairs_symmetric_threshold(spark):
     assert all(r.score > 0.4 for r in rows)
 
 
+def test_near_pairs_lsh_subset_of_exact_with_identical_scores(spark):
+    """Every LSH-candidate pair is exactly verified, so the LSH form's
+    output must be a subset of the exact form's at the same threshold,
+    with bit-identical scores — and recall must clear a documented
+    floor (near-orthogonal random fixture = ANN's hostile case; the
+    S-curve for cos 0.4 at 4 bands × 4 bits gives ~0.5 on marginal
+    pairs, higher on the planted near-dups that matter for dedup)."""
+    emb = load_table(spark, SF, "embeddings").filter("vec_id % 2 = 0")
+    exact = {
+        (r.id_a, r.id_b): r.score
+        for r in similarity.near_pairs_cosine(emb, threshold=0.4).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.score
+        for r in similarity.near_pairs_cosine_lsh(emb, threshold=0.4).collect()
+    }
+    assert set(got) <= set(exact), sorted(set(got) - set(exact))[:5]
+    for k, s in got.items():
+        assert s == exact[k], (k, s, exact[k])
+    recall = len(got) / len(exact) if exact else 1.0
+    assert recall >= 0.5, f"pair recall {recall:.2f} ({len(got)}/{len(exact)})"
+
+
+def test_semantic_dedup_lsh_agrees_with_exact_fold(spark):
+    """The composed scale path (LSH candidates → shared keep/drop
+    fold) must agree with the exact-pair fold on nearly every doc:
+    docs the LSH banding misses can flip kept False→True (a missed
+    pair can only under-drop), never True→False."""
+    from mrgo_spark.operators.queries_llm import (
+        _semantic_keep_drop,
+        q_semantic_dedup,
+    )
+
+    emb = load_table(spark, SF, "embeddings").filter("vec_id % 2 = 0")
+    docs = load_table(spark, SF, "documents").filter("doc_id % 2 = 0")
+    pairs = similarity.near_pairs_cosine_lsh(emb, threshold=0.4).select(
+        "id_a", "id_b"
+    )
+    lsh = {r.doc_id: r.kept for r in _semantic_keep_drop(docs, pairs).collect()}
+    exact = {r.doc_id: r.kept for r in q_semantic_dedup(spark, SF).collect()}
+    assert set(lsh) == set(exact)
+    # missed pairs only ever under-drop
+    assert not [d for d in exact if exact[d] and not lsh[d]]
+    agree = sum(lsh[d] == exact[d] for d in exact) / len(exact)
+    assert agree >= 0.9, f"kept agreement {agree:.2f}"
+
+
 def test_ivf_recall_vs_exact(spark):
     """IVF with 16 cells / 6 probes must recover most true top-5
     neighbors (recall ≥ 0.5 on the fixture — the fixture's vectors
