@@ -195,9 +195,35 @@ def main() -> None:
         # embedding_near_pairs isn't benched; the scale path for both
         # is LSH/IVF candidate generation, which IS benched.
         "kv_epoch_serving",
+        # round-4 addition (O23 declared form; metadata-scale rows,
+        # timing records the 7-step localCheckpoint chain overhead)
+        "kv_rebalance_history",
     ]
+    # The heaviest extras are the ones box drift inflated 5-15x in
+    # the round-3 driver run (q21/q8/symdelete showed 10-20 s there
+    # vs 1.5-2.2 s on a calm box, identical plans). Record a warm
+    # twin for each so BENCH_r{N} extras are drift-diagnosable
+    # without re-running: cold≈warm → real cost; cold>>warm → JIT/
+    # codegen under load, not a plan regression.
+    WARM_EXTRA = {
+        "q21_waiting_suppliers",
+        "q8_market_share",
+        "edit_distance_pairs_symdelete",
+        "dedup_pipeline_canonical",
+        "corpus_prep",
+        "dup_cluster_components",
+    }
     for name in EXTRA:
         timed(name, lambda n=name: queries[n](spark, SF_DIR))
+        if name in WARM_EXTRA and name in timings:
+            try:
+                t0 = time.perf_counter()
+                queries[name](spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                warm[name] = round(time.perf_counter() - t0, 3)
+            except Exception as e:
+                print(f"bench: warm {name} failed: {e}", file=sys.stderr)
 
     # Scan-parallelism variants, recorded SEPARATELY: the sf fixtures
     # are single-row-group parquet files, so every scan is ONE task
@@ -331,7 +357,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_warm": warm,
-                "warm_total": round(sum(warm.values()), 3),
+                # headline-only, so it stays comparable to BENCH_r03
+                # (queries_warm additionally carries the WARM_EXTRA
+                # drift-diagnosis twins from round 4 on)
+                "warm_total": round(
+                    sum(warm[n] for n in HEADLINE if n in warm), 3
+                ),
                 "failed": failed,
                 "calibration": calibration,
                 "note": (

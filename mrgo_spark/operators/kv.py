@@ -329,3 +329,146 @@ def reconfigure(
     deployment acts on."""
     new = rebalance(assignment, groups)
     return new, migration_plan(assignment, new)
+
+
+# --- O23 declared form: rebalance as a pure table→table operator -----------
+
+# Fixed Join/Leave/Move schedule, mirroring the shapes shardmaster
+# TestBasic exercises (reference shardmaster/test_test.go:60-120:
+# single joins, a leave, a multi-join, another leave, a Move).
+REBALANCE_SCHEDULE: list[tuple[str, object]] = [
+    ("join", [1]),
+    ("join", [2]),
+    ("join", [3]),
+    ("leave", [1]),
+    ("join", [4, 5]),
+    ("leave", [3]),
+    ("move", (3, 2)),
+]
+
+
+def schedule_groups(schedule=None) -> list[tuple[str, object, list[int]]]:
+    """Resolve the schedule into (op, arg, live-group-set) triples."""
+    live: set[int] = set()
+    out = []
+    for op, arg in schedule or REBALANCE_SCHEDULE:
+        if op == "join":
+            live |= set(arg)
+        elif op == "leave":
+            live -= set(arg)
+        out.append((op, arg, sorted(live)))
+    return out
+
+
+def rebalance_step_df(prev: DataFrame, groups: list[int]) -> DataFrame:
+    """One declarative rebalance step: ``prev`` is a (shard, gid)
+    config table; returns the re-balanced (shard, gid) table over
+    ``groups`` with the same semantics as :func:`rebalance` (max−min
+    ≤ 1, minimal moves, gid-ordered tie-breaks).
+
+    Pure column expressions + two tiny broadcast joins, so the
+    declared query runs under the grading driver's own session (no
+    closures). Config tables are NSHARDS rows — metadata scale, like
+    the reference's shardmaster; the data-scale siblings are
+    kv_shard_stats / kv_epoch_serving which route the actual oplog.
+    """
+    spark = prev.sparkSession
+    g = sorted(set(groups))
+    if not g:
+        return prev.select("shard", F.lit(0).alias("gid"))
+    base, extra = divmod(NSHARDS, len(g))
+    gdf = spark.createDataFrame([(gid,) for gid in g], "gid int")
+    held = (
+        prev.filter(F.col("gid").isin(g))
+        .groupBy("gid")
+        .agg(F.count("*").alias("held"))
+    )
+    caps = (
+        gdf.join(held, "gid", "left")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc(F.coalesce("held", F.lit(0))), F.asc("gid"))
+            ),
+        )
+        .select(
+            "gid",
+            (
+                F.lit(base)
+                + F.when(F.col("rk") <= F.lit(extra), 1).otherwise(0)
+            ).alias("cap"),
+        )
+    )
+    marked = (
+        prev.join(F.broadcast(caps), "gid", "left")
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("gid").orderBy("shard"))
+        )
+        .withColumn("keep", F.col("cap").isNotNull() & (F.col("rn") <= F.col("cap")))
+    )
+    keepers = marked.filter(F.col("keep")).select("shard", "gid")
+    orphans = marked.filter(~F.col("keep")).select(
+        "shard", F.row_number().over(Window.orderBy("shard")).alias("orn")
+    )
+    kept = keepers.groupBy("gid").agg(F.count("*").alias("kept"))
+    # Open slots, filled in gid order (matching the Python fold's
+    # ``for gid in groups`` loop). Guard the sequence: Spark's
+    # sequence(1, 0) DESCENDS instead of being empty.
+    n_open = F.col("cap") - F.coalesce("kept", F.lit(0))
+    slots = (
+        caps.join(kept, "gid", "left")
+        .select(
+            "gid",
+            F.explode(
+                F.when(n_open > 0, F.sequence(F.lit(1), n_open)).otherwise(
+                    F.array()
+                )
+            ).alias("si"),
+        )
+        .select("gid", F.row_number().over(Window.orderBy("gid", "si")).alias("orn"))
+    )
+    assigned = orphans.join(slots, "orn").select("shard", "gid")
+    return keepers.unionByName(assigned)
+
+
+def rebalance_config_history(spark, schedule=None) -> DataFrame:
+    """O23 as a table→table query: fold the Join/Leave/Move schedule
+    from the all-unassigned config 0 into the full config history
+    ``(cfg, shard, gid, moved)`` — the shardmaster Query(-1) surface
+    plus the migration observable (reference shardmaster/common.go:6-17
+    RPC spec; test_test.go:35-52 balance invariant).
+    """
+    cfg0 = spark.range(NSHARDS).select(
+        F.col("id").alias("shard"), F.lit(0).alias("gid")
+    )
+    configs = [cfg0]
+    for op, arg, live in schedule_groups(schedule):
+        prev = configs[-1]
+        if op == "move":
+            shard, gid = arg
+            nxt = prev.select(
+                "shard",
+                F.when(F.col("shard") == shard, F.lit(gid))
+                .otherwise(F.col("gid"))
+                .alias("gid"),
+            )
+        else:
+            nxt = rebalance_step_df(prev, live)
+        # Each step references `prev` three ways (held/marked/keepers);
+        # chained 7 deep that lineage explodes Catalyst's
+        # DeduplicateRelations (the round-2 connected-components
+        # lesson). Sever it per step — configs are NSHARDS rows.
+        configs.append(nxt.localCheckpoint(eager=False))
+    hist = None
+    for i, c in enumerate(configs):
+        step = c.select(F.lit(i).alias("cfg"), "shard", "gid")
+        hist = step if hist is None else hist.unionByName(step)
+    w = Window.partitionBy("shard").orderBy("cfg")
+    return hist.select(
+        "cfg",
+        "shard",
+        "gid",
+        (F.col("gid") != F.coalesce(F.lag("gid").over(w), F.col("gid")))
+        .cast("int")
+        .alias("moved"),
+    )

@@ -159,6 +159,93 @@ def q_kv_epoch_serving(spark, sf_dir):
     return kv.epoch_serving(kv.synth_oplog(load_table(spark, sf_dir, "events")))
 
 
+def _rebalance_oracle_sql() -> str:
+    """Unrolled-CTE SQL implementation of the rebalance fold — an
+    independent second implementation (window functions + list
+    unnest), generated from the same fixed schedule literals as the
+    Spark side. The per-step CTEs referenced more than once MUST be
+    ``AS MATERIALIZED``: DuckDB inlines plain CTEs, so 7 chained
+    steps each reading the previous config 3× otherwise expand into
+    a 3^7-copy plan that never finishes optimizing (the SQL twin of
+    the Catalyst DeduplicateRelations blowup the Spark side
+    localCheckpoints away)."""
+    parts = [
+        "WITH c0 AS MATERIALIZED (SELECT unnest(generate_series(0, 9)) AS shard, 0 AS gid)"
+    ]
+    prev = "c0"
+    for i, (op, arg, live) in enumerate(kv.schedule_groups(), start=1):
+        cur = f"c{i}"
+        if op == "move":
+            shard, gid = arg
+            parts.append(
+                f"{cur} AS MATERIALIZED (SELECT shard, CASE WHEN shard = {shard} "
+                f"THEN {gid} ELSE gid END AS gid FROM {prev})"
+            )
+        else:
+            g = sorted(live)
+            base, extra = divmod(10, len(g))
+            vals = ", ".join(f"({gid})" for gid in g)
+            in_list = ", ".join(str(gid) for gid in g)
+            parts.append(
+                f"""g{i} AS (SELECT * FROM (VALUES {vals}) t(gid)),
+    held{i} AS (SELECT gid, count(*) AS held FROM {prev}
+                WHERE gid IN ({in_list}) GROUP BY gid),
+    caps{i} AS (
+        SELECT g{i}.gid,
+               {base} + CASE WHEN row_number() OVER (
+                   ORDER BY coalesce(held, 0) DESC, g{i}.gid) <= {extra}
+                   THEN 1 ELSE 0 END AS cap
+        FROM g{i} LEFT JOIN held{i} ON g{i}.gid = held{i}.gid),
+    marked{i} AS MATERIALIZED (
+        SELECT p.shard, p.gid, caps{i}.cap,
+               row_number() OVER (PARTITION BY p.gid ORDER BY p.shard) AS rn
+        FROM {prev} p LEFT JOIN caps{i} ON p.gid = caps{i}.gid),
+    keep{i} AS MATERIALIZED (SELECT shard, gid FROM marked{i}
+                WHERE cap IS NOT NULL AND rn <= cap),
+    orph{i} AS (SELECT shard, row_number() OVER (ORDER BY shard) AS orn
+                FROM marked{i} WHERE cap IS NULL OR rn > cap),
+    slots{i} AS (
+        SELECT gid, row_number() OVER (ORDER BY gid, si) AS orn FROM (
+            SELECT caps{i}.gid,
+                   unnest(generate_series(1, cap - coalesce(kept, 0))) AS si
+            FROM caps{i} LEFT JOIN (
+                SELECT gid, count(*) AS kept FROM keep{i} GROUP BY gid) k
+              ON caps{i}.gid = k.gid)),
+    {cur} AS MATERIALIZED (SELECT shard, gid FROM keep{i}
+              UNION ALL
+              SELECT o.shard, s.gid FROM orph{i} o
+              JOIN slots{i} s ON o.orn = s.orn)"""
+            )
+        prev = cur
+    union = "\n        UNION ALL ".join(
+        f"SELECT {i} AS cfg, shard, gid FROM c{i}"
+        for i in range(len(kv.REBALANCE_SCHEDULE) + 1)
+    )
+    parts.append(f"hist AS ({union})")
+    return (
+        ",\n    ".join(parts)
+        + """
+    SELECT cfg, shard, CAST(gid AS INT) AS gid,
+           CAST(gid <> coalesce(
+               lag(gid) OVER (PARTITION BY shard ORDER BY cfg), gid) AS INT
+           ) AS moved
+    FROM hist
+    """
+    )
+
+
+@declare("kv_rebalance_history", _rebalance_oracle_sql())
+def q_kv_rebalance_history(spark, sf_dir):
+    """O23 — shard rebalancing as a declared table→table fold:
+    Join/Leave/Move schedule → per-config shard→gid assignments with
+    max−min ≤ 1 and minimal moves (reference shardmaster/common.go:6-17
+    RPC spec; test_test.go:35-52 balance check). The sf_dir tables are
+    unused by design: shardmaster is a metadata service — its state is
+    NSHARDS rows per config — while the data-scale routing of the
+    actual oplog is kv_shard_stats / kv_epoch_serving."""
+    return kv.rebalance_config_history(spark)
+
+
 @declare(
     "kv_state_at_seq",
     _OPLOG

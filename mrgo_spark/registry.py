@@ -61,8 +61,15 @@ PRIORITY = [
     "wordcount", "wordcount_unicode", "inverted_index", "sorted_concat",
     "file_metadata",
     # kv / shardkv (O18-O24)
+    # kv_rebalance_history takes events_tumbling_hour's old slot
+    # (VERDICT_r3 item 4): the events family keeps 3 in-window reps,
+    # and O23's last DECL contract (rebalance as a table→table op)
+    # is worth more than a second tumbling-window agg row
+    # (events_tumbling_hour was driver-green r1-r3 and stays declared
+    # + driver_sim-checked just past the window).
     "kv_fold_state", "kv_compacted_fold", "kv_get_results",
     "kv_shard_stats", "kv_state_at_seq", "kv_epoch_serving",
+    "kv_rebalance_history",
     # dedup (X1, X2) — semantic_dedup takes hypertable_rollup's old
     # slot: the events family keeps 4 in-window reps, and an oracle
     # row for embedding-cosine dedup is worth more than a second
@@ -86,13 +93,13 @@ PRIORITY = [
     "pii_scrub_audit", "corpus_shuffle_order", "corpus_prep",
     # multimodal (X5)
     "multimodal_blob_stats",
-    # events / time-series (hypertable_rollup: first past the window)
+    # events / time-series
     "events_sessionize", "range_join_errors_after_purchase",
-    "events_tumbling_hour", "asof_last_purchase",
+    "asof_last_purchase",
     # TPC-H representatives (the remaining 20+ variants follow after)
     "q1_pricing_summary", "q3_top_revenue_orders",
-    # first entry past the driver window, in checked order
-    "hypertable_rollup",
+    # first entries past the driver window, in checked order
+    "events_tumbling_hour", "hypertable_rollup",
 ]
 
 

@@ -49,7 +49,7 @@ def scale_table(spark, name: str, key_cols: list[str], k: int) -> None:
 def main() -> None:
     spark = get_spark(app_name="scale_probe")
     OUT.mkdir(parents=True, exist_ok=True)
-    for name in ["region", "nation", "customer", "supplier", "part", "embeddings"]:
+    for name in ["region", "nation", "customer", "supplier", "part"]:
         src = Path(SF_DIR) / f"{name}.parquet"
         dst = OUT / f"{name}.parquet"
         if dst.exists():
@@ -59,6 +59,34 @@ def main() -> None:
     scale_table(spark, "lineitem", ["l_orderkey"], K)
     scale_table(spark, "orders", ["o_orderkey"], K)
     scale_table(spark, "documents", ["doc_id"], K)
+    # embeddings: offset vec_id AND rotate the vector dims by the copy
+    # index. A verbatim K× copy would create duplicate clusters of
+    # size K, so any near-dup probe's OUTPUT (pairs) would grow K² by
+    # construction — measuring the synthetic data, not the plan. The
+    # rotation keeps norms and the value distribution while making
+    # cross-copy vectors distinct, so LSH bucket density stays ~flat
+    # and candidate volume scales ~K like a real diverse corpus.
+    emb = load_table(spark, SF_DIR, "embeddings")
+    dim_col = next(c for c in ("vec", "embedding") if c in emb.columns)
+    eparts = []
+    for i in range(K):
+        p = emb.withColumn(
+            "vec_id", F.col("vec_id") + F.lit(i * 10_000_000).cast("long")
+        )
+        if i:
+            rot = i % 8 + 1
+            p = p.withColumn(
+                dim_col,
+                F.concat(
+                    F.slice(F.col(dim_col), rot + 1, 64 - rot),
+                    F.slice(F.col(dim_col), 1, rot),
+                ),
+            )
+        eparts.append(p)
+    eout = eparts[0]
+    for p in eparts[1:]:
+        eout = eout.unionAll(p)
+    eout.write.mode("overwrite").parquet(str(OUT / "embeddings.parquet"))
     # events: offset both the id and user so key cardinality scales
     ev = load_table(spark, SF_DIR, "events")
     parts = []
@@ -106,6 +134,11 @@ def main() -> None:
         "corpus_shuffle_order",
         "ngram_bigrams_top20",
         "kv_epoch_serving",
+        # round-4: embeddings now scale too (rotated copies), so the
+        # embedding-family probes measure real 10× input
+        "semantic_dedup_lsh",
+        "topk_cosine",
+        "embedding_normalize",
     ]
     results = {}
     for name in probe:

@@ -190,3 +190,43 @@ def test_epoch_serving_conservation_and_ownership(spark):
     }
     got = {(r.epoch, r.gid): r.n_served for r in out.collect() if r.n_served > 0}
     assert got == direct
+
+
+def test_rebalance_history_matches_python_fold(spark):
+    """Three-way cross-check, leg 1: the declarative (DataFrame)
+    rebalance history must equal folding kv.rebalance/migration_plan
+    over the same schedule (leg 2 is the DuckDB oracle via the
+    driver's compare)."""
+    hist = {
+        (r.cfg, r.shard): (r.gid, r.moved)
+        for r in kv.rebalance_config_history(spark).collect()
+    }
+    assign = {s: 0 for s in range(kv.NSHARDS)}
+    expect = {(0, s): (0, 0) for s in range(kv.NSHARDS)}
+    for i, (op, arg, live) in enumerate(kv.schedule_groups(), start=1):
+        if op == "move":
+            shard, gid = arg
+            new = dict(assign)
+            new[shard] = gid
+        else:
+            new = kv.rebalance(assign, live)
+        for s in range(kv.NSHARDS):
+            expect[(i, s)] = (new[s], int(new[s] != assign[s]))
+        assign = new
+    assert hist == expect
+
+
+def test_rebalance_history_invariants(spark):
+    """Balance (max−min ≤ 1 over live groups) and join/leave coverage
+    on every non-move config of the declared schedule."""
+    rows = kv.rebalance_config_history(spark).collect()
+    by_cfg = {}
+    for r in rows:
+        by_cfg.setdefault(r.cfg, {})[r.shard] = r.gid
+    for i, (op, arg, live) in enumerate(kv.schedule_groups(), start=1):
+        gids = list(by_cfg[i].values())
+        assert set(gids) <= set(live) | ({0} if not live else set())
+        if op == "move":
+            continue
+        counts = [gids.count(g) for g in live]
+        assert max(counts) - min(counts) <= 1, (i, counts)

@@ -13,6 +13,7 @@ MUST_BE_GATED = [
     "wordcount",                    # O1-O13 map/reduce surface
     "kv_fold_state",                # O18-O21 kv fold
     "kv_shard_stats",               # O22 shard routing
+    "kv_rebalance_history",         # O23 rebalance fold
     "dedup_exact",                  # X1
     "dedup_fingerprint",            # X2 near-dup
     "semantic_dedup",               # X2 embedding-cosine dedup
