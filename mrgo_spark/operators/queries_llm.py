@@ -331,13 +331,30 @@ def q_embedding_normalize(spark, sf_dir):
     — because the driver's comparator canonicalizes via pandas
     sort_values, which throws on array cells (the r3 red rows). The
     array-returning form stays the library API
-    (similarity.normalize_unit)."""
+    (similarity.normalize_unit).
+
+    Plan note (r4, measured 3.3 s → 0.16 s warm at sf0.1): the norm
+    is materialized as a column BEFORE the explode and the division
+    happens on scalars AFTER it. Exploding normalize_unit's array
+    instead puts the transform-with-inlined-norm-fold into the
+    Generate's pushed-down size()/isnotnull predicates, where an
+    interpreted Filter re-evaluates the 64-element fold per element,
+    twice, per row."""
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % 50 == 0
     )
-    return similarity.normalize_unit(emb).select(
-        "vec_id", F.posexplode("unit").alias("pos", "value")
-    ).select("vec_id", F.col("pos").cast("long").alias("pos"), "value")
+    nf = F.sqrt(
+        similarity._fx_dot(F.col("embedding"), F.col("embedding"))
+    ) / 1000.0
+    return (
+        emb.select("vec_id", nf.alias("_nf"), "embedding")
+        .select("vec_id", "_nf", F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            "vec_id",
+            F.col("pos").cast("long").alias("pos"),
+            (F.col("x").cast("double") / F.col("_nf")).alias("value"),
+        )
+    )
 
 
 @declare(
@@ -1464,20 +1481,46 @@ def q_embedding_quantize(spark, sf_dir):
     Declared in LONG form (vec_id, pos, qval, scale, max_err_fx) —
     scalar cells only, sortable by the driver's pandas canonicalizer
     (the r3 red rows were array columns). The array-returning form
-    stays the library API (similarity.quantize_embeddings)."""
+    stays the library API (similarity.quantize_embeddings).
+
+    Plan note (r4): per-vector scale and max_err_fx are materialized
+    as columns BEFORE the explode and the per-dim qval is computed on
+    scalars AFTER it — exploding quantize_embeddings' qvec array put
+    the transform into the Generate's pushed-down predicates (same
+    hazard as embedding_normalize; 0.91 s → ~0.2 s warm at sf0.1)."""
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % 50 == 0
     )
+    x = F.col("embedding")
+    absmax = F.greatest(
+        F.array_max(F.transform(x, lambda v: F.abs(v.cast("double")))),
+        F.lit(1e-12),
+    )
+    base = emb.select("vec_id", x.alias("_v"), (absmax / 127.0).alias("scale"))
+    q_of = lambda v: F.round(v.cast("double") / F.col("scale"))  # noqa: E731
+    staged = base.select(
+        "vec_id",
+        "scale",
+        "_v",
+        F.array_max(
+            F.transform(
+                "_v",
+                lambda v: F.round(
+                    F.abs(v.cast("double") - q_of(v) * F.col("scale")) * 1e6
+                ).cast("long"),
+            )
+        ).alias("max_err_fx"),
+    )
     return (
-        similarity.quantize_embeddings(emb)
-        .select(
-            "vec_id", "scale", "max_err_fx",
-            F.posexplode("qvec").alias("pos", "qval"),
+        staged.select(
+            "vec_id", "scale", "max_err_fx", F.posexplode("_v").alias("pos", "xv")
         )
         .select(
             "vec_id",
             F.col("pos").cast("long").alias("pos"),
-            F.col("qval").cast("long").alias("qval"),
+            F.round(F.col("xv").cast("double") / F.col("scale"))
+            .cast("long")
+            .alias("qval"),
             "scale",
             "max_err_fx",
         )
@@ -1588,3 +1631,117 @@ def q_corpus_shuffle(spark, sf_dir):
     return pipeline.corpus_shuffle(docs, salt="epoch0").select(
         "doc_id", "source", "shuffle_pos"
     )
+
+
+@declare(
+    "gopher_rules_audit",
+    r"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> x <> '') AS words,
+               length(text) - length(replace(text, '#', '')) AS n_hash,
+               (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(words) AS INT) AS n_words,
+           CAST(list_aggregate(list_transform(words, x -> length(x)), 'sum')
+                AS DOUBLE) / greatest(len(words), 1) AS mean_word_len,
+           CAST(len(list_distinct(list_filter(words,
+               x -> x IN ('the','be','to','of','and','that','have','with')
+           ))) AS INT) AS n_stop_distinct,
+           CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                AS DOUBLE) / greatest(len(words), 1) AS alpha_word_frac,
+           CAST(n_hash + n_ell AS DOUBLE) / greatest(len(words), 1)
+               AS symbol_word_ratio,
+           CAST(len(words) BETWEEN 50 AND 100000
+                AND (CAST(list_aggregate(list_transform(words, x -> length(x)),
+                     'sum') AS DOUBLE) / greatest(len(words), 1))
+                    BETWEEN 3.0 AND 10.0
+                AND CAST(n_hash + n_ell AS DOUBLE) / greatest(len(words), 1)
+                    <= 0.1
+                AND CAST(len(list_filter(words,
+                        x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                    / greatest(len(words), 1) >= 0.8
+                AND len(list_distinct(list_filter(words,
+                    x -> x IN ('the','be','to','of','and','that','have','with')
+                ))) >= 2
+            AS INT) AS pass_all
+    FROM w
+    """,
+)
+def q_gopher_rules_audit(spark, sf_dir):
+    """X4/pipeline extension: the Gopher quality rules (public paper,
+    arXiv:2112.11446 §A1.1) as a per-document audit — the named-rule
+    metrics a production corpus filter thresholds and reports. Pure
+    map-side column expressions; no reference analog (extension)."""
+    return textstats.gopher_audit(load_table(spark, sf_dir, "documents"))
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    """Unrolled-SQL replay of the full Lloyd fold (3 assignment
+    rounds, 2 centroid updates) in long (vec_id, pos, v) form. Exact
+    integer math end-to-end: quantized coords, integer distances,
+    floor-div centroid updates. DuckDB's ``//`` TRUNCATES toward
+    zero (-7//2 = -3) while Python's floors (-4), so the update
+    builds floor division from a positive mod:
+    (s - ((s%n)+n)%n) // n. Sums
+    are CAST to BIGINT (DuckDB SUM yields HUGEINT). Multiply-read
+    CTEs are MATERIALIZED — same inline-expansion hazard as the
+    rebalance oracle."""
+    parts = [
+        f"""WITH qv AS MATERIALIZED (
+        SELECT vec_id, u.pos AS pos, u.v AS v FROM (
+            SELECT vec_id,
+                   unnest([{{'pos': i - 1,
+                             'v': CAST(round(CAST(embedding[i] AS DOUBLE)
+                                             * 10000) AS BIGINT)}}
+                           for i in generate_series(1, len(embedding))]) AS u
+            FROM embeddings)),
+    sids AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1
+                            AS INT) AS cid
+             FROM (SELECT DISTINCT vec_id FROM qv ORDER BY vec_id LIMIT {k})),
+    c0 AS MATERIALIZED (SELECT s.cid, q.pos, q.v AS cv
+                        FROM sids s JOIN qv q USING (vec_id))"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""d{i} AS (
+        SELECT q.vec_id, c.cid,
+               CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS dist2
+        FROM qv q JOIN c{i - 1} c USING (pos)
+        GROUP BY q.vec_id, c.cid),
+    a{i} AS MATERIALIZED (
+        SELECT vec_id, cid, dist2 FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist2, cid) AS rn
+            FROM d{i}) WHERE rn = 1)"""
+        )
+        if i < iters:
+            parts.append(
+                f"""c{i} AS MATERIALIZED (
+        SELECT p.cid, p.pos, coalesce(u.val, p.cv) AS cv
+        FROM c{i - 1} p LEFT JOIN (
+            SELECT a.cid, q.pos,
+                   (CAST(sum(q.v) AS BIGINT)
+                    - ((CAST(sum(q.v) AS BIGINT) % count(*)) + count(*))
+                      % count(*)) // count(*) AS val
+            FROM a{i} a JOIN qv q USING (vec_id)
+            GROUP BY a.cid, q.pos) u
+          ON p.cid = u.cid AND p.pos = u.pos)"""
+            )
+    return (
+        ",\n    ".join(parts)
+        + f"\n    SELECT vec_id, cid, dist2 FROM a{iters}\n    "
+    )
+
+
+@declare("kmeans_lloyd", _kmeans_oracle_sql())
+def q_kmeans_lloyd(spark, sf_dir):
+    """X3 extension: iterative k-means clustering with an EXACT
+    oracle — the whole 3-iteration Lloyd fold is replayed in SQL
+    (fixed-point coords, integer distances, floor-div updates), so
+    the driver hash-checks an iterative ML algorithm, not just one
+    pass. Output: final (vec_id, cid, dist2) assignment."""
+    return similarity.kmeans_lloyd(load_table(spark, sf_dir, "embeddings"))

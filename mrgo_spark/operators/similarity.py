@@ -282,7 +282,18 @@ def normalize_unit(
 ) -> DataFrame:
     """L2-normalize each vector (fixed-point norm → bit-stable across
     engines; sqrt and division are IEEE-exact). Columns: (vec_id,
-    unit: array<double>). Map-side only — no shuffle."""
+    unit: array<double>). Map-side only — no shuffle.
+
+    Plan hazard (r4): the norm fold is inlined inside the transform
+    lambda, so it re-evaluates once PER ELEMENT (64× the work), and
+    posexploding ``unit`` additionally copies the whole expression
+    into the Generate's pushed-down size()/isnotnull predicates on an
+    interpreted Filter (measured 3.3 s for 40 rows at sf0.1). Fine
+    for array-valued use; anything that explodes the result should
+    materialize the norm as a column first and divide post-explode —
+    see q_embedding_normalize for the fast shape. (Materializing the
+    norm column here doesn't survive: CollapseProject re-inlines a
+    once-referenced alias into the lambda.)"""
     nf = F.sqrt(_fx_dot(F.col(vec_col), F.col(vec_col))) / 1000.0
     return embeddings.select(
         F.col(id_col),
@@ -350,6 +361,75 @@ def group_centroids(
             ).alias("centroid"),
         )
     )
+
+
+KM_FX = 10_000  # per-dim quantization scale for exact k-means
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over fixed-point quantized vectors — an
+    ITERATIVE clustering algorithm with exact, oracle-checkable
+    output (no float-order ambiguity anywhere).
+
+    Determinism recipe: quantize q_d = round(x_d·KM_FX) as bigint;
+    distances are exact integer Σ(q_d−c_d)²; assignment tie-breaks
+    on (dist², cid); centroid update is Python floor division
+    (== DuckDB ``//``) of exact integer sums; seeds are the k
+    smallest ids in id order; empty clusters keep their previous
+    centroid. Every step is reproducible bit-for-bit in SQL, so the
+    DuckDB oracle re-runs the whole 3-iteration fold.
+
+    Scale shape (the textbook distributed Lloyd): centroids are
+    always tiny (k×dim), so they ride the plan as LITERAL arrays —
+    assignment is a map-only pass (zip_with fold per centroid, no
+    join, no shuffle); the update is posexplode → one partial-agg
+    groupBy(cid, pos) whose shuffle is k×dim×partitions rows, not
+    data-sized. The k×dim collect per iteration is driver-tiny
+    (512 longs here), same legitimacy class as the IVF seed collect.
+    """
+    q = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            vec_col, lambda x: F.round(x.cast("double") * KM_FX).cast("long")
+        ).alias("qv"),
+    )
+    cents = [list(r.qv) for r in q.orderBy("vec_id").limit(k).collect()]
+
+    def assign(cents):
+        pairs = []
+        for j, c in enumerate(cents):
+            arr = F.array(*[F.lit(int(v)).cast("long") for v in c])
+            d = F.aggregate(
+                F.zip_with(F.col("qv"), arr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            pairs.append(F.struct(d.alias("dist2"), F.lit(j).alias("cid")))
+        best = F.least(*pairs)
+        return q.select(
+            "vec_id", "qv", best["cid"].alias("cid"), best["dist2"].alias("dist2")
+        )
+
+    for it in range(iters):
+        a = assign(cents)
+        if it == iters - 1:
+            return a.select("vec_id", "cid", "dist2")
+        upd = (
+            a.select("cid", F.posexplode("qv").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in upd:
+            new[r.cid][r.pos] = r.s // r.n
+        cents = new
 
 
 # ---- IVF (inverted-file) ANN: the high-recall scale path ----------------

@@ -275,6 +275,58 @@ def tfidf_terms(
     )
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_audit(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document audit of the Gopher quality rules (Rae et al.
+    2021, arXiv:2112.11446 §A1.1 — public paper), word-level subset:
+    word count ∈ [50, 100000], mean word length ∈ [3, 10],
+    symbol-to-word ratio (# and ...) ≤ 0.1, ≥ 80% of words contain a
+    letter, ≥ 2 distinct of the 8 required stopwords. The line-level
+    rules (bullet/ellipsis lines) are omitted: the documents fixture
+    is single-line, so they'd be vacuously true — the audit reports
+    the metrics a real pipeline thresholds, one row per doc.
+
+    All map-side column expressions (ratios are per-row int/int
+    divisions — deterministic doubles, no float aggregation).
+    Columns: doc_id, n_words, mean_word_len, n_stop_distinct,
+    alpha_word_frac, symbol_word_ratio, pass_all."""
+    t = F.col(text_col)
+    words = ws_tokens(t)
+    n = F.size(words)
+    nd = F.greatest(n, F.lit(1)).cast("double")
+    mean_wl = (
+        F.aggregate(words, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+        / nd
+    )
+    n_stop = F.size(
+        F.array_distinct(F.filter(words, lambda x: x.isin(*GOPHER_STOPWORDS)))
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]"))).cast("double") / nd
+    )
+    n_hash = F.length(t) - F.length(F.translate(t, "#", ""))
+    n_ell = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    sym_ratio = (n_hash + n_ell) / nd
+    pass_all = (
+        n.between(50, 100000)
+        & mean_wl.between(3.0, 10.0)
+        & (sym_ratio <= 0.1)
+        & (alpha_frac >= 0.8)
+        & (n_stop >= 2)
+    )
+    return documents.select(
+        "doc_id",
+        n.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        n_stop.alias("n_stop_distinct"),
+        alpha_frac.alias("alpha_word_frac"),
+        sym_ratio.alias("symbol_word_ratio"),
+        pass_all.cast("int").alias("pass_all"),
+    )
+
+
 def doc_fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Rolling polynomial hash over tokens (mod 2^31-1) — an
     order-SENSITIVE content fingerprint (vs dedup.fingerprint which is

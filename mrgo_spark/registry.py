@@ -70,11 +70,10 @@ PRIORITY = [
     "kv_fold_state", "kv_compacted_fold", "kv_get_results",
     "kv_shard_stats", "kv_state_at_seq", "kv_epoch_serving",
     "kv_rebalance_history",
-    # dedup (X1, X2) — semantic_dedup takes hypertable_rollup's old
-    # slot: the events family keeps 4 in-window reps, and an oracle
-    # row for embedding-cosine dedup is worth more than a second
-    # time-window agg row (hypertable_rollup was driver-green in r2
-    # and stays declared + driver_sim-checked just past the window).
+    # dedup (X1, X2) — semantic_dedup took hypertable_rollup's slot
+    # in r3 (an oracle row for embedding-cosine dedup is worth more
+    # than a second time-window agg row; hypertable_rollup stays
+    # declared + driver_sim-checked just past the window).
     "dedup_exact", "dedup_fingerprint", "semantic_dedup",
     "dup_cluster_components",
     "dedup_pipeline_canonical", "edit_distance_pairs",

@@ -277,3 +277,46 @@ def test_semantic_dedup_matches_bruteforce(spark):
         assert got[i] == (len(neighbors[i]), want_kept), (
             i, got[i], len(neighbors[i]), want_kept,
         )
+
+
+def test_kmeans_lloyd_matches_numpy_replay(spark):
+    """Third leg of the k-means cross-check (oracle SQL is the
+    second): replay the exact quantized Lloyd fold in NumPy/Python
+    ints — same seeds, same tie-break, same floor-div update — and
+    require identical assignments AND identical integer distances."""
+    emb = load_table(spark, SF, "embeddings")
+    got = {
+        r.vec_id: (r.cid, r.dist2)
+        for r in similarity.kmeans_lloyd(emb, k=8, iters=3).collect()
+    }
+
+    rows = sorted(
+        (r.vec_id, [round(float(x) * similarity.KM_FX) for x in r.embedding])
+        for r in emb.collect()
+    )
+    ids = [i for i, _ in rows]
+    q = {i: v for i, v in rows}
+    cents = [list(q[i]) for i in ids[:8]]
+
+    def assign():
+        out = {}
+        for i in ids:
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(q[i], c)), j)
+                for j, c in enumerate(cents)
+            )
+            out[i] = (best[1], best[0])
+        return out
+
+    for it in range(3):
+        a = assign()
+        if it == 2:
+            break
+        sums = {}
+        for i, (cid, _) in a.items():
+            s, n = sums.setdefault(cid, ([0] * len(q[i]), 0))
+            sums[cid] = ([x + y for x, y in zip(s, q[i])], n + 1)
+        for cid, (s, n) in sums.items():
+            cents[cid] = [x // n for x in s]
+    expect = {i: (cid, d) for i, (cid, d) in a.items()}
+    assert got == expect

@@ -57,3 +57,32 @@ def test_lang_id_on_real_markers(spark):
     assert out[2] == "de"
     assert out[3] == "es"
     assert out[4] == "und"
+
+
+def test_gopher_audit_rules(spark):
+    from mrgo_spark.operators.textstats import gopher_audit
+
+    filler = " ".join(["plain"] * 60)
+    docs = spark.createDataFrame(
+        [
+            # 0: passes everything (50+ words, stopwords, letters)
+            (0, "the cat sat with the dog and that bird of prey be quick to "
+                + " ".join(["word"] * 50)),
+            # 1: too short and no required stopwords
+            (1, "tiny doc"),
+            # 2: symbol-heavy (### and ...), enough words otherwise
+            (2, "### " * 30 + "... " * 30 + filler),
+            # 3: numeric words drag alpha fraction under 0.8
+            (3, " ".join(["123"] * 40) + " " + filler),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_audit(docs).collect()}
+    assert out[0].pass_all == 1
+    assert out[0].n_stop_distinct >= 2
+    assert out[1].pass_all == 0 and out[1].n_words == 2
+    assert out[2].pass_all == 0 and out[2].symbol_word_ratio > 0.1
+    # 30 '###' contribute 90 hashes; 30 '...' contribute 30 ellipses
+    assert out[2].n_words == 120
+    assert abs(out[2].symbol_word_ratio - (90 + 30) / 120) < 1e-12
+    assert out[3].pass_all == 0 and out[3].alpha_word_frac < 0.8
