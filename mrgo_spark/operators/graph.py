@@ -1,0 +1,88 @@
+"""Graph analytics over relational tables (extension surface).
+
+The reference has no graph operators (its closest relative is the
+dup-cluster connected components in dedup.py); these are the
+Pregel-shaped algorithms a training-data pipeline runs on entity
+graphs — implemented with the same exact-determinism recipe as
+kmeans_lloyd so the full iterative fold is oracle-checkable: scaled
+integer state, floor division only on non-negative values (where
+DuckDB's truncating ``//`` and Python's flooring ``//`` agree), and
+a fixed iteration count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**12  # integer probability mass; floor loss ≤ N per step
+PR_DAMP_NUM = 85  # damping 0.85 as an exact 85/100 rational
+
+
+def bipartite_edges(lineitem: DataFrame) -> DataFrame:
+    """Undirected order–part co-occurrence graph from lineitem:
+    node ids are disjoint by parity (order → 2k, part → 2k+1); each
+    distinct (order, part) line contributes both directions."""
+    e = lineitem.select(
+        (F.col("l_orderkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    return e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def pagerank(
+    edges: DataFrame, iters: int = 3, top: int | None = 100
+) -> DataFrame:
+    """Fixed-point PageRank, exact and oracle-replayable.
+
+    State is integer mass r(v) starting at PR_SCALE // N; one step is
+    r'(v) = (15·(PR_SCALE//N)) // 100 + (85·Σ_{u→v} r(u)//deg(u)) // 100
+    — every operation an integer floor on non-negative values, so the
+    result is bit-identical in Spark, DuckDB and a Python replay.
+    (This is standard damped PageRank with floor() in place of real
+    division; the floor loss per step is < N/PR_SCALE of total mass.)
+    Undirected edges mean no dangling nodes.
+
+    Scale shape (Pregel-on-DataFrames): per iteration one broadcast-
+    eligible join with the degree table, one shuffle of (dst, contrib)
+    partial-aggregated map-side, and a localCheckpoint to sever the
+    iteration lineage (the connected-components lesson — unchecked
+    chained iterations blow up Catalyst analysis). The edge table is
+    checkpointed once and reused; at 100 TB it would be bucketed on
+    src so every iteration's join is co-located.
+
+    Returns the top ``top`` nodes by (rank_fx DESC, node) —
+    deterministic under ties — or every node unsorted when ``top``
+    is None (a huge limit would make TakeOrdered allocate a
+    limit-sized priority queue and OOM). Columns: (node, rank_fx).
+    """
+    edges = edges.localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).select(
+        F.col("src").alias("node"), "deg"
+    )
+    deg = deg.localCheckpoint(eager=False)
+    n = deg.count()
+    base = PR_SCALE // n
+    b15 = (15 * base) // 100
+    r = deg.select("node", F.lit(base).cast("long").alias("rank_fx"))
+    for _ in range(iters):
+        contrib = r.join(deg, "node").select(
+            "node", F.expr("rank_fx div deg").alias("contrib")
+        )
+        inbox = (
+            contrib.join(edges, contrib.node == edges.src)
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inbox"))
+        )
+        r = inbox.select(
+            F.col("dst").alias("node"),
+            (
+                F.lit(b15).cast("long")
+                + F.expr(f"({PR_DAMP_NUM} * inbox) div 100")
+            ).alias("rank_fx"),
+        ).localCheckpoint(eager=False)
+    if top is None:
+        return r
+    return r.orderBy(F.desc("rank_fx"), F.asc("node")).limit(top)

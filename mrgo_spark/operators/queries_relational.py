@@ -1480,3 +1480,58 @@ def q21(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count("*").cast("bigint").alias("numwait"))
     )
+
+
+def _pagerank_oracle_sql(iters: int = 3, top: int = 100) -> str:
+    """Unrolled replay of the exact integer PageRank fold. All state
+    is non-negative, so DuckDB's truncating ``//`` equals floor here
+    (unlike the kmeans oracle, which needs the positive-mod form).
+    Multiply-read CTEs are MATERIALIZED (inline-expansion hazard)."""
+    scale, damp = 10**12, 85
+    parts = [
+        f"""WITH e0 AS (SELECT DISTINCT l_orderkey * 2 AS src,
+                            l_partkey * 2 + 1 AS dst FROM lineitem),
+    edges AS MATERIALIZED (SELECT src, dst FROM e0
+                           UNION ALL SELECT dst, src FROM e0),
+    deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg
+                         FROM edges GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM deg),
+    r0 AS MATERIALIZED (SELECT node,
+                               CAST({scale} // n AS BIGINT) AS rank_fx
+                        FROM deg, nn)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""c{i} AS (
+        SELECT e.dst AS node,
+               CAST(sum(r.rank_fx // d.deg) AS BIGINT) AS inbox
+        FROM r{i - 1} r JOIN deg d USING (node)
+        JOIN edges e ON e.src = r.node
+        GROUP BY e.dst),
+    r{i} AS MATERIALIZED (
+        SELECT c.node,
+               CAST((15 * ({scale} // nn.n)) // 100
+                    + ({damp} * c.inbox) // 100 AS BIGINT) AS rank_fx
+        FROM c{i} c, nn)"""
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT node, rank_fx FROM r{iters}
+    ORDER BY rank_fx DESC, node LIMIT {top}
+    """
+    )
+
+
+@declare("pagerank_order_part", _pagerank_oracle_sql())
+def q_pagerank_order_part(spark, sf_dir):
+    """Extension: fixed-point PageRank over the order–part bipartite
+    graph — an iterative Pregel-shaped fold whose ENTIRE 3-iteration
+    run the DuckDB oracle replays exactly (integer mass, floor-only
+    arithmetic; see operators/graph.py). Third leg: Python replay in
+    tests/test_graph.py."""
+    from . import graph
+
+    return graph.pagerank(
+        graph.bipartite_edges(load_table(spark, sf_dir, "lineitem"))
+    )
