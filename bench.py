@@ -195,9 +195,14 @@ def main() -> None:
         # embedding_near_pairs isn't benched; the scale path for both
         # is LSH/IVF candidate generation, which IS benched.
         "kv_epoch_serving",
-        # round-4 addition (O23 declared form; metadata-scale rows,
-        # timing records the 7-step localCheckpoint chain overhead)
+        # round-4 additions. kv_rebalance_history is metadata-scale
+        # rows — its timing records the 7-step localCheckpoint chain
+        # overhead. kmeans/pagerank time the full iterative folds
+        # (driver-tiny collects between rounds included).
         "kv_rebalance_history",
+        "gopher_rules_audit",
+        "kmeans_lloyd",
+        "pagerank_order_part",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there

@@ -438,7 +438,7 @@ def rebalance_config_history(spark, schedule=None) -> DataFrame:
     plus the migration observable (reference shardmaster/common.go:6-17
     RPC spec; test_test.go:35-52 balance invariant).
     """
-    cfg0 = spark.range(NSHARDS).select(
+    cfg0 = spark.range(NSHARDS).coalesce(1).select(
         F.col("id").alias("shard"), F.lit(0).alias("gid")
     )
     configs = [cfg0]
@@ -457,8 +457,12 @@ def rebalance_config_history(spark, schedule=None) -> DataFrame:
         # Each step references `prev` three ways (held/marked/keepers);
         # chained 7 deep that lineage explodes Catalyst's
         # DeduplicateRelations (the round-2 connected-components
-        # lesson). Sever it per step — configs are NSHARDS rows.
-        configs.append(nxt.localCheckpoint(eager=False))
+        # lesson). Sever it per step — configs are NSHARDS rows, and
+        # coalesce(1) keeps each checkpoint job at one task instead
+        # of shuffle-partitions many (7.4 → ~5 s; the remainder is
+        # 7 sequential checkpoint jobs' fixed scheduling/broadcast
+        # latency — a metadata fold's floor on Spark, not data cost).
+        configs.append(nxt.coalesce(1).localCheckpoint(eager=False))
     hist = None
     for i, c in enumerate(configs):
         step = c.select(F.lit(i).alias("cfg"), "shard", "gid")

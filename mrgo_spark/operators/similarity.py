@@ -411,9 +411,18 @@ def kmeans_lloyd(
                 lambda acc, v: acc + v,
             )
             pairs.append(F.struct(d.alias("dist2"), F.lit(j).alias("cid")))
-        best = F.least(*pairs)
+        # Materialize the argmin struct ONCE, split fields in a second
+        # projection: best["cid"]/best["dist2"] in one select clones
+        # the whole least(8 × 64-fold) expression per field (2× work,
+        # visible in PLANS.md). CollapseProject leaves the two-step
+        # form alone because the alias is non-cheap and read twice.
         return q.select(
-            "vec_id", "qv", best["cid"].alias("cid"), best["dist2"].alias("dist2")
+            "vec_id", "qv", F.least(*pairs).alias("_best")
+        ).select(
+            "vec_id",
+            "qv",
+            F.col("_best.cid").alias("cid"),
+            F.col("_best.dist2").alias("dist2"),
         )
 
     for it in range(iters):

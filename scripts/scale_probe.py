@@ -145,6 +145,9 @@ def main() -> None:
         # bands — is probed separately below.
         "topk_cosine",
         "embedding_normalize",
+        "gopher_rules_audit",
+        "kmeans_lloyd",
+        "pagerank_order_part",
     ]
     results = {}
     for name in probe:

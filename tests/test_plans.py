@@ -440,3 +440,68 @@ def test_semantic_dedup_single_pair_subtree(spark):
     )
     tree = plan.split("\n(1)")[0]
     assert tree.count("BroadcastNestedLoopJoin") == 1, tree
+
+
+def test_embedding_normalize_explode_stays_cheap(spark):
+    """r4 fix pin: the declared exploded form must NOT carry the norm
+    fold inside the Generate's pushed-down predicates (the interpreted
+    Filter re-evaluates them per element — measured 20x). The norm
+    appears exactly once, in a Project below the Generate; the Filter
+    sees only cheap column predicates."""
+    from mrgo_spark.registry import load
+
+    q, _ = load()
+    plan = plans.explain_str(q["embedding_normalize"](spark, SF))
+    filt = [
+        seg for seg in plan.split("\n\n")
+        if seg.startswith("(") and ") Filter" in seg.split("\n")[0]
+    ]
+    assert filt and all("aggregate(" not in seg for seg in filt), plan[:500]
+    assert plan.count("zip_with") == 1
+
+
+def test_kmeans_assignment_single_least_no_shuffle(spark):
+    """r4 fix pin: final k-means assignment is map-only (centroids are
+    literals — no join, no Exchange) and the argmin struct is
+    evaluated once, not cloned per projected field."""
+    from mrgo_spark.operators.similarity import kmeans_lloyd
+    from mrgo_spark.sources.tables import load_table
+
+    df = kmeans_lloyd(load_table(spark, SF, "embeddings"))
+    plan = plans.explain_str(df)
+    assert "Exchange" not in plan
+    assert plan.count("least(") == 1
+
+
+def test_pagerank_iteration_shape(spark):
+    """Final PageRank iteration: checkpoints sever earlier rounds (no
+    parquet scan survives in the plan), one partial-agg shuffle for
+    the contrib inbox, TakeOrdered for the top-k (no global Sort)."""
+    from mrgo_spark.operators.queries_relational import q_pagerank_order_part
+
+    plan = plans.explain_str(q_pagerank_order_part(spark, SF))
+    assert "Scan parquet" not in plan  # lineage severed at checkpoints
+    assert "TakeOrderedAndProject" in plan
+    # the iteration body itself (agg + degree join) sits inside the
+    # checkpointed lineage; assert its shape on an uncheckpointed
+    # single step instead
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from mrgo_spark.operators import graph
+    from mrgo_spark.sources.tables import load_table
+
+    edges = graph.bipartite_edges(load_table(spark, SF, "lineitem"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).select(
+        F.col("src").alias("node"), "deg"
+    )
+    r = deg.select("node", F.lit(1000).cast("long").alias("rank_fx"))
+    contrib = r.join(deg, "node").select(
+        "node", F.expr("rank_fx div deg").alias("contrib")
+    )
+    inbox = (
+        contrib.join(edges, contrib.node == edges.src)
+        .groupBy("dst")
+        .agg(F.sum("contrib").alias("inbox"))
+    )
+    step = plans.explain_str(inbox)
+    assert "HashAggregate" in step  # partial+final inbox aggregation
