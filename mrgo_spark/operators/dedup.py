@@ -701,3 +701,83 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    max_df: int = 32,
+    min_shared: int = 3,
+    min_containment: float = 0.8,
+) -> DataFrame:
+    """MOSS-style overlap detection: document pairs sharing a high
+    fraction of winnowing fingerprints (textstats.winnow_fp_set;
+    Schleimer et al. SIGMOD 2003). Columns: (doc_a, doc_b, n_shared,
+    containment) with doc_a < doc_b.
+
+    Fingerprints occurring in more than ``max_df`` documents are
+    dropped before pairing (the MOSS "too common to be evidence"
+    rule) — this is also what bounds the self-join fan-out at scale:
+    each surviving hash produces at most C(max_df, 2) pairs, so
+    candidate volume is O(n_fp * max_df), never O(n_docs²).
+    ``containment`` = n_shared / min(|kept_a|, |kept_b|), computed
+    over the KEPT (post-cap) sets — two verbatim copies score exactly
+    1.0 regardless of how common their grams are, unless every one of
+    their fingerprints is ubiquitous (then the pair is not reported;
+    the exact-dedup pass upstream owns that case).
+
+    Shuffle budget: explode of the map-side-distinct per-doc set
+    (no distinct shuffle), ONE hash-partition by h that both the
+    document-frequency window and the self-join reuse (the join keys
+    equal the window partition key, and the second join side is a
+    ReusedExchange of the first), one pair aggregation, then two
+    driver-small joins to attach kept-set sizes AFTER the thresholds
+    have cut the pair set down."""
+    from .textstats import winnow_fp_set
+
+    # localCheckpoint before exploding: same Generate-pushdown hazard
+    # as winnow_fingerprints (see textstats.py) — the pushed size()
+    # predicate re-evaluates the whole winnowing chain per element.
+    sets = winnow_fp_set(df, k, w, text_col, id_col).localCheckpoint(
+        eager=False
+    )
+    fps = sets.select("doc_id", F.explode("sel_h").alias("h"))
+    wh = Window.partitionBy("h")
+    kept = (
+        fps.withColumn("df_h", F.count("*").over(wh))
+        .filter(F.col("df_h") <= max_df)
+        .select("doc_id", "h")
+    )
+    nk = kept.groupBy("doc_id").agg(F.count("*").alias("n_kept"))
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    na, nb = nk.alias("na"), nk.alias("nb")
+    scored = (
+        pairs.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / F.least(F.col("na.n_kept"), F.col("nb.n_kept"))
+            ).alias("containment"),
+        )
+    )
+    return scored.filter(F.col("containment") >= min_containment)

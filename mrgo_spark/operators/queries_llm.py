@@ -1061,6 +1061,114 @@ def q_tfidf_top_terms(spark, sf_dir):
     return textstats.tfidf_terms(docs, k=3)
 
 
+# Winnowing (MOSS) shares its gram/window pipeline between the audit
+# and overlap oracles: character 5-grams over the canon text, md5-hex
+# portable hashes, key = h*2^22 + (2^22-1-pos) for the rightmost-min
+# tie-break, min over w=4 trailing keys, selected where key equals the
+# max of the w leading window-minima. MATERIALIZED per the repo's
+# multiply-read-CTE rule.
+_WINNOW_SEL_SQL = """
+    g AS MATERIALIZED (
+      SELECT doc_id, n, j,
+             hh * 4194304 + (4194303 - j) AS key, hh
+      FROM (
+        SELECT doc_id, n, j,
+               CAST(concat('0x', substr(md5(substr(c, CAST(j AS INTEGER), 5)),
+                                        1, 8)) AS BIGINT) AS hh
+        FROM (
+          SELECT doc_id, c, len(c) - 4 AS n,
+                 unnest(generate_series(1, len(c) - 4)) AS j
+          FROM (SELECT doc_id,
+                       lower(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+                       AS c
+                FROM documents)
+          WHERE len(c) >= 5
+        )
+      )
+    ),
+    me AS MATERIALIZED (
+      SELECT doc_id, n, j, hh, key,
+             min(key) OVER (PARTITION BY doc_id ORDER BY j
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS me
+      FROM g
+    ),
+    sel AS MATERIALIZED (
+      SELECT doc_id, n, hh FROM (
+        SELECT doc_id, n, hh, key,
+               max(me) OVER (PARTITION BY doc_id ORDER BY j
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sm
+        FROM me
+      ) WHERE key = sm
+    )
+"""
+
+
+@declare(
+    "winnow_fingerprint_audit",
+    f"""
+    WITH {_WINNOW_SEL_SQL},
+    sel_d AS MATERIALIZED (SELECT DISTINCT doc_id, n, hh FROM sel)
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS n_grams,
+           CAST(count(*) AS BIGINT) AS n_fp,
+           CAST(bit_xor(hh) AS BIGINT) AS fp_xor,
+           CAST(sum(hh) AS BIGINT) AS fp_sum,
+           CAST(min(hh) AS BIGINT) AS fp_min,
+           CAST(max(hh) AS BIGINT) AS fp_max
+    FROM sel_d GROUP BY doc_id
+    """,
+)
+def q_winnow_audit(spark, sf_dir):
+    """X4/X2: winnowing document fingerprints (Schleimer/Wilkerson/
+    Aiken SIGMOD 2003, the MOSS algorithm) — declared as the map-side
+    per-doc audit (count/xor/sum/min/max of the distinct selected
+    hashes), which pins the exact fingerprint *set* content without
+    shuffling a single fingerprint row. md5-derived gram hashes make
+    it fully oracle-checkable — the upgrade over the rows-only
+    xxhash64 doc_fingerprints entry."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    return textstats.winnow_audit(docs)
+
+
+@declare(
+    "winnow_overlap_pairs",
+    f"""
+    WITH {_WINNOW_SEL_SQL},
+    sel_d AS MATERIALIZED (SELECT DISTINCT doc_id, hh FROM sel),
+    kept AS MATERIALIZED (
+      SELECT doc_id, hh FROM (
+        SELECT doc_id, hh, count(*) OVER (PARTITION BY hh) AS dfh
+        FROM sel_d
+      ) WHERE dfh <= 32
+    ),
+    nk AS MATERIALIZED (
+      SELECT doc_id, count(*) AS n_kept FROM kept GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM kept a JOIN kept b ON a.hh = b.hh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT doc_a, doc_b, n_shared,
+           CAST(n_shared AS DOUBLE) / least(na.n_kept, nb.n_kept)
+           AS containment
+    FROM pairs
+    JOIN nk na ON doc_a = na.doc_id
+    JOIN nk nb ON doc_b = nb.doc_id
+    WHERE CAST(n_shared AS DOUBLE) / least(na.n_kept, nb.n_kept) >= 0.8
+    """,
+)
+def q_winnow_overlap(spark, sf_dir):
+    """X2: MOSS-style overlap pairs over the winnowing fingerprints —
+    document-frequency-capped (df ≤ 32) fingerprint self-join, pairs
+    sharing ≥ 3 fingerprints at containment ≥ 0.8. The df cap bounds
+    candidate volume at O(n_fp · max_df) — never all-pairs — which is
+    what makes this the 100 TB-shaped exact-overlap path."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    return dedup.winnow_overlap_pairs(docs)
+
+
 # ------------------------------------------------- pipeline (splits etc.)
 
 @declare(

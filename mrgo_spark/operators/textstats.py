@@ -343,3 +343,192 @@ def doc_fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, t: (acc * 31 + F.pmod(F.xxhash64(t), F.lit(m))) % m,
     )
     return documents.select("doc_id", fp.alias("fp"))
+
+
+# --------------------------------------------------------- winnowing
+
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken: "Winnowing:
+# Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the
+# MOSS algorithm). Character k-grams over the case/punctuation-
+# squashed text, each hashed; every window of w consecutive gram
+# hashes selects its minimum (rightmost position on ties); the
+# fingerprint set is the distinct selected hashes. Guarantees: any
+# shared substring of length >= k + w - 1 yields at least one shared
+# fingerprint, and the density of selected positions is ~2/(w+1).
+#
+# Engine-portable hashing: h = first 8 hex chars of md5(gram) as a
+# bigint (the repo's md5-stable recipe — identical in Spark and
+# DuckDB, unlike xxhash64/murmur3), so the operator is fully
+# oracle-checkable, an upgrade over the rows-only doc_fingerprint.
+#
+# Rightmost-min tie-break without ties: order key
+#   key = h * 2^22 + (2^22 - 1 - pos)
+# is unique per position (pos < 2^22: documents are capped at 4M
+# canon chars — enforce upstream at ingest for longer docs), so
+# "min key" == "min hash, rightmost position".
+#
+# Shape (100 TB): the selection is computed entirely map-side with
+# array expressions — per document O(n*w) work, NO shuffle, NO
+# explode — instead of the textbook explode + two window passes,
+# which would shuffle ~20 bytes per input character. Each derived
+# array lives in its own select: CollapseProject only inlines
+# single-use/cheap aliases, so the chain stays evaluated once.
+
+WINNOW_POS_BITS = 22  # pos fits 22 bits; key = h << 22 | (2^22-1-pos)
+
+
+def _winnow_arrays(
+    documents: DataFrame,
+    k: int,
+    w: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(doc_id, n_grams, hs, keys, sm): gram hashes, order keys, and
+    the per-position selection threshold (max of window minima —
+    position j is selected iff keys[j] == sm[j])."""
+    m = 1 << WINNOW_POS_BITS
+    canon = F.lower(F.regexp_replace(F.col(text_col), "[^A-Za-z0-9]", ""))
+    base = (
+        documents.select(F.col(id_col).alias("doc_id"), canon.alias("c"))
+        .filter(F.length("c") >= k)
+    )
+    # gram hashes h_j (1-based j), md5-derived for oracle portability
+    hs = F.transform(
+        F.sequence(F.lit(1), F.length("c") - (k - 1)),
+        lambda j: F.conv(
+            F.substring(F.md5(F.col("c").substr(j, F.lit(k))), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    d1 = base.select("doc_id", hs.alias("hs"))
+    keys = F.transform(
+        F.col("hs"),
+        lambda h, i: h * m + (F.lit(m - 1) - (i + 1)),
+    )
+    d2 = d1.select("doc_id", "hs", keys.alias("keys"))
+    # me[j] = min(keys[j-w+1 .. j]) (frame truncated at the start)
+    me = F.transform(
+        F.col("keys"),
+        lambda x, i: F.array_min(
+            F.slice(
+                F.col("keys"),
+                F.greatest(F.lit(1), i + 2 - w),
+                F.least(F.lit(w), i + 1),
+            )
+        ),
+    )
+    d3 = d2.select("doc_id", "hs", "keys", me.alias("me"))
+    # sm[j] = max(me[j .. j+w-1]); keys[j] == sm[j] iff some window
+    # ending in [j, j+w-1] has j as its (rightmost-tie) minimum
+    sm = F.transform(
+        F.col("me"),
+        lambda x, i: F.array_max(
+            F.slice(
+                F.col("me"),
+                i + 1,
+                F.least(F.lit(w), F.size(F.col("me")) - i),
+            )
+        ),
+    )
+    return d3.select(
+        "doc_id",
+        F.size("hs").cast("bigint").alias("n_grams"),
+        "hs",
+        "keys",
+        sm.alias("sm"),
+    )
+
+
+def winnow_fingerprints(
+    documents: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Selected winnowing fingerprints as rows (doc_id, pos, h);
+    pos is the 1-based gram position. May repeat h within a doc
+    (same gram selected at two positions) — distinct on (doc_id, h)
+    for set semantics."""
+    d = _winnow_arrays(documents, k, w, text_col, id_col)
+    sel = F.filter(
+        F.zip_with(
+            F.col("keys"),
+            F.col("sm"),
+            lambda kk, s: F.when(kk == s, kk),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    # localCheckpoint BEFORE the explode: Generate pushdown emits a
+    # size()/isnotnull Filter whose predicate alias-substitutes the
+    # whole hs→keys→me→sm chain; inside that interpreted predicate
+    # each HOF lambda body re-evaluates its input array PER ELEMENT
+    # (me inside sm's lambda, keys inside me's...) — O(n³) per doc,
+    # hangs at 500 docs. Projection-level barriers don't help
+    # (predicates push through Repartition); severing lineage is the
+    # repo's established fix (graph.py edges/deg). Cost: the selected
+    # key arrays (~2/(w+1) of gram count × 8 B) hit executor-local
+    # disk once.
+    picked = d.select("doc_id", sel.alias("sel")).localCheckpoint(eager=False)
+    ex = picked.select("doc_id", F.explode("sel").alias("key"))
+    m = 1 << WINNOW_POS_BITS
+    return ex.select(
+        "doc_id",
+        (F.lit(m - 1) - F.pmod("key", F.lit(m))).cast("bigint").alias("pos"),
+        # exact decode: key < 2^54 would lose bits through a double
+        # division, so shift instead
+        F.shiftright(F.col("key"), WINNOW_POS_BITS).cast("bigint").alias("h"),
+    )
+
+
+def winnow_fp_set(
+    documents: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_grams, sel_h): the DISTINCT selected fingerprint
+    hashes per document as an array column — deduped map-side
+    (array_distinct), so consumers that explode it never need a
+    distinct shuffle."""
+    d = _winnow_arrays(documents, k, w, text_col, id_col)
+    sel_h = F.array_distinct(
+        F.filter(
+            F.zip_with(
+                F.col("hs"),
+                F.zip_with(F.col("keys"), F.col("sm"), lambda kk, s: kk == s),
+                lambda h, f: F.when(f, h),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return d.select("doc_id", "n_grams", sel_h.alias("sel_h"))
+
+
+def winnow_audit(
+    documents: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document fingerprint audit, fully map-side (no shuffle, no
+    explode): (doc_id, n_grams, n_fp, fp_xor, fp_sum, fp_min, fp_max)
+    over the DISTINCT selected hashes. The four folds pin the exact
+    fingerprint set content, so the oracle check is as strong as
+    comparing the exploded rows — at zero shuffle cost."""
+    d2 = winnow_fp_set(documents, k, w, text_col, id_col)
+    return d2.select(
+        "doc_id",
+        "n_grams",
+        F.size("sel_h").cast("bigint").alias("n_fp"),
+        F.aggregate(
+            "sel_h", F.lit(0).cast("long"), lambda a, x: a.bitwiseXOR(x)
+        ).alias("fp_xor"),
+        F.aggregate(
+            "sel_h", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("fp_sum"),
+        F.array_min("sel_h").alias("fp_min"),
+        F.array_max("sel_h").alias("fp_max"),
+    )

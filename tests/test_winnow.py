@@ -1,0 +1,154 @@
+"""Winnowing fingerprints (MOSS; Schleimer/Wilkerson/Aiken SIGMOD
+2003) — guarantee, consistency, overlap, and plan-shape tests.
+
+Reference parity note: the reference engine has no winnowing analog
+(pure extension per the training-pipeline mandate); semantics follow
+the published algorithm with rightmost-position tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mrgo_spark.operators import dedup, textstats
+from mrgo_spark.sources.tables import load_table
+
+K, W = 5, 4
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _fp_sets(spark, rows):
+    out = textstats.winnow_fp_set(_mkdocs(spark, rows)).collect()
+    return {r["doc_id"]: set(r["sel_h"]) for r in out}
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    # Any shared substring of canon length >= k + w - 1 (= 8) must
+    # yield at least one shared fingerprint — the winnowing guarantee.
+    shared = "zqxjkwvy"  # 8 canon chars, unlikely elsewhere
+    sets = _fp_sets(
+        spark,
+        [
+            (1, f"left padding {shared} and more alpha text here"),
+            (2, f"completely different body {shared} trailing words"),
+            (3, "no overlap with either document at all honestly"),
+        ],
+    )
+    assert sets[1] & sets[2], "guarantee violated: no shared fingerprint"
+    # doc 3 shares no 8-char canon substring with doc 1
+    assert not (sets[1] & sets[3]) or len(sets[1] & sets[3]) < len(
+        sets[1] & sets[2]
+    )
+
+
+def test_winnow_identical_docs_identical_sets(spark):
+    text = "The quick brown fox jumps over the lazy dog! " * 4
+    sets = _fp_sets(spark, [(1, text), (2, text.upper()), (3, text[:60])])
+    # case/punct squashing: upper-cased copy has the identical set
+    assert sets[1] == sets[2]
+    # a prefix's fingerprints are mostly contained in the full doc's
+    assert len(sets[3] & sets[1]) / len(sets[3]) >= 0.75
+
+
+def test_winnow_density(spark, sf_dir):
+    # Expected selected-position density ~ 2/(w+1) = 0.4; the distinct
+    # hash count per doc sits at or below it. Loose band.
+    docs = load_table(spark, sf_dir, "documents")
+    r = (
+        textstats.winnow_audit(docs)
+        .agg(
+            (F.sum("n_fp") / F.sum("n_grams")).alias("density"),
+            F.count("*").alias("n"),
+        )
+        .collect()[0]
+    )
+    assert r["n"] > 0
+    assert 0.15 < r["density"] < 0.45, r["density"]
+
+
+def test_winnow_fingerprints_rows_match_set(spark, sf_dir):
+    # The exploded rows form and the map-side set form agree exactly.
+    # (Compare driver-side: exploding the set WITHOUT the checkpoint
+    # barrier is itself the hazard the last test pins.)
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    rows = (
+        textstats.winnow_fingerprints(docs)
+        .select("doc_id", "h")
+        .distinct()
+        .collect()
+    )
+    from_rows = {}
+    for r in rows:
+        from_rows.setdefault(r["doc_id"], set()).add(r["h"])
+    from_set = {
+        r["doc_id"]: set(r["sel_h"])
+        for r in textstats.winnow_fp_set(docs).collect()
+    }
+    assert from_rows == from_set
+
+
+def test_winnow_fingerprints_positions_valid(spark):
+    text = "abcdefghijklmnopqrstuvwxyz" * 3
+    fp = textstats.winnow_fingerprints(
+        _mkdocs(spark, [(1, text)])
+    ).collect()
+    n_grams = len(text) - K + 1
+    assert all(1 <= r["pos"] <= n_grams for r in fp)
+    # every window of w consecutive gram positions contains a selection
+    sel_pos = sorted({r["pos"] for r in fp})
+    gaps = [b - a for a, b in zip(sel_pos, sel_pos[1:])]
+    assert max(gaps) <= W
+
+
+def test_winnow_overlap_verbatim_pair(spark):
+    base = (
+        "training corpora accumulate verbatim copies through mirrors "
+        "and scrapes and boilerplate expansions of the same source"
+    )
+    df = _mkdocs(
+        spark,
+        [
+            (1, base),
+            (2, base),  # verbatim copy
+            (3, "entirely unrelated text about cooking pasta at home"),
+        ],
+    )
+    pairs = dedup.winnow_overlap_pairs(df).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p["doc_a"], p["doc_b"]) == (1, 2)
+    assert p["containment"] == 1.0
+
+
+def test_winnow_overlap_df_cap_drops_ubiquitous(spark):
+    # A fingerprint present in every doc is dropped by the df cap, so
+    # 40 copies of the same text with max_df=32 yield no pairs through
+    # that hash alone — but pairs still surface via containment of the
+    # kept sets when max_df admits them.
+    rows = [(i, "shared boilerplate sentence occurring everywhere") for i in range(40)]
+    none = dedup.winnow_overlap_pairs(
+        spark.createDataFrame(rows, "doc_id long, text string"), max_df=32
+    )
+    assert none.count() == 0
+    some = dedup.winnow_overlap_pairs(
+        spark.createDataFrame(rows[:8], "doc_id long, text string"), max_df=32
+    )
+    assert some.count() == 8 * 7 // 2
+
+
+def test_winnow_explode_is_checkpoint_barriered(spark, sf_dir):
+    # Regression guard for the Generate-pushdown hazard: exploding the
+    # transform-computed selection array without severing lineage
+    # re-evaluates the whole winnowing chain per element (O(n^3) per
+    # doc — hangs at 500 docs). The barrier shows up as a checkpoint
+    # scan (ExistingRDD) feeding the Generate.
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    for df in (
+        textstats.winnow_fingerprints(docs),
+        dedup.winnow_overlap_pairs(docs),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in plan, plan[:2000]
