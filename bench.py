@@ -203,6 +203,10 @@ def main() -> None:
         "gopher_rules_audit",
         "kmeans_lloyd",
         "pagerank_order_part",
+        # round-4b: winnowing (MOSS) fingerprints — audit is map-side
+        # scan-bound; overlap rides the df-capped fingerprint join.
+        "winnow_fingerprint_audit",
+        "winnow_overlap_pairs",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there
@@ -217,6 +221,7 @@ def main() -> None:
         "dedup_pipeline_canonical",
         "corpus_prep",
         "dup_cluster_components",
+        "winnow_overlap_pairs",
     }
     for name in EXTRA:
         timed(name, lambda n=name: queries[n](spark, SF_DIR))

@@ -730,11 +730,16 @@ def winnow_overlap_pairs(
     the exact-dedup pass upstream owns that case).
 
     Shuffle budget: explode of the map-side-distinct per-doc set
-    (no distinct shuffle), ONE hash-partition by h that both the
-    document-frequency window and the self-join reuse (the join keys
-    equal the window partition key, and the second join side is a
-    ReusedExchange of the first), one pair aggregation, then two
-    driver-small joins to attach kept-set sizes AFTER the thresholds
+    (no distinct shuffle), one hash-partition by h for the
+    document-frequency window, then the kept rows are checkpointed
+    ONCE and fanned into the self-join (both sides) and the kept-set
+    size aggregation — without that second barrier the plan
+    recomputes the explode+window subtree four times (the three
+    consumers have differing projections, so Catalyst plans
+    independent subtrees and no exchange reuse applies — the same
+    no-reuse-across-projections class as the multi-grain and
+    semantic-dedup UNION findings). After the pair aggregation, two
+    driver-small joins attach kept-set sizes AFTER the thresholds
     have cut the pair set down."""
     from .textstats import winnow_fp_set
 
@@ -750,6 +755,7 @@ def winnow_overlap_pairs(
         fps.withColumn("df_h", F.count("*").over(wh))
         .filter(F.col("df_h") <= max_df)
         .select("doc_id", "h")
+        .localCheckpoint(eager=False)
     )
     nk = kept.groupBy("doc_id").agg(F.count("*").alias("n_kept"))
     a, b = kept.alias("a"), kept.alias("b")
