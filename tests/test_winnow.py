@@ -152,3 +152,66 @@ def test_winnow_explode_is_checkpoint_barriered(spark, sf_dir):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "ExistingRDD" in plan, plan[:2000]
+
+
+# ---------------------------------------------------- differential leg
+
+import hashlib
+import re as _re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _py_winnow(text: str, k: int = K, w: int = W):
+    """Pure-Python winnowing reference (third leg next to Spark and
+    the DuckDB oracle): returns (n_grams, selected-hash set) or None
+    for docs whose canon text is shorter than k."""
+    c = _re.sub(r"[^A-Za-z0-9]", "", text).lower()
+    n = len(c) - k + 1
+    if n < 1:
+        return None
+    m = 1 << textstats.WINNOW_POS_BITS
+    hs = [
+        int(hashlib.md5(c[j : j + k].encode()).hexdigest()[:8], 16)
+        for j in range(n)
+    ]
+    keys = [h * m + (m - 1 - (j + 1)) for j, h in enumerate(hs)]
+    me = [min(keys[max(0, j - w + 1) : j + 1]) for j in range(n)]
+    sm = [max(me[j : min(n, j + w)]) for j in range(n)]
+    sel = {hs[j] for j in range(n) if keys[j] == sm[j]}
+    return n, sel
+
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.characters(
+            codec="ascii", categories=["L", "N", "P", "Z"]
+        ),
+        max_size=80,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_texts)
+def test_winnow_matches_python_model(spark, texts):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], set(r["sel_h"]))
+        for r in textstats.winnow_fp_set(df).collect()
+    }
+    want = {
+        i: res
+        for i, t in enumerate(texts)
+        if (res := _py_winnow(t)) is not None
+    }
+    assert got == want
