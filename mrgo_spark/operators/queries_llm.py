@@ -1079,8 +1079,9 @@ _WINNOW_SEL_SQL = """
           SELECT doc_id, c, len(c) - 4 AS n,
                  unnest(generate_series(1, len(c) - 4)) AS j
           FROM (SELECT doc_id,
-                       lower(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
-                       AS c
+                       substr(lower(regexp_replace(text, '[^A-Za-z0-9]',
+                                                   '', 'g')),
+                              1, 4194303) AS c
                 FROM documents)
           WHERE len(c) >= 5
         )

@@ -363,8 +363,8 @@ def doc_fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
 #
 # Rightmost-min tie-break without ties: order key
 #   key = h * 2^22 + (2^22 - 1 - pos)
-# is unique per position (pos < 2^22: documents are capped at 4M
-# canon chars — enforce upstream at ingest for longer docs), so
+# is unique per position (pos < 2^22: canon text is hard-capped at
+# 2^22-1 chars in _winnow_arrays and in the oracle SQL), so
 # "min key" == "min hash, rightmost position".
 #
 # Shape (100 TB): the selection is computed entirely map-side with
@@ -388,7 +388,16 @@ def _winnow_arrays(
     the per-position selection threshold (max of window minima —
     position j is selected iff keys[j] == sm[j])."""
     m = 1 << WINNOW_POS_BITS
-    canon = F.lower(F.regexp_replace(F.col(text_col), "[^A-Za-z0-9]", ""))
+    # Hard-cap canon length at 2^22-1 chars so pos always fits its 22
+    # bits (beyond it the order key would wrap and corrupt the
+    # rightmost-min tie-break). Fingerprinting the first 4M canon
+    # chars of a pathological doc is the documented contract; the
+    # oracle SQL applies the same substr cap.
+    canon = F.substring(
+        F.lower(F.regexp_replace(F.col(text_col), "[^A-Za-z0-9]", "")),
+        1,
+        m - 1,
+    )
     base = (
         documents.select(F.col(id_col).alias("doc_id"), canon.alias("c"))
         .filter(F.length("c") >= k)
