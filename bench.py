@@ -207,6 +207,8 @@ def main() -> None:
         # scan-bound; overlap rides the df-capped fingerprint join.
         "winnow_fingerprint_audit",
         "winnow_overlap_pairs",
+        # md5-portable SRP LSH signatures (oracle-checked banding)
+        "srp_signatures",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there

@@ -1170,6 +1170,54 @@ def q_winnow_overlap(spark, sf_dir):
     return dedup.winnow_overlap_pairs(docs)
 
 
+@declare(
+    "srp_signatures",
+    """
+    WITH xq AS MATERIALIZED (
+      SELECT vec_id, i - 1 AS d,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS xq
+      FROM (SELECT vec_id, embedding,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)
+    ),
+    grid AS MATERIALIZED (
+      SELECT b.band, t.bit, d.d,
+             CASE WHEN CAST(concat('0x', substr(md5(
+                          CAST(b.band AS VARCHAR) || ':' ||
+                          CAST(t.bit AS VARCHAR) || ':' ||
+                          CAST(d.d AS VARCHAR)), 1, 1)) AS INTEGER)
+                       % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM (SELECT unnest(generate_series(0, 7)) AS band) b,
+           (SELECT unnest(generate_series(0, 15)) AS bit) t,
+           (SELECT unnest(generate_series(0, 63)) AS d) d
+    ),
+    proj AS MATERIALIZED (
+      SELECT x.vec_id, g.band, g.bit, sum(x.xq * g.s) AS p
+      FROM xq x JOIN grid g ON x.d = g.d
+      GROUP BY 1, 2, 3
+    )
+    SELECT vec_id, CAST(band AS INTEGER) AS band,
+           CAST(sum(CASE WHEN p > 0 THEN 1 << bit ELSE 0 END)
+                AS BIGINT) AS bucket
+    FROM proj GROUP BY 1, 2
+    """,
+)
+def q_srp_signatures(spark, sf_dir):
+    """X2/X3: banded signed-random-projection LSH signatures — the
+    non-quadratic semantic near-dup CANDIDATE GENERATOR, itself
+    oracle-checked row by row. The hyperplanes are md5-derived ±1
+    vectors (the winnowing portable-hash trick applied to SRP), the
+    projections exact fixed-point integer sums, so unlike the
+    xxhash64-seeded MinHash/LSH family the whole banding computation
+    hash-matches a DuckDB replay. 8 bands × 16 bits — the documented
+    100 TB semantic-dedup regime (SCALE.md); srp_near_pairs feeds
+    these buckets into the exact cosine verify + keep/drop fold."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.srp_signatures(emb, bands=8, bits=16, dim=64)
+
+
 # ------------------------------------------------- pipeline (splits etc.)
 
 @declare(

@@ -752,3 +752,137 @@ def topk_cosine_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+# ------------------------------------------- md5-portable SRP LSH
+
+def srp_grid(
+    spark,
+    bands: int = 8,
+    bits: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic signed-random-projection hyperplanes as a table:
+    (band, bit, d, s) with s ∈ {-1, +1} derived from
+    md5(band:bit:d) — the same engine-portable-hash trick as the
+    winnowing fingerprints, so an SQL oracle can regenerate the
+    EXACT planes. bands*bits*dim rows (8·16·64 = 8192) — broadcast
+    scale by construction."""
+    n = bands * bits * dim
+    base = spark.range(n).select(
+        (F.col("id") / (bits * dim)).cast("int").alias("band"),
+        ((F.col("id") / dim).cast("long") % bits).cast("int").alias("bit"),
+        (F.col("id") % dim).cast("int").alias("d"),
+    )
+    key = F.concat_ws(
+        ":",
+        F.col("band").cast("string"),
+        F.col("bit").cast("string"),
+        F.col("d").cast("string"),
+    )
+    s = F.when(
+        F.conv(F.substring(F.md5(key), 1, 1), 16, 10).cast("int") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return base.select("band", "bit", "d", s.cast("long").alias("s"))
+
+
+def srp_signatures(
+    embeddings: DataFrame,
+    bands: int = 8,
+    bits: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector banded SRP signatures (vec_id, band, bucket):
+    band b's bucket packs the sign bits of that band's ``bits``
+    hyperplane projections. Fully deterministic — fixed-point
+    quantized components (round(x·FX) bigint), md5-derived ±1 planes,
+    exact integer projections — so the whole signature computation is
+    oracle-checkable row by row, unlike the xxhash64-seeded MinHash
+    family.
+
+    Shape (100 TB): posexplode the RAW vector once (64 rows/vec),
+    map-side broadcast join against the 8192-row plane grid, ONE
+    partial-aggregated shuffle keyed (vec_id, band, bit) — the
+    8192-term per-vector fan exists only inside map-side combine —
+    then a second tiny agg packs bits per (vec_id, band). No
+    expression fans (the projection-collapse lesson), no Python."""
+    grid = srp_grid(embeddings.sparkSession, bands, bits, dim)
+    xq = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(vec_col).alias("d", "x"),
+    ).select(
+        "vec_id",
+        "d",
+        F.round(F.col("x").cast("double") * FX).cast("long").alias("xq"),
+    )
+    proj = (
+        xq.join(F.broadcast(grid), "d")
+        .groupBy("vec_id", "band", "bit")
+        .agg(F.sum(F.col("xq") * F.col("s")).alias("p"))
+    )
+    return (
+        proj.groupBy("vec_id", "band")
+        .agg(
+            F.sum(
+                F.when(F.col("p") > 0, F.expr("shiftleft(1L, bit)")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("bucket")
+        )
+        .select("vec_id", "band", F.col("bucket").cast("long").alias("bucket"))
+    )
+
+
+def srp_near_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.85,
+    bands: int = 8,
+    bits: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Non-quadratic near-duplicate pairs: SRP bucket collisions as
+    candidates, exact fixed-point cosine as the verify. Columns
+    (id_a, id_b, score), a<b, score > threshold. Candidate volume is
+    Σ_cells C(size, 2) — bucket-bounded, never all-pairs — and every
+    stage is deterministic, so the full pipeline (not just the
+    verify) carries a SQL oracle. Recall follows the SRP collision
+    curve (1-θ/π)^bits per band across ``bands`` bands — tuned for
+    the high-cosine regime (defaults: 8×16 at 0.85, the 100 TB
+    semantic-dedup setting in SCALE.md)."""
+    sig = srp_signatures(embeddings, bands, bits, dim, id_col, vec_col)
+    cand = (
+        sig.alias("sa")
+        .join(
+            sig.alias("sb"),
+            (F.col("sa.band") == F.col("sb.band"))
+            & (F.col("sa.bucket") == F.col("sb.bucket"))
+            & (F.col("sa.vec_id") < F.col("sb.vec_id")),
+        )
+        .select(
+            F.col("sa.vec_id").alias("id_a"),
+            F.col("sb.vec_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    vb = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine_fx(F.col("va"), F.col("vb")).alias("score"),
+        )
+        .filter(F.col("score") > threshold)
+        .select("id_a", "id_b", "score")
+    )

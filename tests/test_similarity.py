@@ -320,3 +320,83 @@ def test_kmeans_lloyd_matches_numpy_replay(spark):
             cents[cid] = [x // n for x in s]
     expect = {i: (cid, d) for i, (cid, d) in a.items()}
     assert got == expect
+
+
+# ------------------------------------------- md5-portable SRP LSH
+
+
+def _srp_corpus(spark, n_base=60, n_dup=12, seed=7):
+    """Random unit-ish 64-dim vectors; the last n_dup are exact copies
+    of the first n_dup (cos = 1 — SRP buckets collide in EVERY band,
+    so recall on them is deterministic, not probabilistic), plus
+    n_dup lightly-noised copies (cos ≈ 0.999)."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    base = [
+        [rng.gauss(0, 1) for _ in range(64)] for _ in range(n_base)
+    ]
+    for i, v in enumerate(base):
+        rows.append((i, v))
+    for i in range(n_dup):  # exact copies
+        rows.append((1000 + i, list(base[i])))
+    for i in range(n_dup):  # tiny-noise copies
+        rows.append(
+            (2000 + i, [x + rng.gauss(0, 0.001) for x in base[i]])
+        )
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_srp_exact_copies_always_pair(spark):
+    emb = _srp_corpus(spark)
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.srp_near_pairs(emb, threshold=0.85).collect()
+    }
+    # exact copies collide in every band — guaranteed, not probabilistic
+    for i in range(12):
+        assert (i, 1000 + i) in got, f"exact copy pair {i} missed"
+
+
+def test_srp_recall_and_exactness_vs_bruteforce(spark):
+    emb = _srp_corpus(spark)
+    exact = {
+        (r.id_a, r.id_b): r.score
+        for r in similarity.near_pairs_cosine(emb, 0.85).collect()
+    }
+    srp = {
+        (r.id_a, r.id_b): r.score
+        for r in similarity.srp_near_pairs(emb, threshold=0.85).collect()
+    }
+    # verify step guarantees subset-with-identical-scores
+    for pair, score in srp.items():
+        assert pair in exact
+        assert score == exact[pair]
+    recall = len(srp) / len(exact)
+    assert recall >= 0.8, f"recall {recall:.2f} ({len(srp)}/{len(exact)})"
+
+
+def test_srp_grid_is_balanced_and_deterministic(spark):
+    g1 = similarity.srp_grid(spark).collect()
+    assert len(g1) == 8 * 16 * 64
+    vals = {r.s for r in g1}
+    assert vals == {-1, 1}
+    pos = sum(1 for r in g1 if r.s == 1)
+    # md5-derived signs should be near-balanced
+    assert 0.4 < pos / len(g1) < 0.6
+    g2 = {(r.band, r.bit, r.d): r.s for r in similarity.srp_grid(spark).collect()}
+    assert g2 == {(r.band, r.bit, r.d): r.s for r in g1}
+
+
+def test_srp_signature_shape(spark):
+    emb = load_table(spark, SF, "embeddings").limit(50)
+    sig = similarity.srp_signatures(emb).collect()
+    by_vec = {}
+    for r in sig:
+        by_vec.setdefault(r.vec_id, []).append(r)
+        assert 0 <= r.band < 8
+        assert 0 <= r.bucket < (1 << 16)
+    assert all(len(v) == 8 for v in by_vec.values())
