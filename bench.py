@@ -224,6 +224,7 @@ def main() -> None:
         "corpus_prep",
         "dup_cluster_components",
         "winnow_overlap_pairs",
+        "srp_signatures",
     }
     for name in EXTRA:
         timed(name, lambda n=name: queries[n](spark, SF_DIR))
