@@ -101,6 +101,15 @@ PRIORITY = [
     "events_tumbling_hour", "hypertable_rollup",
 ]
 
+# Round-4b placement decision (conscious, per the zero-sum rule
+# above): the three new oracle entries — winnow_fingerprint_audit,
+# winnow_overlap_pairs, srp_signatures — stay OUTSIDE the 50-slot
+# window. Every family they strengthen (X2 near-dup, X4 fingerprints,
+# X3 embeddings) already holds multiple green in-window reps, so a
+# swap would trade a driver-proven green row for a first-round entry
+# purely to re-demonstrate a covered family; outside the window they
+# are still driver_sim-checked and /verify-gated every session.
+
 
 def _reorder(d: dict) -> dict:
     head = {n: d[n] for n in PRIORITY if n in d}

@@ -38,10 +38,12 @@ def test_winnow_guarantee_shared_substring(spark):
         ],
     )
     assert sets[1] & sets[2], "guarantee violated: no shared fingerprint"
-    # doc 3 shares no 8-char canon substring with doc 1
-    assert not (sets[1] & sets[3]) or len(sets[1] & sets[3]) < len(
-        sets[1] & sets[2]
-    )
+    # The no-overlap direction is NOT guaranteed in general (any
+    # shared 5-gram can surface in both selections), but for THESE
+    # fixed texts the intersection is empty and everything here is
+    # deterministic (md5, fixed w/k) — so pin it strictly; it can
+    # never flake, only catch a real selection/hashing regression.
+    assert not (sets[1] & sets[3])
 
 
 def test_winnow_identical_docs_identical_sets(spark):
