@@ -1170,10 +1170,13 @@ def q_winnow_overlap(spark, sf_dir):
     return dedup.winnow_overlap_pairs(docs)
 
 
-@declare(
-    "srp_signatures",
-    """
-    WITH xq AS MATERIALIZED (
+def _srp_sig_sql(bands: int, bits: int) -> str:
+    """CTE block reproducing similarity.srp_signatures(bands, bits)
+    exactly: fixed-point components, md5(band:bit:d)-derived ±1
+    planes, integer projections, bit-packed buckets. Ends with a
+    ``sig(vec_id, band, bucket)`` CTE."""
+    return f"""
+    xq AS MATERIALIZED (
       SELECT vec_id, i - 1 AS d,
              CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0)
                   AS BIGINT) AS xq
@@ -1189,19 +1192,29 @@ def q_winnow_overlap(spark, sf_dir):
                           CAST(d.d AS VARCHAR)), 1, 1)) AS INTEGER)
                        % 2 = 0
                   THEN 1 ELSE -1 END AS s
-      FROM (SELECT unnest(generate_series(0, 7)) AS band) b,
-           (SELECT unnest(generate_series(0, 15)) AS bit) t,
+      FROM (SELECT unnest(generate_series(0, {bands - 1})) AS band) b,
+           (SELECT unnest(generate_series(0, {bits - 1})) AS bit) t,
            (SELECT unnest(generate_series(0, 63)) AS d) d
     ),
     proj AS MATERIALIZED (
       SELECT x.vec_id, g.band, g.bit, sum(x.xq * g.s) AS p
       FROM xq x JOIN grid g ON x.d = g.d
       GROUP BY 1, 2, 3
+    ),
+    sig AS MATERIALIZED (
+      SELECT vec_id, CAST(band AS INTEGER) AS band,
+             CAST(sum(CASE WHEN p > 0 THEN 1 << bit ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM proj GROUP BY 1, 2
     )
-    SELECT vec_id, CAST(band AS INTEGER) AS band,
-           CAST(sum(CASE WHEN p > 0 THEN 1 << bit ELSE 0 END)
-                AS BIGINT) AS bucket
-    FROM proj GROUP BY 1, 2
+    """
+
+
+@declare(
+    "srp_signatures",
+    f"""
+    WITH {_srp_sig_sql(8, 16)}
+    SELECT vec_id, band, bucket FROM sig
     """,
 )
 def q_srp_signatures(spark, sf_dir):
@@ -1216,6 +1229,62 @@ def q_srp_signatures(spark, sf_dir):
     these buckets into the exact cosine verify + keep/drop fold."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.srp_signatures(emb, bands=8, bits=16, dim=64)
+
+
+@declare(
+    "semantic_dedup_srp",
+    f"""
+    WITH {_FX_NORMS_SQL},
+    {_srp_sig_sql(8, 8)},
+    cand AS MATERIALIZED (
+      SELECT DISTINCT sa.vec_id AS id_a, sb.vec_id AS id_b
+      FROM sig sa JOIN sig sb
+        ON sa.band = sb.band AND sa.bucket = sb.bucket
+       AND sa.vec_id < sb.vec_id
+    ),
+    pairs AS MATERIALIZED (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN norms a ON a.vec_id = id_a
+      JOIN norms b ON b.vec_id = id_b
+      WHERE {_FX_DOT_SQL} / (sqrt(a.norm_fx) * sqrt(b.norm_fx)) > 0.4
+    ),
+    membership AS (
+        SELECT id, count(*) AS n_near FROM (
+            SELECT id_a AS id FROM pairs
+            UNION ALL
+            SELECT id_b AS id FROM pairs
+        ) GROUP BY id
+    ),
+    dropped AS (SELECT DISTINCT id_b AS id FROM pairs)
+    SELECT d.doc_id, d.lang,
+           COALESCE(m.n_near, 0) AS n_near,
+           (dr.id IS NULL) AS kept
+    FROM documents d
+    LEFT JOIN membership m ON m.id = d.doc_id
+    LEFT JOIN dropped dr ON dr.id = d.doc_id
+    """,
+)
+def q_semantic_dedup_srp(spark, sf_dir):
+    """X2: the semantic-dedup scale path END-TO-END with an oracle —
+    SRP bucket collisions generate candidates (never all-pairs), the
+    exact fixed-point cosine verifies them, the shared min-id
+    keep/drop fold decides. Unlike semantic_dedup (bounded O(n²)
+    subset) this runs the FULL corpus, and unlike semantic_dedup_lsh
+    (xxhash64 MinHash candidates, rows-only) every stage is
+    deterministic, so the whole pipeline hash-matches the DuckDB
+    replay. Gate banding is 8 bands × 8 bits at threshold 0.4 — the
+    permissive setting the near-orthogonal fixture needs to surface
+    candidates at cos ~0.4 (14 verified pairs at sf0.01; ~24% recall
+    of the exact 0.4-pairs, the documented banding trade-off at low
+    thresholds); the 100 TB regime stays 8×16 at cos 0.85
+    (srp_signatures, SCALE.md)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = similarity.srp_near_pairs(
+        emb, threshold=0.4, bands=8, bits=8
+    ).select("id_a", "id_b")
+    return _semantic_keep_drop(docs, pairs)
 
 
 # ------------------------------------------------- pipeline (splits etc.)

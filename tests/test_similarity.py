@@ -400,3 +400,25 @@ def test_srp_signature_shape(spark):
         assert 0 <= r.band < 8
         assert 0 <= r.bucket < (1 << 16)
     assert all(len(v) == 8 for v in by_vec.values())
+
+
+def test_semantic_dedup_srp_fold_consistent(spark):
+    from mrgo_spark.registry import load as reg_load
+
+    sf = SF
+    emb = load_table(spark, sf, "embeddings")
+    q, _ = reg_load()
+    out = {r.doc_id: r for r in q["semantic_dedup_srp"](spark, sf).collect()}
+    srp_pairs = similarity.srp_near_pairs(
+        emb, threshold=0.4, bands=8, bits=8
+    ).collect()
+    exact_drop = {
+        r.id_b
+        for r in similarity.near_pairs_cosine(emb, 0.4).collect()
+    }
+    srp_drop = {r.id_b for r in srp_pairs}
+    # the fold drops exactly the larger ids of the SRP-verified pairs
+    assert {d for d, r in out.items() if not r.kept} == srp_drop
+    # and every SRP drop is also an exact-cosine drop (verify step
+    # guarantees candidates are a subset of the true pair set)
+    assert srp_drop <= exact_drop
