@@ -209,6 +209,7 @@ def main() -> None:
         "winnow_overlap_pairs",
         # md5-portable SRP LSH signatures (oracle-checked banding)
         "srp_signatures",
+        "semantic_dedup_srp",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there
@@ -225,6 +226,7 @@ def main() -> None:
         "dup_cluster_components",
         "winnow_overlap_pairs",
         "srp_signatures",
+        "semantic_dedup_srp",
     }
     for name in EXTRA:
         timed(name, lambda n=name: queries[n](spark, SF_DIR))
