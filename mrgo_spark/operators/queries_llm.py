@@ -1227,7 +1227,7 @@ def q_srp_signatures(spark, sf_dir):
     hash-matches a DuckDB replay. 8 bands × 16 bits — the documented
     100 TB semantic-dedup regime (SCALE.md); srp_near_pairs feeds
     these buckets into the exact cosine verify + keep/drop fold."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
     return similarity.srp_signatures(emb, bands=8, bits=16, dim=64)
 
 
@@ -1279,7 +1279,7 @@ def q_semantic_dedup_srp(spark, sf_dir):
     of the exact 0.4-pairs, the documented banding trade-off at low
     thresholds); the 100 TB regime stays 8×16 at cos 0.85
     (srp_signatures, SCALE.md)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
     docs = load_table(spark, sf_dir, "documents")
     pairs = similarity.srp_near_pairs(
         emb, threshold=0.4, bands=8, bits=8

@@ -868,12 +868,34 @@ def srp_near_pairs(
             F.col("sb.vec_id").alias("id_b"),
         )
         .distinct()
+        # Explicit width for the verify stage: the candidate rows are
+        # bytes-tiny, so AQE coalesces them to ONE partition — but the
+        # per-row work (a 64-element fixed-point dot; HOF exprs are
+        # interpreted, not codegen'd) is what needs spreading. An
+        # explicit repartition is exempt from AQE coalescing.
+        .repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
     )
-    va = embeddings.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    # Norms precomputed once per VECTOR below the join (the
+    # topk_cosine shape) — cosine_fx on the joined pair would
+    # re-derive both 64-element norm folds per CANDIDATE, tripling
+    # the verify's dominant cost (measured 3x at sf0.1 with the
+    # permissive bits=8 gate banding). Same expression order as the
+    # oracle (sqrt per side, then multiply), so scores stay
+    # bit-identical.
+    vecs = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(_fx_dot(F.col(vec_col), F.col(vec_col))).alias("nrm"),
     )
-    vb = embeddings.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    va = vecs.select(
+        F.col("vid").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    vb = vecs.select(
+        F.col("vid").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
     return (
         cand.join(va, "id_a")
@@ -881,7 +903,10 @@ def srp_near_pairs(
         .select(
             "id_a",
             "id_b",
-            cosine_fx(F.col("va"), F.col("vb")).alias("score"),
+            (
+                _fx_dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("score"),
         )
         .filter(F.col("score") > threshold)
         .select("id_a", "id_b", "score")
