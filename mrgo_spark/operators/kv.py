@@ -351,7 +351,9 @@ def schedule_groups(schedule=None) -> list[tuple[str, object, list[int]]]:
     """Resolve the schedule into (op, arg, live-group-set) triples."""
     live: set[int] = set()
     out = []
-    for op, arg in schedule or REBALANCE_SCHEDULE:
+    if schedule is None:  # `or` would silently upgrade an explicit []
+        schedule = REBALANCE_SCHEDULE
+    for op, arg in schedule:
         if op == "join":
             live |= set(arg)
         elif op == "leave":

@@ -170,7 +170,8 @@ def _rebalance_oracle_sql() -> str:
     the Catalyst DeduplicateRelations blowup the Spark side
     localCheckpoints away)."""
     parts = [
-        "WITH c0 AS MATERIALIZED (SELECT unnest(generate_series(0, 9)) AS shard, 0 AS gid)"
+        "WITH c0 AS MATERIALIZED (SELECT unnest(generate_series(0, "
+        f"{kv.NSHARDS - 1})) AS shard, 0 AS gid)"
     ]
     prev = "c0"
     for i, (op, arg, live) in enumerate(kv.schedule_groups(), start=1):
@@ -183,7 +184,7 @@ def _rebalance_oracle_sql() -> str:
             )
         else:
             g = sorted(live)
-            base, extra = divmod(10, len(g))
+            base, extra = divmod(kv.NSHARDS, len(g))
             vals = ", ".join(f"({gid})" for gid in g)
             in_list = ", ".join(str(gid) for gid in g)
             parts.append(

@@ -1477,10 +1477,20 @@ def q_topk_ivf(spark, sf_dir):
     if idx is not None:
         try:
             return idx.query(queries, k=5, n_probe=6)
-        except Exception:
+        except Exception as e:
             # cached index path died (e.g. /tmp reaped mid-session):
             # drop the stale entry and rebuild below instead of
-            # failing the declared entry with no recovery path.
+            # failing the declared entry with no recovery path. Log
+            # the swallowed error — if the cause is NOT a dead path,
+            # the rebuild will fail the same way and only the second
+            # error would surface, so keep the first one visible.
+            import sys
+
+            print(
+                f"topk_cosine_ivf: cached index query failed "
+                f"({type(e).__name__}: {e}); rebuilding",
+                file=sys.stderr,
+            )
             _IVF_CACHE.pop(key, None)
     idx = similarity.IVFIndex.build(emb, _ivf_tmpdir())
     _IVF_CACHE[key] = idx
@@ -1872,7 +1882,8 @@ def q_corpus_shuffle(spark, sf_dir):
     )
     SELECT doc_id,
            CAST(len(words) AS INT) AS n_words,
-           CAST(list_aggregate(list_transform(words, x -> length(x)), 'sum')
+           CAST(coalesce(list_aggregate(list_transform(words,
+                    x -> length(x)), 'sum'), 0)
                 AS DOUBLE) / greatest(len(words), 1) AS mean_word_len,
            CAST(len(list_distinct(list_filter(words,
                x -> x IN ('the','be','to','of','and','that','have','with')
@@ -1882,8 +1893,9 @@ def q_corpus_shuffle(spark, sf_dir):
            CAST(n_hash + n_ell AS DOUBLE) / greatest(len(words), 1)
                AS symbol_word_ratio,
            CAST(len(words) BETWEEN 50 AND 100000
-                AND (CAST(list_aggregate(list_transform(words, x -> length(x)),
-                     'sum') AS DOUBLE) / greatest(len(words), 1))
+                AND (CAST(coalesce(list_aggregate(list_transform(words,
+                         x -> length(x)), 'sum'), 0)
+                      AS DOUBLE) / greatest(len(words), 1))
                     BETWEEN 3.0 AND 10.0
                 AND CAST(n_hash + n_ell AS DOUBLE) / greatest(len(words), 1)
                     <= 0.1

@@ -379,8 +379,11 @@ def kmeans_lloyd(
 
     Determinism recipe: quantize q_d = round(x_d·KM_FX) as bigint;
     distances are exact integer Σ(q_d−c_d)²; assignment tie-breaks
-    on (dist², cid); centroid update is Python floor division
-    (== DuckDB ``//``) of exact integer sums; seeds are the k
+    on (dist², cid); centroid update is Python floor division of
+    exact integer sums — NOT DuckDB ``//``, which truncates toward
+    zero and disagrees on the negative sums centroids routinely have
+    (the oracle uses the positive-mod floor form, CLAUDE.md gotcha);
+    seeds are the k
     smallest ids in id order; empty clusters keep their previous
     centroid. Every step is reproducible bit-for-bit in SQL, so the
     DuckDB oracle re-runs the whole 3-iteration fold.

@@ -74,7 +74,11 @@ def main() -> None:
             "vec_id", F.col("vec_id") + F.lit(i * 10_000_000).cast("long")
         )
         if i:
-            rot = i % 8 + 1
+            # distinct rotation per copy (i <= 63): "i % 8 + 1" made
+            # copies 1 and 9 identical at K=10, planting a verbatim
+            # duplicate of a whole corpus copy — exactly the artifact
+            # this rotation exists to avoid (review finding r4b)
+            rot = i
             p = p.withColumn(
                 dim_col,
                 F.concat(

@@ -290,8 +290,14 @@ def test_kmeans_lloyd_matches_numpy_replay(spark):
         for r in similarity.kmeans_lloyd(emb, k=8, iters=3).collect()
     }
 
+    # Half-away-from-zero like Spark's F.round / DuckDB round —
+    # Python's round() is banker's (half-to-even) and disagrees on
+    # exact .5 boundaries (e.g. x = 0.03125 -> 312.5).
+    def _rnd(v: float) -> int:
+        return int(math.copysign(math.floor(abs(v) + 0.5), v))
+
     rows = sorted(
-        (r.vec_id, [round(float(x) * similarity.KM_FX) for x in r.embedding])
+        (r.vec_id, [_rnd(float(x) * similarity.KM_FX) for x in r.embedding])
         for r in emb.collect()
     )
     ids = [i for i, _ in rows]
