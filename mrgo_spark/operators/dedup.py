@@ -787,3 +787,212 @@ def winnow_overlap_pairs(
         )
     )
     return scored.filter(F.col("containment") >= min_containment)
+
+
+# ------------------------------------------- exact substring dedup
+
+# Exact-substring deduplication (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better": any token span of
+# length >= k that appears more than once in the corpus is marked /
+# removed). The suffix-array the paper uses is a single-node
+# structure; the distributed re-expression is rolling k-token grams:
+# a duplicated span of length L >= k contains exactly L-k+1
+# duplicated k-grams, so marking every position whose k-gram repeats
+# corpus-wide and merging overlapping marks recovers precisely the
+# maximal duplicated spans (for spans of length >= k).
+#
+# Portable hashing: h = first 12 hex chars of md5(gram text) as a
+# 48-bit bigint (the repo's md5-stable recipe), so every stage is
+# oracle-checkable in DuckDB. 48 bits keeps the shuffle key at 8
+# bytes; a production 100 TB run would widen to the full 128-bit
+# digest (two longs) to push expected collisions below 1 — the
+# operator's shape is unchanged by that swap.
+#
+# Scale shape: one explode (linear in corpus tokens), one map-side
+# partially-aggregated count by hash, one equi-join on the 8-byte
+# hash, one per-doc window for span merge. No all-pairs anywhere.
+
+EXSUB_K = 10
+
+
+def token_gram_rows(
+    df: DataFrame,
+    k: int = EXSUB_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_toks, pos, h): one row per token k-gram; ``pos`` is
+    the 1-based token index of the gram start, ``h`` the 48-bit
+    md5-derived gram hash.
+
+    Gram hashes are built map-side over the token array (each derived
+    array in its own select), then localCheckpoint'd BEFORE the
+    explode — the Generate-pushdown hazard: the pushed
+    size()/isnotnull predicate would otherwise alias-inline the
+    transform chain and re-evaluate the O(k) slice-and-hash per
+    element (textstats.winnow_fingerprints has the full writeup).
+
+    The ``n_toks >= k`` filter is semantically required on the Spark
+    side: F.sequence(1, n-k+1) DESCENDS when n-k+1 < 1 (it would
+    emit grams [1, 0, ...] for short docs).
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        ascii_tokens(text_col, lowercase=True).alias("toks"),
+    )
+    base = base.select(
+        "doc_id", "toks", F.size("toks").cast("bigint").alias("n_toks")
+    ).filter(F.col("n_toks") >= k)
+    hs = F.transform(
+        F.sequence(F.lit(1), (F.col("n_toks") - (k - 1)).cast("int")),
+        lambda j: F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice(F.col("toks"), j, k))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    d1 = base.select("doc_id", "n_toks", hs.alias("hs")).localCheckpoint(
+        eager=False
+    )
+    ex = d1.select(
+        "doc_id", "n_toks", F.posexplode("hs").alias("pos0", "h")
+    )
+    return ex.select(
+        "doc_id",
+        "n_toks",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        "h",
+    )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    k: int = EXSUB_K,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated token spans: (doc_id, span_start, span_end,
+    span_len), token positions 1-based inclusive.
+
+    A position's k-gram is "duplicated" when its hash occurs
+    ``min_count``+ times corpus-wide (within- and cross-document
+    repeats both count, as in the paper's self-similar case).
+    Overlapping/adjacent marked grams merge: gram starts p, q overlap
+    iff q - p <= k, so islands break where the gap exceeds k — the
+    equal-interval special case of gaps-and-islands.
+    """
+    g = token_gram_rows(df, k, text_col, id_col)
+    dup = (
+        g.groupBy("h")
+        .agg(F.count("*").alias("g_cnt"))
+        .filter(F.col("g_cnt") >= min_count)
+    )
+    hits = g.join(dup.select("h"), "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    isl = hits.withColumn(
+        "_new",
+        F.when(prev.isNull() | ((F.col("pos") - prev) > k), 1).otherwise(0),
+    ).withColumn("island", F.sum("_new").over(w))
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (k - 1)).alias("span_end"),
+    )
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        (F.col("span_end") - F.col("span_start") + 1)
+        .cast("bigint")
+        .alias("span_len"),
+    )
+
+
+def exact_substring_audit(
+    df: DataFrame,
+    k: int = EXSUB_K,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplication audit over exact_substring_spans:
+    (doc_id, n_tokens, n_spans, dup_tokens) for EVERY document
+    (clean and sub-k docs carry zeros) — the budgeting view a
+    pipeline filters/weighs on before scrubbing."""
+    toks_df = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(ascii_tokens(text_col, lowercase=True))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    agg = (
+        exact_substring_spans(df, k, min_count, text_col, id_col)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum("span_len").alias("dup_tokens"),
+        )
+    )
+    return toks_df.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+    )
+
+
+def exact_substring_scrub(
+    df: DataFrame,
+    k: int = EXSUB_K,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scrubbed corpus: every token covered by a duplicated span is
+    dropped (ALL occurrences — the conservative removal policy; a
+    keep-first-copy policy needs a canonical-occurrence choice and is
+    deliberately out of scope). Output (doc_id, n_tokens,
+    kept_tokens, scrub_text) for every document; fully-covered docs
+    keep scrub_text = ''.
+
+    The token re-assembly sorts (pos, tok) structs inside the
+    aggregate — per-doc, array-local — instead of a global orderBy.
+    """
+    spans = exact_substring_spans(df, k, min_count, text_col, id_col)
+    covered = spans.select(
+        "doc_id", F.explode(F.sequence("span_start", "span_end")).alias("pos")
+    )
+    # All tokens (no >= k filter here: sub-k docs scrub to themselves).
+    # localCheckpoint before the explode: ascii_tokens is a
+    # split+filter HOF chain and the pushed Generate predicate would
+    # re-run it per element (same hazard class as token_gram_rows).
+    tl = df.select(
+        F.col(id_col).alias("doc_id"),
+        ascii_tokens(text_col, lowercase=True).alias("toks"),
+    ).localCheckpoint(eager=False)
+    toks = tl.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok")
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("scrub_text"),
+        F.count("*").alias("kept_tokens"),
+    )
+    base = tl.select(
+        "doc_id", F.size("toks").cast("bigint").alias("n_tokens")
+    )
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
+        F.coalesce("scrub_text", F.lit("")).alias("scrub_text"),
+    )

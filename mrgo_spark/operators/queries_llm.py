@@ -1983,3 +1983,145 @@ def q_kmeans_lloyd(spark, sf_dir):
     the driver hash-checks an iterative ML algorithm, not just one
     pass. Output: final (vec_id, cid, dist2) assignment."""
     return similarity.kmeans_lloyd(load_table(spark, sf_dir, "embeddings"))
+
+
+def _exsub_sql(k: int, body: str) -> str:
+    """CTE block reproducing dedup.token_gram_rows/exact_substring_
+    spans exactly in DuckDB: lowercase ASCII-letter tokens, rolling
+    k-token grams hashed to 48-bit md5 prefixes, corpus-wide count >=
+    2, gaps-and-islands span merge. ``body`` is the final SELECT.
+    MATERIALIZED per the repo's multiply-read-CTE rule (tl/toks/spans
+    are each read by two consumers in the audit/scrub forms)."""
+    return f"""
+    WITH tl AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split(lower(regexp_replace(
+                 text, '[^a-z]+', ' ', 'g')), ' '), x -> x <> '') AS l
+      FROM documents
+    ),
+    toks AS MATERIALIZED (
+      SELECT doc_id, len(l) AS n_toks,
+             unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS pos
+      FROM tl WHERE len(l) >= {k}
+    ),
+    grams AS MATERIALIZED (
+      SELECT doc_id, n_toks, pos,
+             CAST(concat('0x', substr(md5(gram), 1, 12)) AS BIGINT) AS h
+      FROM (
+        SELECT doc_id, n_toks, pos,
+               count(*) OVER w AS cnt,
+               string_agg(tok, ' ') OVER w AS gram
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND {k - 1} FOLLOWING)
+      ) WHERE cnt = {k}
+    ),
+    dup AS MATERIALIZED (
+      SELECT h FROM grams GROUP BY h HAVING count(*) >= 2
+    ),
+    hits AS MATERIALIZED (
+      SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)
+    ),
+    isl AS MATERIALIZED (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev IS NULL OR pos - prev > {k}
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM hits)
+    ),
+    spans AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(min(pos) AS BIGINT) AS span_start,
+             CAST(max(pos) + {k - 1} AS BIGINT) AS span_end,
+             CAST(max(pos) + {k - 1} - min(pos) + 1 AS BIGINT) AS span_len
+      FROM isl GROUP BY doc_id, island
+    )
+    {body}
+    """
+
+
+_EXSUB_K = dedup.EXSUB_K
+
+
+@declare(
+    "exact_substring_spans",
+    _exsub_sql(
+        _EXSUB_K,
+        "SELECT doc_id, span_start, span_end, span_len FROM spans",
+    ),
+)
+def q_exact_substring_spans(spark, sf_dir):
+    """X2 extension: exact-substring duplication spans (Lee et al.
+    2021's suffix-array dedup re-expressed as rolling k-token grams —
+    a span of length L >= k duplicates iff all its L-k+1 k-grams
+    repeat corpus-wide). The fixture corpus has real planted shared
+    passages, so this runs on the raw table (no synthetic dup
+    corpus). One explode + one hash-count + one 8-byte-key join +
+    one per-doc window: no all-pairs stage anywhere."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    return dedup.exact_substring_spans(docs, k=_EXSUB_K)
+
+
+@declare(
+    "exact_substring_audit",
+    _exsub_sql(
+        _EXSUB_K,
+        """
+        SELECT t.doc_id, t.n_tokens,
+               CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(coalesce(s.dup_tokens, 0) AS BIGINT) AS dup_tokens
+        FROM (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens FROM tl) t
+        LEFT JOIN (SELECT doc_id, count(*) AS n_spans,
+                          sum(span_len) AS dup_tokens
+                   FROM spans GROUP BY doc_id) s
+        USING (doc_id)
+        """,
+    ),
+)
+def q_exact_substring_audit(spark, sf_dir):
+    """X2 extension: per-document exact-substring duplication budget
+    (n_tokens, n_spans, dup_tokens for EVERY doc) — what a pipeline
+    thresholds on before scrubbing."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    return dedup.exact_substring_audit(docs, k=_EXSUB_K)
+
+
+@declare(
+    "exact_substring_scrub",
+    _exsub_sql(
+        _EXSUB_K,
+        """
+        , toks_all AS MATERIALIZED (
+          SELECT doc_id, unnest(l) AS tok,
+                 unnest(range(1, len(l) + 1)) AS pos
+          FROM tl
+        ),
+        covered AS (
+          SELECT doc_id, unnest(range(span_start, span_end + 1)) AS pos
+          FROM spans
+        ),
+        kept AS (
+          SELECT t.doc_id, t.pos, t.tok FROM toks_all t
+          ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        ),
+        rebuilt AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS scrub_text,
+                 count(*) AS kept_tokens
+          FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id, CAST(len(t.l) AS BIGINT) AS n_tokens,
+               CAST(coalesce(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+               coalesce(r.scrub_text, '') AS scrub_text
+        FROM tl t LEFT JOIN rebuilt r USING (doc_id)
+        """,
+    ),
+)
+def q_exact_substring_scrub(spark, sf_dir):
+    """X2 extension: the scrubbed corpus — every token covered by a
+    duplicated span dropped (all occurrences; conservative policy),
+    text rebuilt per doc with an array-local sort, no global
+    orderBy. Full-content oracle check of the cleaned text."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    return dedup.exact_substring_scrub(docs, k=_EXSUB_K)
