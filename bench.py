@@ -210,6 +210,12 @@ def main() -> None:
         # md5-portable SRP LSH signatures (oracle-checked banding)
         "srp_signatures",
         "semantic_dedup_srp",
+        # round-4c: exact-substring dedup (gram explode + hash count
+        # + span merge) and PQ (train collects + map-only assignment)
+        "exact_substring_audit",
+        "exact_substring_scrub",
+        "pq_codes",
+        "pq_topk_adc",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there
@@ -227,6 +233,8 @@ def main() -> None:
         "winnow_overlap_pairs",
         "srp_signatures",
         "semantic_dedup_srp",
+        "exact_substring_scrub",
+        "pq_topk_adc",
     }
     for name in EXTRA:
         timed(name, lambda n=name: queries[n](spark, SF_DIR))

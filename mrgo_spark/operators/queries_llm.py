@@ -2125,3 +2125,112 @@ def q_exact_substring_scrub(spark, sf_dir):
     orderBy. Full-content oracle check of the cleaned text."""
     docs = widen_scan(load_table(spark, sf_dir, "documents"))
     return dedup.exact_substring_scrub(docs, k=_EXSUB_K)
+
+
+def _pq_cte(k: int = 16, m: int = 8, subdim: int = 8, iters: int = 2) -> str:
+    """Unrolled-SQL replay of similarity.pq_codes' per-subspace Lloyd
+    fold in long (vec_id, sub, spos, v) form — the kmeans_lloyd
+    oracle recipe with ``sub`` as an extra grouping column, so M
+    subspaces train in ONE pass per iteration. Exact integer math
+    end-to-end; floor-div updates use the positive-mod form (DuckDB
+    ``//`` truncates, Python floors; centroid sums go negative);
+    multiply-read CTEs MATERIALIZED."""
+    parts = [
+        f"""qv AS MATERIALIZED (
+        SELECT vec_id, u.pos AS pos, u.pos // {subdim} AS sub,
+               u.pos % {subdim} AS spos, u.v AS v FROM (
+            SELECT vec_id,
+                   unnest([{{'pos': i - 1,
+                             'v': CAST(round(CAST(embedding[i] AS DOUBLE)
+                                             * 10000) AS BIGINT)}}
+                           for i in generate_series(1, len(embedding))]) AS u
+            FROM embeddings)),
+    sids AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1
+                            AS INT) AS cid
+             FROM (SELECT DISTINCT vec_id FROM qv ORDER BY vec_id LIMIT {k})),
+    c0 AS MATERIALIZED (SELECT s.cid, q.sub, q.spos, q.v AS cv
+                        FROM sids s JOIN qv q USING (vec_id))"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""d{i} AS (
+        SELECT q.vec_id, q.sub, c.cid,
+               CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS dist2
+        FROM qv q JOIN c{i - 1} c ON q.sub = c.sub AND q.spos = c.spos
+        GROUP BY q.vec_id, q.sub, c.cid),
+    a{i} AS MATERIALIZED (
+        SELECT vec_id, sub, cid, dist2 FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                         ORDER BY dist2, cid) AS rn
+            FROM d{i}) WHERE rn = 1)"""
+        )
+        if i < iters:
+            parts.append(
+                f"""c{i} AS MATERIALIZED (
+        SELECT p.cid, p.sub, p.spos, coalesce(u.val, p.cv) AS cv
+        FROM c{i - 1} p LEFT JOIN (
+            SELECT a.sub, a.cid, q.spos,
+                   (CAST(sum(q.v) AS BIGINT)
+                    - ((CAST(sum(q.v) AS BIGINT) % count(*)) + count(*))
+                      % count(*)) // count(*) AS val
+            FROM a{i} a JOIN qv q ON a.vec_id = q.vec_id AND a.sub = q.sub
+            GROUP BY a.sub, a.cid, q.spos) u
+          ON p.sub = u.sub AND p.cid = u.cid AND p.spos = u.spos)"""
+            )
+    return "WITH " + ",\n    ".join(parts)
+
+
+@declare(
+    "pq_codes",
+    _pq_cte()
+    + """
+    SELECT vec_id,
+           CAST(sum(cid * (CAST(1 AS BIGINT) << (4 * sub))) AS BIGINT)
+             AS code,
+           CAST(sum(dist2) AS BIGINT) AS qerr
+    FROM a2 GROUP BY vec_id
+    """,
+)
+def q_pq_codes(spark, sf_dir):
+    """X3 extension: product quantization (Jégou et al. TPAMI 2011)
+    code assignment — each 64-dim vector compressed to eight 4-bit
+    subspace codes packed in one 32-bit word (64× memory cut), plus
+    the exact integer reconstruction error. Codebooks are trained
+    with the seeded fixed-point per-subspace Lloyd fold, so the WHOLE
+    train+assign pipeline replays bit-for-bit in the oracle.
+    Assignment itself is map-only (codebooks ride as literals)."""
+    return similarity.pq_codes(load_table(spark, sf_dir, "embeddings"))
+
+
+@declare(
+    "pq_topk_adc",
+    _pq_cte()
+    + """,
+    qids AS (SELECT vec_id FROM (SELECT DISTINCT vec_id FROM qv
+                                 ORDER BY vec_id LIMIT 8)),
+    lut AS MATERIALIZED (
+        SELECT q.vec_id AS query_id, c.sub, c.cid,
+               CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS d
+        FROM qv q JOIN qids t ON q.vec_id = t.vec_id
+        JOIN c1 c ON q.sub = c.sub AND q.spos = c.spos
+        GROUP BY 1, 2, 3),
+    scores AS (
+        SELECT l.query_id, a.vec_id AS neighbor_id,
+               CAST(sum(l.d) AS BIGINT) AS adc_dist2
+        FROM a2 a JOIN lut l ON a.sub = l.sub AND a.cid = l.cid
+        WHERE a.vec_id <> l.query_id
+        GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_dist2, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_dist2, neighbor_id) AS rn
+          FROM scores) WHERE rn <= 10
+    """,
+)
+def q_pq_topk_adc(spark, sf_dir):
+    """X3 extension: asymmetric-distance top-k over the PQ codes —
+    the query never touches raw corpus vectors; it scores codes
+    against a K×M integer lookup table (driver-built, literal in the
+    plan), map-only plus one top-k window. The compressed-scan ANN
+    path that complements IVF's pruned-scan path — and, because the
+    whole LUT is exact integers, a fully oracle-checked ANN ranking."""
+    return similarity.pq_topk_adc(load_table(spark, sf_dir, "embeddings"))

@@ -914,3 +914,208 @@ def srp_near_pairs(
         .filter(F.col("score") > threshold)
         .select("id_a", "id_b", "score")
     )
+
+
+# ---- Product quantization (PQ / ADC): the compressed-scan path ----------
+
+# Product quantization (Jégou, Douze, Schmid: "Product Quantization
+# for Nearest Neighbor Search", TPAMI 2011): split each vector into M
+# subvectors, learn a K-centroid codebook per subspace, store each
+# vector as M small codes (here 8 subspaces × 4-bit codes = one
+# 32-bit word — a 64× memory cut vs 64 float64 dims). Queries score
+# against codes with an Asymmetric Distance Computation lookup table
+# (K×M integers per query), never touching raw vectors.
+#
+# Determinism recipe is kmeans_lloyd's, applied per subspace in one
+# pass: KM_FX-quantized coords, exact integer distances, (dist2, cid)
+# tie-break, Python-floor-div centroid updates, seeds = the K
+# smallest ids. Every step replays bit-for-bit in SQL, so BOTH the
+# code assignment and the ADC top-k are oracle-checkable — unusual
+# for an ANN operator.
+#
+# Scale shape: training state is tiny (M×K×subdim longs) and rides
+# the plan as literals → assignment is MAP-ONLY (no join, no
+# shuffle); the per-iteration update shuffles M×K×subdim×partitions
+# partial-agg rows, not data; ADC scoring is map-only against a
+# literal LUT with a top-k window as the only data-sized shuffle.
+
+PQ_M = 8        # subspaces (M * PQ_SUBDIM = 64 = fixture dim)
+PQ_SUBDIM = 8   # dims per subspace
+PQ_K = 16       # centroids per subspace -> 4-bit codes
+PQ_ITERS = 2    # assignment rounds (updates = PQ_ITERS - 1)
+
+
+def _pq_quantized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            vec_col, lambda x: F.round(x.cast("double") * KM_FX).cast("long")
+        ).alias("qv"),
+    )
+
+
+def _pq_assign(q: DataFrame, cents, m: int, subdim: int, k: int) -> DataFrame:
+    """Map-only PQ assignment: per subspace, argmin over K literal
+    centroids; one materialized struct _b{s} per subspace (cid,
+    dist2), split in a later projection (the kmeans argmin idiom —
+    field access in the same select would clone the fold per field).
+    """
+    sel = [F.col("vec_id"), F.col("qv")]
+    for s in range(m):
+        sub_arr = F.slice("qv", s * subdim + 1, subdim)
+        pairs = []
+        for j in range(k):
+            arr = F.array(*[F.lit(int(v)).cast("long") for v in cents[s][j]])
+            d = F.aggregate(
+                F.zip_with(sub_arr, arr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            pairs.append(F.struct(d.alias("dist2"), F.lit(j).alias("cid")))
+        sel.append(F.least(*pairs).alias(f"_b{s}"))
+    return q.select(*sel)
+
+
+def _pq_train(q: DataFrame, m: int, subdim: int, k: int, iters: int):
+    """Seeded per-subspace Lloyd: returns the FINAL codebooks
+    cents[sub][cid] (list of subdim ints) after iters-1 updates; the
+    caller runs the last assignment itself. Seeds are the K smallest
+    ids' subvectors; empty clusters keep their previous centroid.
+    Each update collect is M×K×subdim longs — driver-tiny (1024
+    here), same legitimacy class as the kmeans/IVF seed collects."""
+    seeds = [list(r.qv) for r in q.orderBy("vec_id").limit(k).collect()]
+    cents = [
+        [seeds[c][s * subdim : (s + 1) * subdim] for c in range(k)]
+        for s in range(m)
+    ]
+    for _ in range(iters - 1):
+        a = _pq_assign(q, cents, m, subdim, k)
+        ex = a.select(
+            F.array(*[F.col(f"_b{s}.cid") for s in range(m)]).alias("cids"),
+            F.posexplode("qv").alias("pos", "v"),
+        )
+        upd = (
+            ex.select(
+                F.floor(F.col("pos") / subdim).cast("int").alias("sub"),
+                F.pmod("pos", F.lit(subdim)).alias("spos"),
+                "cids",
+                "v",
+            )
+            .select(
+                "sub",
+                F.element_at("cids", F.col("sub") + 1).alias("cid"),
+                "spos",
+                "v",
+            )
+            .groupBy("sub", "cid", "spos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = [[list(c) for c in sub] for sub in cents]
+        for r in upd:
+            new[r.sub][r.cid][r.spos] = r.s // r.n  # Python floor div
+        cents = new
+    return cents
+
+
+def pq_codes(
+    emb: DataFrame,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ code assignment: (vec_id, code, qerr) with code = the M
+    4-bit subspace codes packed into one bigint and qerr = the exact
+    integer reconstruction error Σ_sub dist2 (quantized scale)."""
+    assert k <= 16, "code packing assumes 4-bit subspace codes"
+    q = _pq_quantized(emb, id_col, vec_col)
+    cents = _pq_train(q, m, subdim, k, iters)
+    a = _pq_assign(q, cents, m, subdim, k)
+    code = sum(
+        (F.col(f"_b{s}.cid").cast("long") * F.lit(1 << (4 * s)).cast("long"))
+        for s in range(m)
+    )
+    qerr = sum(F.col(f"_b{s}.dist2") for s in range(m))
+    return a.select(
+        "vec_id",
+        code.cast("long").alias("code"),
+        qerr.cast("long").alias("qerr"),
+    )
+
+
+def pq_topk_adc(
+    emb: DataFrame,
+    n_queries: int = 8,
+    topk: int = 10,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: the n_queries smallest-id vectors query the PQ
+    codes. Per query the K×M lookup table of exact integer
+    query-to-centroid subdistances is built driver-side (tiny integer
+    math) and scored map-only as literal arrays —
+    adc = Σ_sub LUT[sub][code_sub] — followed by one top-k window.
+    Self-matches excluded. Columns: (query_id, neighbor_id, adc_dist2,
+    rank) — all exact integers, fully oracle-checkable."""
+    q = _pq_quantized(emb, id_col, vec_col)
+    cents = _pq_train(q, m, subdim, k, iters)
+    a = _pq_assign(q, cents, m, subdim, k)
+
+    qrows = [(r.vec_id, list(r.qv)) for r in q.orderBy("vec_id").limit(n_queries).collect()]
+    luts = {}  # qid -> [sub][cid] integer subdistance
+    for qid, qv in qrows:
+        luts[qid] = [
+            [
+                sum(
+                    (qv[s * subdim + p] - cents[s][c][p]) ** 2
+                    for p in range(subdim)
+                )
+                for c in range(k)
+            ]
+            for s in range(m)
+        ]
+
+    scored = a.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(qid)).cast("long").alias("query_id"),
+                        sum(
+                            F.element_at(
+                                F.array(
+                                    *[
+                                        F.lit(int(d)).cast("long")
+                                        for d in luts[qid][s]
+                                    ]
+                                ),
+                                F.col(f"_b{s}.cid") + 1,
+                            )
+                            for s in range(m)
+                        ).alias("adc_dist2"),
+                    )
+                    for qid in sorted(luts)
+                ]
+            )
+        ).alias("_qs"),
+    ).select(
+        F.col("_qs.query_id").alias("query_id"),
+        "neighbor_id",
+        F.col("_qs.adc_dist2").cast("long").alias("adc_dist2"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist2"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "adc_dist2", "rank")
+    )
