@@ -216,6 +216,8 @@ def main() -> None:
         "exact_substring_scrub",
         "pq_codes",
         "pq_topk_adc",
+        "pq_topk_imi",
+        "bpe_train_merges",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there
@@ -235,6 +237,7 @@ def main() -> None:
         "semantic_dedup_srp",
         "exact_substring_scrub",
         "pq_topk_adc",
+        "pq_topk_imi",
     }
     for name in EXTRA:
         timed(name, lambda n=name: queries[n](spark, SF_DIR))

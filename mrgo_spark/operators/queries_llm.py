@@ -2199,7 +2199,8 @@ def q_pq_codes(spark, sf_dir):
     with the seeded fixed-point per-subspace Lloyd fold, so the WHOLE
     train+assign pipeline replays bit-for-bit in the oracle.
     Assignment itself is map-only (codebooks ride as literals)."""
-    return similarity.pq_codes(load_table(spark, sf_dir, "embeddings"))
+    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
+    return similarity.pq_codes(emb)
 
 
 @declare(
@@ -2233,4 +2234,130 @@ def q_pq_topk_adc(spark, sf_dir):
     plan), map-only plus one top-k window. The compressed-scan ANN
     path that complements IVF's pruned-scan path — and, because the
     whole LUT is exact integers, a fully oracle-checked ANN ranking."""
-    return similarity.pq_topk_adc(load_table(spark, sf_dir, "embeddings"))
+    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
+    return similarity.pq_topk_adc(emb)
+
+
+@declare(
+    "pq_topk_imi",
+    _pq_cte()
+    + """,
+    qids AS (SELECT vec_id FROM (SELECT DISTINCT vec_id FROM qv
+                                 ORDER BY vec_id LIMIT 8)),
+    lut AS MATERIALIZED (
+        SELECT q.vec_id AS query_id, c.sub, c.cid,
+               CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS d
+        FROM qv q JOIN qids t ON q.vec_id = t.vec_id
+        JOIN c1 c ON q.sub = c.sub AND q.spos = c.spos
+        GROUP BY 1, 2, 3),
+    probed AS (
+        SELECT query_id, cid AS cell0 FROM (
+            SELECT query_id, cid,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d, cid) AS rn
+            FROM lut WHERE sub = 0) WHERE rn <= 4),
+    cell0 AS (SELECT vec_id, cid AS cell0 FROM a2 WHERE sub = 0),
+    scores AS (
+        SELECT l.query_id, a.vec_id AS neighbor_id,
+               CAST(sum(l.d) AS BIGINT) AS adc_dist2
+        FROM a2 a
+        JOIN lut l ON a.sub = l.sub AND a.cid = l.cid
+        JOIN cell0 c ON a.vec_id = c.vec_id
+        JOIN probed p ON p.query_id = l.query_id AND p.cell0 = c.cell0
+        WHERE a.vec_id <> l.query_id
+        GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_dist2, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc_dist2, neighbor_id) AS rn
+          FROM scores) WHERE rn <= 10
+    """,
+)
+def q_pq_topk_imi(spark, sf_dir):
+    """X3 extension: IVF-PQ composition (inverted-multi-index coarse
+    cells = subspace-0 PQ codes, Babenko & Lempitsky CVPR 2012) —
+    each query probes its 4 best of 16 cells and ADC-scores only
+    those vectors. The pruned-ANN analog of topk_cosine_ivf, but
+    exact integers end-to-end, so the PRUNED ranking itself is
+    oracle-checked (n_probe=K degenerates to pq_topk_adc, pinned in
+    tests). At rest the codes table partitions by cell0 → partition-
+    pruned probes over 4-byte codes."""
+    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
+    return similarity.pq_topk_imi(emb)
+
+
+def _bpe_cte(rounds: int = 6) -> str:
+    """Unrolled-SQL replay of textstats.bpe_learn: distinct-word
+    frequency table, per-round adjacent-pair counts (zip of list
+    slices ~ the comprehension below), 1-row argmax with the
+    (cnt DESC, a, b) tie-break, literal left-to-right replace. Every
+    m{r}/w{r} is multiply-read -> MATERIALIZED."""
+    parts = [
+        """w0 AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq,
+               trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym
+        FROM (SELECT unnest(list_filter(string_split(lower(
+                  regexp_replace(text, '[^a-z]+', ' ', 'g')), ' '),
+                  x -> x <> '')) AS w
+              FROM documents)
+        GROUP BY w)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""p{r} AS (
+        SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+            SELECT freq, unnest([{{'a': l[i], 'b': l[i + 1]}}
+                                 for i in generate_series(1, len(l) - 1)]) AS p
+            FROM (SELECT freq, string_split(sym, ' ') AS l FROM w{r - 1}))
+        GROUP BY 1, 2),
+    m{r} AS MATERIALIZED (SELECT a, b, cnt FROM p{r}
+                          ORDER BY cnt DESC, a, b LIMIT 1)"""
+        )
+        parts.append(
+            f"""w{r} AS MATERIALIZED (
+        SELECT w, freq, replace(sym, m.a || ' ' || m.b, m.a || m.b) AS sym
+        FROM w{r - 1} CROSS JOIN m{r} m)"""
+        )
+    return "WITH " + ",\n    ".join(parts)
+
+
+_BPE_ROUNDS = textstats.BPE_ROUNDS
+
+
+@declare(
+    "bpe_train_merges",
+    _bpe_cte(_BPE_ROUNDS)
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT {r} AS merge_round, a AS left_sym, b AS right_sym, "
+        f"cnt AS pair_count FROM m{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    ),
+)
+def q_bpe_train_merges(spark, sf_dir):
+    """X4 extension: BPE tokenizer training (Sennrich et al. ACL
+    2016) — six merge rounds over the distinct-word frequency table,
+    each round's most-frequent adjacent symbol pair chosen with an
+    exact integer count and deterministic tie-break. The oracle
+    replays the ENTIRE training loop in unrolled SQL, so the learned
+    merge table itself is hash-checked — the X4 member of the
+    iterative-algorithm family (kmeans/pagerank/rebalance)."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    return textstats.bpe_train_merges(docs)
+
+
+@declare(
+    "bpe_vocab_tokens",
+    _bpe_cte(_BPE_ROUNDS)
+    + f"""
+    SELECT t AS token, CAST(sum(freq) AS BIGINT) AS freq
+    FROM (SELECT freq, unnest(string_split(sym, ' ')) AS t FROM w{_BPE_ROUNDS})
+    GROUP BY t
+    """,
+)
+def q_bpe_vocab_tokens(spark, sf_dir):
+    """X4 extension: the corpus symbol table AFTER the six learned
+    merges are applied — full-content proof that merge APPLICATION
+    (left-to-right non-overlapping replace) matched in both engines,
+    not just the argmax picks."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    return textstats.bpe_vocab_tokens(docs)

@@ -1119,3 +1119,107 @@ def pq_topk_adc(
         .filter(F.col("rank") <= topk)
         .select("query_id", "neighbor_id", "adc_dist2", "rank")
     )
+
+
+def pq_topk_imi(
+    emb: DataFrame,
+    n_queries: int = 8,
+    topk: int = 10,
+    n_probe: int = 4,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composition, inverted-multi-index style (Babenko &
+    Lempitsky: the coarse index IS a PQ subspace codebook): corpus
+    cells are the subspace-0 codes; each query probes the ``n_probe``
+    cells whose subspace-0 LUT distance is smallest (tie-break cid)
+    and ADC-scores only vectors in probed cells, over the full code.
+
+    Everything stays exact integers — coarse cells, probe choice, and
+    scores — so unlike classic float-centroid IVF this PRUNED ANN
+    ranking is fully oracle-checkable. n_probe = K degenerates to the
+    unpruned pq_topk_adc (pinned by test).
+
+    Scale shape: identical to pq_topk_adc plus one broadcast
+    (query_id, cell) semi-filter before the top-k window; at rest the
+    codes table is partitioned by cell0, so probes prune partitions
+    exactly like IVFIndex — but over 4-byte codes instead of raw
+    vectors. Columns: (query_id, neighbor_id, adc_dist2, rank)."""
+    q = _pq_quantized(emb, id_col, vec_col)
+    cents = _pq_train(q, m, subdim, k, iters)
+    a = _pq_assign(q, cents, m, subdim, k)
+
+    qrows = [
+        (r.vec_id, list(r.qv))
+        for r in q.orderBy("vec_id").limit(n_queries).collect()
+    ]
+    luts = {}
+    for qid, qv in qrows:
+        luts[qid] = [
+            [
+                sum(
+                    (qv[s * subdim + p] - cents[s][c][p]) ** 2
+                    for p in range(subdim)
+                )
+                for c in range(k)
+            ]
+            for s in range(m)
+        ]
+    # probe set per query: n_probe best subspace-0 cells (d, cid) order
+    probed = [
+        (int(qid), int(c))
+        for qid in sorted(luts)
+        for _, c in sorted((d, c) for c, d in enumerate(luts[qid][0]))[:n_probe]
+    ]
+    probed_df = emb.sparkSession.createDataFrame(
+        probed, "query_id long, cell0 int"
+    )
+
+    scored = (
+        a.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("_b0.cid").alias("cell0"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(int(qid)).cast("long").alias("query_id"),
+                            sum(
+                                F.element_at(
+                                    F.array(
+                                        *[
+                                            F.lit(int(d)).cast("long")
+                                            for d in luts[qid][s]
+                                        ]
+                                    ),
+                                    F.col(f"_b{s}.cid") + 1,
+                                )
+                                for s in range(m)
+                            ).alias("adc_dist2"),
+                        )
+                        for qid in sorted(luts)
+                    ]
+                )
+            ).alias("_qs"),
+        )
+        .select(
+            F.col("_qs.query_id").alias("query_id"),
+            "neighbor_id",
+            "cell0",
+            F.col("_qs.adc_dist2").cast("long").alias("adc_dist2"),
+        )
+        .join(F.broadcast(probed_df), ["query_id", "cell0"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist2"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "adc_dist2", "rank")
+    )

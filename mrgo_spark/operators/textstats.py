@@ -541,3 +541,114 @@ def winnow_audit(
         F.array_min("sel_h").alias("fp_min"),
         F.array_max("sel_h").alias("fp_max"),
     )
+
+
+# --------------------------------------------------- BPE merge training
+
+# Byte-pair-encoding tokenizer training (Sennrich, Haddow, Birch:
+# "Neural Machine Translation of Rare Words with Subword Units", ACL
+# 2016): start from character symbols, repeatedly count adjacent
+# symbol pairs over the (distinct-word, frequency) table and merge
+# the most frequent pair corpus-wide. The iterative-algorithm oracle
+# recipe applies (kmeans/pagerank/rebalance class): exact integer
+# counts, (count DESC, left, right) argmax tie-break, a fixed round
+# count, and every round replayed in unrolled SQL.
+#
+# Merge-application semantics (pinned identically in Spark, DuckDB,
+# and the Python model): symbols are space-joined; applying merge
+# (a, b) is a literal left-to-right non-overlapping string replace of
+# "a b" with "ab" — "a a a" merges to "aa a", exactly what
+# java.lang.String.replace and DuckDB replace() both do.
+#
+# Scale shape: training runs over DISTINCT words × freq (vocabulary-
+# sized, not corpus-sized — the standard BPE trick); each round is
+# one explode + one partially-aggregated count + a 1-row driver
+# argmax (kmeans-collect class) + a map-only replace. Rounds are
+# lineage-chained map stages; localCheckpoint every 3 rounds keeps
+# Catalyst analysis flat (the CC discipline).
+
+BPE_ROUNDS = 6
+
+
+def _bpe_words(documents: DataFrame, text_col: str) -> DataFrame:
+    """(w, freq, sym): distinct lowercase words with corpus frequency
+    and the initial space-joined character symbolization."""
+    toks = documents.select(
+        F.explode(ascii_tokens(text_col, lowercase=True)).alias("w")
+    )
+    return (
+        toks.groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .select(
+            "w",
+            "freq",
+            F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("sym"),
+        )
+    )
+
+
+def bpe_learn(
+    documents: DataFrame,
+    rounds: int = BPE_ROUNDS,
+    text_col: str = "text",
+):
+    """Run BPE training; returns (merges, words) where merges is the
+    list [(round, left, right, pair_count)] and words the final
+    (w, freq, sym) DataFrame. Each round's argmax collect is one row
+    (driver-tiny)."""
+    words = _bpe_words(documents, text_col)
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        s = F.split("sym", " ")
+        pairs = F.zip_with(
+            F.slice(s, 1, F.size(s) - 1),
+            F.slice(s, 2, F.size(s) - 1),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+        )
+        top = (
+            words.select("freq", F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0].a, top[0].b, int(top[0].cnt)
+        merges.append((r, a, b, cnt))
+        words = words.withColumn(
+            "sym", F.replace(F.col("sym"), F.lit(f"{a} {b}"), F.lit(a + b))
+        )
+        if r % 3 == 0 and r < rounds:
+            words = words.localCheckpoint(eager=False)
+    return merges, words
+
+
+def bpe_train_merges(
+    documents: DataFrame,
+    rounds: int = BPE_ROUNDS,
+    text_col: str = "text",
+) -> DataFrame:
+    """The learned merge table: (merge_round, left_sym, right_sym,
+    pair_count) — the training artifact a tokenizer ships."""
+    merges, words = bpe_learn(documents, rounds, text_col)
+    return words.sparkSession.createDataFrame(
+        merges, "merge_round int, left_sym string, right_sym string, pair_count bigint"
+    )
+
+
+def bpe_vocab_tokens(
+    documents: DataFrame,
+    rounds: int = BPE_ROUNDS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus token table AFTER applying the learned merges:
+    (token, freq) — the full-content check that the merge
+    applications (not just the argmax picks) replayed exactly."""
+    merges, words = bpe_learn(documents, rounds, text_col)
+    return (
+        words.select("freq", F.explode(F.split("sym", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").cast("bigint").alias("freq"))
+    )

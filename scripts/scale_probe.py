@@ -152,6 +152,17 @@ def main() -> None:
         "gopher_rules_audit",
         "kmeans_lloyd",
         "pagerank_order_part",
+        # round-4c: exact-substring on VERBATIM-copied docs is the
+        # all-duplicated worst case (every gram repeats K×, so the
+        # hits join returns the full gram set and spans cover whole
+        # docs — same probe-data artifact as winnow overlap); the
+        # shape stays linear, which is what the ratio checks. PQ
+        # probes real 10× input (rotated copies).
+        "exact_substring_audit",
+        "exact_substring_scrub",
+        "pq_codes",
+        "pq_topk_adc",
+        "pq_topk_imi",
     ]
     results = {}
     for name in probe:

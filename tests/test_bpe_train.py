@@ -1,0 +1,139 @@
+"""BPE merge training (Sennrich et al. ACL 2016) — semantics,
+merge-application, and pure-Python differential tests.
+
+Reference parity note: the reference engine has no tokenizer-training
+analog (pure extension per the training-pipeline mandate); semantics
+follow the published algorithm with the (count DESC, left, right)
+argmax tie-break and literal left-to-right merge application.
+"""
+
+from __future__ import annotations
+
+import re as _re
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mrgo_spark.operators import textstats
+from mrgo_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _mkdocs(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+
+# ---------------------------------------------------- python model
+
+def _py_bpe(texts: list[str], rounds: int):
+    words = Counter()
+    for t in texts:
+        for w in _re.split(r"[^a-z]+", t.lower()):
+            if w:
+                words[w] += 1
+    syms = {w: " ".join(w) for w in words}
+    merges = []
+    for r in range(1, rounds + 1):
+        cnt: Counter = Counter()
+        for w, freq in words.items():
+            parts = syms[w].split(" ")
+            for a, b in zip(parts, parts[1:]):
+                cnt[(a, b)] += freq
+        if not cnt:
+            break
+        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), c = best
+        merges.append((r, a, b, c))
+        for w in syms:
+            syms[w] = syms[w].replace(f"{a} {b}", a + b)
+    vocab: Counter = Counter()
+    for w, freq in words.items():
+        for t in syms[w].split(" "):
+            vocab[t] += freq
+    return merges, dict(vocab)
+
+
+def test_bpe_textbook_example(spark):
+    # the classic low/lower/newest/widest-style corpus: "es" then
+    # "est" (or the tie-break equivalent) must emerge as early merges
+    df = _mkdocs(
+        spark,
+        ["low low low lowest lowest newest newest newest widest widest"],
+    )
+    merges = textstats.bpe_train_merges(df, rounds=4).collect()
+    got = [(r.merge_round, r.left_sym, r.right_sym, r.pair_count) for r in merges]
+    want, _ = _py_bpe(
+        ["low low low lowest lowest newest newest newest widest widest"], 4
+    )
+    assert got == want
+    # "e s" is the most frequent first pair (est words: 7 occurrences)
+    assert (got[0][1], got[0][2]) == ("e", "s")
+    assert got[1][1] == "es" and got[1][2] == "t"
+
+
+def test_bpe_overlap_merge_left_to_right(spark):
+    # "aaaa" with merge (a,a): left-to-right non-overlap gives
+    # "aa aa", never "a aa a"; vocabulary must reflect that
+    df = _mkdocs(spark, ["aaaa aaaa aaaa b"])
+    vocab = {
+        r.token: r.freq
+        for r in textstats.bpe_vocab_tokens(df, rounds=1).collect()
+    }
+    assert vocab["aa"] == 6  # 2 per word x 3
+    assert "a" not in vocab
+
+
+def test_bpe_fixture_vocab_conserves_mass(spark):
+    # total symbol chars after merges == total word chars (merges
+    # never drop characters), and every merge count is positive
+    docs = load_table(spark, SF, "documents")
+    merges = textstats.bpe_train_merges(docs).collect()
+    assert len(merges) == textstats.BPE_ROUNDS
+    assert all(r.pair_count > 0 for r in merges)
+    rounds = [r.merge_round for r in merges]
+    assert rounds == sorted(rounds)
+    vocab = textstats.bpe_vocab_tokens(docs).collect()
+    char_mass = sum(len(r.token) * r.freq for r in vocab)
+    toks = [
+        w
+        for r in docs.collect()
+        for w in _re.split(r"[^a-z]+", r.text.lower())
+        if w
+    ]
+    assert char_mass == sum(len(w) for w in toks)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30),
+        min_size=1,
+        max_size=4,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_bpe_matches_python_model(spark, texts, rounds):
+    # two-letter alphabet forces heavy pair collisions, overlap runs
+    # ("aaaa"), and tie-breaks
+    if not any(_re.findall(r"[a-z]", t) for t in texts):
+        return
+    df = _mkdocs(spark, texts)
+    got_m = [
+        (r.merge_round, r.left_sym, r.right_sym, r.pair_count)
+        for r in textstats.bpe_train_merges(df, rounds=rounds).collect()
+    ]
+    got_v = {
+        r.token: r.freq
+        for r in textstats.bpe_vocab_tokens(df, rounds=rounds).collect()
+    }
+    want_m, want_v = _py_bpe(texts, rounds)
+    assert got_m == want_m
+    assert got_v == want_v

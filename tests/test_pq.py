@@ -146,3 +146,29 @@ def test_pq_adc_recall_vs_exact_l2(spark):
     recall = len(truth & got) / len(truth)
     # random baseline would be 10/499 ≈ 0.02; pin a generous floor
     assert recall >= 0.30, recall
+
+
+def test_pq_imi_degenerates_to_full_adc(spark):
+    # probing every cell must reproduce the unpruned ADC ranking
+    emb = load_table(spark, SF, "embeddings")
+    full = similarity.pq_topk_adc(emb, n_queries=4, topk=5).collect()
+    imi = similarity.pq_topk_imi(emb, n_queries=4, topk=5, n_probe=K).collect()
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id, r.adc_dist2)  # noqa: E731
+    assert sorted(map(key, imi)) == sorted(map(key, full))
+
+
+def test_pq_imi_prunes_and_recalls(spark):
+    emb = load_table(spark, SF, "embeddings")
+    full = similarity.pq_topk_adc(emb, n_queries=8, topk=10).collect()
+    imi = similarity.pq_topk_imi(emb, n_queries=8, topk=10, n_probe=4).collect()
+    fullset = {(r.query_id, r.neighbor_id) for r in full}
+    imiset = {(r.query_id, r.neighbor_id) for r in imi}
+    # pruned scores are identical ADC values, so every IMI hit that
+    # the full ranking also returned carries the same distance
+    dist = {(r.query_id, r.neighbor_id): r.adc_dist2 for r in full}
+    for r in imi:
+        if (r.query_id, r.neighbor_id) in dist:
+            assert dist[(r.query_id, r.neighbor_id)] == r.adc_dist2
+    # probing 4/16 cells keeps most of the unpruned top-10
+    recall = len(fullset & imiset) / len(fullset)
+    assert recall >= 0.5, recall
