@@ -815,11 +815,29 @@ def winnow_overlap_pairs(
 EXSUB_K = 10
 
 
+def exsub_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, toks): the checkpointed canonical token arrays the
+    whole exact-substring family shares — tokenizing is a full corpus
+    scan + a split/filter HOF chain, so spans/audit/scrub build this
+    ONCE and pass it down instead of re-tokenizing per consumer. The
+    checkpoint doubles as the Generate-pushdown barrier for every
+    explode over it."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        ascii_tokens(text_col, lowercase=True).alias("toks"),
+    ).localCheckpoint(eager=False)
+
+
 def token_gram_rows(
     df: DataFrame,
     k: int = EXSUB_K,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tl: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_toks, pos, h): one row per token k-gram; ``pos`` is
     the 1-based token index of the gram start, ``h`` the 48-bit
@@ -836,11 +854,9 @@ def token_gram_rows(
     side: F.sequence(1, n-k+1) DESCENDS when n-k+1 < 1 (it would
     emit grams [1, 0, ...] for short docs).
     """
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        ascii_tokens(text_col, lowercase=True).alias("toks"),
-    )
-    base = base.select(
+    if tl is None:
+        tl = exsub_tokens(df, text_col, id_col)
+    base = tl.select(
         "doc_id", "toks", F.size("toks").cast("bigint").alias("n_toks")
     ).filter(F.col("n_toks") >= k)
     hs = F.transform(
@@ -873,6 +889,7 @@ def exact_substring_spans(
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tl: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal duplicated token spans: (doc_id, span_start, span_end,
     span_len), token positions 1-based inclusive.
@@ -884,7 +901,7 @@ def exact_substring_spans(
     iff q - p <= k, so islands break where the gap exceeds k — the
     equal-interval special case of gaps-and-islands.
     """
-    g = token_gram_rows(df, k, text_col, id_col)
+    g = token_gram_rows(df, k, text_col, id_col, tl=tl)
     dup = (
         g.groupBy("h")
         .agg(F.count("*").alias("g_cnt"))
@@ -922,14 +939,12 @@ def exact_substring_audit(
     (doc_id, n_tokens, n_spans, dup_tokens) for EVERY document
     (clean and sub-k docs carry zeros) — the budgeting view a
     pipeline filters/weighs on before scrubbing."""
-    toks_df = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(ascii_tokens(text_col, lowercase=True))
-        .cast("bigint")
-        .alias("n_tokens"),
+    tl = exsub_tokens(df, text_col, id_col)
+    toks_df = tl.select(
+        "doc_id", F.size("toks").cast("bigint").alias("n_tokens")
     )
     agg = (
-        exact_substring_spans(df, k, min_count, text_col, id_col)
+        exact_substring_spans(df, k, min_count, text_col, id_col, tl=tl)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_spans"),
@@ -961,18 +976,13 @@ def exact_substring_scrub(
     The token re-assembly sorts (pos, tok) structs inside the
     aggregate — per-doc, array-local — instead of a global orderBy.
     """
-    spans = exact_substring_spans(df, k, min_count, text_col, id_col)
+    # One shared tokenization for the span pipeline AND the rebuild
+    # (sub-k docs scrub to themselves — grams filter length inside).
+    tl = exsub_tokens(df, text_col, id_col)
+    spans = exact_substring_spans(df, k, min_count, text_col, id_col, tl=tl)
     covered = spans.select(
         "doc_id", F.explode(F.sequence("span_start", "span_end")).alias("pos")
     )
-    # All tokens (no >= k filter here: sub-k docs scrub to themselves).
-    # localCheckpoint before the explode: ascii_tokens is a
-    # split+filter HOF chain and the pushed Generate predicate would
-    # re-run it per element (same hazard class as token_gram_rows).
-    tl = df.select(
-        F.col(id_col).alias("doc_id"),
-        ascii_tokens(text_col, lowercase=True).alias("toks"),
-    ).localCheckpoint(eager=False)
     toks = tl.select(
         "doc_id", F.posexplode("toks").alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "tok")

@@ -2180,6 +2180,27 @@ def _pq_cte(k: int = 16, m: int = 8, subdim: int = 8, iters: int = 2) -> str:
     return "WITH " + ",\n    ".join(parts)
 
 
+# One PQ training per (session, sf_dir): the three declared PQ
+# entries (codes / ADC / IMI) share trained codebooks instead of each
+# re-running the seed collect + update aggregation + reassignment —
+# the _IVF_CACHE "declared ANN serves from a session cache" idiom.
+_PQ_CACHE: dict[tuple[int, str], list] = {}
+
+
+def _pq_emb_cents(spark, sf_dir):
+    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
+    key = (id(spark), sf_dir)
+    cents = _PQ_CACHE.get(key)
+    if cents is None:
+        q = similarity._pq_quantized(emb, "vec_id", "embedding")
+        cents = similarity._pq_train(
+            q, similarity.PQ_M, similarity.PQ_SUBDIM,
+            similarity.PQ_K, similarity.PQ_ITERS,
+        )
+        _PQ_CACHE[key] = cents
+    return emb, cents
+
+
 @declare(
     "pq_codes",
     _pq_cte()
@@ -2199,14 +2220,14 @@ def q_pq_codes(spark, sf_dir):
     with the seeded fixed-point per-subspace Lloyd fold, so the WHOLE
     train+assign pipeline replays bit-for-bit in the oracle.
     Assignment itself is map-only (codebooks ride as literals)."""
-    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
-    return similarity.pq_codes(emb)
+    emb, cents = _pq_emb_cents(spark, sf_dir)
+    return similarity.pq_codes(emb, cents=cents)
 
 
-@declare(
-    "pq_topk_adc",
-    _pq_cte()
-    + """,
+# Shared ADC lookup-table CTE fragment (8 smallest-id queries, exact
+# integer subdistances to the FINAL codebooks c1) — used verbatim by
+# both the unpruned (pq_topk_adc) and pruned (pq_topk_imi) declares.
+_PQ_LUT_SQL = """
     qids AS (SELECT vec_id FROM (SELECT DISTINCT vec_id FROM qv
                                  ORDER BY vec_id LIMIT 8)),
     lut AS MATERIALIZED (
@@ -2214,7 +2235,15 @@ def q_pq_codes(spark, sf_dir):
                CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS d
         FROM qv q JOIN qids t ON q.vec_id = t.vec_id
         JOIN c1 c ON q.sub = c.sub AND q.spos = c.spos
-        GROUP BY 1, 2, 3),
+        GROUP BY 1, 2, 3),"""
+
+
+@declare(
+    "pq_topk_adc",
+    _pq_cte()
+    + ","
+    + _PQ_LUT_SQL
+    + """
     scores AS (
         SELECT l.query_id, a.vec_id AS neighbor_id,
                CAST(sum(l.d) AS BIGINT) AS adc_dist2
@@ -2234,22 +2263,16 @@ def q_pq_topk_adc(spark, sf_dir):
     plan), map-only plus one top-k window. The compressed-scan ANN
     path that complements IVF's pruned-scan path — and, because the
     whole LUT is exact integers, a fully oracle-checked ANN ranking."""
-    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
-    return similarity.pq_topk_adc(emb)
+    emb, cents = _pq_emb_cents(spark, sf_dir)
+    return similarity.pq_topk_adc(emb, cents=cents)
 
 
 @declare(
     "pq_topk_imi",
     _pq_cte()
-    + """,
-    qids AS (SELECT vec_id FROM (SELECT DISTINCT vec_id FROM qv
-                                 ORDER BY vec_id LIMIT 8)),
-    lut AS MATERIALIZED (
-        SELECT q.vec_id AS query_id, c.sub, c.cid,
-               CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS d
-        FROM qv q JOIN qids t ON q.vec_id = t.vec_id
-        JOIN c1 c ON q.sub = c.sub AND q.spos = c.spos
-        GROUP BY 1, 2, 3),
+    + ","
+    + _PQ_LUT_SQL
+    + """
     probed AS (
         SELECT query_id, cid AS cell0 FROM (
             SELECT query_id, cid,
@@ -2281,20 +2304,25 @@ def q_pq_topk_imi(spark, sf_dir):
     oracle-checked (n_probe=K degenerates to pq_topk_adc, pinned in
     tests). At rest the codes table partitions by cell0 → partition-
     pruned probes over 4-byte codes."""
-    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
-    return similarity.pq_topk_imi(emb)
+    emb, cents = _pq_emb_cents(spark, sf_dir)
+    return similarity.pq_topk_imi(emb, cents=cents)
 
 
 def _bpe_cte(rounds: int = 6) -> str:
     """Unrolled-SQL replay of textstats.bpe_learn: distinct-word
     frequency table, per-round adjacent-pair counts (zip of list
     slices ~ the comprehension below), 1-row argmax with the
-    (cnt DESC, a, b) tie-break, literal left-to-right replace. Every
-    m{r}/w{r} is multiply-read -> MATERIALIZED."""
+    (cnt DESC, a, b) tie-break, and the double-space padded replace
+    (textstats.py encoding note — exactly the token-level greedy
+    merge). w{r} LEFT JOINs its merge row so an EXHAUSTED corpus
+    (no pairs left before round ``rounds``) passes through unchanged
+    instead of being emptied by a CROSS JOIN against an empty m{r} —
+    mirroring the Spark side's loop break. Every m{r}/w{r} is
+    multiply-read -> MATERIALIZED."""
     parts = [
         """w0 AS MATERIALIZED (
         SELECT w, CAST(count(*) AS BIGINT) AS freq,
-               trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym
+               trim(regexp_replace(w, '(.)', '\\1  ', 'g')) AS sym
         FROM (SELECT unnest(list_filter(string_split(lower(
                   regexp_replace(text, '[^a-z]+', ' ', 'g')), ' '),
                   x -> x <> '')) AS w
@@ -2307,20 +2335,42 @@ def _bpe_cte(rounds: int = 6) -> str:
         SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
             SELECT freq, unnest([{{'a': l[i], 'b': l[i + 1]}}
                                  for i in generate_series(1, len(l) - 1)]) AS p
-            FROM (SELECT freq, string_split(sym, ' ') AS l FROM w{r - 1}))
+            FROM (SELECT freq, string_split(sym, '  ') AS l FROM w{r - 1}))
         GROUP BY 1, 2),
     m{r} AS MATERIALIZED (SELECT a, b, cnt FROM p{r}
                           ORDER BY cnt DESC, a, b LIMIT 1)"""
         )
         parts.append(
             f"""w{r} AS MATERIALIZED (
-        SELECT w, freq, replace(sym, m.a || ' ' || m.b, m.a || m.b) AS sym
-        FROM w{r - 1} CROSS JOIN m{r} m)"""
+        SELECT w, freq,
+               CASE WHEN m.a IS NULL THEN sym
+                    ELSE trim(replace(' ' || sym || ' ',
+                                      ' ' || m.a || '  ' || m.b || ' ',
+                                      ' ' || m.a || m.b || ' '))
+               END AS sym
+        FROM w{r - 1} LEFT JOIN m{r} m ON TRUE)"""
         )
     return "WITH " + ",\n    ".join(parts)
 
 
 _BPE_ROUNDS = textstats.BPE_ROUNDS
+
+
+# One BPE training per (session, sf_dir, rounds): both declared
+# entries reuse the same merges + final word table (each training is
+# six sequential collect rounds — running it twice per gate pass is
+# pure waste).
+_BPE_CACHE: dict[tuple[int, str, int], tuple] = {}
+
+
+def _bpe_learned(spark, sf_dir, rounds):
+    key = (id(spark), sf_dir, rounds)
+    got = _BPE_CACHE.get(key)
+    if got is None:
+        docs = widen_scan(load_table(spark, sf_dir, "documents"))
+        got = textstats.bpe_learn(docs, rounds)
+        _BPE_CACHE[key] = got
+    return got
 
 
 @declare(
@@ -2341,8 +2391,11 @@ def q_bpe_train_merges(spark, sf_dir):
     replays the ENTIRE training loop in unrolled SQL, so the learned
     merge table itself is hash-checked — the X4 member of the
     iterative-algorithm family (kmeans/pagerank/rebalance)."""
-    docs = widen_scan(load_table(spark, sf_dir, "documents"))
-    return textstats.bpe_train_merges(docs)
+    merges, _ = _bpe_learned(spark, sf_dir, _BPE_ROUNDS)
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, left_sym string, right_sym string, pair_count bigint",
+    )
 
 
 @declare(
@@ -2350,7 +2403,7 @@ def q_bpe_train_merges(spark, sf_dir):
     _bpe_cte(_BPE_ROUNDS)
     + f"""
     SELECT t AS token, CAST(sum(freq) AS BIGINT) AS freq
-    FROM (SELECT freq, unnest(string_split(sym, ' ')) AS t FROM w{_BPE_ROUNDS})
+    FROM (SELECT freq, unnest(string_split(sym, '  ')) AS t FROM w{_BPE_ROUNDS})
     GROUP BY t
     """,
 )
@@ -2359,5 +2412,9 @@ def q_bpe_vocab_tokens(spark, sf_dir):
     merges are applied — full-content proof that merge APPLICATION
     (left-to-right non-overlapping replace) matched in both engines,
     not just the argmax picks."""
-    docs = widen_scan(load_table(spark, sf_dir, "documents"))
-    return textstats.bpe_vocab_tokens(docs)
+    _, words = _bpe_learned(spark, sf_dir, _BPE_ROUNDS)
+    return (
+        words.select("freq", F.explode(F.split("sym", "  ")).alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").cast("bigint").alias("freq"))
+    )

@@ -953,13 +953,15 @@ def _pq_quantized(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         ).alias("qv"),
     )
 
-
-def _pq_assign(q: DataFrame, cents, m: int, subdim: int, k: int) -> DataFrame:
-    """Map-only PQ assignment: per subspace, argmin over K literal
-    centroids; one materialized struct _b{s} per subspace (cid,
-    dist2), split in a later projection (the kmeans argmin idiom —
-    field access in the same select would clone the fold per field).
+def _pq_assign(q: DataFrame, cents, m: int, subdim: int) -> DataFrame:
+    """Map-only PQ assignment: per subspace, argmin over the literal
+    centroids (k = len(cents[s]) — clamped by _pq_train when the
+    corpus has fewer than PQ_K vectors); one materialized struct
+    _b{s} per subspace (cid, dist2), split in a later projection (the
+    kmeans argmin idiom — field access in the same select would clone
+    the fold per field).
     """
+    k = len(cents[0])
     sel = [F.col("vec_id"), F.col("qv")]
     for s in range(m):
         sub_arr = F.slice("qv", s * subdim + 1, subdim)
@@ -982,14 +984,21 @@ def _pq_train(q: DataFrame, m: int, subdim: int, k: int, iters: int):
     caller runs the last assignment itself. Seeds are the K smallest
     ids' subvectors; empty clusters keep their previous centroid.
     Each update collect is M×K×subdim longs — driver-tiny (1024
-    here), same legitimacy class as the kmeans/IVF seed collects."""
+    here), same legitimacy class as the kmeans/IVF seed collects.
+
+    A corpus with fewer than k vectors clamps k to the seed count —
+    the SQL oracle's LIMIT k degrades the same way, so the two sides
+    stay in lockstep on tiny/drifted fixtures."""
     seeds = [list(r.qv) for r in q.orderBy("vec_id").limit(k).collect()]
+    if not seeds:
+        raise ValueError("pq: empty embeddings input")
+    k = min(k, len(seeds))
     cents = [
         [seeds[c][s * subdim : (s + 1) * subdim] for c in range(k)]
         for s in range(m)
     ]
     for _ in range(iters - 1):
-        a = _pq_assign(q, cents, m, subdim, k)
+        a = _pq_assign(q, cents, m, subdim)
         ex = a.select(
             F.array(*[F.col(f"_b{s}.cid") for s in range(m)]).alias("cids"),
             F.posexplode("qv").alias("pos", "v"),
@@ -1018,141 +1027,11 @@ def _pq_train(q: DataFrame, m: int, subdim: int, k: int, iters: int):
     return cents
 
 
-def pq_codes(
-    emb: DataFrame,
-    m: int = PQ_M,
-    subdim: int = PQ_SUBDIM,
-    k: int = PQ_K,
-    iters: int = PQ_ITERS,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """PQ code assignment: (vec_id, code, qerr) with code = the M
-    4-bit subspace codes packed into one bigint and qerr = the exact
-    integer reconstruction error Σ_sub dist2 (quantized scale)."""
-    assert k <= 16, "code packing assumes 4-bit subspace codes"
-    q = _pq_quantized(emb, id_col, vec_col)
-    cents = _pq_train(q, m, subdim, k, iters)
-    a = _pq_assign(q, cents, m, subdim, k)
-    code = sum(
-        (F.col(f"_b{s}.cid").cast("long") * F.lit(1 << (4 * s)).cast("long"))
-        for s in range(m)
-    )
-    qerr = sum(F.col(f"_b{s}.dist2") for s in range(m))
-    return a.select(
-        "vec_id",
-        code.cast("long").alias("code"),
-        qerr.cast("long").alias("qerr"),
-    )
-
-
-def pq_topk_adc(
-    emb: DataFrame,
-    n_queries: int = 8,
-    topk: int = 10,
-    m: int = PQ_M,
-    subdim: int = PQ_SUBDIM,
-    k: int = PQ_K,
-    iters: int = PQ_ITERS,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """ADC top-k: the n_queries smallest-id vectors query the PQ
-    codes. Per query the K×M lookup table of exact integer
-    query-to-centroid subdistances is built driver-side (tiny integer
-    math) and scored map-only as literal arrays —
-    adc = Σ_sub LUT[sub][code_sub] — followed by one top-k window.
-    Self-matches excluded. Columns: (query_id, neighbor_id, adc_dist2,
-    rank) — all exact integers, fully oracle-checkable."""
-    q = _pq_quantized(emb, id_col, vec_col)
-    cents = _pq_train(q, m, subdim, k, iters)
-    a = _pq_assign(q, cents, m, subdim, k)
-
-    qrows = [(r.vec_id, list(r.qv)) for r in q.orderBy("vec_id").limit(n_queries).collect()]
-    luts = {}  # qid -> [sub][cid] integer subdistance
-    for qid, qv in qrows:
-        luts[qid] = [
-            [
-                sum(
-                    (qv[s * subdim + p] - cents[s][c][p]) ** 2
-                    for p in range(subdim)
-                )
-                for c in range(k)
-            ]
-            for s in range(m)
-        ]
-
-    scored = a.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(int(qid)).cast("long").alias("query_id"),
-                        sum(
-                            F.element_at(
-                                F.array(
-                                    *[
-                                        F.lit(int(d)).cast("long")
-                                        for d in luts[qid][s]
-                                    ]
-                                ),
-                                F.col(f"_b{s}.cid") + 1,
-                            )
-                            for s in range(m)
-                        ).alias("adc_dist2"),
-                    )
-                    for qid in sorted(luts)
-                ]
-            )
-        ).alias("_qs"),
-    ).select(
-        F.col("_qs.query_id").alias("query_id"),
-        "neighbor_id",
-        F.col("_qs.adc_dist2").cast("long").alias("adc_dist2"),
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("adc_dist2"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topk)
-        .select("query_id", "neighbor_id", "adc_dist2", "rank")
-    )
-
-
-def pq_topk_imi(
-    emb: DataFrame,
-    n_queries: int = 8,
-    topk: int = 10,
-    n_probe: int = 4,
-    m: int = PQ_M,
-    subdim: int = PQ_SUBDIM,
-    k: int = PQ_K,
-    iters: int = PQ_ITERS,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF-PQ composition, inverted-multi-index style (Babenko &
-    Lempitsky: the coarse index IS a PQ subspace codebook): corpus
-    cells are the subspace-0 codes; each query probes the ``n_probe``
-    cells whose subspace-0 LUT distance is smallest (tie-break cid)
-    and ADC-scores only vectors in probed cells, over the full code.
-
-    Everything stays exact integers — coarse cells, probe choice, and
-    scores — so unlike classic float-centroid IVF this PRUNED ANN
-    ranking is fully oracle-checkable. n_probe = K degenerates to the
-    unpruned pq_topk_adc (pinned by test).
-
-    Scale shape: identical to pq_topk_adc plus one broadcast
-    (query_id, cell) semi-filter before the top-k window; at rest the
-    codes table is partitioned by cell0, so probes prune partitions
-    exactly like IVFIndex — but over 4-byte codes instead of raw
-    vectors. Columns: (query_id, neighbor_id, adc_dist2, rank)."""
-    q = _pq_quantized(emb, id_col, vec_col)
-    cents = _pq_train(q, m, subdim, k, iters)
-    a = _pq_assign(q, cents, m, subdim, k)
-
+def _pq_luts(q: DataFrame, cents, n_queries: int, m: int, subdim: int):
+    """qid -> [sub][cid] exact integer query-to-centroid
+    subdistances for the n_queries smallest-id vectors (driver-side
+    integer math over a driver-tiny collect)."""
+    k = len(cents[0])
     qrows = [
         (r.vec_id, list(r.qv))
         for r in q.orderBy("vec_id").limit(n_queries).collect()
@@ -1169,17 +1048,16 @@ def pq_topk_imi(
             ]
             for s in range(m)
         ]
-    # probe set per query: n_probe best subspace-0 cells (d, cid) order
-    probed = [
-        (int(qid), int(c))
-        for qid in sorted(luts)
-        for _, c in sorted((d, c) for c, d in enumerate(luts[qid][0]))[:n_probe]
-    ]
-    probed_df = emb.sparkSession.createDataFrame(
-        probed, "query_id long, cell0 int"
-    )
+    return luts
 
-    scored = (
+
+def _pq_adc_scored(a: DataFrame, luts, m: int) -> DataFrame:
+    """ADC scores for every (query, vector) pair, map-only: explode
+    one struct per query whose adc = Σ_sub LUT[sub][code_sub] over
+    literal arrays. Keeps cell0 (the subspace-0 code) for pruned
+    consumers. Self-pairs excluded. Columns: (query_id, neighbor_id,
+    cell0, adc_dist2)."""
+    return (
         a.select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("_b0.cid").alias("cell0"),
@@ -1212,9 +1090,11 @@ def pq_topk_imi(
             "cell0",
             F.col("_qs.adc_dist2").cast("long").alias("adc_dist2"),
         )
-        .join(F.broadcast(probed_df), ["query_id", "cell0"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
+
+
+def _pq_topk_window(scored: DataFrame, topk: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist2"), F.asc("neighbor_id")
     )
@@ -1223,3 +1103,114 @@ def pq_topk_imi(
         .filter(F.col("rank") <= topk)
         .select("query_id", "neighbor_id", "adc_dist2", "rank")
     )
+
+
+def pq_codes(
+    emb: DataFrame,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents=None,
+) -> DataFrame:
+    """PQ code assignment: (vec_id, code, qerr) with code = the M
+    4-bit subspace codes packed into one bigint and qerr = the exact
+    integer reconstruction error Σ_sub dist2 (quantized scale).
+    Pass ``cents`` (from _pq_train) to reuse trained codebooks — the
+    declared entries share one training per session (queries_llm
+    _PQ_CACHE, the _IVF_CACHE idiom)."""
+    assert k <= 16, "code packing assumes 4-bit subspace codes"
+    q = _pq_quantized(emb, id_col, vec_col)
+    if cents is None:
+        cents = _pq_train(q, m, subdim, k, iters)
+    a = _pq_assign(q, cents, m, subdim)
+    code = sum(
+        (F.col(f"_b{s}.cid").cast("long") * F.lit(1 << (4 * s)).cast("long"))
+        for s in range(m)
+    )
+    qerr = sum(F.col(f"_b{s}.dist2") for s in range(m))
+    return a.select(
+        "vec_id",
+        code.cast("long").alias("code"),
+        qerr.cast("long").alias("qerr"),
+    )
+
+
+def pq_topk_adc(
+    emb: DataFrame,
+    n_queries: int = 8,
+    topk: int = 10,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents=None,
+) -> DataFrame:
+    """ADC top-k: the n_queries smallest-id vectors query the PQ
+    codes. Per query the K×M lookup table of exact integer
+    query-to-centroid subdistances is built driver-side (tiny integer
+    math) and scored map-only as literal arrays —
+    adc = Σ_sub LUT[sub][code_sub] — followed by one top-k window.
+    Self-matches excluded. Columns: (query_id, neighbor_id, adc_dist2,
+    rank) — all exact integers, fully oracle-checkable."""
+    q = _pq_quantized(emb, id_col, vec_col)
+    if cents is None:
+        cents = _pq_train(q, m, subdim, k, iters)
+    a = _pq_assign(q, cents, m, subdim)
+    luts = _pq_luts(q, cents, n_queries, m, subdim)
+    return _pq_topk_window(
+        _pq_adc_scored(a, luts, m).drop("cell0"), topk
+    )
+
+
+def pq_topk_imi(
+    emb: DataFrame,
+    n_queries: int = 8,
+    topk: int = 10,
+    n_probe: int = 4,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents=None,
+) -> DataFrame:
+    """IVF-PQ composition, inverted-multi-index style (Babenko &
+    Lempitsky: the coarse index IS a PQ subspace codebook): corpus
+    cells are the subspace-0 codes; each query probes the ``n_probe``
+    cells whose subspace-0 LUT distance is smallest (tie-break cid)
+    and ADC-scores only vectors in probed cells, over the full code.
+
+    Everything stays exact integers — coarse cells, probe choice, and
+    scores — so unlike classic float-centroid IVF this PRUNED ANN
+    ranking is fully oracle-checkable. n_probe = K degenerates to the
+    unpruned pq_topk_adc (pinned by test).
+
+    Scale shape: identical to pq_topk_adc plus one broadcast
+    (query_id, cell) semi-filter before the top-k window; at rest the
+    codes table is partitioned by cell0, so probes prune partitions
+    exactly like IVFIndex — but over 4-byte codes instead of raw
+    vectors. Columns: (query_id, neighbor_id, adc_dist2, rank)."""
+    q = _pq_quantized(emb, id_col, vec_col)
+    if cents is None:
+        cents = _pq_train(q, m, subdim, k, iters)
+    a = _pq_assign(q, cents, m, subdim)
+    luts = _pq_luts(q, cents, n_queries, m, subdim)
+    # probe set per query: n_probe best subspace-0 cells (d, cid) order
+    probed = [
+        (int(qid), int(c))
+        for qid in sorted(luts)
+        for _, c in sorted((d, c) for c, d in enumerate(luts[qid][0]))[:n_probe]
+    ]
+    probed_df = emb.sparkSession.createDataFrame(
+        probed, "query_id long, cell0 int"
+    )
+    scored = _pq_adc_scored(a, luts, m).join(
+        F.broadcast(probed_df), ["query_id", "cell0"]
+    )
+    return _pq_topk_window(scored, topk)

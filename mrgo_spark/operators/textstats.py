@@ -554,11 +554,20 @@ def winnow_audit(
 # counts, (count DESC, left, right) argmax tie-break, a fixed round
 # count, and every round replayed in unrolled SQL.
 #
-# Merge-application semantics (pinned identically in Spark, DuckDB,
-# and the Python model): symbols are space-joined; applying merge
-# (a, b) is a literal left-to-right non-overlapping string replace of
-# "a b" with "ab" — "a a a" merges to "aa a", exactly what
-# java.lang.String.replace and DuckDB replace() both do.
+# Merge-application encoding (identical in Spark, DuckDB, and the
+# Python model): symbols are DOUBLE-space-joined and the working
+# string is single-space padded; applying merge (a, b) is a literal
+# left-to-right replace of " a  b " with " ab ". Because a match
+# consumes exactly one space from each neighboring separator, (i)
+# full tokens are delimited on both sides — a pair can never match
+# across symbol boundaries ("ba b" does not match "a b") — and (ii)
+# adjacent merges chain ("a a a a" -> "aa aa", not "aa a a"). This
+# makes one literal replace EXACTLY the greedy left-to-right
+# non-overlapping token-list merge of the published algorithm
+# (re.sub with lookarounds in the original implementation — RE2 has
+# no lookarounds, so DuckDB could not replay that form literally).
+# tests/test_bpe_train.py pins both properties against a token-list
+# Python model.
 #
 # Scale shape: training runs over DISTINCT words × freq (vocabulary-
 # sized, not corpus-sized — the standard BPE trick); each round is
@@ -572,7 +581,10 @@ BPE_ROUNDS = 6
 
 def _bpe_words(documents: DataFrame, text_col: str) -> DataFrame:
     """(w, freq, sym): distinct lowercase words with corpus frequency
-    and the initial space-joined character symbolization."""
+    and the initial DOUBLE-space-joined character symbolization (see
+    the encoding note above). Checkpointed: six training rounds each
+    re-run an action over this frame, and without the barrier the
+    corpus tokenize+groupBy would recompute per round."""
     toks = documents.select(
         F.explode(ascii_tokens(text_col, lowercase=True)).alias("w")
     )
@@ -582,8 +594,9 @@ def _bpe_words(documents: DataFrame, text_col: str) -> DataFrame:
         .select(
             "w",
             "freq",
-            F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("sym"),
+            F.trim(F.regexp_replace("w", "(.)", "$1  ")).alias("sym"),
         )
+        .localCheckpoint(eager=False)
     )
 
 
@@ -599,7 +612,7 @@ def bpe_learn(
     words = _bpe_words(documents, text_col)
     merges: list[tuple[int, str, str, int]] = []
     for r in range(1, rounds + 1):
-        s = F.split("sym", " ")
+        s = F.split("sym", "  ")
         pairs = F.zip_with(
             F.slice(s, 1, F.size(s) - 1),
             F.slice(s, 2, F.size(s) - 1),
@@ -617,8 +630,17 @@ def bpe_learn(
             break
         a, b, cnt = top[0].a, top[0].b, int(top[0].cnt)
         merges.append((r, a, b, cnt))
+        # pad, replace " a  b " -> " ab " (consumes one space of each
+        # neighboring double separator), strip the padding back off
         words = words.withColumn(
-            "sym", F.replace(F.col("sym"), F.lit(f"{a} {b}"), F.lit(a + b))
+            "sym",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
+                    F.lit(f" {a}  {b} "),
+                    F.lit(f" {a + b} "),
+                )
+            ),
         )
         if r % 3 == 0 and r < rounds:
             words = words.localCheckpoint(eager=False)
@@ -648,7 +670,7 @@ def bpe_vocab_tokens(
     applications (not just the argmax picks) replayed exactly."""
     merges, words = bpe_learn(documents, rounds, text_col)
     return (
-        words.select("freq", F.explode(F.split("sym", " ")).alias("token"))
+        words.select("freq", F.explode(F.split("sym", "  ")).alias("token"))
         .groupBy("token")
         .agg(F.sum("freq").cast("bigint").alias("freq"))
     )

@@ -29,19 +29,33 @@ def _mkdocs(spark, texts):
 
 # ---------------------------------------------------- python model
 
+def _merge_seq(parts: list[str], a: str, b: str) -> list[str]:
+    """Greedy left-to-right non-overlapping token-list merge — the
+    published algorithm's application step (what re.sub with
+    lookarounds does in the original implementation)."""
+    out, i = [], 0
+    while i < len(parts):
+        if i + 1 < len(parts) and parts[i] == a and parts[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(parts[i])
+            i += 1
+    return out
+
+
 def _py_bpe(texts: list[str], rounds: int):
     words = Counter()
     for t in texts:
         for w in _re.split(r"[^a-z]+", t.lower()):
             if w:
                 words[w] += 1
-    syms = {w: " ".join(w) for w in words}
+    syms = {w: list(w) for w in words}
     merges = []
     for r in range(1, rounds + 1):
         cnt: Counter = Counter()
         for w, freq in words.items():
-            parts = syms[w].split(" ")
-            for a, b in zip(parts, parts[1:]):
+            for a, b in zip(syms[w], syms[w][1:]):
                 cnt[(a, b)] += freq
         if not cnt:
             break
@@ -49,10 +63,10 @@ def _py_bpe(texts: list[str], rounds: int):
         (a, b), c = best
         merges.append((r, a, b, c))
         for w in syms:
-            syms[w] = syms[w].replace(f"{a} {b}", a + b)
+            syms[w] = _merge_seq(syms[w], a, b)
     vocab: Counter = Counter()
     for w, freq in words.items():
-        for t in syms[w].split(" "):
+        for t in syms[w]:
             vocab[t] += freq
     return merges, dict(vocab)
 
@@ -85,6 +99,58 @@ def test_bpe_overlap_merge_left_to_right(spark):
     }
     assert vocab["aa"] == 6  # 2 per word x 3
     assert "a" not in vocab
+
+
+def test_bpe_no_cross_boundary_merge(spark):
+    # regression (review finding): after round 1 merges (b,a), the
+    # word "bab" is symbols [ba, b]; round 2's merge (a,b) must NOT
+    # fuse them — "ba b" contains the surface string "a b" but not
+    # the symbol pair (a, b). The double-space encoding delimits full
+    # tokens, so the literal replace cannot match across boundaries.
+    texts = ["ba ba ba bab ab ab"]
+    df = _mkdocs(spark, texts)
+    got_m = [
+        (r.merge_round, r.left_sym, r.right_sym, r.pair_count)
+        for r in textstats.bpe_train_merges(df, rounds=2).collect()
+    ]
+    got_v = {
+        r.token: r.freq
+        for r in textstats.bpe_vocab_tokens(df, rounds=2).collect()
+    }
+    want_m, want_v = _py_bpe(texts, 2)
+    assert got_m == want_m
+    assert got_v == want_v
+    assert got_v.get("bab", 0) == 0  # (ba,b) was never learned
+    assert got_v["ba"] == 4  # 3x "ba" + the prefix of "bab"
+
+
+def test_bpe_adjacent_merges_chain(spark):
+    # regression: [a,b,a,b] with merge (a,b) must become [ab, ab] —
+    # the single-space replace consumed the shared separator and left
+    # "ab a b"; the double-space encoding chains correctly
+    df = _mkdocs(spark, ["abab abab xy"])
+    vocab = {
+        r.token: r.freq
+        for r in textstats.bpe_vocab_tokens(df, rounds=1).collect()
+    }
+    assert vocab["ab"] == 4
+    assert "a" not in vocab and "b" not in vocab
+
+
+def test_bpe_merge_exhaustion_keeps_vocab(spark):
+    # regression (review finding): when every word is fully merged
+    # before the round budget is spent, later rounds are no-ops on
+    # BOTH engines — the oracle's LEFT JOIN against the empty merge
+    # row must not empty the word table
+    texts = ["ab ab ab cd cd"]
+    df = _mkdocs(spark, texts)
+    merges = textstats.bpe_train_merges(df, rounds=6).collect()
+    assert len(merges) == 2  # (a,b) then (c,d); nothing left after
+    vocab = {
+        r.token: r.freq
+        for r in textstats.bpe_vocab_tokens(df, rounds=6).collect()
+    }
+    assert vocab == {"ab": 3, "cd": 2}
 
 
 def test_bpe_fixture_vocab_conserves_mass(spark):
