@@ -218,6 +218,9 @@ def main() -> None:
         "pq_topk_adc",
         "pq_topk_imi",
         "bpe_train_merges",
+        "media_phash_pairs",
+        "kv_put_history_scd2",
+        "lineitem_zorder_audit",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there

@@ -478,3 +478,27 @@ def rebalance_config_history(spark, schedule=None) -> DataFrame:
         .cast("int")
         .alias("moved"),
     )
+
+
+def put_history_scd2(oplog: DataFrame) -> DataFrame:
+    """SCD-2 validity intervals over the op-log's PUT versions: one
+    row per (key, put) with (key, value, valid_from_seq,
+    valid_to_seq, version). valid_to is the next put's seq - 1; the
+    current (open) version carries -1. The warehouse "state history"
+    view of O21's fold — a point query `WHERE valid_from <= s AND
+    (valid_to = -1 OR s <= valid_to)` reproduces kv_state_at_seq's
+    put component for any s.
+
+    Shape: one hash partition by key + one window pass — the
+    standard distributed SCD-2 build; no self-join, no fold."""
+    w = Window.partitionBy("key").orderBy("seq")
+    puts = oplog.filter(F.col("op") == "put")
+    return puts.select(
+        "key",
+        "value",
+        F.col("seq").cast("bigint").alias("valid_from_seq"),
+        F.coalesce(F.lead("seq").over(w) - 1, F.lit(-1))
+        .cast("bigint")
+        .alias("valid_to_seq"),
+        F.row_number().over(w).alias("version"),
+    )

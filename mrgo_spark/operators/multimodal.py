@@ -203,3 +203,159 @@ def synth_media(spark, embeddings: DataFrame) -> DataFrame:
             (F.col("vec_id") % 5000 + 1000).cast("int").alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+# ------------------------------------------ perceptual-hash near-dup
+
+# Average-hash (aHash) near-duplicate detection for media blobs — the
+# image-dedup step of a multimodal training pipeline: decode to a
+# small grayscale thumbnail, threshold each pixel against the mean,
+# pack the bits, and find pairs at low Hamming distance via banded
+# pigeonhole lookup (any pair within hamming <= bands-1 shares at
+# least one exact band — the simhash trick over a perceptual hash).
+#
+# Two synchronized paths:
+# - phash_media: the REAL path — blob -> codec thumbnail (8x8) ->
+#   bits, through the Arrow-batched mapInPandas codec seam (PIL when
+#   present, FakeCodec in-container). Closure-based -> never declared.
+# - ahash_frames: a closure-free column-expression twin of the
+#   FakeCodec pipeline (thumbnail = sha-256 digest doubled), which
+#   makes the pack/threshold/banding logic fully oracle-checkable in
+#   DuckDB even though this container cannot decode real pixels.
+#   tests pin the two paths bit-identical under FakeCodec.
+#
+# 60 bits, not 64: both engines pack into a SIGNED bigint and
+# 1 << 63 is the documented overflow trap (CLAUDE.md); 60 bits keep
+# every intermediate positive with 4 bits of headroom.
+
+PHASH_BITS = 60
+
+
+def ahash_frames(df: DataFrame, blob_col, id_col: str = "media_id") -> DataFrame:
+    """(media_id, phash): closure-free aHash over the FakeCodec
+    'thumbnail' (sha-256 digest doubled, first 60 bytes as pixels);
+    bit i set iff 60*pixel_i > sum(pixels) — the integer form of
+    pixel > mean, exact in both engines.
+
+    Staged selects: the pixel array and its sum are materialized as
+    their own aliases so the per-bit lambda does not re-evaluate the
+    60-element fold per bit (the r4 Generate/CollapseProject hazard
+    class)."""
+    blob = F.col(blob_col) if isinstance(blob_col, str) else blob_col
+    hx = F.sha2(blob, 256)
+    d1 = df.select(
+        F.col(id_col).alias("media_id"),
+        F.concat(hx, hx).alias("_dd"),
+    )
+    px = F.transform(
+        F.sequence(F.lit(1), F.lit(PHASH_BITS)),
+        lambda i: F.conv(
+            F.col("_dd").substr(i * 2 - 1, F.lit(2)), 16, 10
+        ).cast("long"),
+    )
+    d2 = d1.select("media_id", px.alias("_px"))
+    d3 = d2.select(
+        "media_id",
+        "_px",
+        F.aggregate("_px", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "_s"
+        ),
+    )
+    powers = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(PHASH_BITS)]
+    )
+    bits = F.zip_with(
+        F.col("_px"),
+        powers,
+        lambda x, p: F.when(x * PHASH_BITS > F.col("_s"), p).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    d4 = d3.select("media_id", bits.alias("_bits"))
+    return d4.select(
+        "media_id",
+        F.aggregate("_bits", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "phash"
+        ),
+    )
+
+
+def phash_media(media: DataFrame, codec=None) -> DataFrame:
+    """(media_id, kind, phash): aHash through the codec seam — 8x8
+    thumbnail, first PHASH_BITS pixels, 60*px > sum threshold. With
+    FakeCodec this is bit-identical to ahash_frames(blob) (pinned in
+    tests); with a real codec the thumbnail is real pixels and the
+    hash becomes a true perceptual hash (near-dup under resize/
+    recompress)."""
+    codec = codec or get_codec()
+    out_schema = "media_id long, kind string, phash long"
+
+    def one(blob: bytes) -> int:
+        pxs = list(codec.thumbnail_bytes(blob, 8, 8))[:PHASH_BITS]
+        s = sum(pxs)
+        return sum(
+            (1 << i) for i, p in enumerate(pxs) if p * PHASH_BITS > s
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "phash": pdf["blob"].map(one),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=out_schema)
+
+
+def phash_hamming_pairs(
+    hashed: DataFrame,
+    bands: int = 4,
+    max_hamming: int = 2,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """(id_a, id_b, hamming): pairs within ``max_hamming`` bits,
+    found via banded pigeonhole — 4 bands x 15 bits, so any pair
+    with hamming <= 3 shares at least one exact band; never an
+    all-pairs join. Requires max_hamming < bands."""
+    assert max_hamming < bands
+    width = PHASH_BITS // bands
+    mask = (1 << width) - 1
+    b = hashed.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftright(F.col(hash_col), width * j)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bkey"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "h", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    a_, b_ = b.alias("a"), b.alias("b")
+    cand = (
+        a_.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.h").bitwiseXOR(F.col("b.h"))
+            ).cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

@@ -286,3 +286,30 @@ def q_kv_state_at_seq(spark, sf_dir):
         .drop("_s")
     )
     return kv.fold_state(snap)
+
+
+@declare(
+    "kv_put_history_scd2",
+    _OPLOG
+    + """
+    , puts AS (SELECT key, seq, value FROM oplog WHERE op = 'put')
+    SELECT key, value,
+           CAST(seq AS BIGINT) AS valid_from_seq,
+           CAST(coalesce(lead(seq) OVER (PARTITION BY key ORDER BY seq) - 1,
+                         -1) AS BIGINT) AS valid_to_seq,
+           CAST(row_number() OVER (PARTITION BY key ORDER BY seq)
+                AS INTEGER) AS version
+    FROM puts
+    """,
+)
+def q_kv_put_history_scd2(spark, sf_dir):
+    """O21 extension: SCD-2 validity intervals over the op-log's put
+    versions — the warehouse state-history view (valid_from/valid_to
+    seq range + version number per key). One key-partition window
+    pass; a point query at any seq reproduces kv_state_at_seq's put
+    component."""
+    return kv.put_history_scd2(
+        kv.dedup_at_most_once(
+            kv.synth_oplog(load_table(spark, sf_dir, "events"))
+        )
+    )

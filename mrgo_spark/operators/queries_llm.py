@@ -2418,3 +2418,56 @@ def q_bpe_vocab_tokens(spark, sf_dir):
         .groupBy("token")
         .agg(F.sum("freq").cast("bigint").alias("freq"))
     )
+
+
+@declare(
+    "media_phash_pairs",
+    f"""
+    WITH {_DUP_CORPUS_SQL},
+    ph0 AS (SELECT doc_id, sha256(text) || sha256(text) AS dd FROM corpus),
+    ph1 AS MATERIALIZED (
+      SELECT doc_id,
+             [CAST(concat('0x', substr(dd, 2 * i - 1, 2)) AS BIGINT)
+              for i in generate_series(1, 60)] AS px
+      FROM ph0),
+    ph2 AS MATERIALIZED (
+      SELECT doc_id, px, CAST(list_sum(px) AS BIGINT) AS s FROM ph1),
+    ph AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(list_sum([CASE WHEN px[i] * 60 > s
+                                 THEN (CAST(1 AS BIGINT) << (i - 1))
+                                 ELSE CAST(0 AS BIGINT) END
+                            for i in generate_series(1, 60)]) AS BIGINT)
+               AS phash
+      FROM ph2),
+    bands AS MATERIALIZED (
+      SELECT doc_id, phash, j.band,
+             (phash >> (15 * j.band)) & 32767 AS bkey
+      FROM ph, (SELECT unnest(range(0, 4)) AS band) j),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 2
+    """,
+)
+def q_media_phash_pairs(spark, sf_dir):
+    """X5 extension: perceptual-hash (aHash) media near-dup pairs —
+    60-bit pixel-vs-mean hash, 4x15-bit banded pigeonhole lookup
+    (any pair within hamming 3 shares an exact band), bit_count
+    verify at hamming <= 2. Declared through the closure-free
+    FakeCodec twin (thumbnail = doubled sha-256 digest), which
+    oracle-checks the ENTIRE pack/band/hamming pipeline; the
+    mapInPandas codec path (multimodal.phash_media) computes the
+    same hash from real pixels when a codec exists and is pinned
+    bit-identical to this twin under FakeCodec in tests."""
+    from . import multimodal
+
+    corpus = _dup_corpus(spark, sf_dir)
+    hashed = multimodal.ahash_frames(
+        corpus, F.col("text").cast("binary"), id_col="doc_id"
+    )
+    return multimodal.phash_hamming_pairs(
+        hashed, bands=4, max_hamming=2, id_col="media_id"
+    )

@@ -1535,3 +1535,36 @@ def q_pagerank_order_part(spark, sf_dir):
     return graph.pagerank(
         graph.bipartite_edges(load_table(spark, sf_dir, "lineitem"))
     )
+
+
+@declare(
+    "lineitem_zorder_audit",
+    """
+    WITH z AS (
+      SELECT CAST(list_sum([
+               ((l_partkey >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))
+               + ((l_suppkey >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1))
+               for i in generate_series(0, 19)]) AS BIGINT) AS zv,
+             l_partkey, l_suppkey
+      FROM lineitem)
+    SELECT (zv >> 16) AS z_bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(l_partkey) AS BIGINT) AS c1_min,
+           CAST(max(l_partkey) AS BIGINT) AS c1_max,
+           CAST(min(l_suppkey) AS BIGINT) AS c2_min,
+           CAST(max(l_suppkey) AS BIGINT) AS c2_max
+    FROM z GROUP BY 1
+    """,
+)
+def q_lineitem_zorder_audit(spark, sf_dir):
+    """Layout extension: Z-order (Morton) clustering audit over
+    lineitem's (l_partkey, l_suppkey) — the OPTIMIZE ZORDER analog.
+    Buckets rows by the Z key's high bits (what range-partitioned
+    file boundaries would see) and reports per-bucket extents in BOTH
+    dimensions; bounded extents are what make either-column range
+    scans prune files at 100 TB. Pure codegen'd bit arithmetic +
+    one partially-aggregated groupBy — rows never shuffle."""
+    from .layout import zorder_audit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return zorder_audit(li, "l_partkey", "l_suppkey")

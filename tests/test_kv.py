@@ -230,3 +230,60 @@ def test_rebalance_history_invariants(spark):
             continue
         counts = [gids.count(g) for g in live]
         assert max(counts) - min(counts) <= 1, (i, counts)
+
+
+def test_put_history_scd2_partitions_seq_space(spark, sf_dir):
+    from mrgo_spark.sources.tables import load_table
+
+    oplog = kv.dedup_at_most_once(
+        kv.synth_oplog(load_table(spark, sf_dir, "events"))
+    )
+    hist = kv.put_history_scd2(oplog).collect()
+    by_key: dict[str, list] = {}
+    for r in hist:
+        by_key.setdefault(r.key, []).append(r)
+    puts = {
+        (r.key, r.seq): r.value
+        for r in oplog.filter("op = 'put'").collect()
+    }
+    assert sum(len(v) for v in by_key.values()) == len(puts)
+    for key, rows in by_key.items():
+        rows.sort(key=lambda r: r.valid_from_seq)
+        # versions number 1..n in interval order; intervals are
+        # contiguous and only the last is open (-1)
+        assert [r.version for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to_seq == b.valid_from_seq - 1
+        assert rows[-1].valid_to_seq == -1
+        assert all(r.valid_to_seq >= r.valid_from_seq for r in rows[:-1])
+        # each interval carries exactly the put at its valid_from
+        for r in rows:
+            assert puts[(key, r.valid_from_seq)] == r.value
+
+
+def test_put_history_scd2_point_query_matches_last_put(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mrgo_spark.sources.tables import load_table
+
+    oplog = kv.dedup_at_most_once(
+        kv.synth_oplog(load_table(spark, sf_dir, "events"))
+    )
+    hist = kv.put_history_scd2(oplog)
+    puts = sorted(
+        (r.seq, r.key, r.value)
+        for r in oplog.filter("op = 'put'").collect()
+    )
+    s = puts[len(puts) // 2][0]  # probe mid-history
+    got = {
+        (r.key, r.value)
+        for r in hist.filter(
+            (F.col("valid_from_seq") <= s)
+            & ((F.col("valid_to_seq") == -1) | (F.col("valid_to_seq") >= s))
+        ).collect()
+    }
+    want = {}
+    for seq, key, value in puts:
+        if seq <= s:
+            want[key] = value
+    assert got == set(want.items())

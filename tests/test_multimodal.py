@@ -8,6 +8,8 @@ import inspect
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from mrgo_spark.operators import multimodal
 from mrgo_spark.sources.tables import load_table
 
@@ -115,3 +117,65 @@ def test_pil_codec_contract(spark):
     ).collect()
     assert all(len(bytes(r.thumb)) == 16 for r in thumbs)
     assert all(r.thumb_w == 4 and r.thumb_h == 4 for r in thumbs)
+
+
+# ------------------------------------------ perceptual-hash near-dup
+
+def test_phash_media_matches_column_twin(spark):
+    # the mapInPandas codec path and the closure-free column twin
+    # must be bit-identical under FakeCodec (same doubled-digest
+    # thumbnail, same 60*px > sum threshold, same bit order)
+    emb = load_table(spark, SF, "embeddings").limit(50)
+    media = multimodal.synth_media(spark, emb)
+    via_codec = {
+        r.media_id: r.phash
+        for r in multimodal.phash_media(
+            media, codec=multimodal.FakeCodec
+        ).collect()
+    }
+    via_expr = {
+        r.media_id: r.phash
+        for r in multimodal.ahash_frames(media, "blob").collect()
+    }
+    assert via_codec == via_expr
+    assert all(0 <= h < (1 << multimodal.PHASH_BITS) for h in via_expr.values())
+
+
+def test_phash_pairs_exact_copy_and_pigeonhole(spark):
+    # hash-level checks of the banded lookup: equal hashes pair at
+    # hamming 0; a 2-bit flip is still found (pigeonhole: <= 3 bit
+    # flips cannot touch all 4 bands); an everywhere-different hash
+    # produces no pair
+    rows = [
+        (1, 0b1010101),
+        (2, 0b1010101),              # exact copy of 1
+        (3, 0b1010101 ^ (1 << 3) ^ (1 << 40)),  # 2 flips in 2 bands
+        (4, (1 << 59) | (1 << 44) | (1 << 29) | (1 << 14) | 0b111),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, phash long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in multimodal.phash_hamming_pairs(df).collect()
+    }
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == 2 and got[(2, 3)] == 2
+    assert not any(4 in p for p in got)
+
+
+def test_phash_pairs_find_planted_blob_copies(spark):
+    # end-to-end on blobs: a verbatim blob copy is a hamming-0 pair
+    emb = load_table(spark, SF, "embeddings").limit(30)
+    media = multimodal.synth_media(spark, emb)
+    dup = media.filter(F.col("media_id") == 0).select(
+        (F.col("media_id") + 7000).alias("media_id"),
+        "kind",
+        "blob",
+        "meta",
+    )
+    hashed = multimodal.ahash_frames(media.unionByName(dup), "blob")
+    pairs = multimodal.phash_hamming_pairs(
+        hashed, id_col="media_id"
+    ).collect()
+    assert any(
+        (r.id_a, r.id_b, r.hamming) == (0, 7000, 0) for r in pairs
+    )
