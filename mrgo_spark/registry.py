@@ -77,15 +77,30 @@ PRIORITY = [
     "dedup_exact", "dedup_fingerprint", "semantic_dedup",
     "dup_cluster_components",
     "dedup_pipeline_canonical", "edit_distance_pairs",
-    "edit_distance_pairs_symdelete", "line_dedup_stats",
-    "ngram_jaccard_reversed_pairs", "minhash_lsh_pairs",
+    "line_dedup_stats",
+    # r4c swap: exact_substring_audit (Lee et al. exact-substring
+    # dedup — a NEW operator class in the LLM-pipeline table, not a
+    # re-demonstration of a covered family) takes
+    # edit_distance_pairs_symdelete's slot (second edit-distance
+    # variant; stays declared + driver_sim/verify-checked).
+    "exact_substring_audit",
+    "minhash_lsh_pairs",
     # similarity / embeddings (X3)
     "topk_cosine", "embedding_near_pairs", "embedding_normalize",
     "embedding_centroids", "embedding_quantize",
+    # r4c swap: pq_codes (product quantization — the compressed-ANN
+    # class) takes ngram_jaccard_reversed_pairs's slot (X2 held 10
+    # in-window reps; the demoted entry stays declared + checked).
+    "pq_codes",
     # text analysis (X4)
     "text_token_stats", "bpe_token_stats", "ngram_bigrams_top20",
     "char_quality_stats", "lang_id_heuristic", "quality_score",
     "tfidf_top_terms", "repetition_stats",
+    # r4c swap: bpe_train_merges (tokenizer TRAINING — the X4
+    # iterative-algorithm class) takes q3_top_revenue_orders's slot
+    # (TPC-H keeps q1 as its in-window rep; q3 was driver-green
+    # r1-r3 and stays declared + checked just past the window).
+    "bpe_train_merges",
     # training-data pipeline
     "corpus_quality_filter", "decontaminate_stats", "dataset_split",
     "mixture_sample", "sequence_chunks", "sequence_packing",
@@ -95,10 +110,12 @@ PRIORITY = [
     # events / time-series
     "events_sessionize", "range_join_errors_after_purchase",
     "asof_last_purchase",
-    # TPC-H representatives (the remaining 20+ variants follow after)
-    "q1_pricing_summary", "q3_top_revenue_orders",
+    # TPC-H representative (the remaining 21 variants follow after)
+    "q1_pricing_summary",
     # first entries past the driver window, in checked order
-    "events_tumbling_hour", "hypertable_rollup",
+    "q3_top_revenue_orders", "edit_distance_pairs_symdelete",
+    "ngram_jaccard_reversed_pairs", "events_tumbling_hour",
+    "hypertable_rollup",
 ]
 
 # Round-4b placement decision (conscious, per the zero-sum rule

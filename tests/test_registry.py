@@ -22,8 +22,11 @@ MUST_BE_GATED = [
     "dedup_pipeline_canonical",     # X2 end-to-end pipeline
     "edit_distance_pairs",          # X2 edit-distance blocking
     "line_dedup_stats",             # X2 line-level dedup
+    "exact_substring_audit",        # X2 exact-substring dedup (r4c)
     "topk_cosine",                  # X3 similarity search
     "embedding_quantize",           # X3 quantization
+    "pq_codes",                     # X3 product quantization (r4c)
+    "bpe_train_merges",             # X4 tokenizer training (r4c)
     "text_token_stats",             # X4 token stats
     "lang_id_heuristic",            # X4 language id
     "quality_score",                # X4 quality scoring
