@@ -221,6 +221,7 @@ def main() -> None:
         "media_phash_pairs",
         "kv_put_history_scd2",
         "lineitem_zorder_audit",
+        "decontaminate_bloom_stats",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there

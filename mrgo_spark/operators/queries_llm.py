@@ -2471,3 +2471,104 @@ def q_media_phash_pairs(spark, sf_dir):
     return multimodal.phash_hamming_pairs(
         hashed, bands=4, max_hamming=2, id_col="media_id"
     )
+
+
+@declare(
+    "decontaminate_bloom_stats",
+    """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id + 400000, 'leaked eval item follows ' || text
+        FROM documents WHERE doc_id % 97 = 0
+    ),
+    bench AS (
+        SELECT text FROM documents WHERE doc_id % 97 = 0
+    ),
+    tokc AS MATERIALIZED (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t
+        FROM corpus
+    ),
+    gh AS MATERIALIZED (
+        SELECT doc_id, i,
+               CAST(concat('0x', substr(md5(array_to_string(t[i:i+7], ' ')),
+                                        1, 12)) AS BIGINT) AS h
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, len(t) - 7)) AS i
+              FROM tokc WHERE len(t) >= 8)
+    ),
+    bh AS MATERIALIZED (
+        SELECT DISTINCT
+               CAST(concat('0x', substr(md5(array_to_string(t[i:i+7], ' ')),
+                                        1, 12)) AS BIGINT) AS h
+        FROM (SELECT t, unnest(generate_series(1, len(t) - 7)) AS i
+              FROM (SELECT list_filter(string_split_regex(lower(text),
+                                                          '[^a-z]+'),
+                                       x -> x <> '') AS t
+                    FROM bench)
+              WHERE len(t) >= 8)
+    ),
+    words AS MATERIALIZED (
+        SELECT p // 32 AS w,
+               bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
+        FROM (SELECT unnest([(h >> (12 * j)) & 65535
+                             for j in [0, 1, 2, 3]]) AS p
+              FROM bh)
+        GROUP BY 1
+    ),
+    chk AS MATERIALIZED (
+        SELECT doc_id, i, h,
+               count(*) FILTER (
+                   WHERE w.bits IS NOT NULL
+                     AND (w.bits & (CAST(1 AS BIGINT)
+                                    << CAST(po.p % 32 AS INTEGER))) <> 0
+               ) AS okbits
+        FROM (SELECT doc_id, i, h,
+                     unnest([(h >> (12 * j)) & 65535
+                             for j in [0, 1, 2, 3]]) AS p
+              FROM gh) po
+        LEFT JOIN words w ON po.p // 32 = w.w
+        GROUP BY doc_id, i, h
+    ),
+    agg AS (
+        SELECT c.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN okbits = 4 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS bloom_hits,
+               CAST(sum(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS exact_hits
+        FROM chk c LEFT JOIN bh e ON c.h = e.h
+        GROUP BY c.doc_id
+    )
+    SELECT c.doc_id,
+           coalesce(a.n_grams, 0) AS n_grams,
+           coalesce(a.bloom_hits, 0) AS bloom_hits,
+           coalesce(a.exact_hits, 0) AS exact_hits
+    FROM (SELECT doc_id FROM corpus) c LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_decontaminate_bloom(spark, sf_dir):
+    """Pipeline extension: Bloom-probed decontamination — the
+    eval-side gram set compresses to a literal 64 Kbit filter so the
+    corpus probe is MAP-ONLY at any eval-suite size (the scale path
+    past decontaminate's broadcast-set ceiling). bloom_hits vs
+    exact_hits per doc makes the false-positive cost a measured
+    output, and because the filter is md5-derived integer bit math,
+    the oracle replays the filter itself — false positives included —
+    bit-for-bit."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    leaked = bench.select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(
+            F.lit("leaked eval item follows "), F.col("text")
+        ).alias("text"),
+    )
+    corpus = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", "text")
+        .unionAll(leaked)
+    )
+    return pipeline.decontaminate_bloom(corpus, bench, n=8)

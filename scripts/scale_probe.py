@@ -163,6 +163,13 @@ def main() -> None:
         "pq_codes",
         "pq_topk_adc",
         "pq_topk_imi",
+        # r4c batch 2: phash on verbatim-copied docs inherits the
+        # same all-duplicated caveat as exact-substring; zorder/scd2/
+        # bloom probe real 10x row counts.
+        "media_phash_pairs",
+        "kv_put_history_scd2",
+        "lineitem_zorder_audit",
+        "decontaminate_bloom_stats",
     ]
     results = {}
     for name in probe:

@@ -201,3 +201,74 @@ def test_corpus_shuffle_no_global_window(spark):
         if "row_number" in w:
             assert "windowspecdefinition(_bkt" in w
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+# ------------------------------------------ Bloom decontamination
+
+def test_bloom_build_matches_probe_model():
+    hashes = [0x123456789ABC, 0xFFFFFFFFFFFF, 0x000000000001]
+    words = pipeline.bloom_build(hashes)
+    assert len(words) == pipeline.BLOOM_WORDS
+    for h in hashes:  # no false negatives by construction
+        for j in range(pipeline.BLOOM_K):
+            p = (h >> (12 * j)) & 0xFFFF
+            assert words[p // 32] & (1 << (p % 32))
+
+
+def test_decontaminate_bloom_flags_and_bounds(spark):
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "prefix noise the quick brown fox jumps over the lazy dog tonight"),
+            (11, "completely unrelated words about cooking fresh pasta at home with butter and sage leaves"),
+            (12, "shortdoc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in pipeline.decontaminate_bloom(corpus, bench, n=8).collect()
+    }
+    # leak: every benchmark gram present -> exact hits > 0 and every
+    # exact hit is bloom-flagged (no false negatives)
+    assert got[10].exact_hits > 0
+    for r in got.values():
+        assert 0 <= r.exact_hits <= r.bloom_hits <= r.n_grams
+    # clean doc has zero exact hits (bloom may false-positive, which
+    # is the measured, documented cost)
+    assert got[11].exact_hits == 0
+    # sub-n doc: no grams at all
+    assert got[12].n_grams == 0 and got[12].bloom_hits == 0
+
+
+def test_decontaminate_bloom_agrees_with_exact_marker(spark, sf_dir):
+    # the exact leg must reproduce decontaminate()'s contaminated
+    # gram-instance counts on the same corpus/bench split
+    from mrgo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    bl = {
+        r.doc_id: r
+        for r in pipeline.decontaminate_bloom(corpus, bench, n=8).collect()
+    }
+    # independent exact check in Python over collected docs
+    import hashlib
+    import re as _re
+
+    def grams(text):
+        t = [x for x in _re.split(r"[^a-z]+", text.lower()) if x]
+        return [" ".join(t[i : i + 8]) for i in range(len(t) - 7)]
+
+    bench_set = {
+        g for r in bench.collect() for g in grams(r.text)
+    }
+    for r in corpus.collect():
+        gs = grams(r.text)
+        want_exact = sum(g in bench_set for g in gs)
+        assert bl[r.doc_id].n_grams == len(gs)
+        assert bl[r.doc_id].exact_hits == want_exact
