@@ -211,7 +211,13 @@ def main() -> None:
         "srp_signatures",
         "semantic_dedup_srp",
         # round-4c: exact-substring dedup (gram explode + hash count
-        # + span merge) and PQ (train collects + map-only assignment)
+        # + span merge) and PQ. NOTE the PQ/BPE session caches make
+        # these entries ORDER-SEMANTIC: pq_codes runs first and
+        # absorbs the one-time training (its cold number = build+
+        # assign, like topk_cosine_ivf's @cold); pq_topk_adc/imi and
+        # bpe entries after it are SERVE-path numbers. Compare across
+        # rounds entry-by-entry with that split in mind — and their
+        # warm twins diagnose serve-path drift only, not JIT-vs-plan.
         "exact_substring_audit",
         "exact_substring_scrub",
         "pq_codes",

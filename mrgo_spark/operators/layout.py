@@ -13,13 +13,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-Z_BITS = 20  # per-dimension bits -> 40-bit Z value (sign-safe bigint)
+# Per-dimension bits. 31 covers every 32-bit-signed key domain (TPC-H
+# keys exceed 2^20 past SF 5, so a narrower default would silently
+# alias distant keys and destroy the locality property — review
+# finding); 2*31 = 62 keeps the Z value positive in a signed bigint.
+# Inputs MUST be non-negative and < 2^Z_BITS — bits above Z_BITS are
+# ignored by construction.
+Z_BITS = 31
 
 
 def zorder_key(c1, c2, bits: int = Z_BITS) -> F.Column:
     """Morton interleave of the low ``bits`` bits of two non-negative
     integer columns: bit i of c1 lands at position 2i, bit i of c2 at
-    2i+1. 2*bits <= 62 keeps every term positive in a signed long."""
+    2i+1. 2*bits <= 62 keeps every term positive in a signed long.
+    Keys >= 2^bits alias (their high bits are ignored) — size bits to
+    the key domain; the 31-bit default covers int32 keys."""
     assert 2 * bits <= 62
     a = (F.col(c1) if isinstance(c1, str) else c1).cast("long")
     b = (F.col(c2) if isinstance(c2, str) else c2).cast("long")

@@ -254,13 +254,19 @@ def ahash_frames(df: DataFrame, blob_col, id_col: str = "media_id") -> DataFrame
         ).cast("long"),
     )
     d2 = d1.select("media_id", px.alias("_px"))
+    # localCheckpoint: CollapseProject inlines a SINGLE-referenced
+    # alias into its consumer, so a projection-staged "_s" lands
+    # inside the per-bit lambda and the 60-element sum fold re-runs
+    # once PER BIT (~60x per row — the embedding_normalize hazard
+    # class, confirmed in the optimized plan). Severing lineage after
+    # (_px, _s) are materialized is the repo's established fix.
     d3 = d2.select(
         "media_id",
         "_px",
         F.aggregate("_px", F.lit(0).cast("long"), lambda a, x: a + x).alias(
             "_s"
         ),
-    )
+    ).localCheckpoint(eager=False)
     powers = F.array(
         *[F.lit(1 << i).cast("long") for i in range(PHASH_BITS)]
     )
@@ -324,6 +330,11 @@ def phash_hamming_pairs(
     assert max_hamming < bands
     width = PHASH_BITS // bands
     mask = (1 << width) - 1
+    # checkpoint once: the banded rows feed BOTH sides of the
+    # self-join (differing projections -> Catalyst plans independent
+    # subtrees, no exchange reuse -- the winnow_overlap class), so an
+    # unsevered hash pipeline would recompute per side.
+    hashed = hashed.localCheckpoint(eager=False)
     b = hashed.select(
         F.col(id_col).alias("id"),
         F.col(hash_col).alias("h"),

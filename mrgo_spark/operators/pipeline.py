@@ -22,6 +22,9 @@ zero Python in the hot path.
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import and_
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -309,13 +312,20 @@ def corpus_shuffle(
 # including its false positives — replays bit-for-bit in DuckDB.
 
 BLOOM_WORDS = 2048  # x 32 bits = 65536 positions
-BLOOM_K = 4         # positions per key: (h >> 12j) & 0xFFFF, j=0..3
+# Bit offsets of the four 16-bit position lanes inside the 48-bit
+# hash. The last lane is 32 (not 36): off + 16 must stay <= 48 or the
+# lane's top bits are always zero and its positions collapse into a
+# 1/16th of the filter — a measured ~14x false-positive inflation
+# (review finding). Probe and build BOTH derive from this tuple; the
+# oracle SQL interpolates it too, so the three legs cannot desync.
+BLOOM_OFFS = (0, 11, 21, 32)
+BLOOM_K = len(BLOOM_OFFS)
 
 
 def _gram_hash48(col) -> F.Column:
     """48-bit md5-prefix hash of a gram string (the repo's portable
-    hash recipe; 4 x 16-bit Bloom positions slice out of it with 12-
-    bit offsets so neighboring positions share no full 16-bit lane)."""
+    hash recipe); the BLOOM_OFFS lanes slice 16-bit Bloom positions
+    out of it."""
     return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
 
 
@@ -326,8 +336,8 @@ def bloom_build(hashes) -> list[int]:
     words, which is still one 16 KiB row)."""
     words = [0] * BLOOM_WORDS
     for h in hashes:
-        for j in range(BLOOM_K):
-            p = (h >> (12 * j)) & 0xFFFF
+        for off in BLOOM_OFFS:
+            p = (h >> off) & 0xFFFF
             words[p // 32] |= 1 << (p % 32)
     return words
 
@@ -369,18 +379,24 @@ def decontaminate_bloom(
         F.explode_outer(_word_ngrams(text_col, n)).alias("g"),
     ).select("doc_id", "g", _gram_hash48(F.col("g")).alias("h"))
 
-    def bit_ok(j: int) -> F.Column:
-        p = F.shiftright(F.col("h"), 12 * j).bitwiseAND(F.lit(0xFFFF))
+    def bit_ok(off: int) -> F.Column:
+        p = F.shiftright(F.col("h"), off).bitwiseAND(F.lit(0xFFFF))
         word = F.element_at(blit, (p / 32).cast("int") + 1)
         mask = F.element_at(pw32, F.pmod(p, F.lit(32)).cast("int") + 1)
         return word.bitwiseAND(mask) != 0
 
-    bloom_hit = bit_ok(0) & bit_ok(1) & bit_ok(2) & bit_ok(3)
+    bloom_hit = reduce(and_, (bit_ok(off) for off in BLOOM_OFFS))
     bh_df = documents.sparkSession.createDataFrame(
         [(int(h),) for h in bench_h] or [(None,)], "h_bench long"
     ).filter(F.col("h_bench").isNotNull())
+    # exact verify only on Bloom SURVIVORS: the filter has no false
+    # negatives, so non-survivors provably contribute exact_hits = 0
+    # — gating the probe keeps the exact join off the corpus's full
+    # gram volume (the work the filter exists to avoid).
     marked = ex.withColumn("_bloom", bloom_hit).join(
-        F.broadcast(bh_df), ex.h == bh_df.h_bench, "left"
+        F.broadcast(bh_df),
+        (ex.h == bh_df.h_bench) & F.col("_bloom"),
+        "left",
     )
     return marked.groupBy("doc_id").agg(
         F.count("g").cast("bigint").alias("n_grams"),

@@ -2184,20 +2184,23 @@ def _pq_cte(k: int = 16, m: int = 8, subdim: int = 8, iters: int = 2) -> str:
 # entries (codes / ADC / IMI) share trained codebooks instead of each
 # re-running the seed collect + update aggregation + reassignment —
 # the _IVF_CACHE "declared ANN serves from a session cache" idiom.
-_PQ_CACHE: dict[tuple[int, str], list] = {}
+# Keyed by sf_dir, value holds the owning SparkSession: an id()-based
+# key can collide after a session is GC'd and the address recycled
+# (review finding); holding the session and comparing identity cannot.
+_PQ_CACHE: dict[str, tuple] = {}
 
 
 def _pq_emb_cents(spark, sf_dir):
     emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
-    key = (id(spark), sf_dir)
-    cents = _PQ_CACHE.get(key)
-    if cents is None:
-        q = similarity._pq_quantized(emb, "vec_id", "embedding")
-        cents = similarity._pq_train(
-            q, similarity.PQ_M, similarity.PQ_SUBDIM,
-            similarity.PQ_K, similarity.PQ_ITERS,
-        )
-        _PQ_CACHE[key] = cents
+    hit = _PQ_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return emb, hit[1]
+    q = similarity._pq_quantized(emb, "vec_id", "embedding")
+    cents = similarity._pq_train(
+        q, similarity.PQ_M, similarity.PQ_SUBDIM,
+        similarity.PQ_K, similarity.PQ_ITERS,
+    )
+    _PQ_CACHE[sf_dir] = (spark, cents)
     return emb, cents
 
 
@@ -2360,16 +2363,19 @@ _BPE_ROUNDS = textstats.BPE_ROUNDS
 # entries reuse the same merges + final word table (each training is
 # six sequential collect rounds — running it twice per gate pass is
 # pure waste).
-_BPE_CACHE: dict[tuple[int, str, int], tuple] = {}
+# Same held-session keying as _PQ_CACHE (the cached ``words`` frame
+# is JVM-backed — serving it to a different session would fail).
+_BPE_CACHE: dict[tuple[str, int], tuple] = {}
 
 
 def _bpe_learned(spark, sf_dir, rounds):
-    key = (id(spark), sf_dir, rounds)
-    got = _BPE_CACHE.get(key)
-    if got is None:
-        docs = widen_scan(load_table(spark, sf_dir, "documents"))
-        got = textstats.bpe_learn(docs, rounds)
-        _BPE_CACHE[key] = got
+    key = (sf_dir, rounds)
+    hit = _BPE_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    got = textstats.bpe_learn(docs, rounds)
+    _BPE_CACHE[key] = (spark, got)
     return got
 
 
@@ -2473,9 +2479,13 @@ def q_media_phash_pairs(spark, sf_dir):
     )
 
 
+_BLOOM_OFFS_SQL = "[" + ", ".join(str(o) for o in pipeline.BLOOM_OFFS) + "]"
+_BPK = pipeline.BLOOM_K
+
+
 @declare(
     "decontaminate_bloom_stats",
-    """
+    f"""
     WITH corpus AS (
         SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
         UNION ALL
@@ -2513,8 +2523,8 @@ def q_media_phash_pairs(spark, sf_dir):
     words AS MATERIALIZED (
         SELECT p // 32 AS w,
                bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
-        FROM (SELECT unnest([(h >> (12 * j)) & 65535
-                             for j in [0, 1, 2, 3]]) AS p
+        FROM (SELECT unnest([(h >> o) & 65535
+                             for o in {_BLOOM_OFFS_SQL}]) AS p
               FROM bh)
         GROUP BY 1
     ),
@@ -2526,8 +2536,8 @@ def q_media_phash_pairs(spark, sf_dir):
                                     << CAST(po.p % 32 AS INTEGER))) <> 0
                ) AS okbits
         FROM (SELECT doc_id, i, h,
-                     unnest([(h >> (12 * j)) & 65535
-                             for j in [0, 1, 2, 3]]) AS p
+                     unnest([(h >> o) & 65535
+                             for o in {_BLOOM_OFFS_SQL}]) AS p
               FROM gh) po
         LEFT JOIN words w ON po.p // 32 = w.w
         GROUP BY doc_id, i, h
@@ -2535,7 +2545,7 @@ def q_media_phash_pairs(spark, sf_dir):
     agg AS (
         SELECT c.doc_id,
                CAST(count(*) AS BIGINT) AS n_grams,
-               CAST(sum(CASE WHEN okbits = 4 THEN 1 ELSE 0 END) AS BIGINT)
+               CAST(sum(CASE WHEN okbits = {_BPK} THEN 1 ELSE 0 END) AS BIGINT)
                  AS bloom_hits,
                CAST(sum(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END)
                     AS BIGINT) AS exact_hits

@@ -1544,7 +1544,7 @@ def q_pagerank_order_part(spark, sf_dir):
       SELECT CAST(list_sum([
                ((l_partkey >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))
                + ((l_suppkey >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1))
-               for i in generate_series(0, 19)]) AS BIGINT) AS zv,
+               for i in generate_series(0, 30)]) AS BIGINT) AS zv,
              l_partkey, l_suppkey
       FROM lineitem)
     SELECT (zv >> 16) AS z_bucket,

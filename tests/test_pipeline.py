@@ -210,9 +210,13 @@ def test_bloom_build_matches_probe_model():
     words = pipeline.bloom_build(hashes)
     assert len(words) == pipeline.BLOOM_WORDS
     for h in hashes:  # no false negatives by construction
-        for j in range(pipeline.BLOOM_K):
-            p = (h >> (12 * j)) & 0xFFFF
+        for off in pipeline.BLOOM_OFFS:
+            p = (h >> off) & 0xFFFF
             assert words[p // 32] & (1 << (p % 32))
+    # every offset lane spans the full 16-bit position space: off+16
+    # <= 48 (the j=3 lane of the old 12j scheme topped out at 12 bits
+    # — a ~14x FP inflation)
+    assert all(off + 16 <= 48 for off in pipeline.BLOOM_OFFS)
 
 
 def test_decontaminate_bloom_flags_and_bounds(spark):
