@@ -29,8 +29,21 @@ def zorder_key(c1, c2, bits: int = Z_BITS) -> F.Column:
     Keys >= 2^bits alias (their high bits are ignored) — size bits to
     the key domain; the 31-bit default covers int32 keys."""
     assert 2 * bits <= 62
-    a = (F.col(c1) if isinstance(c1, str) else c1).cast("long")
-    b = (F.col(c2) if isinstance(c2, str) else c2).cast("long")
+    mask = F.lit((1 << bits) - 1).cast("long")
+
+    def _checked(c):
+        # shiftright SIGN-EXTENDS: a negative key would set every
+        # odd/even bit and silently destroy locality (ADVICE r4) —
+        # raise per-row instead, then mask to the declared bit width
+        # (high bits ignored by documented construction).
+        raw = (F.col(c) if isinstance(c, str) else c).cast("long")
+        return F.when(
+            raw < 0,
+            F.raise_error(F.lit("zorder_key: negative input key")),
+        ).otherwise(raw).bitwiseAND(mask)
+
+    a = _checked(c1)
+    b = _checked(c2)
     z = F.lit(0).cast("long")
     for i in range(bits):
         z = z + F.shiftright(a, i).bitwiseAND(F.lit(1)) * F.lit(

@@ -226,16 +226,19 @@ def synth_media(spark, embeddings: DataFrame) -> DataFrame:
 #
 # 60 bits, not 64: both engines pack into a SIGNED bigint and
 # 1 << 63 is the documented overflow trap (CLAUDE.md); 60 bits keep
-# every intermediate positive with 4 bits of headroom.
+# every intermediate positive with 4 bits of headroom. The MEAN is
+# still taken over the full 8x8 tile (all 64 pixels — textbook
+# aHash, ADVICE r4); only the packing drops the last 4 pixels.
 
 PHASH_BITS = 60
+PHASH_PIXELS = 64
 
 
 def ahash_frames(df: DataFrame, blob_col, id_col: str = "media_id") -> DataFrame:
     """(media_id, phash): closure-free aHash over the FakeCodec
-    'thumbnail' (sha-256 digest doubled, first 60 bytes as pixels);
-    bit i set iff 60*pixel_i > sum(pixels) — the integer form of
-    pixel > mean, exact in both engines.
+    'thumbnail' (sha-256 digest doubled = 64 pseudo-pixels);
+    bit i (i < 60) set iff 64*pixel_i > sum(all 64 pixels) — the
+    integer form of pixel > full-tile mean, exact in both engines.
 
     Staged selects: the pixel array and its sum are materialized as
     their own aliases so the per-bit lambda does not re-evaluate the
@@ -248,7 +251,7 @@ def ahash_frames(df: DataFrame, blob_col, id_col: str = "media_id") -> DataFrame
         F.concat(hx, hx).alias("_dd"),
     )
     px = F.transform(
-        F.sequence(F.lit(1), F.lit(PHASH_BITS)),
+        F.sequence(F.lit(1), F.lit(PHASH_PIXELS)),
         lambda i: F.conv(
             F.col("_dd").substr(i * 2 - 1, F.lit(2)), 16, 10
         ).cast("long"),
@@ -267,13 +270,18 @@ def ahash_frames(df: DataFrame, blob_col, id_col: str = "media_id") -> DataFrame
             "_s"
         ),
     ).localCheckpoint(eager=False)
+    # 64 weights, the last PHASH_PIXELS-PHASH_BITS zero: the mean
+    # covers every pixel, the pack only the first 60
     powers = F.array(
-        *[F.lit(1 << i).cast("long") for i in range(PHASH_BITS)]
+        *[
+            F.lit(1 << i if i < PHASH_BITS else 0).cast("long")
+            for i in range(PHASH_PIXELS)
+        ]
     )
     bits = F.zip_with(
         F.col("_px"),
         powers,
-        lambda x, p: F.when(x * PHASH_BITS > F.col("_s"), p).otherwise(
+        lambda x, p: F.when(x * PHASH_PIXELS > F.col("_s"), p).otherwise(
             F.lit(0).cast("long")
         ),
     )
@@ -288,7 +296,8 @@ def ahash_frames(df: DataFrame, blob_col, id_col: str = "media_id") -> DataFrame
 
 def phash_media(media: DataFrame, codec=None) -> DataFrame:
     """(media_id, kind, phash): aHash through the codec seam — 8x8
-    thumbnail, first PHASH_BITS pixels, 60*px > sum threshold. With
+    thumbnail, pixel > full-tile mean (64*px > sum over all 64
+    pixels, textbook aHash), first PHASH_BITS bits packed. With
     FakeCodec this is bit-identical to ahash_frames(blob) (pinned in
     tests); with a real codec the thumbnail is real pixels and the
     hash becomes a true perceptual hash (near-dup under resize/
@@ -297,10 +306,12 @@ def phash_media(media: DataFrame, codec=None) -> DataFrame:
     out_schema = "media_id long, kind string, phash long"
 
     def one(blob: bytes) -> int:
-        pxs = list(codec.thumbnail_bytes(blob, 8, 8))[:PHASH_BITS]
+        pxs = list(codec.thumbnail_bytes(blob, 8, 8))[:PHASH_PIXELS]
         s = sum(pxs)
         return sum(
-            (1 << i) for i, p in enumerate(pxs) if p * PHASH_BITS > s
+            (1 << i)
+            for i, p in enumerate(pxs[:PHASH_BITS])
+            if p * PHASH_PIXELS > s
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

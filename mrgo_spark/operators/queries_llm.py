@@ -2180,28 +2180,45 @@ def _pq_cte(k: int = 16, m: int = 8, subdim: int = 8, iters: int = 2) -> str:
     return "WITH " + ",\n    ".join(parts)
 
 
-# One PQ training per (session, sf_dir): the three declared PQ
-# entries (codes / ADC / IMI) share trained codebooks instead of each
-# re-running the seed collect + update aggregation + reassignment —
-# the _IVF_CACHE "declared ANN serves from a session cache" idiom.
+# One PQ training AND assignment per (session, sf_dir): the three
+# declared PQ entries (codes / ADC / IMI) share trained codebooks AND
+# the localCheckpointed assigned-codes frame — the interpreted
+# 8×16-centroid HOF fold is the heaviest stage in the family (r4
+# bench: 6-8 s warm PER entry when each re-assigned from scratch),
+# and in a real deployment codes are materialized at rest exactly
+# once (SCALE.md); the session cache mirrors that. The _IVF_CACHE
+# "declared ANN serves from a session cache" idiom.
 # Keyed by sf_dir, value holds the owning SparkSession: an id()-based
 # key can collide after a session is GC'd and the address recycled
 # (review finding); holding the session and comparing identity cannot.
+# A stale entry (stopped session) is DELETED on miss so its JVM-backed
+# checkpointed frame is released promptly (ADVICE r4).
 _PQ_CACHE: dict[str, tuple] = {}
 
 
-def _pq_emb_cents(spark, sf_dir):
-    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
+def _pq_artifacts(spark, sf_dir):
+    """(cents, assigned_ckpt, luts) for the declared PQ entries —
+    trained, assigned, localCheckpointed, and LUT-built once per
+    (session, sf_dir)."""
     hit = _PQ_CACHE.get(sf_dir)
     if hit is not None and hit[0] is spark:
-        return emb, hit[1]
+        return hit[1], hit[2], hit[3]
+    if hit is not None:
+        del _PQ_CACHE[sf_dir]
+    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
     q = similarity._pq_quantized(emb, "vec_id", "embedding")
     cents = similarity._pq_train(
         q, similarity.PQ_M, similarity.PQ_SUBDIM,
         similarity.PQ_K, similarity.PQ_ITERS,
     )
-    _PQ_CACHE[sf_dir] = (spark, cents)
-    return emb, cents
+    a = similarity._pq_assign(
+        q, cents, similarity.PQ_M, similarity.PQ_SUBDIM
+    ).localCheckpoint(eager=False)
+    luts = similarity._pq_luts(
+        q, cents, 8, similarity.PQ_M, similarity.PQ_SUBDIM
+    )
+    _PQ_CACHE[sf_dir] = (spark, cents, a, luts)
+    return cents, a, luts
 
 
 @declare(
@@ -2222,9 +2239,11 @@ def q_pq_codes(spark, sf_dir):
     the exact integer reconstruction error. Codebooks are trained
     with the seeded fixed-point per-subspace Lloyd fold, so the WHOLE
     train+assign pipeline replays bit-for-bit in the oracle.
-    Assignment itself is map-only (codebooks ride as literals)."""
-    emb, cents = _pq_emb_cents(spark, sf_dir)
-    return similarity.pq_codes(emb, cents=cents)
+    Assignment itself is map-only (codebooks ride as literals) and is
+    served from the session-cached checkpointed codes frame — the
+    at-rest read path."""
+    cents, a, _ = _pq_artifacts(spark, sf_dir)
+    return similarity.pq_codes(None, cents=cents, assigned=a)
 
 
 # Shared ADC lookup-table CTE fragment (8 smallest-id queries, exact
@@ -2265,9 +2284,10 @@ def q_pq_topk_adc(spark, sf_dir):
     against a K×M integer lookup table (driver-built, literal in the
     plan), map-only plus one top-k window. The compressed-scan ANN
     path that complements IVF's pruned-scan path — and, because the
-    whole LUT is exact integers, a fully oracle-checked ANN ranking."""
-    emb, cents = _pq_emb_cents(spark, sf_dir)
-    return similarity.pq_topk_adc(emb, cents=cents)
+    whole LUT is exact integers, a fully oracle-checked ANN ranking.
+    Serves from the session-cached checkpointed codes frame."""
+    cents, a, luts = _pq_artifacts(spark, sf_dir)
+    return similarity.pq_topk_adc(None, cents=cents, assigned=a, luts=luts)
 
 
 @declare(
@@ -2305,10 +2325,13 @@ def q_pq_topk_imi(spark, sf_dir):
     those vectors. The pruned-ANN analog of topk_cosine_ivf, but
     exact integers end-to-end, so the PRUNED ranking itself is
     oracle-checked (n_probe=K degenerates to pq_topk_adc, pinned in
-    tests). At rest the codes table partitions by cell0 → partition-
-    pruned probes over 4-byte codes."""
-    emb, cents = _pq_emb_cents(spark, sf_dir)
-    return similarity.pq_topk_imi(emb, cents=cents)
+    tests). Candidates join the broadcast probe set on cell0 BEFORE
+    any ADC sum is computed (r5: prune-then-score — the r4 plan
+    scored all pairs and discarded 3/4 after). At rest the codes
+    table partitions by cell0 → partition-pruned probes over 4-byte
+    codes. Serves from the session-cached checkpointed codes frame."""
+    cents, a, luts = _pq_artifacts(spark, sf_dir)
+    return similarity.pq_topk_imi(None, cents=cents, assigned=a, luts=luts)
 
 
 def _bpe_cte(rounds: int = 6) -> str:
@@ -2373,6 +2396,10 @@ def _bpe_learned(spark, sf_dir, rounds):
     hit = _BPE_CACHE.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
+    if hit is not None:
+        # stale stopped-session entry: drop it so its JVM-backed
+        # checkpointed words frame is released promptly (ADVICE r4)
+        del _BPE_CACHE[key]
     docs = widen_scan(load_table(spark, sf_dir, "documents"))
     got = textstats.bpe_learn(docs, rounds)
     _BPE_CACHE[key] = (spark, got)
@@ -2434,13 +2461,13 @@ def q_bpe_vocab_tokens(spark, sf_dir):
     ph1 AS MATERIALIZED (
       SELECT doc_id,
              [CAST(concat('0x', substr(dd, 2 * i - 1, 2)) AS BIGINT)
-              for i in generate_series(1, 60)] AS px
+              for i in generate_series(1, 64)] AS px
       FROM ph0),
     ph2 AS MATERIALIZED (
       SELECT doc_id, px, CAST(list_sum(px) AS BIGINT) AS s FROM ph1),
     ph AS MATERIALIZED (
       SELECT doc_id,
-             CAST(list_sum([CASE WHEN px[i] * 60 > s
+             CAST(list_sum([CASE WHEN px[i] * 64 > s
                                  THEN (CAST(1 AS BIGINT) << (i - 1))
                                  ELSE CAST(0 AS BIGINT) END
                             for i in generate_series(1, 60)]) AS BIGINT)
@@ -2460,7 +2487,9 @@ def q_bpe_vocab_tokens(spark, sf_dir):
 )
 def q_media_phash_pairs(spark, sf_dir):
     """X5 extension: perceptual-hash (aHash) media near-dup pairs —
-    60-bit pixel-vs-mean hash, 4x15-bit banded pigeonhole lookup
+    60-bit pixel-vs-full-tile-mean hash (mean over all 64 thumbnail
+    pixels, textbook aHash; pack drops the last 4 — ADVICE r4),
+    4x15-bit banded pigeonhole lookup
     (any pair within hamming 3 shares an exact band), bit_count
     verify at hamming <= 2. Declared through the closure-free
     FakeCodec twin (thumbnail = doubled sha-256 digest), which

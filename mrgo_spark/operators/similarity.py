@@ -1094,6 +1094,62 @@ def _pq_adc_scored(a: DataFrame, luts, m: int) -> DataFrame:
     )
 
 
+def _pq_imi_scored(
+    a: DataFrame, luts, n_probe: int, m: int, k: int
+) -> DataFrame:
+    """IMI candidates-first ADC: the broadcast probe rows carry each
+    query's FLATTENED m×k LUT, so a vector joins (on its subspace-0
+    cell) only the queries actually probing it and the ADC sum is
+    computed for surviving (query, vector) pairs alone — never
+    scored-then-discarded. avg rows/vector = n_queries·n_probe/k
+    (2 at the declared 8·4/16) vs n_queries (8) for the unpruned
+    path. No explode → no Generate-pushdown hazard; one element_at
+    per subspace against the joined lut array (codegen-friendly).
+    Columns: (query_id, neighbor_id, adc_dist2)."""
+    rows = []
+    for qid in sorted(luts):
+        flat = [int(d) for s in range(m) for d in luts[qid][s]]
+        cells = [
+            c
+            for _, c in sorted(
+                (d, c) for c, d in enumerate(luts[qid][0])
+            )[:n_probe]
+        ]
+        for c in cells:
+            rows.append((int(c), int(qid), flat))
+    probed_df = a.sparkSession.createDataFrame(
+        rows, "cell0 int, query_id long, lut array<long>"
+    )
+    cand = a.withColumn("cell0", F.col("_b0.cid")).join(
+        F.broadcast(probed_df), "cell0"
+    )
+    adc = sum(
+        F.element_at(
+            "lut", (F.lit(s * k) + F.col(f"_b{s}.cid") + F.lit(1)).cast("int")
+        )
+        for s in range(m)
+    )
+    return cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        adc.cast("long").alias("adc_dist2"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+
+
+def _pq_pack(a: DataFrame, m: int) -> DataFrame:
+    """(vec_id, code, qerr) projection over an assigned frame."""
+    code = sum(
+        (F.col(f"_b{s}.cid").cast("long") * F.lit(1 << (4 * s)).cast("long"))
+        for s in range(m)
+    )
+    qerr = sum(F.col(f"_b{s}.dist2") for s in range(m))
+    return a.select(
+        "vec_id",
+        code.cast("long").alias("code"),
+        qerr.cast("long").alias("qerr"),
+    )
+
+
 def _pq_topk_window(scored: DataFrame, topk: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist2"), F.asc("neighbor_id")
@@ -1114,28 +1170,24 @@ def pq_codes(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cents=None,
+    assigned=None,
 ) -> DataFrame:
     """PQ code assignment: (vec_id, code, qerr) with code = the M
     4-bit subspace codes packed into one bigint and qerr = the exact
     integer reconstruction error Σ_sub dist2 (quantized scale).
-    Pass ``cents`` (from _pq_train) to reuse trained codebooks — the
-    declared entries share one training per session (queries_llm
-    _PQ_CACHE, the _IVF_CACHE idiom)."""
+    Pass ``cents`` (from _pq_train) to reuse trained codebooks, or
+    ``assigned`` (from _pq_assign, e.g. the session-cached
+    checkpointed frame) to skip assignment entirely — the declared
+    entries share ONE training+assignment per session (queries_llm
+    _PQ_CACHE, the _IVF_CACHE idiom; at rest, codes are materialized
+    once and this is the read path)."""
     assert k <= 16, "code packing assumes 4-bit subspace codes"
-    q = _pq_quantized(emb, id_col, vec_col)
-    if cents is None:
-        cents = _pq_train(q, m, subdim, k, iters)
-    a = _pq_assign(q, cents, m, subdim)
-    code = sum(
-        (F.col(f"_b{s}.cid").cast("long") * F.lit(1 << (4 * s)).cast("long"))
-        for s in range(m)
-    )
-    qerr = sum(F.col(f"_b{s}.dist2") for s in range(m))
-    return a.select(
-        "vec_id",
-        code.cast("long").alias("code"),
-        qerr.cast("long").alias("qerr"),
-    )
+    if assigned is None:
+        q = _pq_quantized(emb, id_col, vec_col)
+        if cents is None:
+            cents = _pq_train(q, m, subdim, k, iters)
+        assigned = _pq_assign(q, cents, m, subdim)
+    return _pq_pack(assigned, m)
 
 
 def pq_topk_adc(
@@ -1149,21 +1201,28 @@ def pq_topk_adc(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cents=None,
+    assigned=None,
+    luts=None,
 ) -> DataFrame:
     """ADC top-k: the n_queries smallest-id vectors query the PQ
     codes. Per query the K×M lookup table of exact integer
     query-to-centroid subdistances is built driver-side (tiny integer
     math) and scored map-only as literal arrays —
     adc = Σ_sub LUT[sub][code_sub] — followed by one top-k window.
-    Self-matches excluded. Columns: (query_id, neighbor_id, adc_dist2,
+    Self-matches excluded. Pass ``assigned`` + ``luts`` (session
+    cache) to serve from a materialized codes frame instead of
+    re-assigning. Columns: (query_id, neighbor_id, adc_dist2,
     rank) — all exact integers, fully oracle-checkable."""
-    q = _pq_quantized(emb, id_col, vec_col)
-    if cents is None:
-        cents = _pq_train(q, m, subdim, k, iters)
-    a = _pq_assign(q, cents, m, subdim)
-    luts = _pq_luts(q, cents, n_queries, m, subdim)
+    if assigned is None or luts is None:
+        q = _pq_quantized(emb, id_col, vec_col)
+        if cents is None:
+            cents = _pq_train(q, m, subdim, k, iters)
+        if assigned is None:
+            assigned = _pq_assign(q, cents, m, subdim)
+        if luts is None:
+            luts = _pq_luts(q, cents, n_queries, m, subdim)
     return _pq_topk_window(
-        _pq_adc_scored(a, luts, m).drop("cell0"), topk
+        _pq_adc_scored(assigned, luts, m).drop("cell0"), topk
     )
 
 
@@ -1179,38 +1238,137 @@ def pq_topk_imi(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cents=None,
+    assigned=None,
+    luts=None,
 ) -> DataFrame:
     """IVF-PQ composition, inverted-multi-index style (Babenko &
     Lempitsky: the coarse index IS a PQ subspace codebook): corpus
     cells are the subspace-0 codes; each query probes the ``n_probe``
     cells whose subspace-0 LUT distance is smallest (tie-break cid)
-    and ADC-scores only vectors in probed cells, over the full code.
+    and ADC-scores ONLY vectors in probed cells: the broadcast probe
+    rows carry the query LUT, so candidates are joined on cell0
+    BEFORE any ADC sum is computed (prune-then-score — the r4 form
+    scored all pairs and discarded 3/4 after, doing full ADC work
+    plus a join; see _pq_imi_scored).
 
     Everything stays exact integers — coarse cells, probe choice, and
     scores — so unlike classic float-centroid IVF this PRUNED ANN
     ranking is fully oracle-checkable. n_probe = K degenerates to the
     unpruned pq_topk_adc (pinned by test).
 
-    Scale shape: identical to pq_topk_adc plus one broadcast
-    (query_id, cell) semi-filter before the top-k window; at rest the
-    codes table is partitioned by cell0, so probes prune partitions
-    exactly like IVFIndex — but over 4-byte codes instead of raw
-    vectors. Columns: (query_id, neighbor_id, adc_dist2, rank)."""
+    Scale shape: one broadcast-hash join on cell0 over the codes
+    frame, then n_queries·n_probe/k ADC rows per vector (2 at the
+    declared 8·4/16, vs 8 unpruned); at rest the codes table is
+    partitioned by cell0, so probes prune partitions exactly like
+    IVFIndex — but over 4-byte codes instead of raw vectors. Pass
+    ``assigned`` + ``luts`` (session cache) to serve from a
+    materialized codes frame. Columns: (query_id, neighbor_id,
+    adc_dist2, rank)."""
+    if assigned is None or luts is None:
+        q = _pq_quantized(emb, id_col, vec_col)
+        if cents is None:
+            cents = _pq_train(q, m, subdim, k, iters)
+        if assigned is None:
+            assigned = _pq_assign(q, cents, m, subdim)
+        if luts is None:
+            luts = _pq_luts(q, cents, n_queries, m, subdim)
+    k_eff = len(next(iter(luts.values()))[0])
+    scored = _pq_imi_scored(assigned, luts, n_probe, m, k_eff)
+    return _pq_topk_window(scored, topk)
+
+
+def pq_topk_adc_join(
+    emb: DataFrame,
+    queries: DataFrame | None = None,
+    n_queries: int = 8,
+    topk: int = 10,
+    m: int = PQ_M,
+    subdim: int = PQ_SUBDIM,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents=None,
+    assigned=None,
+) -> DataFrame:
+    """Join-form ADC twin for TABLE-sized query sets (VERDICT_r4
+    finding #3): the literal form (`pq_topk_adc`) bakes one LUT
+    struct per query into the plan, so plan size grows linearly with
+    n_queries — fine for the 8-query serving demo, wrong for a batch
+    ANN over a query *table*. Here the LUT is DATA, not plan:
+
+      codes long form (vec_id, sub, cid)   — posexplode of the codes
+      × broadcast lut_df (query_id, sub, cid, d)  — built by joining
+        the query subvectors against the 128-row literal centroid
+        grid (the SRP broadcast-grid idiom), exact integer zip_with
+        fold per (query, sub, cid)
+      → groupBy (query_id, vec_id) Σd      — map-side partial agg
+      → top-k window.
+
+    ``queries`` defaults to the n_queries smallest-id vectors of
+    ``emb`` so the result is row-identical to the literal form
+    (parity-pinned in tests); pass any (id_col, vec_col) DataFrame
+    for a real batch. Plan size is constant in n_queries; the
+    shuffle is the (query_id, vec_id) partial-aggregated sum —
+    inherent to unpruned ADC. Columns: (query_id, neighbor_id,
+    adc_dist2, rank)."""
     q = _pq_quantized(emb, id_col, vec_col)
     if cents is None:
         cents = _pq_train(q, m, subdim, k, iters)
-    a = _pq_assign(q, cents, m, subdim)
-    luts = _pq_luts(q, cents, n_queries, m, subdim)
-    # probe set per query: n_probe best subspace-0 cells (d, cid) order
-    probed = [
-        (int(qid), int(c))
-        for qid in sorted(luts)
-        for _, c in sorted((d, c) for c, d in enumerate(luts[qid][0]))[:n_probe]
-    ]
-    probed_df = emb.sparkSession.createDataFrame(
-        probed, "query_id long, cell0 int"
+    if assigned is None:
+        assigned = _pq_assign(q, cents, m, subdim)
+    k_eff = len(cents[0])
+    spark = emb.sparkSession
+    # codes long form: m rows per vector
+    codes = assigned.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"_b{s}.cid") for s in range(m)])
+        ).alias("sub", "cid"),
     )
-    scored = _pq_adc_scored(a, luts, m).join(
-        F.broadcast(probed_df), ["query_id", "cell0"]
+    # literal centroid grid: m*k rows of (sub, cid, cv) — 128 here
+    cents_df = spark.createDataFrame(
+        [
+            (s, c, [int(v) for v in cents[s][c]])
+            for s in range(m)
+            for c in range(k_eff)
+        ],
+        "sub int, cid int, cv array<bigint>",
+    )
+    qq = (
+        _pq_quantized(queries, id_col, vec_col)
+        if queries is not None
+        else q.orderBy("vec_id").limit(n_queries)
+    )
+    # query subvectors long form: (query_id, sub, qsv)
+    qsub = qq.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice("qv", s * subdim + 1, subdim).alias("qsv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("_e"),
+    ).select("query_id", F.col("_e.sub").alias("sub"), F.col("_e.qsv").alias("qsv"))
+    lut_df = qsub.join(F.broadcast(cents_df), "sub").select(
+        "query_id",
+        "sub",
+        "cid",
+        F.aggregate(
+            F.zip_with("qsv", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("d"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut_df), ["sub", "cid"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").cast("long").alias("adc_dist2"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
     )
     return _pq_topk_window(scored, topk)

@@ -77,7 +77,12 @@ PRIORITY = [
     "dedup_exact", "dedup_fingerprint", "semantic_dedup",
     "dup_cluster_components",
     "dedup_pipeline_canonical", "edit_distance_pairs",
-    "line_dedup_stats",
+    # r5 swap (VERDICT_r4 item 5): line_dedup_stats's slot goes to
+    # media_phash_pairs in the multimodal section — X2 held 9
+    # in-window reps while X5 (media dedup) held zero; line-level
+    # dedup is a re-demonstration of the exact/fingerprint family.
+    # line_dedup_stats was driver-green r2-r4 and stays declared +
+    # driver_sim-checked just past the window.
     # r4c swap: exact_substring_audit (Lee et al. exact-substring
     # dedup — a NEW operator class in the LLM-pipeline table, not a
     # re-demonstration of a covered family) takes
@@ -105,14 +110,16 @@ PRIORITY = [
     "corpus_quality_filter", "decontaminate_stats", "dataset_split",
     "mixture_sample", "sequence_chunks", "sequence_packing",
     "pii_scrub_audit", "corpus_shuffle_order", "corpus_prep",
-    # multimodal (X5)
-    "multimodal_blob_stats",
+    # multimodal (X5) — media_phash_pairs gives the perceptual-hash
+    # media-dedup class a driver-checked row (r5 swap, see above)
+    "multimodal_blob_stats", "media_phash_pairs",
     # events / time-series
     "events_sessionize", "range_join_errors_after_purchase",
     "asof_last_purchase",
     # TPC-H representative (the remaining 21 variants follow after)
     "q1_pricing_summary",
     # first entries past the driver window, in checked order
+    "line_dedup_stats",
     "q3_top_revenue_orders", "edit_distance_pairs_symdelete",
     "ngram_jaccard_reversed_pairs", "events_tumbling_hour",
     "hypertable_rollup",

@@ -84,3 +84,16 @@ def test_zorder_plan_is_map_side(spark):
     )
     assert "Window" not in plan and "Join" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_zorder_negative_key_raises(spark):
+    # shiftright sign-extends; a negative key must fail loudly, not
+    # silently alias every interleave bit (ADVICE r4)
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(
+        F.lit(-1).cast("long").alias("a"), F.lit(3).cast("long").alias("b")
+    )
+    with pytest.raises(Exception, match="negative input key"):
+        df.select(layout.zorder_key("a", "b", 8).alias("z")).collect()

@@ -21,7 +21,9 @@ MUST_BE_GATED = [
     "dup_cluster_components",       # X2 connected components
     "dedup_pipeline_canonical",     # X2 end-to-end pipeline
     "edit_distance_pairs",          # X2 edit-distance blocking
-    "line_dedup_stats",             # X2 line-level dedup
+    # line_dedup_stats demoted just past the window in r5 — its slot
+    # funds media_phash_pairs (X5 was down to 1 in-window rep while
+    # X2 held 9; the demoted entry stays declared + driver_sim-run)
     "exact_substring_audit",        # X2 exact-substring dedup (r4c)
     "topk_cosine",                  # X3 similarity search
     "embedding_quantize",           # X3 quantization
@@ -37,6 +39,7 @@ MUST_BE_GATED = [
     "sequence_packing",             # pipeline: packing
     "corpus_prep",                  # pipeline flagship
     "multimodal_blob_stats",        # X5
+    "media_phash_pairs",            # X5 perceptual-hash media dedup (r5)
     "events_sessionize",            # engine-native: sessionize
     "range_join_errors_after_purchase",  # engine-native: range join
     "q1_pricing_summary",           # engine-native: TPC-H rep
