@@ -176,6 +176,176 @@ def minhash_lsh_pairs(
     )
 
 
+# ---------------------------------------- md5-portable MinHash (r5)
+#
+# The xxhash64 MinHash above is the cheap flagship but can never be
+# oracle-checked (no xxhash64 in DuckDB, seed-dependent by design).
+# This twin applies the winnowing/SRP portability recipe to MinHash
+# itself: base hash = first 12 hex chars of md5(shingle) (48-bit,
+# identical in both engines), then NUM_HASHES deterministic affine
+# permutations h_i = (a_i*h + b_i) mod (2^31-1) with constants
+# derived from md5 of the permutation index — one md5 per shingle,
+# 32 cheap integer ops, exact in any engine. Signature mins, band
+# keys, candidate pairs, and the exact shingle intersection/union
+# counts are ALL integers → the ENTIRE MinHash-LSH dedup pipeline
+# becomes hash-checkable, closing the family's only rows-only
+# asterisk with a deterministic declared twin.
+
+MH_MOD = (1 << 31) - 1  # Mersenne prime keeps a*h + b inside int64
+
+
+def minhash_md5_consts(n: int) -> list[tuple[int, int]]:
+    """Affine permutation constants (a_i, b_i), a_i in [1, MOD-1],
+    derived from md5 of the index — the single source of truth for
+    the Spark expressions, the oracle-SQL VALUES table, and the
+    pure-Python test replay."""
+    import hashlib
+
+    out = []
+    for i in range(n):
+        d = hashlib.md5(f"mrgo-minhash-{i}".encode()).hexdigest()
+        a = int(d[:8], 16) % (MH_MOD - 1) + 1
+        b = int(d[8:16], 16) % MH_MOD
+        out.append((a, b))
+    return out
+
+
+def minhash_md5_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Long-form portable MinHash signatures (doc_id, perm, h).
+
+    Same explode-once shape as minhash_signatures: one (doc,
+    shingle) explode, ONE aggregate with num_hashes partial mins
+    (one row per doc through the shuffle), then a map-side
+    posexplode of the 32 mins to long form — never 32 shingle-array
+    traversals per row."""
+    consts = minhash_md5_consts(num_hashes)
+    base = (
+        F.conv(F.substring(F.md5("sh"), 1, 12), 16, 10).cast("long")
+        % F.lit(MH_MOD).cast("long")
+    )
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(text_col, shingle_n)).alias("sh"),
+    ).select("doc_id", base.alias("_h"))
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.col("_h") * F.lit(a).cast("long") + F.lit(b).cast("long"))
+                % F.lit(MH_MOD).cast("long")
+            ).alias(f"h{i}")
+            for i, (a, b) in enumerate(consts)
+        ]
+    )
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+        ).alias("perm", "h"),
+    )
+
+
+def minhash_md5_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Banded-LSH candidate pairs with exact set-overlap verify, all
+    integers: (id_a, id_b, n_bands, inter_size, union_size).
+
+    Band key = the band's rows_per_band mins joined with ',' (string
+    equality is engine-portable, unlike F.hash). Same scale shape as
+    minhash_lsh_pairs — equi-join on (band, bkey), window-count
+    bucket cap, then the shingle sets join back onto the (small)
+    candidate list for the exact |∩|/|∪| counts (at 100 TB this
+    touches LSH survivors only, never the corpus square)."""
+    rows_per_band = num_hashes // bands
+    consts = minhash_md5_consts(num_hashes)
+    base = (
+        F.conv(F.substring(F.md5("sh"), 1, 12), 16, 10).cast("long")
+        % F.lit(MH_MOD).cast("long")
+    )
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, shingle_n)).alias("sh"),
+    ).select("id", base.alias("_h"))
+    sig = ex.groupBy("id").agg(
+        *[
+            F.min(
+                (F.col("_h") * F.lit(a).cast("long") + F.lit(b).cast("long"))
+                % F.lit(MH_MOD).cast("long")
+            ).alias(f"h{i}")
+            for i, (a, b) in enumerate(consts)
+        ]
+    )
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"h{i}").cast("string")
+                            for i in range(
+                                b * rows_per_band, (b + 1) * rows_per_band
+                            )
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bkey"),
+    )
+    w_b = Window.partitionBy("band", "bkey")
+    banded = (
+        banded.withColumn("_bsz", F.count("*").over(w_b))
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("n_bands"))
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
+    )
+    out = (
+        cand.join(
+            sh.withColumnRenamed("sh", "sh_a"), F.col("id_a") == F.col("id")
+        )
+        .drop("id")
+        .join(sh.withColumnRenamed("sh", "sh_b"), F.col("id_b") == F.col("id"))
+        .drop("id")
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        "n_bands",
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        .cast("long")
+        .alias("inter_size"),
+        F.size(F.array_union("sh_a", "sh_b")).cast("long").alias("union_size"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     candidates: DataFrame,

@@ -978,6 +978,114 @@ def q_dedup_pipeline_minhash(spark, sf_dir):
     )
 
 
+# md5-portable MinHash oracle fragments (r5): shingle → 48-bit md5
+# base hash mod 2^31-1 → 32 affine permutation mins. The constants
+# VALUES table and the Spark expressions share one generator
+# (dedup.minhash_md5_consts).
+_MH_CONSTS_SQL = "consts(i, a, b) AS (VALUES " + ", ".join(
+    f"({i}, {a}, {b})"
+    for i, (a, b) in enumerate(dedup.minhash_md5_consts(32))
+) + ")"
+
+
+def _mh_mins_sql(src: str) -> str:
+    """CTE chain src → mins(doc_id, i, h): tokens, distinct 3-gram
+    shingles (the ngram_jaccard-proven fragment), md5 base hash,
+    affine permutation mins."""
+    return f"""
+    mtok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t
+        FROM {src}
+    ),
+    mshg AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                        for i in generate_series(1, len(t)-2)])
+                    ELSE [array_to_string(t, ' ')] END AS s
+        FROM mtok
+    ),
+    mhb AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(sh), 1, 12)) AS BIGINT)
+                 % 2147483647 AS h
+        FROM (SELECT doc_id, unnest(s) AS sh FROM mshg)
+    ),
+    {_MH_CONSTS_SQL},
+    mins AS MATERIALIZED (
+        SELECT doc_id, c.i AS i,
+               CAST(min((h * c.a + c.b) % 2147483647) AS BIGINT) AS h
+        FROM mhb CROSS JOIN consts c
+        GROUP BY 1, 2
+    )"""
+
+
+@declare(
+    "minhash_md5_signatures",
+    "WITH "
+    + _mh_mins_sql("documents")
+    + """
+    SELECT doc_id, CAST(i AS INTEGER) AS perm, h FROM mins
+    """,
+)
+def q_minhash_md5_signatures(spark, sf_dir):
+    """X2: engine-portable MinHash signatures, fully oracle-checked —
+    the winnowing/SRP md5-portability recipe applied to MinHash
+    itself (base hash = 48-bit md5 prefix, 32 deterministic affine
+    permutations mod 2^31-1). The xxhash64 flagship stays the cheap
+    gate entry (rows-only by design); this twin proves the signature
+    math itself replays bit-for-bit in a second engine. widen_scan:
+    md5-per-shingle + 32 mins is a map-heavy JVM stage (the PQ
+    widen rule)."""
+    docs = widen_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return dedup.minhash_md5_signatures(docs)
+
+
+@declare(
+    "minhash_md5_pairs",
+    f"""
+    WITH {_DUP_CORPUS_SQL},
+    {_mh_mins_sql("corpus").lstrip()},
+    bnd AS MATERIALIZED (
+        SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+               string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS bkey
+        FROM mins GROUP BY 1, 2
+    ),
+    capped AS (
+        SELECT doc_id, band, bkey FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz
+            FROM bnd) WHERE bsz <= 1000
+    ),
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS n_bands
+        FROM capped a JOIN capped b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b, c.n_bands,
+           CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x)))
+                AS BIGINT) AS inter_size,
+           CAST(len(list_distinct(list_concat(sa.s, sb.s)))
+                AS BIGINT) AS union_size
+    FROM cand c JOIN mshg sa ON sa.doc_id = c.id_a
+                JOIN mshg sb ON sb.doc_id = c.id_b
+    """,
+)
+def q_minhash_md5_pairs(spark, sf_dir):
+    """X2: the ENTIRE MinHash-LSH near-dup pipeline oracle-checked
+    end-to-end — banded candidates (8 bands × 4 rows, portable
+    ','-joined band keys), window-count bucket cap, and the exact
+    integer shingle |∩|/|∪| verify on survivors. Everything the
+    xxhash64 flagship does probabilistically, replayed bit-for-bit
+    in DuckDB on the planted-dup corpus."""
+    return dedup.minhash_md5_pairs(_dup_corpus(spark, sf_dir))
+
+
 @declare(
     "repetition_stats",
     """
@@ -2451,6 +2559,35 @@ def q_bpe_vocab_tokens(spark, sf_dir):
         .groupBy("token")
         .agg(F.sum("freq").cast("bigint").alias("freq"))
     )
+
+
+@declare(
+    "bpe_doc_token_counts",
+    _bpe_cte(_BPE_ROUNDS)
+    + f""",
+    dt AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(
+                   regexp_replace(text, '[^a-z]+', ' ', 'g')), ' '),
+                   x -> x <> '')) AS w
+        FROM documents)
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(string_split(wr.sym, '  '))) AS BIGINT) AS n_tokens
+    FROM dt d JOIN w{_BPE_ROUNDS} wr ON d.w = wr.w
+    GROUP BY 1
+    """,
+)
+def q_bpe_doc_token_counts(spark, sf_dir):
+    """X4 extension: per-document token counts under the trained BPE
+    merges (r5) — tokenizer application at corpus scale, the length
+    accounting a mixture/packing pipeline needs before sampling.
+    Serves from the session BPE cache (one 6-round training per
+    session feeds all three bpe_* entries); the oracle replays
+    training AND per-doc application in one unrolled statement."""
+    _, words = _bpe_learned(spark, sf_dir, _BPE_ROUNDS)
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    return textstats.bpe_doc_token_counts(docs, words)
 
 
 @declare(

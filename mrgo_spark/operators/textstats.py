@@ -674,3 +674,39 @@ def bpe_vocab_tokens(
         .groupBy("token")
         .agg(F.sum("freq").cast("bigint").alias("freq"))
     )
+
+
+def bpe_doc_token_counts(
+    documents: DataFrame,
+    words: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_words, n_tokens): per-document token counts under
+    the TRAINED merges — tokenizer APPLICATION at corpus scale, the
+    op a mixture-budgeting / sequence-packing pipeline runs over
+    100 TB before deciding sampling weights. ``words`` is the final
+    (w, freq, sym) frame from bpe_learn (its sym already carries the
+    merged symbolization, so application is a lookup, not a replay).
+
+    Shape: per-doc word explode → broadcast join against the
+    DISTINCT-word table (vocab-sized, Zipf-compressed — broadcast
+    while it fits; at true web scale swap the hint for a plain
+    hash-join on w, same semantics) → one partial-agg sum per doc.
+    Zero-word documents drop out (no tokens to count) — mirrored by
+    the oracle's inner join."""
+    per_word = words.select(
+        "w", F.size(F.split("sym", "  ")).cast("long").alias("_ntok")
+    )
+    ex = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ascii_tokens(text_col, lowercase=True)).alias("w"),
+    )
+    return (
+        ex.join(F.broadcast(per_word), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("_ntok").cast("long").alias("n_tokens"),
+        )
+    )

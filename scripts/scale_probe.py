@@ -7,7 +7,9 @@ growth (and flat per-row cost) is the local evidence that the plan
 shapes hold at 100 TB: no quadratic joins, no driver collects, no
 per-partition state blowups.
 
-Usage: python scripts/scale_probe.py [K] [sf_dir]
+Usage: python scripts/scale_probe.py [K] [sf_dir] [query ...]
+Trailing query names restrict the probe to those entries (fast
+iteration, like driver_sim); no names = the full probe list.
 Writes the K× tables under /tmp/mrgo_scale_probe (outside the repo).
 """
 
@@ -171,6 +173,11 @@ def main() -> None:
         "lineitem_zorder_audit",
         "decontaminate_bloom_stats",
     ]
+    only = set(sys.argv[3:])
+    if only:
+        unknown = only - set(probe) - {"near_pairs_lsh@hi_threshold"}
+        assert not unknown, f"not in probe list: {sorted(unknown)}"
+        probe = [n for n in probe if n in only]
     results = {}
     for name in probe:
         t = {}
@@ -198,17 +205,18 @@ def main() -> None:
             emb, threshold=0.85, n_planes=128, bands=8
         )
 
-    t = {}
-    for label, d in [("1x", SF_DIR), (f"{K}x", str(OUT))]:
-        best = None
-        for _ in range(2):
-            df = _lsh_hi(d)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = time.perf_counter() - t0
-        t[label] = round(best, 3)
-    t["ratio"] = round(t[f"{K}x"] / max(t["1x"], 1e-9), 2)
-    results["near_pairs_lsh@hi_threshold"] = t
+    if not only or "near_pairs_lsh@hi_threshold" in only:
+        t = {}
+        for label, d in [("1x", SF_DIR), (f"{K}x", str(OUT))]:
+            best = None
+            for _ in range(2):
+                df = _lsh_hi(d)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                best = time.perf_counter() - t0
+            t[label] = round(best, 3)
+        t["ratio"] = round(t[f"{K}x"] / max(t["1x"], 1e-9), 2)
+        results["near_pairs_lsh@hi_threshold"] = t
 
     print(json.dumps({"k": K, "results": results}))
 

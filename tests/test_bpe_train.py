@@ -203,3 +203,26 @@ def test_bpe_matches_python_model(spark, texts, rounds):
     want_m, want_v = _py_bpe(texts, rounds)
     assert got_m == want_m
     assert got_v == want_v
+
+
+def test_bpe_doc_token_counts_vocab_identity(spark):
+    # Σ_doc n_tokens must equal Σ_word freq · tokens(word): the
+    # per-doc application is a redistribution of the vocab-level
+    # token mass (every corpus word is in the trained vocab by
+    # construction)
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    _, words = textstats.bpe_learn(docs, rounds=3)
+    per_doc = textstats.bpe_doc_token_counts(docs, words)
+    got = per_doc.agg(
+        F.sum("n_tokens").alias("t"), F.sum("n_words").alias("w")
+    ).collect()[0]
+    want = words.select(
+        F.sum(F.col("freq") * F.size(F.split("sym", "  "))).alias("t"),
+        F.sum("freq").alias("w"),
+    ).collect()[0]
+    assert (got.t, got.w) == (want.t, want.w)
+    # merges only ever shrink a word's token count; never below 1/word
+    rows = per_doc.collect()
+    assert all(r.n_words <= r.n_tokens for r in rows)

@@ -362,3 +362,69 @@ def test_symdelete_equals_bruteforce(spark):
         ).collect()
     }
     assert got == expected
+
+
+# ------------------------------------------- md5-portable MinHash r5
+
+
+def _py_minhash_sigs(docs: dict[int, str], num_hashes: int = 32):
+    """Pure-Python replay of minhash_md5_signatures (third leg next
+    to Spark and the DuckDB oracle): ascii 3-gram shingles, 48-bit
+    md5 base hash mod 2^31-1, affine permutation mins."""
+    import hashlib
+    import re
+
+    consts = dedup.minhash_md5_consts(num_hashes)
+    M = dedup.MH_MOD
+    out = {}
+    for doc_id, text in docs.items():
+        toks = [t for t in re.split(r"[^a-z]+", text.lower()) if t]
+        if len(toks) >= 3:
+            sh = sorted({" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)})
+        else:
+            sh = [" ".join(toks)]
+        hs = [
+            int(hashlib.md5(s.encode()).hexdigest()[:12], 16) % M for s in sh
+        ]
+        out[doc_id] = [
+            min((h * a + b) % M for h in hs) for (a, b) in consts
+        ]
+    return out
+
+
+def test_minhash_md5_signatures_match_python_replay(spark):
+    docs = {
+        r.doc_id: r.text
+        for r in _dup_corpus(spark, SF).limit(200).collect()
+    }
+    sdf = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {}
+    for r in dedup.minhash_md5_signatures(sdf).collect():
+        got.setdefault(r.doc_id, [0] * 32)[r.perm] = r.h
+    want = _py_minhash_sigs(docs)
+    assert got == want
+
+
+def test_minhash_md5_pairs_recall_exact_copies(spark):
+    corpus = _dup_corpus(spark, SF)
+    pairs = dedup.minhash_md5_pairs(corpus)
+    rows = {(r.id_a, r.id_b): r for r in pairs.collect()}
+    planted = {
+        (r.doc_id, r.doc_id + 100000)
+        for r in corpus.filter(
+            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100000)
+        ).collect()
+    }
+    # exact copies share every band (identical signatures) and have
+    # identical shingle sets -> inter == union, all 8 bands
+    assert planted <= set(rows)
+    for p in planted:
+        assert rows[p].n_bands == 8
+        assert rows[p].inter_size == rows[p].union_size
+
+
+def test_minhash_md5_signature_range(spark):
+    sdf = _dup_corpus(spark, SF).limit(50)
+    for r in dedup.minhash_md5_signatures(sdf).collect():
+        assert 0 <= r.h < dedup.MH_MOD
+        assert 0 <= r.perm < 32
