@@ -228,6 +228,16 @@ def main() -> None:
         "kv_put_history_scd2",
         "lineitem_zorder_audit",
         "decontaminate_bloom_stats",
+        # round-5: md5-portable MinHash (signatures are the shared
+        # shingle+hash scan; pairs add the band join + exact set
+        # verify), tokenizer application (serves from the BPE cache —
+        # order-semantic after bpe_train_merges), KMV sketch, and the
+        # incremental-ingestion dedup probe.
+        "minhash_md5_signatures",
+        "minhash_md5_pairs",
+        "bpe_doc_token_counts",
+        "kmv_distinct_parts",
+        "incremental_dedup_audit",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there

@@ -176,6 +176,52 @@ def minhash_lsh_pairs(
     )
 
 
+def incremental_dedup_audit(
+    existing: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingestion dedup (r5): classify each INCOMING doc
+    against the EXISTING corpus without re-deduping the lake —
+    (doc_id, verdict, match_id) with verdict in {dup_of_existing,
+    dup_within_batch, new}. match_id = the smallest existing doc id
+    sharing the fingerprint, else the smallest EARLIER batch doc id,
+    else NULL.
+
+    The daily-crawl shape at 100 TB: the existing side collapses to
+    one (fingerprint, min_id) row per distinct fingerprint — the
+    at-rest dedup index a lake maintains incrementally — and the
+    batch probes it with one hash join keyed on the fingerprint (no
+    text moves) plus one window over the batch for intra-batch dups.
+    Priority follows the lake invariant: an existing match wins even
+    when a batch sibling has a smaller id (the lake copy is the
+    canonical one)."""
+    fp = fingerprint(text_col)
+    ex_min = (
+        existing.select(F.col(id_col).alias("_eid"), fp.alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min("_eid").alias("_ex_match"))
+    )
+    inc = incoming.select(F.col(id_col).alias("doc_id"), fp.alias("_fp"))
+    w = Window.partitionBy("_fp")
+    inc = inc.withColumn("_batch_min", F.min("doc_id").over(w))
+    out = inc.join(ex_min, "_fp", "left")
+    verdict = (
+        F.when(F.col("_ex_match").isNotNull(), F.lit("dup_of_existing"))
+        .when(F.col("_batch_min") < F.col("doc_id"), F.lit("dup_within_batch"))
+        .otherwise(F.lit("new"))
+    )
+    match_id = F.when(
+        F.col("_ex_match").isNotNull(), F.col("_ex_match")
+    ).when(F.col("_batch_min") < F.col("doc_id"), F.col("_batch_min"))
+    return out.select(
+        "doc_id",
+        verdict.alias("verdict"),
+        match_id.cast("long").alias("match_id"),
+    )
+
+
 # ---------------------------------------- md5-portable MinHash (r5)
 #
 # The xxhash64 MinHash above is the cheap flagship but can never be

@@ -318,26 +318,30 @@ BLOOM_WORDS = 2048  # x 32 bits = 65536 positions
 # 1/16th of the filter — a measured ~14x false-positive inflation
 # (review finding). Probe and build BOTH derive from this tuple; the
 # oracle SQL interpolates it too, so the three legs cannot desync.
-BLOOM_OFFS = (0, 11, 21, 32)
-BLOOM_K = len(BLOOM_OFFS)
+# r5 (ADVICE r4): the four probe lanes are DISJOINT 16-bit slices of
+# the md5 hex string (chars 4i+1..4i+4, i < 4 — the first 64 bits).
+# The r4 lanes were overlapping windows of one 48-bit prefix, so
+# probe positions were correlated and the effective FP rate was
+# worse than 4 independent hashes; disjoint slices are independent
+# by construction and interpolate identically in the oracle.
+BLOOM_K = 4
 
 
 def _gram_hash48(col) -> F.Column:
     """48-bit md5-prefix hash of a gram string (the repo's portable
-    hash recipe); the BLOOM_OFFS lanes slice 16-bit Bloom positions
-    out of it."""
+    hash recipe) — the exact-verify join key."""
     return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
 
 
-def bloom_build(hashes) -> list[int]:
-    """Driver-side Bloom build over 48-bit gram hashes (the eval side
-    is driver-small by contract — suites are MBs; for a larger suite,
-    build distributed with a bit_or aggregate and collect the 2048
-    words, which is still one 16 KiB row)."""
+def bloom_build(hex16s) -> list[int]:
+    """Driver-side Bloom build over 16-hex-char md5 prefixes (the
+    eval side is driver-small by contract — suites are MBs; for a
+    larger suite, build distributed with a bit_or aggregate and
+    collect the 2048 words, which is still one 16 KiB row)."""
     words = [0] * BLOOM_WORDS
-    for h in hashes:
-        for off in BLOOM_OFFS:
-            p = (h >> off) & 0xFFFF
+    for x in hex16s:
+        for i in range(BLOOM_K):
+            p = int(x[4 * i : 4 * i + 4], 16)
             words[p // 32] |= 1 << (p % 32)
     return words
 
@@ -360,32 +364,41 @@ def decontaminate_bloom(
     is map-only; the exact leg joins on 8-byte hashes against the
     broadcast bench-hash set (at true scale the exact leg runs only
     on Bloom survivors, a tiny fraction)."""
-    bench_h = [
-        r.h
+    bench_hex = [
+        r.hx
         for r in benchmark.select(
             F.explode(_word_ngrams(text_col, n)).alias("g")
         )
-        .select(_gram_hash48(F.col("g")).alias("h"))
+        .select(F.substring(F.md5("g"), 1, 16).alias("hx"))
         .distinct()
         .collect()
     ]
     blit = F.array(
-        *[F.lit(int(w)).cast("long") for w in bloom_build(bench_h)]
+        *[F.lit(int(w)).cast("long") for w in bloom_build(bench_hex)]
     )
     pw32 = F.array(*[F.lit(1 << i).cast("long") for i in range(32)])
 
     ex = documents.select(
         F.col(id_col).alias("doc_id"),
         F.explode_outer(_word_ngrams(text_col, n)).alias("g"),
-    ).select("doc_id", "g", _gram_hash48(F.col("g")).alias("h"))
+    ).select(
+        "doc_id",
+        "g",
+        F.md5("g").alias("_hx"),
+        _gram_hash48(F.col("g")).alias("h"),
+    )
 
-    def bit_ok(off: int) -> F.Column:
-        p = F.shiftright(F.col("h"), off).bitwiseAND(F.lit(0xFFFF))
+    def bit_ok(i: int) -> F.Column:
+        p = F.conv(F.substring("_hx", 4 * i + 1, 4), 16, 10).cast("long")
         word = F.element_at(blit, (p / 32).cast("int") + 1)
         mask = F.element_at(pw32, F.pmod(p, F.lit(32)).cast("int") + 1)
         return word.bitwiseAND(mask) != 0
 
-    bloom_hit = reduce(and_, (bit_ok(off) for off in BLOOM_OFFS))
+    bloom_hit = reduce(and_, (bit_ok(i) for i in range(BLOOM_K)))
+    # dedupe on the 48-bit exact-join key separately: two distinct
+    # 64-bit prefixes may share a 12-hex prefix, and a duplicated
+    # join side would double-count exact_hits
+    bench_h = sorted({int(x[:12], 16) for x in bench_hex})
     bh_df = documents.sparkSession.createDataFrame(
         [(int(h),) for h in bench_h] or [(None,)], "h_bench long"
     ).filter(F.col("h_bench").isNotNull())

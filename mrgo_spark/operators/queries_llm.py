@@ -978,6 +978,84 @@ def q_dedup_pipeline_minhash(spark, sf_dir):
     )
 
 
+_FP_CANON_SQL = (
+    "array_to_string(list_sort(list_filter("
+    "string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')), ' ')"
+)
+
+
+@declare(
+    "incremental_dedup_audit",
+    f"""
+    WITH inc AS (
+        SELECT doc_id + 100000 AS doc_id, text
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 200000,
+               array_to_string(list_reverse(list_filter(
+                   string_split_regex(text, '[^A-Za-z]+'), x -> x <> '')), ' ')
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 300000, 'brand new doc ' || text
+        FROM documents WHERE doc_id % 10 = 3
+        UNION ALL
+        SELECT doc_id + 400000, 'brand new doc ' || text
+        FROM documents WHERE doc_id % 20 = 3
+    ),
+    exf AS (
+        SELECT fp, min(doc_id) AS ex_match FROM (
+            SELECT doc_id, {_FP_CANON_SQL} AS fp FROM documents)
+        GROUP BY fp
+    ),
+    wb AS (
+        SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS batch_min
+        FROM (SELECT doc_id, {_FP_CANON_SQL} AS fp FROM inc)
+    )
+    SELECT w.doc_id,
+           CASE WHEN e.ex_match IS NOT NULL THEN 'dup_of_existing'
+                WHEN w.batch_min < w.doc_id THEN 'dup_within_batch'
+                ELSE 'new' END AS verdict,
+           CAST(CASE WHEN e.ex_match IS NOT NULL THEN e.ex_match
+                     WHEN w.batch_min < w.doc_id THEN w.batch_min
+                END AS BIGINT) AS match_id
+    FROM wb w LEFT JOIN exf e USING (fp)
+    """,
+)
+def q_incremental_dedup_audit(spark, sf_dir):
+    """X2 extension (r5): incremental-ingestion dedup — classify an
+    incoming batch (exact copies, token-reversed copies, genuinely
+    new docs, and within-batch duplicates of the new docs) against
+    the existing corpus' fingerprint index. The daily-crawl op at
+    100 TB: the lake keeps one (fingerprint, min_id) row per
+    distinct fingerprint and each increment probes it with one hash
+    join — no re-dedup of the lake, no text movement. Fully
+    oracle-checked including the existing-beats-batch priority."""
+    docs = widen_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    exact_copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    reversed_copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(F.reverse(ascii_tokens("text")), " ").alias("text"),
+    )
+    new_docs = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.lit("brand new doc "), F.col("text")).alias("text"),
+    )
+    batch_dups = docs.filter(F.col("doc_id") % 20 == 3).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.lit("brand new doc "), F.col("text")).alias("text"),
+    )
+    incoming = (
+        exact_copies.unionAll(reversed_copies)
+        .unionAll(new_docs)
+        .unionAll(batch_dups)
+    )
+    return dedup.incremental_dedup_audit(docs, incoming)
+
+
 # md5-portable MinHash oracle fragments (r5): shingle → 48-bit md5
 # base hash mod 2^31-1 → 32 affine permutation mins. The constants
 # VALUES table and the Spark expressions share one generator
@@ -2645,7 +2723,11 @@ def q_media_phash_pairs(spark, sf_dir):
     )
 
 
-_BLOOM_OFFS_SQL = "[" + ", ".join(str(o) for o in pipeline.BLOOM_OFFS) + "]"
+# r5: lanes are disjoint 16-bit md5 hex slices (chars 4o+1..4o+4)
+_BLOOM_LANES_SQL = "[" + ", ".join(
+    f"CAST(concat('0x', substr(hx, {4 * o + 1}, 4)) AS BIGINT)"
+    for o in range(pipeline.BLOOM_K)
+) + "]"
 _BPK = pipeline.BLOOM_K
 
 
@@ -2668,17 +2750,17 @@ _BPK = pipeline.BLOOM_K
         FROM corpus
     ),
     gh AS MATERIALIZED (
-        SELECT doc_id, i,
-               CAST(concat('0x', substr(md5(array_to_string(t[i:i+7], ' ')),
-                                        1, 12)) AS BIGINT) AS h
-        FROM (SELECT doc_id, t,
-                     unnest(generate_series(1, len(t) - 7)) AS i
-              FROM tokc WHERE len(t) >= 8)
+        SELECT doc_id, i, substr(hxf, 1, 16) AS hx,
+               CAST(concat('0x', substr(hxf, 1, 12)) AS BIGINT) AS h
+        FROM (SELECT doc_id, i,
+                     md5(array_to_string(t[i:i+7], ' ')) AS hxf
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t) - 7)) AS i
+                    FROM tokc WHERE len(t) >= 8))
     ),
     bh AS MATERIALIZED (
         SELECT DISTINCT
-               CAST(concat('0x', substr(md5(array_to_string(t[i:i+7], ' ')),
-                                        1, 12)) AS BIGINT) AS h
+               substr(md5(array_to_string(t[i:i+7], ' ')), 1, 16) AS hx
         FROM (SELECT t, unnest(generate_series(1, len(t) - 7)) AS i
               FROM (SELECT list_filter(string_split_regex(lower(text),
                                                           '[^a-z]+'),
@@ -2686,12 +2768,14 @@ _BPK = pipeline.BLOOM_K
                     FROM bench)
               WHERE len(t) >= 8)
     ),
+    be AS MATERIALIZED (
+        SELECT DISTINCT CAST(concat('0x', substr(hx, 1, 12)) AS BIGINT) AS h
+        FROM bh
+    ),
     words AS MATERIALIZED (
         SELECT p // 32 AS w,
                bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
-        FROM (SELECT unnest([(h >> o) & 65535
-                             for o in {_BLOOM_OFFS_SQL}]) AS p
-              FROM bh)
+        FROM (SELECT unnest({_BLOOM_LANES_SQL}) AS p FROM bh)
         GROUP BY 1
     ),
     chk AS MATERIALIZED (
@@ -2702,8 +2786,7 @@ _BPK = pipeline.BLOOM_K
                                     << CAST(po.p % 32 AS INTEGER))) <> 0
                ) AS okbits
         FROM (SELECT doc_id, i, h,
-                     unnest([(h >> o) & 65535
-                             for o in {_BLOOM_OFFS_SQL}]) AS p
+                     unnest({_BLOOM_LANES_SQL}) AS p
               FROM gh) po
         LEFT JOIN words w ON po.p // 32 = w.w
         GROUP BY doc_id, i, h
@@ -2715,7 +2798,7 @@ _BPK = pipeline.BLOOM_K
                  AS bloom_hits,
                CAST(sum(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END)
                     AS BIGINT) AS exact_hits
-        FROM chk c LEFT JOIN bh e ON c.h = e.h
+        FROM chk c LEFT JOIN be e ON c.h = e.h
         GROUP BY c.doc_id
     )
     SELECT c.doc_id,

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..registry import declare
 from ..sources.tables import load_table
+from . import sketch
 
 
 def _cents(col):
@@ -639,6 +640,56 @@ def q_approx(spark, sf_dir):
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
         F.count("*").alias("n_rows"),
     )
+
+
+@declare(
+    "kmv_distinct_parts",
+    """
+    WITH h AS (
+        SELECT DISTINCT l_returnflag AS grp,
+               CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)),
+                                        1, 12)) AS BIGINT) AS h
+        FROM lineitem
+    ),
+    r AS (
+        SELECT grp, h,
+               row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM h
+    ),
+    kept AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(max(h) AS BIGINT) AS kth_min
+        FROM r WHERE rn <= 64 GROUP BY grp
+    ),
+    ex AS (
+        SELECT l_returnflag AS grp,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+        FROM lineitem GROUP BY 1
+    )
+    SELECT k.grp, k.n_kept, k.kth_min,
+           CAST(CASE WHEN k.n_kept < 64 THEN k.n_kept
+                     ELSE 17732923532771328 // k.kth_min END AS BIGINT)
+             AS kmv_estimate,
+           ex.exact_distinct
+    FROM kept k JOIN ex USING (grp)
+    """,
+)
+def q_kmv_distinct(spark, sf_dir):
+    """The VERIFIABLE twin of approx_aggregates' HLL column: KMV
+    (k-minimum-values) distinct-part sketch per return flag — same
+    question as approx_parts, but every intermediate (48-bit md5
+    hash, k-th order statistic, integer-division estimator) is a
+    deterministic integer that replays bit-for-bit in DuckDB
+    (17732923532771328 = (k-1)*2^48 at k=64). exact_distinct rides
+    along so the driver row itself documents the estimation error.
+    Merge story: sketch union = k smallest of combined hash sets
+    (sketch.kmv_merge), the mergeability HLL has, verifiably."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = sketch.kmv_distinct(li, "l_returnflag", "l_partkey")
+    ex = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.countDistinct("l_partkey").cast("long").alias("exact_distinct")
+    )
+    return sk.join(ex, "grp")
 
 
 @declare(

@@ -72,6 +72,17 @@ PICKS = [
      "(one argmin struct per subspace), no join/shuffle after the scan"),
     ("pq_topk_adc", "literal integer LUT scoring (map-only) + one top-k "
      "window — the compressed-scan ANN path"),
+    ("pq_topk_imi", "r5 prune-then-score: broadcast probe rows carry the "
+     "query LUT, candidates join on cell0 BEFORE any ADC sum; served from "
+     "the checkpointed codes frame (ExistingRDD, no re-assignment)"),
+    ("minhash_md5_pairs", "explode-once shingle scan, ONE 32-min aggregate, "
+     "band explode + equi-join on (band,bkey), window bucket cap, exact "
+     "set verify only on survivors"),
+    ("kmv_distinct_parts", "partial-aggregated DISTINCT on (grp,hash) then "
+     "WindowGroupLimit top-k per group — k rows/group survive the sort"),
+    ("incremental_dedup_audit", "existing side collapses to one "
+     "(fingerprint,min_id) row before the probe join; batch window for "
+     "intra-batch dups reuses the fingerprint partitioning"),
 ]
 
 

@@ -172,6 +172,14 @@ def main() -> None:
         "kv_put_history_scd2",
         "lineitem_zorder_audit",
         "decontaminate_bloom_stats",
+        # r5: portable MinHash (pairs inherit the all-duplicated
+        # caveat — verbatim copies collide in every band), tokenizer
+        # application, KMV sketch, incremental ingestion probe.
+        "minhash_md5_signatures",
+        "minhash_md5_pairs",
+        "bpe_doc_token_counts",
+        "kmv_distinct_parts",
+        "incremental_dedup_audit",
     ]
     only = set(sys.argv[3:])
     if only:

@@ -428,3 +428,20 @@ def test_minhash_md5_signature_range(spark):
     for r in dedup.minhash_md5_signatures(sdf).collect():
         assert 0 <= r.h < dedup.MH_MOD
         assert 0 <= r.perm < 32
+
+
+def test_incremental_dedup_audit_verdicts(spark):
+    from mrgo_spark.operators.queries_llm import q_incremental_dedup_audit
+
+    rows = {r.doc_id: r for r in q_incremental_dedup_audit(spark, SF).collect()}
+    assert rows, "fixture produced no incoming docs"
+    for doc_id, r in rows.items():
+        base = doc_id % 100000
+        if doc_id < 300000:  # exact + reversed copies of existing
+            assert r.verdict == "dup_of_existing", r
+            assert r.match_id == base
+        elif doc_id < 400000:  # mutated: genuinely new
+            assert r.verdict == "new" and r.match_id is None, r
+        else:  # second mutated copy: dup within the batch
+            assert r.verdict == "dup_within_batch", r
+            assert r.match_id == base + 300000

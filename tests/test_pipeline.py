@@ -206,17 +206,17 @@ def test_corpus_shuffle_no_global_window(spark):
 # ------------------------------------------ Bloom decontamination
 
 def test_bloom_build_matches_probe_model():
-    hashes = [0x123456789ABC, 0xFFFFFFFFFFFF, 0x000000000001]
-    words = pipeline.bloom_build(hashes)
+    hexes = ["123456789abcdef0", "ffffffffffffffff", "0000000000000001"]
+    words = pipeline.bloom_build(hexes)
     assert len(words) == pipeline.BLOOM_WORDS
-    for h in hashes:  # no false negatives by construction
-        for off in pipeline.BLOOM_OFFS:
-            p = (h >> off) & 0xFFFF
+    for x in hexes:  # no false negatives by construction
+        for i in range(pipeline.BLOOM_K):
+            p = int(x[4 * i : 4 * i + 4], 16)
             assert words[p // 32] & (1 << (p % 32))
-    # every offset lane spans the full 16-bit position space: off+16
-    # <= 48 (the j=3 lane of the old 12j scheme topped out at 12 bits
-    # — a ~14x FP inflation)
-    assert all(off + 16 <= 48 for off in pipeline.BLOOM_OFFS)
+    # r5: the 4 lanes are DISJOINT 16-bit md5 slices (4*16 = 64 bits
+    # consumed) — independent probe positions by construction; the
+    # r4 lanes overlapped inside one 48-bit word (ADVICE r4)
+    assert pipeline.BLOOM_K * 16 <= 64
 
 
 def test_decontaminate_bloom_flags_and_bounds(spark):

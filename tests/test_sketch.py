@@ -1,0 +1,103 @@
+"""KMV distinct sketch — estimator accuracy, merge law, and a
+pure-Python replay of the full hash/order-statistic/estimator chain
+(third leg next to Spark and the DuckDB oracle).
+
+Reference parity note: the reference engine has no sketch analog
+(pure extension per the training-pipeline mandate; the verifiable
+twin of approx_count_distinct)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from mrgo_spark.operators import sketch
+from mrgo_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_kmv(values, k=sketch.KMV_K):
+    hs = sorted(
+        {
+            int(hashlib.md5(str(v).encode()).hexdigest()[:12], 16)
+            for v in values
+        }
+    )[:k]
+    n_kept = len(hs)
+    kth = hs[-1]
+    est = n_kept if n_kept < k else ((k - 1) * sketch.KMV_SPACE) // kth
+    return n_kept, kth, est
+
+
+def test_kmv_matches_python_replay(spark):
+    li = load_table(spark, SF, "lineitem")
+    got = {
+        r.grp: (r.n_kept, r.kth_min, r.kmv_estimate)
+        for r in sketch.kmv_distinct(li, "l_returnflag", "l_partkey").collect()
+    }
+    rows = li.select("l_returnflag", "l_partkey").collect()
+    groups: dict[str, set] = {}
+    for r in rows:
+        groups.setdefault(r.l_returnflag, set()).add(r.l_partkey)
+    want = {g: _py_kmv(vs) for g, vs in groups.items()}
+    assert got == want
+
+
+def test_kmv_estimate_accuracy(spark):
+    # relative error ~ 1/sqrt(k-2) ~ 13% at k=64; pin a generous 3x
+    li = load_table(spark, SF, "lineitem")
+    sk = {
+        r.grp: r.kmv_estimate
+        for r in sketch.kmv_distinct(li, "l_returnflag", "l_partkey").collect()
+    }
+    exact = {
+        r.grp: r.n
+        for r in li.groupBy(F.col("l_returnflag").alias("grp"))
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for g, n in exact.items():
+        assert abs(sk[g] - n) <= max(0.4 * n, 2), (g, sk[g], n)
+
+
+def test_kmv_small_group_is_exact(spark):
+    df = spark.createDataFrame(
+        [("a", i % 7) for i in range(100)], "grp string, v long"
+    )
+    rows = sketch.kmv_distinct(df, "grp", "v").collect()
+    assert len(rows) == 1 and rows[0].n_kept == 7
+    assert rows[0].kmv_estimate == 7  # below k -> lossless
+
+
+def test_kmv_merge_equals_single_pass(spark):
+    # union-merging two half-sketches must reproduce the one-shot
+    # sketch: the mergeability law that makes KMV a real sketch
+    li = load_table(spark, SF, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        sketch.kmv_hash("l_partkey").alias("h"),
+    )
+    half1 = li.filter(F.col("h") % 2 == 0)
+    half2 = li.filter(F.col("h") % 2 == 1)
+    k1 = sketch.kmv_merge(half1)
+    k2 = sketch.kmv_merge(half2)
+    merged = sketch.kmv_merge(k1.unionAll(k2))
+    single = sketch.kmv_merge(li)
+    key = lambda r: (r.grp, r.h)  # noqa: E731
+    assert sorted(map(key, merged.collect())) == sorted(
+        map(key, single.collect())
+    )
+
+
+def test_kmv_plan_window_group_limit(spark):
+    # the top-k-per-group filter must push into the sort
+    # (WindowGroupLimit): only k rows per group survive at scale,
+    # not the full distinct-hash set
+    from mrgo_spark import plans
+
+    li = load_table(spark, SF, "lineitem")
+    df = sketch.kmv_distinct(li, "l_returnflag", "l_partkey")
+    assert "WindowGroupLimit" in plans.explain_str(df)
+    # two shuffles total: the (grp,h) distinct and the per-group sort
+    assert plans.shuffle_count(df) <= 3
