@@ -238,6 +238,8 @@ def main() -> None:
         "bpe_doc_token_counts",
         "kmv_distinct_parts",
         "incremental_dedup_audit",
+        "cms_token_heavy_hitters",
+        "bigram_novelty_stats",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..functions.text import ascii_tokens
 from ..registry import declare
 from ..sources.tables import load_table, widen_scan
-from . import dedup, pipeline, similarity, textstats
+from . import dedup, pipeline, similarity, sketch, textstats
 
 # ---------------------------------------------------------------- dedup
 
@@ -560,6 +560,54 @@ def q_lang_id(spark, sf_dir):
 
 
 @declare(
+    "lang_id_confusion",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    scores AS (
+        SELECT doc_id,
+            len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht','ein'))) AS s_de,
+            len(list_filter(t, x -> x IN ('the','and','of','to','is','in','that'))) AS s_en,
+            len(list_filter(t, x -> x IN ('el','la','los','las','es','y','que'))) AS s_es,
+            len(list_filter(t, x -> x IN ('le','la','les','et','est','que','des'))) AS s_fr
+        FROM tok
+    ),
+    pred AS (
+        SELECT doc_id,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                    WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                    WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                    WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM scores
+    )
+    SELECT d.lang AS label_lang, p.pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred p JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_lang_id_confusion(spark, sf_dir):
+    """X4 extension (r5): confusion matrix of the marker-stopword
+    language ID against the fixture's labeled ``lang`` column — the
+    classifier-eval rollup a corpus pipeline reports before trusting
+    a heuristic filter at 100 TB (label join + one partial-agg
+    groupBy; the labeled column was previously unexercised by any
+    declared entry)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = textstats.lang_id(docs)
+    return (
+        pred.join(docs.select("doc_id", F.col("lang").alias("label_lang")), "doc_id")
+        .groupBy("label_lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+@declare(
     "quality_score",
     r"""
     WITH base AS (
@@ -976,6 +1024,98 @@ def q_dedup_pipeline_minhash(spark, sf_dir):
     return dedup.dup_clusters(
         corpus, pairs, id_col="doc_id", src="id_a", dst="id_b", converge=True
     )
+
+
+@declare(
+    "bigram_novelty_stats",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    bg AS MATERIALIZED (
+        SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ')
+                               for i in generate_series(1, len(t) - 1)]) AS bg
+        FROM tok WHERE len(t) >= 2
+    ),
+    gcnt AS MATERIALIZED (
+        SELECT bg, CAST(count(*) AS BIGINT) AS gc FROM bg GROUP BY bg
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN g.gc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS singleton_bigrams,
+           CAST(sum(g.gc) AS BIGINT) AS familiarity_sum
+    FROM bg b JOIN gcnt g USING (bg)
+    GROUP BY b.doc_id
+    """,
+)
+def q_bigram_novelty_stats(spark, sf_dir):
+    """X4 extension (r5): corpus-frequency bigram familiarity — the
+    integer-exact stand-in for LM-perplexity quality filtering (docs
+    heavy in corpus-unique bigrams are garbled/noisy; familiar-bigram
+    mass marks natural text). ln()-based perplexity is not
+    hash-portable across libm builds (the r2 tfidf finding), so the
+    declared surface stays in exact counts."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    return textstats.bigram_novelty_stats(docs)
+
+
+@declare(
+    "cms_token_heavy_hitters",
+    """
+    WITH tk AS MATERIALIZED (
+        SELECT unnest(list_filter(string_split_regex(lower(text),
+                                                     '[^a-z]+'),
+                      x -> x <> '')) AS value
+        FROM documents
+    ),
+    ex AS MATERIALIZED (
+        SELECT value, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM tk GROUP BY value
+    ),
+    top AS (
+        SELECT value, exact_cnt FROM (
+            SELECT *, row_number() OVER (ORDER BY exact_cnt DESC, value)
+                   AS rn FROM ex) WHERE rn <= 20
+    ),
+    cnts AS MATERIALIZED (
+        SELECT lane, pos, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT u.lane,
+                   CAST(concat('0x', substr(md5(value), 4 * u.lane + 1, 4))
+                        AS BIGINT) % 2048 AS pos
+            FROM tk, (SELECT unnest(range(0, 4)) AS lane) u)
+        GROUP BY 1, 2
+    ),
+    pr AS (
+        SELECT t.value, t.exact_cnt, u.lane,
+               CAST(concat('0x', substr(md5(t.value), 4 * u.lane + 1, 4))
+                    AS BIGINT) % 2048 AS pos
+        FROM top t, (SELECT unnest(range(0, 4)) AS lane) u
+    )
+    SELECT p.value, p.exact_cnt,
+           CAST(min(c.cnt) AS BIGINT) AS cms_estimate,
+           CAST(min(c.cnt) - p.exact_cnt AS BIGINT) AS overestimate
+    FROM pr p JOIN cnts c ON p.lane = c.lane AND p.pos = c.pos
+    GROUP BY 1, 2
+    """,
+)
+def q_cms_token_heavy_hitters(spark, sf_dir):
+    """Sketch family (r5, with kmv_distinct_parts): Count-Min heavy
+    hitters over the corpus token stream — 4 lanes × 2048 counters
+    (disjoint 16-bit md5 slices, the Bloom-lane recipe), estimate =
+    min over lanes, compared against the exact top-20 token counts
+    so the driver row documents CMS's one-sided error
+    (overestimate >= 0 always). The fixed-memory frequency sketch a
+    100 TB token-stats pass keeps per partition and merges by
+    cell-sum — verifiable where Spark's own sketches are opaque."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(ascii_tokens("text", lowercase=True)).alias("tok")
+    )
+    return sketch.cms_heavy_hitters(toks, "tok")
 
 
 _FP_CANON_SQL = (

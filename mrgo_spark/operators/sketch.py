@@ -89,3 +89,112 @@ def kmv_merge(sketch_rows: DataFrame, k: int = KMV_K) -> DataFrame:
         .filter(F.col("_rn") <= k)
         .select("grp", "h")
     )
+
+
+# -------------------------------------------------- Count-Min sketch
+
+CMS_D = 4       # lanes = disjoint 16-bit md5 hex slices (chars 4i+1..4i+4)
+CMS_W = 2048    # counters per lane (position = slice mod CMS_W)
+
+
+def cms_lane_pos(col, lane: int, w: int = CMS_W) -> F.Column:
+    """Lane position of a value: the lane-th disjoint 16-bit md5 hex
+    slice of str(value), mod the lane width — independent probes by
+    construction (the r5 Bloom-lane recipe)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 4 * lane + 1, 4), 16, 10)
+        .cast("long")
+        % F.lit(w).cast("long")
+    )
+
+
+def cms_counters(
+    df: DataFrame, value_col: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """(lane, pos, cnt) Count-Min counters over the value column —
+    at most d*w rows regardless of input size (fixed memory, the
+    point of the sketch), built with ONE partially-aggregated
+    groupBy over the lane explode. Counters MERGE by summing
+    (lane, pos) cells — per-day/per-partition sketches add."""
+    lanes = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("lane"),
+                    cms_lane_pos(value_col, i, w).alias("pos"),
+                )
+                for i in range(d)
+            ]
+        )
+    )
+    return (
+        df.select(lanes.alias("_lp"))
+        .select(F.col("_lp.lane").alias("lane"), F.col("_lp.pos").alias("pos"))
+        .groupBy("lane", "pos")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    k: int = 20,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """(value, exact_cnt, cms_estimate, overestimate) for the k most
+    frequent values (count DESC, value ASC tie-break): the estimate
+    is min over lanes of the value's counter — CMS's one-sided
+    guarantee (estimate >= exact, property-tested) replayed with
+    deterministic integers end-to-end.
+
+    Scale shape: the counters frame is <= d*w rows (broadcast side);
+    candidates come from the exact top-k here (demo corpus) — at
+    100 TB candidates come from per-partition top-k and the sketch
+    answers for values the exact pass never kept."""
+    exact = (
+        df.select(F.col(value_col).cast("string").alias("value"))
+        .groupBy("value")
+        .agg(F.count("*").cast("long").alias("exact_cnt"))
+    )
+    w_top = Window.orderBy(F.desc("exact_cnt"), F.asc("value"))
+    top = (
+        exact.withColumn("_rn", F.row_number().over(w_top))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    counters = cms_counters(df, value_col, d, w)
+    probes = top.select(
+        "value",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("lane"),
+                        cms_lane_pos("value", i, w).alias("pos"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("_lp"),
+    ).select(
+        "value",
+        "exact_cnt",
+        F.col("_lp.lane").alias("lane"),
+        F.col("_lp.pos").alias("pos"),
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["lane", "pos"])
+        .groupBy("value", "exact_cnt")
+        .agg(F.min("cnt").cast("long").alias("cms_estimate"))
+    )
+    return est.select(
+        "value",
+        "exact_cnt",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_cnt"))
+        .cast("long")
+        .alias("overestimate"),
+    )

@@ -710,3 +710,49 @@ def bpe_doc_token_counts(
             F.sum("_ntok").cast("long").alias("n_tokens"),
         )
     )
+
+
+def bigram_novelty_stats(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_bigrams, singleton_bigrams, familiarity_sum):
+    corpus-frequency familiarity scoring — the integer-exact cousin
+    of LM-perplexity quality filtering. familiarity_sum = Σ over the
+    doc's word-bigram OCCURRENCES of that bigram's corpus-wide count;
+    singleton_bigrams counts occurrences unique in the whole corpus.
+    Garbled/boilerplate-free natural text scores familiar (high
+    mean count); mojibake and template noise is singleton-heavy.
+    (True log-prob perplexity is not hash-portable — ln() differs
+    across libm builds, the r2 tfidf finding — so the declared
+    surface stays in exact counts.)
+
+    Shape: explode bigram occurrences once, ONE groupBy(bg) for the
+    global counts, hash-join back (Zipf-compressed build side), one
+    partial-agg per doc. Docs with <2 tokens have no bigrams and
+    drop out (mirrored by the oracle's inner join)."""
+    toks = ascii_tokens(text_col, lowercase=True)
+    idx = F.sequence(F.lit(0), F.size(toks) - 2)
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, 2), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = documents.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("bg")
+    )
+    glob = ex.groupBy("bg").agg(F.count("*").cast("long").alias("_gc"))
+    # shuffle_hash, not broadcast/SMJ: the aggregated side is corpus-
+    # distinct-bigram-sized (NOT broadcastable at 100 TB), and SMJ
+    # would sort the full occurrence stream — the 10x probe measured
+    # the BHJ->SMJ transition as a 6.3x cliff; SHJ builds the hash
+    # table from the aggregated side per partition and stays linear.
+    return (
+        ex.join(glob.hint("shuffle_hash"), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("_gc") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("singleton_bigrams"),
+            F.sum("_gc").cast("long").alias("familiarity_sum"),
+        )
+    )

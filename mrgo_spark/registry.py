@@ -125,15 +125,16 @@ PRIORITY = [
     "hypertable_rollup",
 ]
 
-# Round-5 placement decision: the five new oracle entries —
+# Round-5 placement decision: the seven new oracle entries —
 # minhash_md5_signatures/pairs, bpe_doc_token_counts,
-# kmv_distinct_parts, incremental_dedup_audit — stay OUTSIDE the
+# kmv_distinct_parts, incremental_dedup_audit,
+# cms_token_heavy_hitters, bigram_novelty_stats — stay OUTSIDE the
 # window. Each strengthens a family that already holds an in-window
-# green rep (X2 near-dup, X4 BPE, aggregates, X1/X2 dedup); the one
-# genuinely new class (KMV sketch) is an extension op, and the r5
-# window already absorbed one swap (media_phash_pairs for
-# line_dedup_stats). All five are driver_sim-receipted per round in
-# DRIVER_SIM_r{N}.txt.
+# green rep (X2 near-dup, X4 BPE/text-quality, aggregates, X1/X2
+# dedup); the genuinely new class (KMV/CMS portable sketches) is an
+# extension op, and the r5 window already absorbed one swap
+# (media_phash_pairs for line_dedup_stats). All seven are
+# driver_sim-receipted per round in DRIVER_SIM_r{N}.txt.
 
 # Round-4b placement decision (conscious, per the zero-sum rule
 # above): the three new oracle entries — winnow_fingerprint_audit,

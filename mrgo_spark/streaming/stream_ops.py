@@ -406,6 +406,44 @@ def streaming_trending_terms(
     )
 
 
+def streaming_cms_counters(
+    value_stream: DataFrame,
+    value_col: str,
+    d: int | None = None,
+    w: int | None = None,
+) -> DataFrame:
+    """Streaming Count-Min counters (r5, sketch-family streaming
+    twin): a plain streaming groupBy on (lane, pos) — which means the
+    state store holds AT MOST d*w rows no matter how many distinct
+    values flow through. That bound is the whole point: an unbounded
+    streaming groupBy(value) accumulates state per key forever; the
+    sketch monitors frequencies with fixed memory and the batch
+    estimator (sketch.cms_heavy_hitters) answers point queries
+    against the landed counters. Update mode; counters merge with
+    at-rest sketches by cell-sum (law pinned in tests)."""
+    from ..operators import sketch
+
+    d = d if d is not None else sketch.CMS_D
+    w = w if w is not None else sketch.CMS_W
+    lanes = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("lane"),
+                    sketch.cms_lane_pos(value_col, i, w).alias("pos"),
+                )
+                for i in range(d)
+            ]
+        )
+    )
+    return (
+        value_stream.select(lanes.alias("_lp"))
+        .select(F.col("_lp.lane").alias("lane"), F.col("_lp.pos").alias("pos"))
+        .groupBy("lane", "pos")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
 def streaming_corpus_prep(
     doc_stream: DataFrame,
     text_col: str = "text",

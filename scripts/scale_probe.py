@@ -180,6 +180,8 @@ def main() -> None:
         "bpe_doc_token_counts",
         "kmv_distinct_parts",
         "incremental_dedup_audit",
+        "cms_token_heavy_hitters",
+        "bigram_novelty_stats",
     ]
     only = set(sys.argv[3:])
     if only:

@@ -101,3 +101,66 @@ def test_kmv_plan_window_group_limit(spark):
     assert "WindowGroupLimit" in plans.explain_str(df)
     # two shuffles total: the (grp,h) distinct and the per-group sort
     assert plans.shuffle_count(df) <= 3
+
+
+# ------------------------------------------------------- Count-Min
+
+
+def test_cms_one_sided_error_and_replay(spark):
+    # one-sided guarantee: estimate >= exact for EVERY value, and the
+    # whole sketch replays in pure Python (hash -> cells -> min)
+    docs = load_table(spark, SF, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(F.lower(F.col("text")), "[^a-z]+")
+        ).alias("tok")
+    ).filter(F.col("tok") != "")
+    rows = sketch.cms_heavy_hitters(toks, "tok", k=10).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.overestimate >= 0
+        assert r.cms_estimate == r.exact_cnt + r.overestimate
+    # python replay over the same token stream
+    toklist = [r.tok for r in toks.collect()]
+    from collections import Counter
+
+    cells: dict[tuple[int, int], int] = {}
+    for t in toklist:
+        hx = hashlib.md5(t.encode()).hexdigest()
+        for i in range(sketch.CMS_D):
+            p = int(hx[4 * i : 4 * i + 4], 16) % sketch.CMS_W
+            cells[(i, p)] = cells.get((i, p), 0) + 1
+    exact = Counter(toklist)
+    for r in rows:
+        hx = hashlib.md5(r.value.encode()).hexdigest()
+        est = min(
+            cells[(i, int(hx[4 * i : 4 * i + 4], 16) % sketch.CMS_W)]
+            for i in range(sketch.CMS_D)
+        )
+        assert (r.exact_cnt, r.cms_estimate) == (exact[r.value], est)
+
+
+def test_cms_counters_merge_by_sum(spark):
+    # per-partition sketches add cell-wise: build on two halves,
+    # sum, compare to the one-shot build
+    docs = load_table(spark, SF, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    # deterministic multiset-safe split: token-hash parity (each
+    # token's occurrences all land on one side)
+    par = sketch.cms_lane_pos("tok", 0) % 2
+    h1 = toks.filter(par == 0)
+    h2 = toks.filter(par == 1)
+    c1 = sketch.cms_counters(h1, "tok")
+    c2 = sketch.cms_counters(h2, "tok")
+    summed = (
+        c1.unionAll(c2)
+        .groupBy("lane", "pos")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    single = sketch.cms_counters(toks, "tok")
+    key = lambda r: (r.lane, r.pos, r.cnt)  # noqa: E731
+    assert sorted(map(key, summed.collect())) == sorted(
+        map(key, single.collect())
+    )

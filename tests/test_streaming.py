@@ -587,3 +587,37 @@ def test_streaming_trending_terms_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM trend_out").collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_streaming_cms_counters_match_batch(spark, tmp_path):
+    """The streaming CMS counters (bounded d*w state) must equal the
+    batch sketch over the same token stream."""
+    from mrgo_spark.functions.text import ascii_tokens
+    from mrgo_spark.operators import sketch
+    from mrgo_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").limit(200).select("doc_id", "text")
+    toks = docs.select(
+        F.explode(ascii_tokens("text", lowercase=True)).alias("tok")
+    )
+    expected = {
+        (r.lane, r.pos): r.cnt
+        for r in sketch.cms_counters(toks, "tok").collect()
+    }
+    d = tmp_path / "cms_stream"
+    docs.coalesce(2).write.parquet(str(d))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(d)
+    )
+    stoks = stream.select(
+        F.explode(ascii_tokens("text", lowercase=True)).alias("tok")
+    )
+    out = stream_ops.streaming_cms_counters(stoks, "tok")
+    stream_ops.run_to_memory(out, "cms_out")
+    got = {
+        (r.lane, r.pos): r.cnt
+        for r in spark.sql("SELECT * FROM cms_out").collect()
+    }
+    assert got == expected and len(got) > 0
+    # the state bound: never more rows than d*w cells
+    assert len(got) <= sketch.CMS_D * sketch.CMS_W

@@ -86,3 +86,33 @@ def test_gopher_audit_rules(spark):
     assert out[2].n_words == 120
     assert abs(out[2].symbol_word_ratio - (90 + 30) / 120) < 1e-12
     assert out[3].pass_all == 0 and out[3].alpha_word_frac < 0.8
+
+
+def test_bigram_novelty_identities(spark):
+    # familiarity_sum >= n_bigrams (every count >= 1); singletons
+    # contribute exactly 1 each; a doc duplicated verbatim has zero
+    # singletons and its familiarity doubles the original's bigram
+    # overlap structure
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "zxqv wkjh qpzm unique garble here"),
+            (4, "x"),  # single token -> no bigrams -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textstats.bigram_novelty_stats(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    for r in rows.values():
+        assert r.familiarity_sum >= r.n_bigrams
+        assert 0 <= r.singleton_bigrams <= r.n_bigrams
+    # docs 1 and 2 are verbatim copies: every bigram occurs >= 2x
+    assert rows[1].singleton_bigrams == 0
+    assert rows[2].singleton_bigrams == 0
+    assert rows[1].n_bigrams == 8 and rows[1].familiarity_sum == 16
+    # doc 3's bigrams are corpus-unique
+    assert rows[3].singleton_bigrams == rows[3].n_bigrams == 5
+    assert rows[3].familiarity_sum == 5
