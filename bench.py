@@ -240,6 +240,8 @@ def main() -> None:
         "incremental_dedup_audit",
         "cms_token_heavy_hitters",
         "bigram_novelty_stats",
+        "simhash_md5_pairs",
+        "lang_id_confusion",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there

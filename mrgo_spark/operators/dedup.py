@@ -919,6 +919,95 @@ def simhash_pairs(
     )
 
 
+SIMHASH_MD5_BITS = 48  # md5 12-hex base hash width
+
+
+def simhash_md5_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Engine-portable SimHash (r5): 48-bit sign-sum over the md5
+    base hash of each token — same plan shape as simhash_table
+    (explode once, ONE aggregate with 48 map-side partial sums, pack
+    after the agg) but every vote replays in DuckDB, completing the
+    LSH-family portability set (SRP r4b, MinHash r5). Docs with zero
+    tokens have no rows (excluded). Columns: (id, sh)."""
+    bits = SIMHASH_MD5_BITS
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(ascii_tokens(text_col, lowercase=True)).alias("tok"),
+    ).select(
+        "id",
+        F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10)
+        .cast("long")
+        .alias("th"),
+    )
+    votes = ex.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("th").bitwiseAND(_bitmask(b)) != 0, 1).otherwise(
+                    -1
+                )
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
+    )
+    packed = F.lit(0).cast("long")
+    for b in range(bits):
+        packed = packed + F.when(F.col(f"v{b}") > 0, _bitmask(b)).otherwise(0)
+    return votes.select("id", packed.alias("sh"))
+
+
+def simhash_md5_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 12,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Candidate pairs whose portable SimHashes agree on ≥1 of 4
+    12-bit bands (pigeonhole: hamming ≤ 3 over 48 bits must share a
+    band), exact bit_count verify. Columns: (id_a, id_b, hamming) —
+    all deterministic integers, fully oracle-checkable."""
+    sh = simhash_md5_table(df, text_col, id_col)
+    n_bands = SIMHASH_MD5_BITS // band_bits
+    bands = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("sh"), i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1).cast("long"))
+                        .alias("bkey"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "id", "sh", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def winnow_overlap_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -1196,6 +1196,55 @@ def q_incremental_dedup_audit(spark, sf_dir):
     return dedup.incremental_dedup_audit(docs, incoming)
 
 
+@declare(
+    "simhash_md5_pairs",
+    f"""
+    WITH {_DUP_CORPUS_SQL},
+    tk AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                      x -> x <> '')) AS tok
+        FROM corpus
+    ),
+    th AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(tok), 1, 12)) AS BIGINT) AS h
+        FROM tk
+    ),
+    votes AS MATERIALIZED (
+        SELECT doc_id, b.b AS b,
+               CAST(sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END)
+                    AS BIGINT) AS v
+        FROM th, (SELECT unnest(range(0, 48)) AS b) b
+        GROUP BY 1, 2
+    ),
+    sh AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+                             ELSE 0 END) AS BIGINT) AS sh
+        FROM votes GROUP BY doc_id
+    ),
+    bands AS MATERIALIZED (
+        SELECT doc_id, sh, j.band, (sh >> (12 * j.band)) & 4095 AS bkey
+        FROM sh, (SELECT unnest(range(0, 4)) AS band) j
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+    """,
+)
+def q_simhash_md5_pairs(spark, sf_dir):
+    """X2 (r5): engine-portable SimHash near-dup pairs — 48-bit
+    sign-sum over md5 token hashes, 4×12-bit banded pigeonhole,
+    exact bit_count verify. With this, EVERY LSH family in the
+    engine (SRP r4b, MinHash r5, SimHash here) has a fully
+    oracle-checked deterministic twin beside its seeded flagship."""
+    return dedup.simhash_md5_pairs(_dup_corpus(spark, sf_dir))
+
+
 # md5-portable MinHash oracle fragments (r5): shingle → 48-bit md5
 # base hash mod 2^31-1 → 32 affine permutation mins. The constants
 # VALUES table and the Spark expressions share one generator

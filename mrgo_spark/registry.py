@@ -125,15 +125,16 @@ PRIORITY = [
     "hypertable_rollup",
 ]
 
-# Round-5 placement decision: the seven new oracle entries —
-# minhash_md5_signatures/pairs, bpe_doc_token_counts,
-# kmv_distinct_parts, incremental_dedup_audit,
-# cms_token_heavy_hitters, bigram_novelty_stats — stay OUTSIDE the
+# Round-5 placement decision: the new oracle entries —
+# minhash_md5_signatures/pairs, simhash_md5_pairs,
+# bpe_doc_token_counts, kmv_distinct_parts, incremental_dedup_audit,
+# cms_token_heavy_hitters, bigram_novelty_stats,
+# lang_id_confusion — stay OUTSIDE the
 # window. Each strengthens a family that already holds an in-window
 # green rep (X2 near-dup, X4 BPE/text-quality, aggregates, X1/X2
 # dedup); the genuinely new class (KMV/CMS portable sketches) is an
 # extension op, and the r5 window already absorbed one swap
-# (media_phash_pairs for line_dedup_stats). All seven are
+# (media_phash_pairs for line_dedup_stats). All are
 # driver_sim-receipted per round in DRIVER_SIM_r{N}.txt.
 
 # Round-4b placement decision (conscious, per the zero-sum rule

@@ -182,6 +182,7 @@ def main() -> None:
         "incremental_dedup_audit",
         "cms_token_heavy_hitters",
         "bigram_novelty_stats",
+        "simhash_md5_pairs",
     ]
     only = set(sys.argv[3:])
     if only:

@@ -445,3 +445,44 @@ def test_incremental_dedup_audit_verdicts(spark):
         else:  # second mutated copy: dup within the batch
             assert r.verdict == "dup_within_batch", r
             assert r.match_id == base + 300000
+
+
+def test_simhash_md5_matches_python_replay(spark):
+    import hashlib
+    import re
+
+    docs = {
+        r.doc_id: r.text for r in _dup_corpus(spark, SF).limit(100).collect()
+    }
+    sdf = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {r.id: r.sh for r in dedup.simhash_md5_table(sdf).collect()}
+    want = {}
+    for doc_id, text in docs.items():
+        toks = [t for t in re.split(r"[^a-z]+", text.lower()) if t]
+        if not toks:
+            continue
+        votes = [0] * dedup.SIMHASH_MD5_BITS
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:12], 16)
+            for b in range(dedup.SIMHASH_MD5_BITS):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        want[doc_id] = sum(
+            (1 << b) for b in range(dedup.SIMHASH_MD5_BITS) if votes[b] > 0
+        )
+    assert got == want
+
+
+def test_simhash_md5_pairs_recall_copies(spark):
+    # exact AND token-reversed copies share the token multiset ->
+    # identical simhash -> hamming 0, guaranteed in the pair set
+    corpus = _dup_corpus(spark, SF)
+    rows = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_md5_pairs(corpus).collect()}
+    planted = [
+        r.doc_id
+        for r in corpus.filter(
+            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100000)
+        ).collect()
+    ]
+    for d in planted:
+        assert rows.get((d, d + 100000)) == 0
+        assert rows.get((d, d + 200000)) == 0
