@@ -60,3 +60,17 @@ def bpe_token_count(text: Column | str) -> Column:
     """Count of non-whitespace BPE-ish tokens — the training-cost
     proxy a data pipeline budgets by."""
     return F.size(F.filter(bpe_tokens(text), lambda t: ~t.rlike(r"^\s+$")))
+
+
+def word_ngrams(text: Column | str, n: int) -> Column:
+    """Per-row word n-gram array (lowercased ascii tokens joined by
+    one space); empty array below n tokens. The ONE gram builder —
+    pipeline decontamination, textstats n-gram counts, and bigram
+    novelty all call this so a tokenizer-edge fix lands everywhere
+    at once (r5 review finding: three hand-maintained copies)."""
+    toks = ascii_tokens(text, lowercase=True)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))

@@ -256,30 +256,33 @@ def minhash_md5_consts(n: int) -> list[tuple[int, int]]:
     return out
 
 
-def minhash_md5_signatures(
+def _minhash_md5_sig(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 32,
-    shingle_n: int = 3,
+    text_col: str,
+    id_col: str,
+    out_id: str,
+    num_hashes: int,
+    shingle_n: int,
 ) -> DataFrame:
-    """Long-form portable MinHash signatures (doc_id, perm, h).
+    """Wide portable-signature frame (out_id, h0..h{n-1}) — the ONE
+    copy of the base-hash + affine-min math both declared entries
+    consume (r5 review finding: the pairs entry had hand-copied it;
+    the oracle side was already factored into _mh_mins_sql).
 
-    Same explode-once shape as minhash_signatures: one (doc,
-    shingle) explode, ONE aggregate with num_hashes partial mins
-    (one row per doc through the shuffle), then a map-side
-    posexplode of the 32 mins to long form — never 32 shingle-array
-    traversals per row."""
+    Explode-once shape as minhash_signatures: one (doc, shingle)
+    explode, ONE aggregate with num_hashes partial mins — one row
+    per doc through the shuffle, never 32 shingle-array traversals
+    per row."""
     consts = minhash_md5_consts(num_hashes)
     base = (
         F.conv(F.substring(F.md5("sh"), 1, 12), 16, 10).cast("long")
         % F.lit(MH_MOD).cast("long")
     )
     ex = df.select(
-        F.col(id_col).alias("doc_id"),
+        F.col(id_col).alias(out_id),
         F.explode(shingles(text_col, shingle_n)).alias("sh"),
-    ).select("doc_id", base.alias("_h"))
-    sig = ex.groupBy("doc_id").agg(
+    ).select(out_id, base.alias("_h"))
+    return ex.groupBy(out_id).agg(
         *[
             F.min(
                 (F.col("_h") * F.lit(a).cast("long") + F.lit(b).cast("long"))
@@ -287,6 +290,20 @@ def minhash_md5_signatures(
             ).alias(f"h{i}")
             for i, (a, b) in enumerate(consts)
         ]
+    )
+
+
+def minhash_md5_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Long-form portable MinHash signatures (doc_id, perm, h): the
+    shared wide frame posexploded map-side after the agg."""
+    sig = _minhash_md5_sig(
+        df, text_col, id_col, "doc_id", num_hashes, shingle_n
     )
     return sig.select(
         "doc_id",
@@ -315,24 +332,7 @@ def minhash_md5_pairs(
     candidate list for the exact |∩|/|∪| counts (at 100 TB this
     touches LSH survivors only, never the corpus square)."""
     rows_per_band = num_hashes // bands
-    consts = minhash_md5_consts(num_hashes)
-    base = (
-        F.conv(F.substring(F.md5("sh"), 1, 12), 16, 10).cast("long")
-        % F.lit(MH_MOD).cast("long")
-    )
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(text_col, shingle_n)).alias("sh"),
-    ).select("id", base.alias("_h"))
-    sig = ex.groupBy("id").agg(
-        *[
-            F.min(
-                (F.col("_h") * F.lit(a).cast("long") + F.lit(b).cast("long"))
-                % F.lit(MH_MOD).cast("long")
-            ).alias(f"h{i}")
-            for i, (a, b) in enumerate(consts)
-        ]
-    )
+    sig = _minhash_md5_sig(df, text_col, id_col, "id", num_hashes, shingle_n)
     banded = sig.select(
         "id",
         F.posexplode(

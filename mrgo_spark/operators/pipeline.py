@@ -28,7 +28,7 @@ from operator import and_
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import ascii_tokens
+from ..functions.text import ascii_tokens, word_ngrams
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
@@ -186,12 +186,7 @@ def pii_scrub(
 
 
 def _word_ngrams(text_col: str, n: int) -> F.Column:
-    toks = ascii_tokens(text_col, lowercase=True)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
-    ).otherwise(F.array().cast("array<string>"))
+    return word_ngrams(text_col, n)
 
 
 def decontaminate(

@@ -1065,7 +1065,9 @@ def q_bigram_novelty_stats(spark, sf_dir):
 
 @declare(
     "cms_token_heavy_hitters",
-    """
+    # constants interpolated from operators.sketch (the Bloom-tuple
+    # rule: all legs derive from one source)
+    f"""
     WITH tk AS MATERIALIZED (
         SELECT unnest(list_filter(string_split_regex(lower(text),
                                                      '[^a-z]+'),
@@ -1085,15 +1087,15 @@ def q_bigram_novelty_stats(spark, sf_dir):
         SELECT lane, pos, CAST(count(*) AS BIGINT) AS cnt FROM (
             SELECT u.lane,
                    CAST(concat('0x', substr(md5(value), 4 * u.lane + 1, 4))
-                        AS BIGINT) % 2048 AS pos
-            FROM tk, (SELECT unnest(range(0, 4)) AS lane) u)
+                        AS BIGINT) % {sketch.CMS_W} AS pos
+            FROM tk, (SELECT unnest(range(0, {sketch.CMS_D})) AS lane) u)
         GROUP BY 1, 2
     ),
     pr AS (
         SELECT t.value, t.exact_cnt, u.lane,
                CAST(concat('0x', substr(md5(t.value), 4 * u.lane + 1, 4))
-                    AS BIGINT) % 2048 AS pos
-        FROM top t, (SELECT unnest(range(0, 4)) AS lane) u
+                    AS BIGINT) % {sketch.CMS_W} AS pos
+        FROM top t, (SELECT unnest(range(0, {sketch.CMS_D})) AS lane) u
     )
     SELECT p.value, p.exact_cnt,
            CAST(min(c.cnt) AS BIGINT) AS cms_estimate,
@@ -2724,9 +2726,8 @@ def _bpe_cte(rounds: int = 6) -> str:
         """w0 AS MATERIALIZED (
         SELECT w, CAST(count(*) AS BIGINT) AS freq,
                trim(regexp_replace(w, '(.)', '\\1  ', 'g')) AS sym
-        FROM (SELECT unnest(list_filter(string_split(lower(
-                  regexp_replace(text, '[^a-z]+', ' ', 'g')), ' '),
-                  x -> x <> '')) AS w
+        FROM (SELECT unnest(list_filter(string_split_regex(lower(text),
+                  '[^a-z]+'), x -> x <> '')) AS w
               FROM documents)
         GROUP BY w)"""
     ]
@@ -2834,9 +2835,8 @@ def q_bpe_vocab_tokens(spark, sf_dir):
     + f""",
     dt AS (
         SELECT doc_id,
-               unnest(list_filter(string_split(lower(
-                   regexp_replace(text, '[^a-z]+', ' ', 'g')), ' '),
-                   x -> x <> '')) AS w
+               unnest(list_filter(string_split_regex(lower(text),
+                   '[^a-z]+'), x -> x <> '')) AS w
         FROM documents)
     SELECT d.doc_id,
            CAST(count(*) AS BIGINT) AS n_words,

@@ -644,7 +644,9 @@ def q_approx(spark, sf_dir):
 
 @declare(
     "kmv_distinct_parts",
-    """
+    # constants interpolated from operators.sketch so the three legs
+    # (Spark, oracle, tests) cannot desync (the Bloom-tuple rule)
+    f"""
     WITH h AS (
         SELECT DISTINCT l_returnflag AS grp,
                CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)),
@@ -659,7 +661,7 @@ def q_approx(spark, sf_dir):
     kept AS (
         SELECT grp, CAST(count(*) AS BIGINT) AS n_kept,
                CAST(max(h) AS BIGINT) AS kth_min
-        FROM r WHERE rn <= 64 GROUP BY grp
+        FROM r WHERE rn <= {sketch.KMV_K} GROUP BY grp
     ),
     ex AS (
         SELECT l_returnflag AS grp,
@@ -667,8 +669,9 @@ def q_approx(spark, sf_dir):
         FROM lineitem GROUP BY 1
     )
     SELECT k.grp, k.n_kept, k.kth_min,
-           CAST(CASE WHEN k.n_kept < 64 THEN k.n_kept
-                     ELSE 17732923532771328 // k.kth_min END AS BIGINT)
+           CAST(CASE WHEN k.n_kept < {sketch.KMV_K} THEN k.n_kept
+                     ELSE {(sketch.KMV_K - 1) * sketch.KMV_SPACE}
+                          // greatest(k.kth_min, 1) END AS BIGINT)
              AS kmv_estimate,
            ex.exact_distinct
     FROM kept k JOIN ex USING (grp)

@@ -1312,13 +1312,17 @@ def pq_topk_adc_join(
     shuffle is the (query_id, vec_id) partial-aggregated sum —
     inherent to unpruned ADC. Columns: (query_id, neighbor_id,
     adc_dist2, rank)."""
-    q = _pq_quantized(emb, id_col, vec_col)
+    # quantize lazily: with cents+assigned+queries supplied (the
+    # session-cache idiom the pq_* family supports), emb may be None
+    q = None
+    if cents is None or assigned is None or queries is None:
+        q = _pq_quantized(emb, id_col, vec_col)
     if cents is None:
         cents = _pq_train(q, m, subdim, k, iters)
     if assigned is None:
         assigned = _pq_assign(q, cents, m, subdim)
     k_eff = len(cents[0])
-    spark = emb.sparkSession
+    spark = assigned.sparkSession
     # codes long form: m rows per vector
     codes = assigned.select(
         "vec_id",

@@ -69,8 +69,11 @@ def kmv_distinct(
             F.max("h").alias("kth_min"),
         )
     )
+    # greatest(..., 1): a value hashing to exactly 0 would otherwise
+    # make the estimator NULL via div-by-zero (~2^-48 per value, but
+    # certain somewhere in a 100 TB run); oracle carries the same floor
     est = F.when(F.col("n_kept") < k, F.col("n_kept")).otherwise(
-        F.expr(f"{(k - 1) * KMV_SPACE}L div kth_min")
+        F.expr(f"{(k - 1) * KMV_SPACE}L div greatest(kth_min, 1L)")
     )
     return kept.select(
         "grp", "n_kept", "kth_min", est.cast("long").alias("kmv_estimate")
@@ -158,12 +161,11 @@ def cms_heavy_hitters(
         .groupBy("value")
         .agg(F.count("*").cast("long").alias("exact_cnt"))
     )
-    w_top = Window.orderBy(F.desc("exact_cnt"), F.asc("value"))
-    top = (
-        exact.withColumn("_rn", F.row_number().over(w_top))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    )
+    # orderBy+limit → TakeOrderedAndProject: per-partition bounded
+    # top-k + driver merge, never a single-task global sort of the
+    # distinct-value frame (r5 review finding; same result, same
+    # (cnt DESC, value) determinism as the oracle's row_number)
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("value")).limit(k)
     counters = cms_counters(df, value_col, d, w)
     probes = top.select(
         "value",

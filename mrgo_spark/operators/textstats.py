@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import ascii_tokens, ws_tokens
+from ..functions.text import ascii_tokens, word_ngrams, ws_tokens
 
 # Marker stopwords per language for the lang-ID heuristic. Determinism
 # matters more than linguistic coverage here; the heuristic is the
@@ -174,14 +174,8 @@ def ngram_counts(
     tokenize → per-doc n-gram arrays (map-side) → explode → one
     partial-agg shuffle.
     """
-    toks = ascii_tokens(text_col, lowercase=True)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
-    ).otherwise(F.array().cast("array<string>"))
     return (
-        documents.select(F.explode(grams).alias("ngram"))
+        documents.select(F.explode(word_ngrams(text_col, n)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").alias("cnt"))
     )
@@ -203,13 +197,9 @@ def repetition_stats(
     explode builds grams exactly once; explode_outer keeps gram-less
     docs (count over NULL → 0). One shuffle on doc_id.
     """
-    toks = ascii_tokens(text_col, lowercase=True)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
-    ).otherwise(F.array().cast("array<string>"))
-    ex = documents.select("doc_id", F.explode_outer(grams).alias("g"))
+    ex = documents.select(
+        "doc_id", F.explode_outer(word_ngrams(text_col, n)).alias("g")
+    )
     agg = ex.groupBy("doc_id").agg(
         F.count("g").alias("n_ngrams"),
         F.count_distinct("g").alias("n_distinct"),
@@ -730,14 +720,9 @@ def bigram_novelty_stats(
     global counts, hash-join back (Zipf-compressed build side), one
     partial-agg per doc. Docs with <2 tokens have no bigrams and
     drop out (mirrored by the oracle's inner join)."""
-    toks = ascii_tokens(text_col, lowercase=True)
-    idx = F.sequence(F.lit(0), F.size(toks) - 2)
-    grams = F.when(
-        F.size(toks) >= 2,
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, 2), " ")),
-    ).otherwise(F.array().cast("array<string>"))
     ex = documents.select(
-        F.col(id_col).alias("doc_id"), F.explode(grams).alias("bg")
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(text_col, 2)).alias("bg"),
     )
     glob = ex.groupBy("bg").agg(F.count("*").cast("long").alias("_gc"))
     # shuffle_hash, not broadcast/SMJ: the aggregated side is corpus-

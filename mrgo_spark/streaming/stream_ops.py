@@ -423,24 +423,13 @@ def streaming_cms_counters(
     at-rest sketches by cell-sum (law pinned in tests)."""
     from ..operators import sketch
 
-    d = d if d is not None else sketch.CMS_D
-    w = w if w is not None else sketch.CMS_W
-    lanes = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("lane"),
-                    sketch.cms_lane_pos(value_col, i, w).alias("pos"),
-                )
-                for i in range(d)
-            ]
-        )
-    )
-    return (
-        value_stream.select(lanes.alias("_lp"))
-        .select(F.col("_lp.lane").alias("lane"), F.col("_lp.pos").alias("pos"))
-        .groupBy("lane", "pos")
-        .agg(F.count("*").cast("long").alias("cnt"))
+    # the batch builder is a plain groupBy/agg, which streams as-is —
+    # ONE copy of the lane/pos derivation (r5 review finding)
+    return sketch.cms_counters(
+        value_stream,
+        value_col,
+        d if d is not None else sketch.CMS_D,
+        w if w is not None else sketch.CMS_W,
     )
 
 
