@@ -332,7 +332,15 @@ def minhash_md5_pairs(
     candidate list for the exact |∩|/|∪| counts (at 100 TB this
     touches LSH survivors only, never the corpus square)."""
     rows_per_band = num_hashes // bands
-    sig = _minhash_md5_sig(df, text_col, id_col, "id", num_hashes, shingle_n)
+    # localCheckpoint: the band self-join duplicates the signature
+    # subtree (no exchange reuse across the a/b aliases) and the md5
+    # + 32-affine-min agg is heavy enough that one materialization
+    # beats recompute — A/B at sf0.1 warm: 2.4 s vs 3.0 s (the
+    # OPPOSITE of the xxhash flagship's measured tradeoff, where
+    # signature compute is cheap; see minhash_lsh_pairs' plan note).
+    sig = _minhash_md5_sig(
+        df, text_col, id_col, "id", num_hashes, shingle_n
+    ).localCheckpoint(eager=False)
     banded = sig.select(
         "id",
         F.posexplode(
@@ -968,7 +976,12 @@ def simhash_md5_pairs(
     12-bit bands (pigeonhole: hamming ≤ 3 over 48 bits must share a
     band), exact bit_count verify. Columns: (id_a, id_b, hamming) —
     all deterministic integers, fully oracle-checkable."""
-    sh = simhash_md5_table(df, text_col, id_col)
+    # same A/B'd tradeoff as minhash_md5_pairs: the band self-join
+    # duplicates the 48-sum signature agg; one materialization wins
+    # (sf0.1 warm 1.85 s vs 2.23 s recompute)
+    sh = simhash_md5_table(df, text_col, id_col).localCheckpoint(
+        eager=False
+    )
     n_bands = SIMHASH_MD5_BITS // band_bits
     bands = sh.select(
         "id",
