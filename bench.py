@@ -242,6 +242,13 @@ def main() -> None:
         "bigram_novelty_stats",
         "simhash_md5_pairs",
         "lang_id_confusion",
+        "linreg_discount_quantity",
+        "corr_matrix_lineitem",
+        "auc_price_returnflag",
+        "event_transition_matrix",
+        # triangle_copurchase_top stays OUT (7 s warm wedge-close at
+        # sf0.1 — real quadratic work, the semantic_dedup policy);
+        # it is gate-cheap at sf0.01 and probed at 10x instead.
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there

@@ -86,3 +86,61 @@ def pagerank(
     if top is None:
         return r
     return r.orderBy(F.desc("rank_fx"), F.asc("node")).limit(top)
+
+
+def coorder_part_edges(lineitem: DataFrame) -> DataFrame:
+    """Canonical (p1 < p2) part co-purchase edges: parts appearing in
+    the same order. The self-join shuffles on l_orderkey only and the
+    DISTINCT collapses repeat co-purchases; at 100 TB both stages
+    bucket on their keys and a per-order part-count cap (orders are
+    bounded at 7 lines in TPC-H) bounds the quadratic blowup."""
+    op = lineitem.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    return (
+        a.join(b, (F.col("a.o") == F.col("b.o"))
+               & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame, top: int = 20) -> DataFrame:
+    """Per-node triangle participation over canonical (p1 < p2)
+    undirected edges — the classic wedge-close join: e1(a,b) ⋈ e2(b,c)
+    builds each a<b<c wedge exactly once, e3(a,c) closes it, so every
+    triangle is enumerated once with no orientation double-count.
+    Each closed triangle credits all three corners; output is the top
+    ``top`` nodes by (tri_cnt DESC, node) — bounded, deterministic.
+
+    Scale: all three legs are the SAME relation shuffled on its join
+    key — at 100 TB the edge table is bucketed once on p1 (and the
+    canonical a<b ordering is replaced by degree ordering, which
+    bounds the wedge fan-out per node by sqrt(|E|)); the wedge stream
+    is never materialized, it flows straight into the closing join's
+    shuffle. The edge frame is checkpointed so the three scans share
+    one computed lineage."""
+    e = edges.localCheckpoint(eager=False)
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.p2") == F.col("e2.p1"))
+        .join(
+            e3,
+            (F.col("e3.p1") == F.col("e1.p1"))
+            & (F.col("e3.p2") == F.col("e2.p2")),
+        )
+        .select(
+            F.col("e1.p1").alias("a"),
+            F.col("e1.p2").alias("b"),
+            F.col("e2.p2").alias("c"),
+        )
+    )
+    # Explode-once, not a 3-way UNION of projections: a UNION would
+    # re-run the whole wedge-close join per branch (no exchange reuse
+    # across differing projections — the multi-grain lesson).
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+    per = corners.groupBy("node").agg(
+        F.count("*").cast("long").alias("tri_cnt")
+    )
+    return per.orderBy(F.desc("tri_cnt"), F.asc("node")).limit(top)

@@ -1,0 +1,199 @@
+"""Closed-form model fitting as aggregates (r5).
+
+Distributed ML beyond clustering: ordinary least squares solved with
+EXACT integer normal equations — one partially-aggregated pass
+collects the sufficient statistics (n, Σx, Σy, Σxy, Σx²) per group
+and Cramer's rule yields the slope/intercept as integer fractions.
+No iteration, no float accumulation ordering, no collect: the whole
+fit is a groupBy, so it scales exactly like any aggregate and the
+result replays bit-for-bit in a second engine (the fixed-point
+recipe applied to model fitting; gradient-descent fits need exp/log
+and are NOT hash-portable — this is the form that is).
+
+Caller contract: x and y must be integer-valued columns with
+bounded magnitude — every Cramer term must fit a signed 64-bit
+integer. Bound: n·|x|max·|y|max·max(n·|x|max, |y|max·…) in practice
+keep n·Σ|xy| and Σ|x|·Σ|y| under 2^62; the declared demo (quantity
+≤ 50, discount-cents ≤ 10, n ≤ ~10^7 rows/group) holds through
+SF 100. For wider domains, pre-scale down or fit per finer group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def linreg_fit_exact(
+    df: DataFrame, group_col: str, x, y
+) -> DataFrame:
+    """Per-group exact OLS y = a + b·x:
+    (grp, n, slope_num, slope_den, intercept_num, intercept_den,
+    slope_micro) with b = slope_num/slope_den,
+    a = intercept_num/slope_den, and slope_micro = the slope in
+    integer microunits ((10^6·num) div den — floor, exact) for
+    eyeballing. Degenerate groups (constant x → den = 0) report
+    NULL slope_micro and the raw 0 denominator honestly."""
+    xc = x if not isinstance(x, str) else F.col(x)
+    yc = y if not isinstance(y, str) else F.col(y)
+    g = df.select(
+        F.col(group_col).alias("grp"),
+        xc.cast("long").alias("_x"),
+        yc.cast("long").alias("_y"),
+    ).groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("_x").cast("long").alias("_sx"),
+        F.sum("_y").cast("long").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
+    )
+    slope_num = F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    slope_den = F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    icept_num = (
+        F.col("_sy") * F.col("_sxx") - F.col("_sx") * F.col("_sxy")
+    )
+    out = g.select(
+        "grp",
+        "n",
+        slope_num.cast("long").alias("slope_num"),
+        slope_den.cast("long").alias("slope_den"),
+        icept_num.cast("long").alias("intercept_num"),
+        slope_den.cast("long").alias("intercept_den"),
+    )
+    micro = F.when(
+        F.col("slope_den") != 0,
+        F.expr("(1000000L * slope_num) div slope_den"),
+    )
+    return out.withColumn("slope_micro", micro.cast("long"))
+
+
+def corr_pairs_exact(
+    df: DataFrame, group_col: str, cols: dict
+) -> DataFrame:
+    """Per-group exact correlation-matrix sufficient statistics for
+    every unordered column pair: (grp, x_col, y_col, n, corr_num,
+    varx_num, vary_num) with Pearson r = corr_num /
+    sqrt(varx_num · vary_num); corr_num = n·Σxy − Σx·Σy and
+    var*_num = n·Σx² − (Σx)² are the exact integer Cramer terms, so
+    the whole matrix replays bit-for-bit in a second engine (sqrt is
+    libm — the float r is derived OUTSIDE the hash surface). One
+    partial-agg pass computes all k + k(k+1)/2 sums; the pair rows
+    are then unpivoted from a single aggregate row per group — no
+    second scan, no self-join. `cols` maps output name → integer-
+    valued Column; keep n·|x|·|y|·n inside int64 (see module doc)."""
+    names = list(cols)
+    sel = [F.col(group_col).alias("grp")] + [
+        (c if not isinstance(c, str) else F.col(c))
+        .cast("long")
+        .alias(f"_c_{n}")
+        for n, c in cols.items()
+    ]
+    aggs = [F.count("*").cast("long").alias("n")]
+    for n in names:
+        aggs.append(F.sum(f"_c_{n}").cast("long").alias(f"_s_{n}"))
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            aggs.append(
+                F.sum(F.col(f"_c_{a}") * F.col(f"_c_{b}"))
+                .cast("long")
+                .alias(f"_p_{a}_{b}")
+            )
+    g = df.select(*sel).groupBy("grp").agg(*aggs)
+    pair_structs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            nn = F.col("n")
+            pair_structs.append(
+                F.struct(
+                    F.lit(a).alias("x_col"),
+                    F.lit(b).alias("y_col"),
+                    (nn * F.col(f"_p_{a}_{b}")
+                     - F.col(f"_s_{a}") * F.col(f"_s_{b}"))
+                    .cast("long")
+                    .alias("corr_num"),
+                    (nn * F.col(f"_p_{a}_{a}")
+                     - F.col(f"_s_{a}") * F.col(f"_s_{a}"))
+                    .cast("long")
+                    .alias("varx_num"),
+                    (nn * F.col(f"_p_{b}_{b}")
+                     - F.col(f"_s_{b}") * F.col(f"_s_{b}"))
+                    .cast("long")
+                    .alias("vary_num"),
+                )
+            )
+    exploded = g.select(
+        "grp", "n", F.explode(F.array(*pair_structs)).alias("_pr")
+    )
+    return exploded.select(
+        "grp",
+        F.col("_pr.x_col").alias("x_col"),
+        F.col("_pr.y_col").alias("y_col"),
+        "n",
+        F.col("_pr.corr_num").alias("corr_num"),
+        F.col("_pr.varx_num").alias("varx_num"),
+        F.col("_pr.vary_num").alias("vary_num"),
+    )
+
+
+def auc_exact(df: DataFrame, group_col: str, score, label) -> DataFrame:
+    """Per-group exact tie-aware ROC AUC as an integer fraction —
+    the Mann-Whitney rank-sum form with ties counted 1/2 (average
+    ranks). Shape: groupBy (grp, score) → per-score (cnt, pos), one
+    ordered cumulative-sum window PER GROUP over the score-bucket
+    table (|distinct scores| rows, not |rows| — at 100 TB the window
+    input is domain-sized; range-partition the cumsum if a single
+    group's score domain outgrows one task), then one final agg:
+      2·Σ_pos avg_rank = Σ pos·(2·cum_below + cnt + 1)
+      auc_num = that − np·(np+1);  auc_den = 2·np·nn.
+    All integers: auc = auc_num/auc_den replays exactly; auc_micro =
+    (10⁶·num) div den (floor — num ≥ 0). Degenerate groups (no
+    positives or no negatives) report NULL auc_micro, den 0."""
+    from pyspark.sql import Window
+
+    sc = score if not isinstance(score, str) else F.col(score)
+    lb = label if not isinstance(label, str) else F.col(label)
+    pts = df.select(
+        F.col(group_col).alias("grp"),
+        sc.cast("long").alias("score"),
+        lb.cast("long").alias("pos"),
+    )
+    sb = pts.groupBy("grp", "score").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("pos").cast("long").alias("pos"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wb = sb.withColumn(
+        "cum_below", (F.sum("cnt").over(w) - F.col("cnt")).cast("long")
+    )
+    g = wb.groupBy("grp").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(
+            F.col("pos")
+            * (2 * F.col("cum_below") + F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("_rs2"),
+    )
+    num = (F.col("_rs2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast(
+        "long"
+    )
+    den = (2 * F.col("n_pos") * (F.col("n") - F.col("n_pos"))).cast(
+        "long"
+    )
+    out = g.select(
+        "grp",
+        "n",
+        "n_pos",
+        num.alias("auc_num"),
+        den.alias("auc_den"),
+    )
+    micro = F.when(
+        F.col("auc_den") != 0,
+        F.expr("(1000000L * auc_num) div auc_den"),
+    )
+    return out.withColumn("auc_micro", micro.cast("long"))

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..registry import declare
 from ..sources.tables import load_table
-from . import sketch
+from . import mlfit, sketch
 
 
 def _cents(col):
@@ -693,6 +693,203 @@ def q_kmv_distinct(spark, sf_dir):
         F.countDistinct("l_partkey").cast("long").alias("exact_distinct")
     )
     return sk.join(ex, "grp")
+
+
+@declare(
+    "linreg_discount_quantity",
+    """
+    WITH pts AS (
+        SELECT l_returnflag AS grp,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(round(l_discount * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    s AS (
+        SELECT grp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM pts GROUP BY grp
+    )
+    SELECT grp, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST(sy * sxx - sx * sxy AS BIGINT) AS intercept_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS intercept_den,
+           CAST(CASE WHEN n * sxx - sx * sx <> 0
+                     THEN (1000000 * (n * sxy - sx * sy))
+                          // (n * sxx - sx * sx)
+                END AS BIGINT) AS slope_micro
+    FROM s
+    """,
+)
+def q_linreg_discount_quantity(spark, sf_dir):
+    """Closed-form distributed model fit (r5, mlfit.linreg_fit_exact):
+    per-return-flag OLS of discount-cents on quantity via exact
+    integer normal equations — the fit IS an aggregate (one partial
+    shuffle, no iteration, no collect) and the slope/intercept
+    fractions replay bit-for-bit in the oracle. The ML class beyond
+    clustering (kmeans) and ranking (pagerank): supervised fitting,
+    hash-exact. Magnitudes (qty <= 50, cents <= 10) keep every
+    Cramer term inside int64 through SF 100."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return mlfit.linreg_fit_exact(
+        li,
+        "l_returnflag",
+        F.col("l_quantity"),
+        F.round(F.col("l_discount") * 100),
+    )
+
+
+_CORR_COLS = ["qty", "disc", "tax", "sday"]
+
+
+def _corr_oracle_sql() -> str:
+    cols = _CORR_COLS
+    sums = ", ".join(f"CAST(sum({c}) AS BIGINT) AS s_{c}" for c in cols)
+    prods = ", ".join(
+        f"CAST(sum({a} * {b}) AS BIGINT) AS p_{a}_{b}"
+        for i, a in enumerate(cols)
+        for b in cols[i:]
+    )
+    selects = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            selects.append(
+                f"""SELECT grp, '{a}' AS x_col, '{b}' AS y_col, n,
+           CAST(n * p_{a}_{b} - s_{a} * s_{b} AS BIGINT) AS corr_num,
+           CAST(n * p_{a}_{a} - s_{a} * s_{a} AS BIGINT) AS varx_num,
+           CAST(n * p_{b}_{b} - s_{b} * s_{b} AS BIGINT) AS vary_num
+    FROM s"""
+            )
+    body = "\n    UNION ALL\n    ".join(selects)
+    return f"""
+    WITH pts AS (
+        SELECT l_returnflag AS grp,
+               CAST(l_quantity AS BIGINT) AS qty,
+               CAST(round(l_discount * 100) AS BIGINT) AS disc,
+               CAST(round(l_tax * 100) AS BIGINT) AS tax,
+               CAST(datepart('day', l_shipdate) AS BIGINT) AS sday
+        FROM lineitem),
+    s AS MATERIALIZED (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n, {sums}, {prods}
+        FROM pts GROUP BY grp)
+    {body}
+    """
+
+
+@declare("corr_matrix_lineitem", _corr_oracle_sql())
+def q_corr_matrix_lineitem(spark, sf_dir):
+    """Exact per-group correlation matrix (r5, mlfit.corr_pairs_exact):
+    all 6 column pairs of (quantity, discount-cents, tax-cents,
+    ship-day) per return flag, as integer Cramer fractions — ONE
+    partial-agg pass computes every sum/product, the pair rows unpivot
+    from the aggregate row (explode, not a 6-way UNION re-scan), and
+    Pearson r = corr_num / sqrt(varx·vary) is derived outside the
+    hash surface (sqrt is libm). Magnitudes (≤50·31) keep n²·|x||y|
+    inside int64 through per-group n ≈ 7·10⁷ (~SF 30; group finer
+    beyond)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return mlfit.corr_pairs_exact(
+        li,
+        "l_returnflag",
+        {
+            "qty": F.col("l_quantity"),
+            "disc": F.round(F.col("l_discount") * 100),
+            "tax": F.round(F.col("l_tax") * 100),
+            "sday": F.dayofmonth(F.col("l_shipdate")),
+        },
+    )
+
+
+@declare(
+    "auc_price_returnflag",
+    """
+    WITH pts AS (
+        SELECT l_linestatus AS grp,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS score,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+        FROM lineitem),
+    sb AS (
+        SELECT grp, score,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(pos) AS BIGINT) AS pos
+        FROM pts GROUP BY grp, score),
+    w AS (
+        SELECT grp, cnt, pos,
+               sum(cnt) OVER (PARTITION BY grp ORDER BY score
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - cnt AS cum_below
+        FROM sb),
+    g AS (
+        SELECT grp,
+               CAST(sum(cnt) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS np,
+               CAST(sum(pos * (2 * cum_below + cnt + 1)) AS BIGINT) AS rs2
+        FROM w GROUP BY grp)
+    SELECT grp, n, np AS n_pos,
+           CAST(rs2 - np * (np + 1) AS BIGINT) AS auc_num,
+           CAST(2 * np * (n - np) AS BIGINT) AS auc_den,
+           CAST(CASE WHEN np > 0 AND n > np
+                     THEN (1000000 * (rs2 - np * (np + 1)))
+                          // (2 * np * (n - np))
+                END AS BIGINT) AS auc_micro
+    FROM g
+    """,
+)
+def q_auc_price_returnflag(spark, sf_dir):
+    """Exact tie-aware ROC AUC (r5, mlfit.auc_exact): does price
+    predict returns, per linestatus — the Mann-Whitney rank-sum form
+    with average ranks, entirely in integers, so the model-evaluation
+    metric itself is hash-exact (the ML-EVAL class next to fitting:
+    linreg/kmeans fit, AUC evaluates). Shape: score-bucket agg →
+    per-group ordered cumsum over |distinct scores| rows (domain-
+    sized, not corpus-sized) → one final agg; `div` floors a
+    non-negative numerator so Spark div == DuckDB //."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return mlfit.auc_exact(
+        li,
+        "l_linestatus",
+        F.round(F.col("l_extendedprice") * 100),
+        (F.col("l_returnflag") == "R").cast("int"),
+    )
+
+
+@declare(
+    "triangle_copurchase_top",
+    """
+    WITH e AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    pairs AS MATERIALIZED (
+        SELECT DISTINCT a.p AS p1, b.p AS p2
+        FROM e a JOIN e b ON a.o = b.o AND a.p < b.p),
+    tri AS (
+        SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.p1 = e1.p2
+        JOIN pairs e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+    corners AS (SELECT unnest([a, b, c]) AS node FROM tri)
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(count(*) AS BIGINT) AS tri_cnt
+    FROM corners GROUP BY node
+    ORDER BY tri_cnt DESC, node LIMIT 20
+    """,
+)
+def q_triangle_copurchase_top(spark, sf_dir):
+    """Triangle counting (r5, graph.triangle_counts) — the third
+    member of the graph family (PageRank ranks, CC clusters,
+    triangles measure cohesion): per-part triangle participation in
+    the co-purchase graph, wedge-close join over canonical p1<p2
+    edges so each triangle is enumerated exactly once, corners
+    credited by explode-once (a 3-way UNION would re-run the whole
+    join per branch). Top 20 by (tri_cnt DESC, node) —
+    deterministic."""
+    from . import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return graph.triangle_counts(graph.coorder_part_edges(li), top=20)
 
 
 @declare(

@@ -337,3 +337,63 @@ def q_group_sample(spark, sf_dir):
         d.select("source", "doc_id", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= 5)
     )
+
+
+@declare(
+    "event_transition_matrix",
+    """
+    WITH t AS (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   AS next_type
+        FROM events),
+    c AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM t WHERE next_type IS NOT NULL
+        GROUP BY 1, 2),
+    f AS (
+        SELECT from_type, CAST(sum(cnt) AS BIGINT) AS from_total
+        FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, c.cnt, f.from_total,
+           CAST((1000000 * c.cnt) // f.from_total AS BIGINT)
+               AS prob_micro
+    FROM c JOIN f USING (from_type)
+    """,
+)
+def q_event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    streams (the product-analytics "what happens after X" table):
+    lead() within (user_id ORDER BY ts, event_id — deterministic
+    under equal timestamps) pairs each event with its successor, one
+    groupBy counts transitions, and the row-normalized probability is
+    an exact integer fraction (prob_micro floors a non-negative
+    numerator, so Spark div == DuckDB //). Scale: the window
+    partitions by user (no global order); the transition table is
+    |types|² rows, so the normalizing join is a broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    c = (
+        t.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    f = c.groupBy("from_type").agg(
+        F.sum("cnt").cast("long").alias("from_total")
+    )
+    return c.join(F.broadcast(f), "from_type").select(
+        "from_type",
+        "to_type",
+        "cnt",
+        "from_total",
+        F.expr("(1000000L * cnt) div from_total")
+        .cast("long")
+        .alias("prob_micro"),
+    )

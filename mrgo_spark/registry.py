@@ -128,8 +128,10 @@ PRIORITY = [
 # Round-5 placement decision: the new oracle entries —
 # minhash_md5_signatures/pairs, simhash_md5_pairs,
 # bpe_doc_token_counts, kmv_distinct_parts, incremental_dedup_audit,
-# cms_token_heavy_hitters, bigram_novelty_stats,
-# lang_id_confusion — stay OUTSIDE the
+# cms_token_heavy_hitters, bigram_novelty_stats, lang_id_confusion,
+# linreg_discount_quantity, corr_matrix_lineitem,
+# auc_price_returnflag, triangle_copurchase_top,
+# event_transition_matrix — stay OUTSIDE the
 # window. Each strengthens a family that already holds an in-window
 # green rep (X2 near-dup, X4 BPE/text-quality, aggregates, X1/X2
 # dedup); the genuinely new class (KMV/CMS portable sketches) is an

@@ -183,6 +183,11 @@ def main() -> None:
         "cms_token_heavy_hitters",
         "bigram_novelty_stats",
         "simhash_md5_pairs",
+        "linreg_discount_quantity",
+        "corr_matrix_lineitem",
+        "auc_price_returnflag",
+        "event_transition_matrix",
+        "triangle_copurchase_top",
     ]
     only = set(sys.argv[3:])
     if only:

@@ -51,3 +51,45 @@ def test_pagerank_mass_conserved_within_floor_loss(spark):
     # parts-only and orders-only parity split: both sides present
     kinds = {r.node % 2 for r in full.limit(50).collect()}
     assert kinds == {0, 1}
+
+
+def _py_triangles(edges):
+    """Per-node triangle counts on canonical (a<b) edge tuples."""
+    es = set(edges)
+    nbr = defaultdict(set)
+    for a, b in es:
+        nbr[a].add(b)
+        nbr[b].add(a)
+    cnt: dict = defaultdict(int)
+    for a, b in es:  # enumerate each a<b<c triangle exactly once
+        if a > b:
+            a, b = b, a
+        common = (x for x in nbr[a] & nbr[b] if x > b)
+        for c in common:
+            cnt[a] += 1
+            cnt[b] += 1
+            cnt[c] += 1
+    return dict(cnt)
+
+
+def test_triangle_counts_tiny_known(spark):
+    # K4 on {1,2,3,4}: every node is in C(3,2)=3 triangles; plus a
+    # pendant edge (4,5) adding none.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "p1 long, p2 long")
+    got = {r.node: r.tri_cnt for r in graph.triangle_counts(df, top=10).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert _py_triangles(edges) == got
+
+
+def test_triangle_counts_matches_python_on_fixture(spark):
+    li = load_table(spark, SF, "lineitem")
+    e = graph.coorder_part_edges(li)
+    edges = [(r.p1, r.p2) for r in e.collect()]
+    want = _py_triangles(edges)
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r.node, r.tri_cnt)
+        for r in graph.triangle_counts(e, top=20).collect()
+    ]
+    assert got == top

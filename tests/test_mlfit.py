@@ -1,0 +1,190 @@
+"""Exact-OLS fit: fraction math vs pure-Python integers, float value
+vs numpy lstsq, and the degenerate constant-x group.
+
+Reference parity note: no reference analog (pure extension — the
+closed-form member of the distributed-ML set next to kmeans/pagerank).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import functions as F
+
+from mrgo_spark.operators import mlfit
+from mrgo_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_fit(pts):
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    return (
+        n,
+        n * sxy - sx * sy,
+        n * sxx - sx * sx,
+        sy * sxx - sx * sxy,
+    )
+
+
+def test_linreg_matches_python_integers(spark):
+    li = load_table(spark, SF, "lineitem")
+    got = {
+        r.grp: (r.n, r.slope_num, r.slope_den, r.intercept_num)
+        for r in mlfit.linreg_fit_exact(
+            li, "l_returnflag", F.col("l_quantity"),
+            F.round(F.col("l_discount") * 100),
+        ).collect()
+    }
+    pts: dict[str, list] = {}
+    for r in li.select("l_returnflag", "l_quantity", "l_discount").collect():
+        pts.setdefault(r.l_returnflag, []).append(
+            (int(r.l_quantity), round(float(r.l_discount) * 100))
+        )
+    want = {g: _py_fit(p) for g, p in pts.items()}
+    assert got == want
+
+
+def test_linreg_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    li = load_table(spark, SF, "lineitem")
+    rows = mlfit.linreg_fit_exact(
+        li, "l_returnflag", F.col("l_quantity"),
+        F.round(F.col("l_discount") * 100),
+    ).collect()
+    data = li.select("l_returnflag", "l_quantity", "l_discount").collect()
+    for r in rows:
+        xs = np.array([float(d.l_quantity) for d in data if d.l_returnflag == r.grp])
+        ys = np.array([round(float(d.l_discount) * 100) for d in data if d.l_returnflag == r.grp])
+        A = np.vstack([xs, np.ones(len(xs))]).T
+        slope, icept = np.linalg.lstsq(A, ys, rcond=None)[0]
+        assert abs(Fraction(r.slope_num, r.slope_den) - slope) < 1e-8
+        assert abs(Fraction(r.intercept_num, r.intercept_den) - icept) < 1e-8
+        # slope_micro truncates toward zero (Spark div == DuckDB //;
+        # int(Fraction) truncates the same way — NOT Python's //)
+        assert r.slope_micro == int(
+            Fraction(1_000_000 * r.slope_num, r.slope_den)
+        )
+
+
+def test_linreg_constant_x_degenerate(spark):
+    df = spark.createDataFrame(
+        [("a", 5, i) for i in range(10)], "grp string, x long, y long"
+    )
+    row = mlfit.linreg_fit_exact(df, "grp", "x", "y").collect()[0]
+    assert row.slope_den == 0 and row.slope_micro is None
+
+
+def test_corr_pairs_matches_numpy(spark):
+    import numpy as np
+
+    li = load_table(spark, SF, "lineitem")
+    rows = mlfit.corr_pairs_exact(
+        li,
+        "l_returnflag",
+        {
+            "qty": F.col("l_quantity"),
+            "disc": F.round(F.col("l_discount") * 100),
+            "tax": F.round(F.col("l_tax") * 100),
+        },
+    ).collect()
+    assert {(r.x_col, r.y_col) for r in rows} == {
+        ("qty", "disc"), ("qty", "tax"), ("disc", "tax")
+    } and len(rows) == 3 * len({r.grp for r in rows})
+    data: dict[str, list] = {}
+    for d in li.select(
+        "l_returnflag", "l_quantity", "l_discount", "l_tax"
+    ).collect():
+        data.setdefault(d.l_returnflag, []).append(
+            (
+                int(d.l_quantity),
+                round(float(d.l_discount) * 100),
+                round(float(d.l_tax) * 100),
+            )
+        )
+    idx = {"qty": 0, "disc": 1, "tax": 2}
+    for r in rows:
+        m = np.array(data[r.grp], dtype=float)
+        x, y = m[:, idx[r.x_col]], m[:, idx[r.y_col]]
+        want = np.corrcoef(x, y)[0, 1]
+        got = r.corr_num / (r.varx_num * r.vary_num) ** 0.5
+        assert abs(got - want) < 1e-9
+        # exact integer legs replay in pure Python
+        n = len(x)
+        assert r.corr_num == n * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+
+
+def _py_auc(pairs):
+    """Tie-aware AUC: P(score_pos > score_neg) + 0.5*P(equal)."""
+    pos = sorted(s for s, p in pairs if p)
+    neg = sorted(s for s, p in pairs if not p)
+    if not pos or not neg:
+        return None
+    import bisect
+
+    wins = sum(bisect.bisect_left(neg, s) for s in pos)
+    ties = sum(
+        bisect.bisect_right(neg, s) - bisect.bisect_left(neg, s)
+        for s in pos
+    )
+    return Fraction(2 * wins + ties, 2 * len(pos) * len(neg))
+
+
+def test_auc_matches_python_model(spark):
+    li = load_table(spark, SF, "lineitem")
+    rows = mlfit.auc_exact(
+        li,
+        "l_linestatus",
+        F.round(F.col("l_extendedprice") * 100),
+        (F.col("l_returnflag") == "R").cast("int"),
+    ).collect()
+    data: dict[str, list] = {}
+    for d in li.select(
+        "l_linestatus", "l_extendedprice", "l_returnflag"
+    ).collect():
+        data.setdefault(d.l_linestatus, []).append(
+            (round(float(d.l_extendedprice) * 100), d.l_returnflag == "R")
+        )
+    for r in rows:
+        want = _py_auc(data[r.grp])
+        assert Fraction(r.auc_num, r.auc_den) == want
+        assert r.auc_micro == int(
+            Fraction(1_000_000 * r.auc_num, r.auc_den)
+        )
+
+
+def test_auc_known_tiny_and_degenerate(spark):
+    # scores 1..4, positives at 3,4 and a tie at 2 → AUC by hand:
+    # pairs (pos,neg): (3>1),(3>2),(3=2 tie? no: scores pos {3,4,2},
+    # neg {1,2}) — wins: 3>1,3>2,4>1,4>2,2>1 =5, ties: 2=2 → 1
+    # AUC = (5 + 0.5) / (3*2) = 11/12
+    df = spark.createDataFrame(
+        [("g", 1, 0), ("g", 2, 0), ("g", 2, 1), ("g", 3, 1),
+         ("g", 4, 1), ("h", 7, 1), ("h", 9, 1)],
+        "grp string, score long, pos long",
+    )
+    rows = {r.grp: r for r in mlfit.auc_exact(df, "grp", "score", "pos").collect()}
+    g = rows["g"]
+    assert Fraction(g.auc_num, g.auc_den) == Fraction(11, 12)
+    h = rows["h"]  # no negatives → degenerate
+    assert h.auc_den == 0 and h.auc_micro is None
+
+
+def test_corr_single_scan_no_union(spark):
+    li = load_table(spark, SF, "lineitem")
+    plan = (
+        mlfit.corr_pairs_exact(
+            li, "l_returnflag", {"qty": "l_quantity", "tax": "l_tax"}
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # pair rows unpivot via ONE Generate over the aggregate row —
+    # no Union re-running the scan per pair
+    assert "Union" not in plan and plan.count("Scan parquet") == 1
