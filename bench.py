@@ -246,6 +246,9 @@ def main() -> None:
         "corr_matrix_lineitem",
         "auc_price_returnflag",
         "event_transition_matrix",
+        "quantile_sketch_orders",
+        "pr_at_price_thresholds",
+        "stratified_sample_docs",
         # triangle_copurchase_top stays OUT (7 s warm wedge-close at
         # sf0.1 — real quadratic work, the semantic_dedup policy);
         # it is gate-cheap at sf0.01 and probed at 10x instead.

@@ -197,3 +197,76 @@ def auc_exact(df: DataFrame, group_col: str, score, label) -> DataFrame:
         F.expr("(1000000L * auc_num) div auc_den"),
     )
     return out.withColumn("auc_micro", micro.cast("long"))
+
+
+def pr_at_thresholds(
+    df: DataFrame, group_col: str, score, label, thresholds
+) -> DataFrame:
+    """Per-group exact precision/recall at literal score thresholds —
+    the PR-curve companion to auc_exact, entirely in integers.
+    Predict positive when score ≥ t; per (grp, t):
+      tp, fp, n_pos → precision = tp/(tp+fp), recall = tp/n_pos,
+    reported as *_micro = (10⁶·num) div den (floor, non-negative;
+    NULL when nothing is predicted positive / no positives exist).
+
+    Shape: score-bucket agg first (|distinct scores| rows — the
+    auc_exact trick), THEN the |thresholds|-way explode runs over the
+    bucket table, not the corpus, so the fan-out is domain-sized.
+    One final partial-agg shuffle on (grp, t)."""
+    from pyspark.sql import Window
+
+    sc = score if not isinstance(score, str) else F.col(score)
+    lb = label if not isinstance(label, str) else F.col(label)
+    sb = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            sc.cast("long").alias("score"),
+            lb.cast("long").alias("pos"),
+        )
+        .groupBy("grp", "score")
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("pos").cast("long").alias("pos"),
+        )
+    )
+    w_g = Window.partitionBy("grp")
+    sb = sb.withColumn(
+        "n_pos", F.sum("pos").over(w_g).cast("long")
+    )
+    t_lit = F.array(*[F.lit(int(t)).cast("long") for t in thresholds])
+    fan = sb.select(
+        "grp", "score", "cnt", "pos", "n_pos",
+        F.explode(t_lit).alias("t"),
+    )
+    g = (
+        fan.groupBy("grp", "t")
+        .agg(
+            F.sum(F.when(F.col("score") >= F.col("t"), F.col("pos")).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(
+                F.when(
+                    F.col("score") >= F.col("t"), F.col("cnt") - F.col("pos")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("fp"),
+            F.max("n_pos").cast("long").alias("n_pos"),
+        )
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.expr("(1000000L * tp) div (tp + fp)"),
+    )
+    rec = F.when(
+        F.col("n_pos") > 0, F.expr("(1000000L * tp) div n_pos")
+    )
+    return g.select(
+        "grp",
+        F.col("t").cast("long").alias("t"),
+        "tp",
+        "fp",
+        "n_pos",
+        prec.cast("long").alias("precision_micro"),
+        rec.cast("long").alias("recall_micro"),
+    )

@@ -415,3 +415,63 @@ def decontaminate_bloom(
         .cast("bigint")
         .alias("exact_hits"),
     )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    total: int,
+) -> DataFrame:
+    """Exact-size proportional stratified sample via largest-remainder
+    (Hamilton) allocation: stratum s gets base ⌊total·n_s/n⌋ rows and
+    the ⌈⌉-remainder strata ranked by (total·n_s mod n DESC, stratum)
+    absorb the leftover, so Σ quota == total EXACTLY — the mixture
+    control a training-data budget needs (mixture_sample's per-domain
+    rates can't hit an exact global budget; this does). Row choice
+    within a stratum is md5(id) order (engine-portable, stable under
+    reruns and appends of non-sampled rows).
+
+    Scale: the allocation frame is |strata| rows (two tiny windows —
+    a global sum and a remainder rank — over strata, never over
+    data); the per-stratum pick is one partitioned row_number window.
+    Returns (stratum, id, samp_rank, quota)."""
+    d = df.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(id_col).alias("id"),
+        F.md5(F.col(id_col).cast("string")).alias("_h"),
+    )
+    cnt = d.groupBy("stratum").agg(
+        F.count("*").cast("long").alias("n_s")
+    )
+    w_all = Window.partitionBy()
+    alloc = cnt.withColumn("n", F.sum("n_s").over(w_all)).select(
+        "stratum",
+        "n_s",
+        "n",
+        F.expr(f"({total}L * n_s) div n").alias("base"),
+        F.expr(f"({total}L * n_s) % n").alias("rem"),
+    )
+    w_rank = Window.partitionBy().orderBy(
+        F.desc("rem"), F.asc("stratum")
+    )
+    alloc = (
+        alloc.withColumn("leftover", F.lit(total) - F.sum("base").over(w_all))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .select(
+            "stratum",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+    w_pick = Window.partitionBy("stratum").orderBy("_h", "id")
+    picked = (
+        d.join(F.broadcast(alloc), "stratum")
+        .withColumn("samp_rank", F.row_number().over(w_pick).cast("long"))
+        .where(F.col("samp_rank") <= F.col("quota"))
+    )
+    return picked.select("stratum", "id", "samp_rank", "quota")

@@ -3020,3 +3020,51 @@ def q_decontaminate_bloom(spark, sf_dir):
         .unionAll(leaked)
     )
     return pipeline.decontaminate_bloom(corpus, bench, n=8)
+
+
+@declare(
+    "stratified_sample_docs",
+    """
+    WITH d AS (
+        SELECT lang AS stratum, doc_id AS id,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents),
+    cnt AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_s
+            FROM d GROUP BY 1),
+    alloc0 AS (SELECT stratum, n_s, sum(n_s) OVER () AS n FROM cnt),
+    alloc1 AS (
+        SELECT stratum,
+               (100 * n_s) // n AS base,
+               (100 * n_s) % n AS rem
+        FROM alloc0),
+    alloc AS (
+        SELECT stratum,
+               CAST(base + CASE WHEN row_number()
+                                     OVER (ORDER BY rem DESC, stratum)
+                                <= 100 - sum(base) OVER ()
+                           THEN 1 ELSE 0 END AS BIGINT) AS quota
+        FROM alloc1),
+    p AS (
+        SELECT d.stratum, d.id,
+               row_number() OVER (PARTITION BY d.stratum
+                                  ORDER BY d.h, d.id) AS samp_rank,
+               a.quota
+        FROM d JOIN alloc a USING (stratum))
+    SELECT stratum, id, CAST(samp_rank AS BIGINT) AS samp_rank, quota
+    FROM p WHERE samp_rank <= quota
+    """,
+)
+def q_stratified_sample_docs(spark, sf_dir):
+    """Exact-budget stratified sampling (r5,
+    pipeline.stratified_sample_exact): 100 documents allocated across
+    language strata by largest-remainder (Hamilton) apportionment —
+    quotas sum to the budget EXACTLY (mixture_sample's per-domain
+    rates can't guarantee that), rows picked by md5(id) order so the
+    sample is stable under reruns and append-only growth of
+    non-sampled rows. Allocation windows run over the |strata|-row
+    frame, never the corpus; the per-stratum pick is one partitioned
+    row_number window."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.stratified_sample_exact(
+        docs, "lang", "doc_id", total=100
+    )

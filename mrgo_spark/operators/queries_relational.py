@@ -1819,3 +1819,112 @@ def q_lineitem_zorder_audit(spark, sf_dir):
 
     li = load_table(spark, sf_dir, "lineitem")
     return zorder_audit(li, "l_partkey", "l_suppkey")
+
+
+@declare(
+    "quantile_sketch_orders",
+    """
+    WITH pts AS (
+        SELECT o_orderpriority AS grp,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders),
+    cells AS (
+        SELECT grp, v // 1000000 AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM pts GROUP BY 1, 2),
+    cum AS (
+        SELECT grp, bucket, cnt,
+               sum(cnt) OVER (PARTITION BY grp ORDER BY bucket
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+        FROM cells),
+    tot AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS n
+            FROM cells GROUP BY 1),
+    tgt AS (
+        SELECT grp, n, q,
+               CAST((q * n + 99) // 100 AS BIGINT) AS rank_target
+        FROM tot, (SELECT unnest([25, 50, 90, 99]) AS q) qs),
+    hit AS (
+        SELECT t.grp, t.q, t.n, t.rank_target,
+               min(c.bucket) AS bucket
+        FROM tgt t JOIN cum c
+          ON c.grp = t.grp AND c.cum >= t.rank_target
+        GROUP BY 1, 2, 3, 4)
+    SELECT grp, CAST(q AS BIGINT) AS q, n, rank_target,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST(bucket * 1000000 AS BIGINT) AS est_lo
+    FROM hit
+    """,
+)
+def q_quantile_sketch_orders(spark, sf_dir):
+    """Mergeable bucketed-quantile sketch (r5,
+    sketch.bucket_quantile_sketch): P25/P50/P90/P99 of order value
+    per priority from $10k-wide bucket counts — the deterministic,
+    oracle-checkable twin of approx_percentile completing the
+    portable-sketch family (KMV=distinct, CMS=frequency, this=
+    quantiles). Cells merge by addition (merge-law test); estimate
+    error < one bucket width by construction; every number in the
+    row is an integer the oracle replays."""
+    orders = load_table(spark, sf_dir, "orders")
+    return sketch.bucket_quantile_sketch(
+        orders,
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100),
+        width=1_000_000,
+        qs=(25, 50, 90, 99),
+    )
+
+
+@declare(
+    "pr_at_price_thresholds",
+    """
+    WITH pts AS (
+        SELECT l_linestatus AS grp,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS score,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+        FROM lineitem),
+    sb AS (
+        SELECT grp, score,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(pos) AS BIGINT) AS pos
+        FROM pts GROUP BY 1, 2),
+    np AS (SELECT grp, CAST(sum(pos) AS BIGINT) AS n_pos
+           FROM sb GROUP BY 1),
+    fan AS (
+        SELECT sb.grp, sb.score, sb.cnt, sb.pos, t.t
+        FROM sb, (SELECT unnest([1000000, 2000000, 3000000, 4000000,
+                                 5000000, 6000000, 7000000, 8000000,
+                                 9000000, 10000000]) AS t) t),
+    g AS (
+        SELECT grp, t,
+               CAST(sum(CASE WHEN score >= t THEN pos ELSE 0 END)
+                    AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN score >= t THEN cnt - pos ELSE 0 END)
+                    AS BIGINT) AS fp
+        FROM fan GROUP BY 1, 2)
+    SELECT g.grp, CAST(g.t AS BIGINT) AS t, g.tp, g.fp, np.n_pos,
+           CAST(CASE WHEN g.tp + g.fp > 0
+                     THEN (1000000 * g.tp) // (g.tp + g.fp)
+                END AS BIGINT) AS precision_micro,
+           CAST(CASE WHEN np.n_pos > 0
+                     THEN (1000000 * g.tp) // np.n_pos
+                END AS BIGINT) AS recall_micro
+    FROM g JOIN np USING (grp)
+    """,
+)
+def q_pr_at_price_thresholds(spark, sf_dir):
+    """Exact PR curve at 10 literal price thresholds (r5,
+    mlfit.pr_at_thresholds) — the threshold-sweep companion to
+    auc_price_returnflag: precision/recall of "price ≥ t predicts a
+    return", per linestatus, as exact integer fractions. The
+    |thresholds|-way fan-out runs over the score-BUCKET table (the
+    auc_exact trick), so the explode is domain-sized, never
+    corpus-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return mlfit.pr_at_thresholds(
+        li,
+        "l_linestatus",
+        F.round(F.col("l_extendedprice") * 100),
+        (F.col("l_returnflag") == "R").cast("int"),
+        thresholds=[k * 1_000_000 for k in range(1, 11)],
+    )

@@ -200,3 +200,65 @@ def cms_heavy_hitters(
         .cast("long")
         .alias("overestimate"),
     )
+
+
+def bucket_quantile_sketch(
+    df: DataFrame,
+    group_col: str,
+    value,
+    width: int,
+    qs: tuple = (25, 50, 90, 99),
+) -> DataFrame:
+    """Mergeable fixed-width-bucket quantile sketch — the verifiable
+    (deterministic, engine-portable) twin of approx_percentile, the
+    KMV/CMS pattern applied to quantiles. The sketch IS the per-
+    (group, bucket) count table: cells merge by plain addition
+    (tested merge law), the state is domain/width cells regardless of
+    row count, and the q-th percentile estimate is the lower edge of
+    the first bucket whose cumulative count reaches rank
+    ceil(q·n/100) — a one-sided estimate with error < ``width`` by
+    construction (both facts are integers the oracle replays).
+
+    Shape at scale: one partial-agg shuffle to cells, one per-group
+    ordered cumsum over the CELL table (domain-sized), a bucket-min
+    per (group, q). Rows: |groups| × |qs|. Columns: (grp, q, n,
+    rank_target, bucket, est_lo).
+
+    Caller contract: value must be a non-negative integer column
+    (div floors; negative values would straddle bucket 0 — pre-shift
+    them)."""
+    vc = value if not isinstance(value, str) else F.col(value)
+    cells = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            vc.cast("long").alias("_v"),
+        )
+        .groupBy("grp", F.expr(f"_v div {width}").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.withColumn("cum", F.sum("cnt").over(w).cast("long"))
+    totals = cells.groupBy("grp").agg(
+        F.sum("cnt").cast("long").alias("n")
+    )
+    q_lit = F.array(*[F.lit(int(q)).cast("long") for q in qs])
+    targets = totals.select(
+        "grp", "n", F.explode(q_lit).alias("q")
+    ).withColumn(
+        "rank_target",
+        F.expr("(q * n + 99) div 100").cast("long"),
+    )
+    hit = targets.join(cum, "grp").where(
+        F.col("cum") >= F.col("rank_target")
+    )
+    return (
+        hit.groupBy("grp", "q", "n", "rank_target")
+        .agg(F.min("bucket").cast("long").alias("bucket"))
+        .withColumn(
+            "est_lo", (F.col("bucket") * F.lit(width)).cast("long")
+        )
+    )

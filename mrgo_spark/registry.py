@@ -131,7 +131,8 @@ PRIORITY = [
 # cms_token_heavy_hitters, bigram_novelty_stats, lang_id_confusion,
 # linreg_discount_quantity, corr_matrix_lineitem,
 # auc_price_returnflag, triangle_copurchase_top,
-# event_transition_matrix — stay OUTSIDE the
+# event_transition_matrix, quantile_sketch_orders,
+# pr_at_price_thresholds, stratified_sample_docs — stay OUTSIDE the
 # window. Each strengthens a family that already holds an in-window
 # green rep (X2 near-dup, X4 BPE/text-quality, aggregates, X1/X2
 # dedup); the genuinely new class (KMV/CMS portable sketches) is an

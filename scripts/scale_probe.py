@@ -188,6 +188,9 @@ def main() -> None:
         "auc_price_returnflag",
         "event_transition_matrix",
         "triangle_copurchase_top",
+        "quantile_sketch_orders",
+        "pr_at_price_thresholds",
+        "stratified_sample_docs",
     ]
     only = set(sys.argv[3:])
     if only:

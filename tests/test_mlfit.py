@@ -188,3 +188,39 @@ def test_corr_single_scan_no_union(spark):
     # pair rows unpivot via ONE Generate over the aggregate row —
     # no Union re-running the scan per pair
     assert "Union" not in plan and plan.count("Scan parquet") == 1
+
+
+def test_pr_at_thresholds_matches_python(spark):
+    li = load_table(spark, SF, "lineitem")
+    ths = [k * 1_000_000 for k in range(1, 11)]
+    rows = mlfit.pr_at_thresholds(
+        li,
+        "l_linestatus",
+        F.round(F.col("l_extendedprice") * 100),
+        (F.col("l_returnflag") == "R").cast("int"),
+        thresholds=ths,
+    ).collect()
+    data = {}
+    for d in li.select(
+        "l_linestatus", "l_extendedprice", "l_returnflag"
+    ).collect():
+        data.setdefault(d.l_linestatus, []).append(
+            (round(float(d.l_extendedprice) * 100), d.l_returnflag == "R")
+        )
+    assert len(rows) == len(data) * len(ths)
+    for r in rows:
+        pts = data[r.grp]
+        tp = sum(1 for s, p in pts if s >= r.t and p)
+        fp = sum(1 for s, p in pts if s >= r.t and not p)
+        np_ = sum(1 for _, p in pts if p)
+        assert (r.tp, r.fp, r.n_pos) == (tp, fp, np_)
+        if tp + fp:
+            assert r.precision_micro == 1_000_000 * tp // (tp + fp)
+        else:
+            assert r.precision_micro is None
+        assert r.recall_micro == (1_000_000 * tp // np_ if np_ else None)
+    # recall is monotonically non-increasing in t within a group
+    for g in data:
+        recs = [r.recall_micro for r in sorted(
+            (x for x in rows if x.grp == g), key=lambda x: x.t)]
+        assert all(a >= b for a, b in zip(recs, recs[1:]))

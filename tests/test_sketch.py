@@ -164,3 +164,78 @@ def test_cms_counters_merge_by_sum(spark):
     assert sorted(map(key, summed.collect())) == sorted(
         map(key, single.collect())
     )
+
+
+def _bq(spark, df):
+    return sketch.bucket_quantile_sketch(
+        df, "grp", "v", width=100, qs=(50, 90)
+    )
+
+
+def test_bucket_quantile_matches_python_model(spark):
+    import math
+
+    rows = [("a", i * 7 % 1000) for i in range(500)] + [
+        ("b", i * i % 800) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    got = {
+        (r.grp, r.q): (r.n, r.rank_target, r.bucket, r.est_lo)
+        for r in _bq(spark, df).collect()
+    }
+    data = {}
+    for g, v in rows:
+        data.setdefault(g, []).append(v)
+    for (g, q), (n, rank, bucket, est_lo) in got.items():
+        vs = sorted(data[g])
+        assert n == len(vs)
+        assert rank == math.ceil(q * n / 100)
+        true_q = vs[rank - 1]
+        # the chosen bucket CONTAINS the true rank-th value
+        assert est_lo <= true_q < est_lo + 100
+        assert bucket == true_q // 100
+
+
+def test_bucket_quantile_merge_law(spark):
+    """Sketch cells from two halves, summed, give the same quantiles
+    as one pass over the whole — the mergeability that makes this a
+    sketch (per-day cells roll up to per-month quantiles with no
+    re-scan)."""
+    rows = [("a", (i * 13) % 997) for i in range(1000)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    half1 = df.where(F.col("v") % 2 == 0)
+    half2 = df.where(F.col("v") % 2 == 1)
+    cells = lambda d: (
+        d.groupBy("grp", F.expr("v div 100").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    merged = (
+        cells(half1)
+        .unionByName(cells(half2))
+        .groupBy("grp", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cells(df)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_bucket_quantile_fixture_vs_exact_percentile(spark):
+    orders = load_table(spark, SF, "orders")
+    got = sketch.bucket_quantile_sketch(
+        orders,
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100),
+        width=1_000_000,
+        qs=(50,),
+    ).collect()
+    vals = {}
+    for r in orders.select("o_orderpriority", "o_totalprice").collect():
+        vals.setdefault(r.o_orderpriority, []).append(
+            round(float(r.o_totalprice) * 100)
+        )
+    for r in got:
+        vs = sorted(vals[r.grp])
+        true_med = vs[r.rank_target - 1]
+        assert r.est_lo <= true_med < r.est_lo + 1_000_000
