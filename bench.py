@@ -249,6 +249,8 @@ def main() -> None:
         "quantile_sketch_orders",
         "pr_at_price_thresholds",
         "stratified_sample_docs",
+        "class_balance_docs",
+        "profile_customer",
         # triangle_copurchase_top stays OUT (7 s warm wedge-close at
         # sf0.1 — real quadratic work, the semantic_dedup policy);
         # it is gate-cheap at sf0.01 and probed at 10x instead.

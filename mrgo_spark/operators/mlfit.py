@@ -270,3 +270,41 @@ def pr_at_thresholds(
         prec.cast("long").alias("precision_micro"),
         rec.cast("long").alias("recall_micro"),
     )
+
+
+def class_balance_exact(
+    df: DataFrame, group_col: str, class_col: str
+) -> DataFrame:
+    """Per-group label-balance audit with EXACT Gini impurity as an
+    integer fraction: gini = 1 − Σ pᵢ² = (n² − Σ cᵢ²)/n² — the
+    impurity/imbalance metric of a labeled dataset without a single
+    float (entropy needs log, which is libm and not hash-portable;
+    Gini is the rational member of the impurity family). Two partial
+    aggs: (grp, class) counts, then per-group Σ/max/count over the
+    |classes|-sized frame. Returns (grp, n, n_classes, majority_cnt,
+    gini_num, gini_den, gini_micro); a single-class group reports
+    gini 0 honestly. Bound: n ≤ 3·10⁹ keeps n² in int64."""
+    c = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(class_col).alias("cls"),
+        )
+        .groupBy("grp", "cls")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    g = c.groupBy("grp").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_classes"),
+        F.max("cnt").cast("long").alias("majority_cnt"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("_ss"),
+    )
+    num = (F.col("n") * F.col("n") - F.col("_ss")).cast("long")
+    den = (F.col("n") * F.col("n")).cast("long")
+    out = g.select(
+        "grp", "n", "n_classes", "majority_cnt",
+        num.alias("gini_num"), den.alias("gini_den"),
+    )
+    return out.withColumn(
+        "gini_micro",
+        F.expr("(1000000L * gini_num) div gini_den").cast("long"),
+    )

@@ -1928,3 +1928,105 @@ def q_pr_at_price_thresholds(spark, sf_dir):
         (F.col("l_returnflag") == "R").cast("int"),
         thresholds=[k * 1_000_000 for k in range(1, 11)],
     )
+
+
+@declare(
+    "class_balance_docs",
+    """
+    WITH c AS (
+        SELECT source AS grp, lang AS cls,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1, 2),
+    g AS (
+        SELECT grp,
+               CAST(sum(cnt) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(max(cnt) AS BIGINT) AS majority_cnt,
+               CAST(sum(cnt * cnt) AS BIGINT) AS ss
+        FROM c GROUP BY 1)
+    SELECT grp, n, n_classes, majority_cnt,
+           CAST(n * n - ss AS BIGINT) AS gini_num,
+           CAST(n * n AS BIGINT) AS gini_den,
+           CAST((1000000 * (n * n - ss)) // (n * n) AS BIGINT)
+               AS gini_micro
+    FROM g
+    """,
+)
+def q_class_balance_docs(spark, sf_dir):
+    """Exact label-balance audit (r5, mlfit.class_balance_exact):
+    language balance per document source with Gini impurity as an
+    exact integer fraction — the class-imbalance check a labeled
+    training set gets before fitting (entropy needs log and isn't
+    hash-portable; Gini is the rational impurity). Two partial aggs,
+    second over the |classes|-sized frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mlfit.class_balance_exact(docs, "source", "lang")
+
+
+@declare(
+    "profile_customer",
+    """
+    SELECT 'c_custkey' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(c_custkey) AS BIGINT) AS null_cnt,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS distinct_cnt,
+           CAST(min(c_custkey) AS VARCHAR) AS min_s,
+           CAST(max(c_custkey) AS VARCHAR) AS max_s
+    FROM customer
+    UNION ALL
+    SELECT 'c_name' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(c_name) AS BIGINT) AS null_cnt,
+           CAST(count(DISTINCT c_name) AS BIGINT) AS distinct_cnt,
+           CAST(min(c_name) AS VARCHAR) AS min_s,
+           CAST(max(c_name) AS VARCHAR) AS max_s
+    FROM customer
+    UNION ALL
+    SELECT 'c_nationkey' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(c_nationkey) AS BIGINT) AS null_cnt,
+           CAST(count(DISTINCT c_nationkey) AS BIGINT) AS distinct_cnt,
+           CAST(min(c_nationkey) AS VARCHAR) AS min_s,
+           CAST(max(c_nationkey) AS VARCHAR) AS max_s
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(c_mktsegment) AS BIGINT) AS null_cnt,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS distinct_cnt,
+           CAST(min(c_mktsegment) AS VARCHAR) AS min_s,
+           CAST(max(c_mktsegment) AS VARCHAR) AS max_s
+    FROM customer
+    UNION ALL
+    SELECT 'acctbal_cents' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS null_cnt,
+           CAST(count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS distinct_cnt,
+           CAST(min(CAST(round(c_acctbal * 100) AS BIGINT)) AS VARCHAR) AS min_s,
+           CAST(max(CAST(round(c_acctbal * 100) AS BIGINT)) AS VARCHAR) AS max_s
+    FROM customer
+    """,
+)
+def q_profile_customer(spark, sf_dir):
+    """One-pass data profiling (r5, profile.profile_columns): null /
+    exact-distinct / min / max per column of customer in a SINGLE
+    aggregate (Spark's Expand handles the multi-distinct; no
+    per-column re-scan on the Spark side — the oracle's UNION ALL
+    form is the *spec*, not the plan), unpivoted by the corr-matrix
+    explode idiom. Extrema are computed on native types and cast to
+    string for the uniform schema; the double column is profiled as
+    cents (double→string formatting is not engine-portable)."""
+    from . import profile as profile_ops
+
+    cust = load_table(spark, sf_dir, "customer")
+    return profile_ops.profile_columns(
+        cust,
+        {
+            "c_custkey": F.col("c_custkey"),
+            "c_name": F.col("c_name"),
+            "c_nationkey": F.col("c_nationkey"),
+            "c_mktsegment": F.col("c_mktsegment"),
+            "acctbal_cents": F.round(F.col("c_acctbal") * 100)
+            .cast("long"),
+        },
+    )

@@ -202,6 +202,25 @@ def cms_heavy_hitters(
     )
 
 
+def quantile_cells(
+    df: DataFrame, group_col: str, value, width: int
+) -> DataFrame:
+    """The sketch state itself: per-(group, bucket) counts with
+    bucket = value div width. Cells merge by plain addition and the
+    cell count is domain/width per group regardless of row volume —
+    which is also why this builder streams as-is (bounded state; see
+    streaming.stream_ops.streaming_quantile_cells)."""
+    vc = value if not isinstance(value, str) else F.col(value)
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            vc.cast("long").alias("_v"),
+        )
+        .groupBy("grp", F.expr(f"_v div {width}").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
 def bucket_quantile_sketch(
     df: DataFrame,
     group_col: str,
@@ -227,15 +246,7 @@ def bucket_quantile_sketch(
     Caller contract: value must be a non-negative integer column
     (div floors; negative values would straddle bucket 0 — pre-shift
     them)."""
-    vc = value if not isinstance(value, str) else F.col(value)
-    cells = (
-        df.select(
-            F.col(group_col).alias("grp"),
-            vc.cast("long").alias("_v"),
-        )
-        .groupBy("grp", F.expr(f"_v div {width}").alias("bucket"))
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
+    cells = quantile_cells(df, group_col, value, width)
     w = (
         Window.partitionBy("grp")
         .orderBy("bucket")

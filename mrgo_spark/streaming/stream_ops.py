@@ -433,6 +433,26 @@ def streaming_cms_counters(
     )
 
 
+def streaming_quantile_cells(
+    value_stream: DataFrame,
+    group_col: str,
+    value_col: str,
+    width: int,
+) -> DataFrame:
+    """Streaming bucketed-quantile cells (sketch-family streaming
+    twin, same shape as streaming_cms_counters): the batch cell
+    builder is a plain groupBy on (grp, bucket), which streams as-is
+    with state bounded by |groups| × domain/width cells — a running
+    quantile monitor with fixed memory. Update mode; landed cells
+    feed sketch.bucket_quantile_sketch's rank step (or merge with
+    at-rest cells by addition — the pinned merge law)."""
+    from ..operators import sketch
+
+    return sketch.quantile_cells(
+        value_stream, group_col, value_col, width
+    )
+
+
 def streaming_corpus_prep(
     doc_stream: DataFrame,
     text_col: str = "text",

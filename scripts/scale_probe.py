@@ -191,6 +191,8 @@ def main() -> None:
         "quantile_sketch_orders",
         "pr_at_price_thresholds",
         "stratified_sample_docs",
+        "class_balance_docs",
+        "profile_customer",
     ]
     only = set(sys.argv[3:])
     if only:

@@ -224,3 +224,34 @@ def test_pr_at_thresholds_matches_python(spark):
         recs = [r.recall_micro for r in sorted(
             (x for x in rows if x.grp == g), key=lambda x: x.t)]
         assert all(a >= b for a, b in zip(recs, recs[1:]))
+
+
+def test_class_balance_matches_python(spark):
+    from collections import Counter
+
+    docs = load_table(spark, SF, "documents")
+    rows = {
+        r.grp: r
+        for r in mlfit.class_balance_exact(docs, "source", "lang").collect()
+    }
+    data: dict[str, Counter] = {}
+    for d in docs.select("source", "lang").collect():
+        data.setdefault(d.source, Counter())[d.lang] += 1
+    assert set(rows) == set(data)
+    for g, ctr in data.items():
+        r = rows[g]
+        n = sum(ctr.values())
+        ss = sum(c * c for c in ctr.values())
+        assert (r.n, r.n_classes, r.majority_cnt) == (
+            n, len(ctr), max(ctr.values())
+        )
+        assert (r.gini_num, r.gini_den) == (n * n - ss, n * n)
+        assert r.gini_micro == 1_000_000 * (n * n - ss) // (n * n)
+
+
+def test_class_balance_single_class_gini_zero(spark):
+    df = spark.createDataFrame(
+        [("g", "only")] * 5, "grp string, cls string"
+    )
+    r = mlfit.class_balance_exact(df, "grp", "cls").collect()[0]
+    assert r.gini_num == 0 and r.gini_micro == 0 and r.n_classes == 1

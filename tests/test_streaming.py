@@ -621,3 +621,35 @@ def test_streaming_cms_counters_match_batch(spark, tmp_path):
     assert got == expected and len(got) > 0
     # the state bound: never more rows than d*w cells
     assert len(got) <= sketch.CMS_D * sketch.CMS_W
+
+
+def test_streaming_quantile_cells_match_batch(spark, tmp_path):
+    """The streaming quantile cells (domain-bounded state) must equal
+    the batch sketch state over the same rows."""
+    from mrgo_spark.operators import sketch
+    from mrgo_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderpriority", F.round(F.col("o_totalprice") * 100)
+        .cast("long").alias("cents")
+    )
+    expected = {
+        (r.grp, r.bucket): r.cnt
+        for r in sketch.quantile_cells(
+            orders, "o_orderpriority", "cents", 1_000_000
+        ).collect()
+    }
+    d = tmp_path / "q_stream"
+    orders.coalesce(2).write.parquet(str(d))
+    stream = spark.readStream.schema(
+        "o_orderpriority string, cents long"
+    ).parquet(str(d))
+    out = stream_ops.streaming_quantile_cells(
+        stream, "o_orderpriority", "cents", 1_000_000
+    )
+    stream_ops.run_to_memory(out, "qcells_out")
+    got = {
+        (r.grp, r.bucket): r.cnt
+        for r in spark.sql("SELECT * FROM qcells_out").collect()
+    }
+    assert got == expected and len(got) > 0
