@@ -251,6 +251,7 @@ def main() -> None:
         "stratified_sample_docs",
         "class_balance_docs",
         "profile_customer",
+        "zipf_fit_tokens",
         # triangle_copurchase_top stays OUT (7 s warm wedge-close at
         # sf0.1 — real quadratic work, the semantic_dedup policy);
         # it is gate-cheap at sf0.01 and probed at 10x instead.

@@ -435,7 +435,12 @@ def stratified_sample_exact(
     Scale: the allocation frame is |strata| rows (two tiny windows —
     a global sum and a remainder rank — over strata, never over
     data); the per-stratum pick is one partitioned row_number window.
-    Returns (stratum, id, samp_rank, quota)."""
+    Returns (stratum, id, samp_rank, quota).
+
+    Caller contract: total ≤ row count (quotas are proportional
+    shares of total, so total > n would ask a stratum for more rows
+    than it has and the sample comes back short — rows, not an
+    error)."""
     d = df.select(
         F.col(stratum_col).alias("stratum"),
         F.col(id_col).alias("id"),

@@ -3068,3 +3068,74 @@ def q_stratified_sample_docs(spark, sf_dir):
     return pipeline.stratified_sample_exact(
         docs, "lang", "doc_id", total=100
     )
+
+
+@declare(
+    "zipf_fit_tokens",
+    """
+    WITH toks AS (
+        SELECT lang,
+               UNNEST(string_split_regex(text, '[^A-Za-z]+')) AS word
+        FROM documents),
+    freq AS (
+        SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks WHERE word <> '' GROUP BY 1, 2),
+    pts AS (
+        SELECT lang AS grp,
+               CAST(length(bin(row_number() OVER (
+                   PARTITION BY lang ORDER BY cnt DESC, word)))
+                   AS BIGINT) AS x,
+               CAST(length(bin(cnt)) AS BIGINT) AS y
+        FROM freq),
+    s AS (
+        SELECT grp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM pts GROUP BY grp)
+    SELECT grp, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST(sy * sxx - sx * sxy AS BIGINT) AS intercept_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS intercept_den,
+           CAST(CASE WHEN n * sxx - sx * sx <> 0
+                     THEN (1000000 * (n * sxy - sx * sy))
+                          // (n * sxx - sx * sx)
+                END AS BIGINT) AS slope_micro
+    FROM s
+    """,
+)
+def q_zipf_fit_tokens(spark, sf_dir):
+    """Zipf power-law audit (r5): per-language OLS of log₂(freq) on
+    log₂(rank) over the token rank-frequency table — the corpus-
+    health check that catches template/boilerplate floods (natural
+    text slopes near −1; spam flattens it). The log₂ is EXACT integer
+    bit-length via length(bin(x)) — identical in both engines — so a
+    transcendental-looking fit stays hash-portable (the ln()-is-not-
+    hash-safe lesson, applied offensively). Composition: wordcount →
+    per-lang rank window → mlfit.linreg_fit_exact, all existing
+    oracle-proven pieces."""
+    from pyspark.sql import Window
+
+    from . import mlfit, mrapps  # noqa: F401  (mlfit does the fit)
+    from ..functions.text import ascii_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(ascii_tokens("text")).alias("word")
+    )
+    freq = toks.groupBy("lang", "word").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("cnt"), F.asc("word")
+    )
+    pts = freq.withColumn("rank", F.row_number().over(w))
+    return mlfit.linreg_fit_exact(
+        pts,
+        "lang",
+        F.length(F.bin("rank")),
+        F.length(F.bin("cnt")),
+    )

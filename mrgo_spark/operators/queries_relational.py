@@ -2030,3 +2030,72 @@ def q_profile_customer(spark, sf_dir):
             .cast("long"),
         },
     )
+
+
+@declare(
+    "degree_assortativity_copurchase",
+    """
+    WITH e AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    pairs AS MATERIALIZED (
+        SELECT DISTINCT a.p AS p1, b.p AS p2
+        FROM e a JOIN e b ON a.o = b.o AND a.p < b.p),
+    sym AS MATERIALIZED (
+        SELECT p1, p2 FROM pairs
+        UNION ALL
+        SELECT p2 AS p1, p1 AS p2 FROM pairs),
+    deg AS MATERIALIZED (
+        SELECT p1 AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM sym GROUP BY 1),
+    pts AS (
+        SELECT 'copurchase' AS grp, d1.deg AS x, d2.deg AS y
+        FROM sym
+        JOIN deg d1 ON sym.p1 = d1.node
+        JOIN deg d2 ON sym.p2 = d2.node),
+    s AS (
+        SELECT grp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM pts GROUP BY grp)
+    SELECT grp, 'dx' AS x_col, 'dy' AS y_col, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS corr_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS varx_num,
+           CAST(n * syy - sy * sy AS BIGINT) AS vary_num
+    FROM s
+    """,
+)
+def q_degree_assortativity_copurchase(spark, sf_dir):
+    """Degree assortativity of the co-purchase graph (r5): Pearson
+    correlation of endpoint degrees over the symmetrized edge list —
+    Newman's r as an exact integer fraction (corr_num /
+    sqrt(varx·vary) derived outside the hash surface), composing the
+    graph family's edge builder with mlfit.corr_pairs_exact. The
+    edge frame is checkpointed before symmetrization (a UNION of two
+    projections would re-run the whole distinct self-join per
+    branch); degree joins shuffle on node — co-located at scale by
+    bucketing edges on each endpoint. Symmetry makes varx ≡ vary
+    (pinned in tests)."""
+    from . import graph, mlfit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    e = graph.coorder_part_edges(li).localCheckpoint(eager=False)
+    sym = e.unionByName(
+        e.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))
+    )
+    deg = sym.groupBy(F.col("p1").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    pts = (
+        sym.join(deg.withColumnRenamed("deg", "dx"),
+                 sym.p1 == F.col("node")).drop("node")
+        .join(deg.withColumnRenamed("deg", "dy"),
+              F.col("p2") == F.col("node")).drop("node")
+        .select(F.lit("copurchase").alias("g"), "dx", "dy")
+    )
+    return mlfit.corr_pairs_exact(
+        pts, "g", {"dx": "dx", "dy": "dy"}
+    )

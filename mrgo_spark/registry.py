@@ -133,7 +133,9 @@ PRIORITY = [
 # auc_price_returnflag, triangle_copurchase_top,
 # event_transition_matrix, quantile_sketch_orders,
 # pr_at_price_thresholds, stratified_sample_docs,
-# class_balance_docs, profile_customer — stay OUTSIDE the
+# class_balance_docs, profile_customer, zipf_fit_tokens,
+# degree_assortativity_copurchase — stay
+# OUTSIDE the
 # window. Each strengthens a family that already holds an in-window
 # green rep (X2 near-dup, X4 BPE/text-quality, aggregates, X1/X2
 # dedup); the genuinely new class (KMV/CMS portable sketches) is an

@@ -193,6 +193,8 @@ def main() -> None:
         "stratified_sample_docs",
         "class_balance_docs",
         "profile_customer",
+        "zipf_fit_tokens",
+        "degree_assortativity_copurchase",
     ]
     only = set(sys.argv[3:])
     if only:

@@ -93,3 +93,26 @@ def test_triangle_counts_matches_python_on_fixture(spark):
         for r in graph.triangle_counts(e, top=20).collect()
     ]
     assert got == top
+
+
+def test_degree_assortativity_known_and_symmetric(spark):
+    from mrgo_spark.registry import load as load_registry
+
+    Q, _ = load_registry()
+    r = Q["degree_assortativity_copurchase"](spark, SF).collect()[0]
+    # symmetrized edge list => endpoint-degree marginals identical
+    assert r.varx_num == r.vary_num and r.n % 2 == 0
+    # Newman's r on P3 (path 1-2-3) is exactly -1: replay the same
+    # integer pipeline on a hand graph
+    edges = [(1, 2), (2, 3)]
+    sym = edges + [(b, a) for a, b in edges]
+    deg = {}
+    for a, _ in sym:
+        deg[a] = deg.get(a, 0) + 1
+    xs = [deg[a] for a, _ in sym]
+    ys = [deg[b] for _, b in sym]
+    n, sx, sy = len(xs), sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    num, var = n * sxy - sx * sy, n * sxx - sx * sx
+    assert num / var == -1.0

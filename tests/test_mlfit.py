@@ -255,3 +255,36 @@ def test_class_balance_single_class_gini_zero(spark):
     )
     r = mlfit.class_balance_exact(df, "grp", "cls").collect()[0]
     assert r.gini_num == 0 and r.gini_micro == 0 and r.n_classes == 1
+
+
+def test_zipf_fit_slope_negative_and_replays(spark):
+    """The declared Zipf audit: slope must be negative on natural-ish
+    text, and the integer bit-length points must replay in Python."""
+    from collections import Counter
+
+    from mrgo_spark.registry import load as load_registry
+
+    Q, _ = load_registry()
+    rows = {r.grp: r for r in Q["zipf_fit_tokens"](spark, SF).collect()}
+    import re
+
+    docs = load_table(spark, SF, "documents").select("lang", "text").collect()
+    freqs: dict[str, Counter] = {}
+    for d in docs:
+        for w in re.split(r"[^A-Za-z]+", d.text):
+            if w:
+                freqs.setdefault(d.lang, Counter())[w] += 1
+    for lang, ctr in freqs.items():
+        ranked = sorted(ctr.items(), key=lambda kv: (-kv[1], kv[0]))
+        pts = [
+            ((i + 1).bit_length(), c.bit_length())
+            for i, (_, c) in enumerate(ranked)
+        ]
+        n, sx, sy = len(pts), sum(x for x, _ in pts), sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        r = rows[lang]
+        assert (r.n, r.slope_num, r.slope_den) == (
+            n, n * sxy - sx * sy, n * sxx - sx * sx
+        )
+        assert r.slope_micro < 0  # frequencies fall with rank
