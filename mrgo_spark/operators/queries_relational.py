@@ -2086,8 +2086,13 @@ def q_degree_assortativity_copurchase(spark, sf_dir):
     sym = e.unionByName(
         e.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))
     )
-    deg = sym.groupBy(F.col("p1").alias("node")).agg(
-        F.count("*").cast("long").alias("deg")
+    # deg feeds BOTH endpoint joins; checkpoint it or the aggregate
+    # subtree is computed twice (the renamed outputs defeat
+    # ReusedExchange — observed in the r5 plan audit)
+    deg = (
+        sym.groupBy(F.col("p1").alias("node"))
+        .agg(F.count("*").cast("long").alias("deg"))
+        .localCheckpoint(eager=False)
     )
     pts = (
         sym.join(deg.withColumnRenamed("deg", "dx"),

@@ -83,6 +83,20 @@ PICKS = [
     ("incremental_dedup_audit", "existing side collapses to one "
      "(fingerprint,min_id) row before the probe join; batch window for "
      "intra-batch dups reuses the fingerprint partitioning"),
+    ("corr_matrix_lineitem", "r5 ML-fit family: ONE scan + one partial "
+     "agg computes every sum/product; pair rows unpivot via a single "
+     "Generate over the aggregate row (no per-pair union re-scan)"),
+    ("auc_price_returnflag", "score-bucket agg, per-group ordered cumsum "
+     "over the domain-sized bucket table, one final agg — rank-sum AUC "
+     "with no row-level window"),
+    ("quantile_sketch_orders", "cells = one partial agg; cumsum + rank "
+     "pick run over the |buckets| cell table, not the corpus"),
+    ("triangle_copurchase_top", "wedge-close join: three scans of the "
+     "SAME checkpointed edge RDD (ExistingRDD), corners credited by one "
+     "Generate — no union re-running the join"),
+    ("degree_assortativity_copurchase", "checkpointed edges + "
+     "checkpointed degree frame (both ExistingRDD) — symmetrize and "
+     "double-join without recomputing either aggregate"),
 ]
 
 
