@@ -412,22 +412,16 @@ def main() -> None:
     except Exception as e:
         print(f"bench: bucketed variants failed: {e}", file=sys.stderr)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # Key ORDER matters for auditability (VERDICT_r5 #2): the grading
+    # driver keeps only the TAIL of this ~8 KB line, so the headline
+    # scalars (value / warm_total / failed / calibration / sf) come
+    # LAST — after the big per-query dicts — so a tail capture always
+    # includes them. Still exactly ONE JSON line per the contract.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                # headline-only, so it stays comparable to BENCH_r03
-                # (queries_warm additionally carries the WARM_EXTRA
-                # drift-diagnosis twins from round 4 on)
-                "warm_total": round(
-                    sum(warm[n] for n in HEADLINE if n in warm), 3
-                ),
-                "failed": failed,
-                "calibration": calibration,
                 "note": (
                     "totals drift up to ~2x run-to-run on identical code "
                     "(r3 back-to-back: 41.1s then 50.6s; r1 23.3s); "
@@ -436,6 +430,35 @@ def main() -> None:
                     "regressions. Compare per-query ratios + calibration, "
                     "not one total."
                 ),
+                "queries": timings,
+                "queries_warm": warm,
+                # headline-only, so it stays comparable to BENCH_r03
+                # (queries_warm additionally carries the WARM_EXTRA
+                # drift-diagnosis twins from round 4 on)
+                "value": total,
+                "warm_total": round(
+                    sum(warm[n] for n in HEADLINE if n in warm), 3
+                ),
+                "failed": failed,
+                "calibration": calibration,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    # Second, SHORT, final JSON line (VERDICT_r5 #2, preferred form):
+    # whatever tail the driver captures, the last line of stdout is a
+    # complete parseable summary carrying the gate-relevant scalars.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_summary",
+                "value": total,
+                "unit": "sec",
+                "warm_total": round(
+                    sum(warm[n] for n in HEADLINE if n in warm), 3
+                ),
+                "failed": failed,
+                "calibration": calibration,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

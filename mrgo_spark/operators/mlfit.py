@@ -31,7 +31,9 @@ def linreg_fit_exact(
     (grp, n, slope_num, slope_den, intercept_num, intercept_den,
     slope_micro) with b = slope_num/slope_den,
     a = intercept_num/slope_den, and slope_micro = the slope in
-    integer microunits ((10^6·num) div den — floor, exact) for
+    integer microunits ((10^6·num) div den — integer division
+    truncating toward zero, exactly as in DuckDB; NOT floor for
+    negative slopes, but both engines truncate so parity holds) for
     eyeballing. Degenerate groups (constant x → den = 0) report
     NULL slope_micro and the raw 0 denominator honestly."""
     xc = x if not isinstance(x, str) else F.col(x)
@@ -146,8 +148,10 @@ def auc_exact(df: DataFrame, group_col: str, score, label) -> DataFrame:
       2·Σ_pos avg_rank = Σ pos·(2·cum_below + cnt + 1)
       auc_num = that − np·(np+1);  auc_den = 2·np·nn.
     All integers: auc = auc_num/auc_den replays exactly; auc_micro =
-    (10⁶·num) div den (floor — num ≥ 0). Degenerate groups (no
-    positives or no negatives) report NULL auc_micro, den 0."""
+    (10⁶·num) div den (truncating division; num ≥ 0 here so truncate
+    and floor coincide, and both engines truncate regardless).
+    Degenerate groups (no positives or no negatives) report NULL
+    auc_micro, den 0."""
     from pyspark.sql import Window
 
     sc = score if not isinstance(score, str) else F.col(score)
