@@ -115,12 +115,14 @@ def triangle_counts(edges: DataFrame, top: int = 20) -> DataFrame:
     ``top`` nodes by (tri_cnt DESC, node) — bounded, deterministic.
 
     Scale: all three legs are the SAME relation shuffled on its join
-    key — at 100 TB the edge table is bucketed once on p1 (and the
-    canonical a<b ordering is replaced by degree ordering, which
-    bounds the wedge fan-out per node by sqrt(|E|)); the wedge stream
-    is never materialized, it flows straight into the closing join's
-    shuffle. The edge frame is checkpointed so the three scans share
-    one computed lineage."""
+    key — at 100 TB the edge table is bucketed once on p1; the wedge
+    stream is never materialized, it flows straight into the closing
+    join's shuffle. The edge frame is checkpointed so the three scans
+    share one computed lineage. CAVEAT: under id-canonical ordering
+    the wedge fan-out at a node is quadratic in its degree, so one hot
+    node dominates at scale — ``triangle_counts_degree_ordered`` is
+    the production form (identical output, parity-tested); this one
+    stays as the readable spec and differential twin."""
     e = edges.localCheckpoint(eager=False)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
@@ -139,6 +141,73 @@ def triangle_counts(edges: DataFrame, top: int = 20) -> DataFrame:
     # Explode-once, not a 3-way UNION of projections: a UNION would
     # re-run the whole wedge-close join per branch (no exchange reuse
     # across differing projections — the multi-grain lesson).
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+    per = corners.groupBy("node").agg(
+        F.count("*").cast("long").alias("tri_cnt")
+    )
+    return per.orderBy(F.desc("tri_cnt"), F.asc("node")).limit(top)
+
+
+def triangle_counts_degree_ordered(edges: DataFrame, top: int = 20) -> DataFrame:
+    """Degree-ordered triangle counting (compact-forward): identical
+    output to ``triangle_counts`` — per-node participation, top
+    ``top`` by (tri_cnt DESC, node) — but each edge is re-oriented
+    from its lower-(degree, id) endpoint to its higher one before the
+    wedge join, so wedges are built only at a node's OUT-neighbors.
+    Every node's out-degree under this orientation is O(sqrt(|E|)),
+    which bounds total wedge volume by O(|E|^1.5) regardless of skew
+    (the id-canonical form is quadratic in the hottest node's degree
+    — one celebrity part with d co-purchases makes d²/2 wedges; here
+    its edges all point INTO it, so it closes wedges instead of
+    fanning them out). This is the 100 TB form; the canonical twin is
+    the readable spec it is parity-tested against.
+
+    Correctness: rank nodes by (deg, id) — a strict total order. A
+    triangle {x,y,z} with rank x<y<z has oriented edges x→y, x→z,
+    y→z; the join builds the wedge x→y→z once and the closing edge
+    x→z matches once, so each triangle is enumerated exactly once.
+
+    Scale shape: one degree aggregate (node-domain-sized), two
+    broadcast-or-shuffle joins to attach endpoint degrees, then the
+    same three-scan self-join as the canonical form over the
+    checkpointed ORIENTED edge frame (the checkpoint both shares one
+    lineage across the scans and is the Generate-pushdown barrier
+    idiom)."""
+    e = edges.localCheckpoint(eager=False)
+    deg = (
+        e.select(F.col("p1").alias("node"))
+        .unionAll(e.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    j = e.join(
+        deg.select(F.col("node").alias("p1"), F.col("deg").alias("d1")),
+        "p1",
+    ).join(
+        deg.select(F.col("node").alias("p2"), F.col("deg").alias("d2")),
+        "p2",
+    )
+    lower_first = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("p1") < F.col("p2"))
+    )
+    o = j.select(
+        F.when(lower_first, F.col("p1")).otherwise(F.col("p2")).alias("src"),
+        F.when(lower_first, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
+    ).localCheckpoint(eager=False)
+    o1, o2, o3 = o.alias("o1"), o.alias("o2"), o.alias("o3")
+    tri = (
+        o1.join(o2, F.col("o1.dst") == F.col("o2.src"))
+        .join(
+            o3,
+            (F.col("o3.src") == F.col("o1.src"))
+            & (F.col("o3.dst") == F.col("o2.dst")),
+        )
+        .select(
+            F.col("o1.src").alias("a"),
+            F.col("o1.dst").alias("b"),
+            F.col("o2.dst").alias("c"),
+        )
+    )
     corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
     per = corners.groupBy("node").agg(
         F.count("*").cast("long").alias("tri_cnt")

@@ -878,18 +878,23 @@ def q_auc_price_returnflag(spark, sf_dir):
     """,
 )
 def q_triangle_copurchase_top(spark, sf_dir):
-    """Triangle counting (r5, graph.triangle_counts) — the third
-    member of the graph family (PageRank ranks, CC clusters,
-    triangles measure cohesion): per-part triangle participation in
-    the co-purchase graph, wedge-close join over canonical p1<p2
-    edges so each triangle is enumerated exactly once, corners
-    credited by explode-once (a 3-way UNION would re-run the whole
-    join per branch). Top 20 by (tri_cnt DESC, node) —
+    """Triangle counting — the third member of the graph family
+    (PageRank ranks, CC clusters, triangles measure cohesion):
+    per-part triangle participation in the co-purchase graph, served
+    by the DEGREE-ORDERED wedge join (r6, VERDICT_r5 #1:
+    graph.triangle_counts_degree_ordered — each edge oriented
+    lower-degree → higher-degree endpoint, bounding wedge fan-out by
+    O(sqrt|E|) under skew; output identical to the canonical a<b<c
+    form it is parity-tested against, so the oracle is unchanged).
+    Corners credited by explode-once (a 3-way UNION would re-run the
+    whole join per branch). Top 20 by (tri_cnt DESC, node) —
     deterministic."""
     from . import graph
 
     li = load_table(spark, sf_dir, "lineitem")
-    return graph.triangle_counts(graph.coorder_part_edges(li), top=20)
+    return graph.triangle_counts_degree_ordered(
+        graph.coorder_part_edges(li), top=20
+    )
 
 
 @declare(

@@ -51,15 +51,26 @@ def scale_table(spark, name: str, key_cols: list[str], k: int) -> None:
 def main() -> None:
     spark = get_spark(app_name="scale_probe")
     OUT.mkdir(parents=True, exist_ok=True)
-    for name in ["region", "nation", "customer", "supplier", "part"]:
+    for name in ["region", "nation"]:
         src = Path(SF_DIR) / f"{name}.parquet"
         dst = OUT / f"{name}.parquet"
         if dst.exists():
             shutil.rmtree(dst, ignore_errors=True) if dst.is_dir() else dst.unlink()
         shutil.copytree(src, dst) if src.is_dir() else shutil.copy(src, dst)
 
-    scale_table(spark, "lineitem", ["l_orderkey"], K)
-    scale_table(spark, "orders", ["o_orderkey"], K)
+    # r6 (VERDICT_r5 #1): every surrogate key is offset per copy —
+    # including l_partkey/l_suppkey/o_custkey and the matching
+    # dimension keys — so the co-purchase graph, dimension joins and
+    # group-by cardinalities all genuinely grow K×. (Before r6 only
+    # l_orderkey/o_orderkey were offset: the part graph was CONSTANT
+    # across copies and the triangle/assortativity probe rows
+    # measured scan growth, not operator growth.) nation/region stay
+    # verbatim: their keys are real enums, not surrogates.
+    scale_table(spark, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"], K)
+    scale_table(spark, "orders", ["o_orderkey", "o_custkey"], K)
+    scale_table(spark, "part", ["p_partkey"], K)
+    scale_table(spark, "supplier", ["s_suppkey"], K)
+    scale_table(spark, "customer", ["c_custkey"], K)
     scale_table(spark, "documents", ["doc_id"], K)
     # embeddings: offset vec_id AND rotate the vector dims by the copy
     # index. A verbatim K× copy would create duplicate clusters of

@@ -95,6 +95,53 @@ def test_triangle_counts_matches_python_on_fixture(spark):
     assert got == top
 
 
+def test_triangle_degree_ordered_parity_on_fixture(spark):
+    # the production (degree-oriented) form returns bit-identical
+    # output to the canonical spec on the real co-purchase graph
+    li = load_table(spark, SF, "lineitem")
+    e = graph.coorder_part_edges(li)
+    canon = [
+        (r.node, r.tri_cnt)
+        for r in graph.triangle_counts(e, top=20).collect()
+    ]
+    do = [
+        (r.node, r.tri_cnt)
+        for r in graph.triangle_counts_degree_ordered(e, top=20).collect()
+    ]
+    assert do == canon
+
+
+def test_triangle_degree_ordered_skewed_hot_node(spark):
+    # one celebrity node 0 adjacent to everyone (the case the
+    # id-canonical orientation is quadratic in): star 0-{1..40} plus
+    # a ring 1-2, 2-3, ..., 40-1 => every ring edge closes a triangle
+    # with the hub; node 0 participates in 40 triangles, ring nodes
+    # in 2 each. Degree orientation points every star edge INTO the
+    # hub (deg 40 vs 3), so the hub fans out zero wedges.
+    star = [(0, i) for i in range(1, 41)]
+    ring = [(i, i + 1) for i in range(1, 40)] + [(1, 40)]
+    edges = sorted({(min(a, b), max(a, b)) for a, b in star + ring})
+    df = spark.createDataFrame(edges, "p1 long, p2 long")
+    want = _py_triangles(edges)
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = [
+        (r.node, r.tri_cnt)
+        for r in graph.triangle_counts_degree_ordered(df, top=50).collect()
+    ]
+    assert got == top
+    assert want[0] == 40 and want[1] == 2
+
+
+def test_triangle_degree_ordered_tiny_known(spark):
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "p1 long, p2 long")
+    got = {
+        r.node: r.tri_cnt
+        for r in graph.triangle_counts_degree_ordered(df, top=10).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
 def test_degree_assortativity_known_and_symmetric(spark):
     from mrgo_spark.registry import load as load_registry
 
