@@ -3139,3 +3139,89 @@ def q_zipf_fit_tokens(spark, sf_dir):
         F.length(F.bin("rank")),
         F.length(F.bin("cnt")),
     )
+
+
+# ---------------------------------- classifier-based quality filtering
+
+
+def _clf_sql_fragments():
+    """Shared oracle fragments for the classifier entries — weights,
+    bias and the per-doc score CTE all interpolate from
+    textstats.classifier_weights/bias (the Bloom-tuple rule)."""
+    from .textstats import CLF_DIM, classifier_bias, classifier_weights
+
+    w_list = "[" + ", ".join(str(w) for w in classifier_weights()) + "]"
+    bias = classifier_bias()
+    scores_cte = f"""
+    tk AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text),
+                                                     '[^a-z]+'),
+                      x -> x <> '')) AS tok
+        FROM documents),
+    ws AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(list_extract({w_list},
+                   CAST((CAST(concat('0x', substr(md5(tok), 1, 4))
+                         AS BIGINT) % {CLF_DIM}) + 1 AS INT)))
+                    AS BIGINT) AS wsum
+        FROM tk GROUP BY doc_id),
+    sc AS MATERIALIZED (
+        SELECT d.doc_id,
+               CAST(COALESCE(w.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST({bias} + COALESCE(w.wsum, 0) AS BIGINT) AS score
+        FROM documents d LEFT JOIN ws w USING (doc_id))
+    """
+    return scores_cte
+
+
+@declare(
+    "classifier_quality_scores",
+    f"""
+    WITH {_clf_sql_fragments()}
+    SELECT doc_id, n_tokens, score,
+           CAST(abs(score) AS BIGINT) AS margin,
+           CASE WHEN score >= 0 THEN 'keep' ELSE 'toss' END AS label,
+           CAST(CASE WHEN n_tokens > 0
+                     THEN (1000 * score) // n_tokens
+                END AS BIGINT) AS score_per_token_milli
+    FROM sc
+    """,
+)
+def q_classifier_quality_scores(spark, sf_dir):
+    """Classifier-based quality scoring (r6, VERDICT_r5 #5): the
+    fasttext-style linear-filter step between the heuristic filters
+    (quality_score, gopher_rules_audit) and a learned model — hashed
+    bag-of-words integer dot product against a literal weight vector,
+    MAP-ONLY (zero shuffles, the weight table is a 256-literal array
+    riding in the projection). Per-doc (score, margin, label,
+    per-token rate); empty docs keep their row with score = bias and
+    NULL rate; (1000·score) div n_tokens truncates toward zero
+    identically in both engines (score may be negative). widen_scan:
+    the per-token md5 fold is interpreted HOF work on a 1-row-group
+    fixture (the PQ lesson)."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    return textstats.classifier_quality_scores(docs)
+
+
+@declare(
+    "classifier_quality_audit",
+    f"""
+    WITH {_clf_sql_fragments()}
+    SELECT CASE WHEN score >= 0 THEN 'keep' ELSE 'toss' END AS label,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(score) AS BIGINT) AS sum_score,
+           CAST(min(score) AS BIGINT) AS min_score,
+           CAST(max(score) AS BIGINT) AS max_score
+    FROM sc GROUP BY 1
+    """,
+)
+def q_classifier_quality_audit(spark, sf_dir):
+    """Threshold audit of the classifier filter (r6): the bounded
+    per-label corpus view (counts, token mass, score extrema) a
+    pipeline dashboards before committing to a keep threshold — one
+    partial-agg shuffle over the map-only scores."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    return textstats.classifier_quality_audit(docs)

@@ -741,3 +741,124 @@ def bigram_novelty_stats(
             F.sum("_gc").cast("long").alias("familiarity_sum"),
         )
     )
+
+
+# ------------------------------------- linear classifier quality filter
+
+CLF_DIM = 256          # hashing-trick feature buckets (16-bit md5 slice mod DIM)
+CLF_WEIGHT_SPAN = 1000  # weights lie in [-SPAN, SPAN]
+CLF_BIAS_KEY = "bias"
+
+
+def classifier_weights(dim: int = CLF_DIM) -> list[int]:
+    """Deterministic integer weight vector for the hashed linear
+    classifier — md5-derived pseudo-weights in [-SPAN, SPAN] standing
+    in for trained fasttext-style parameters (the contract under test
+    is the SCORING operator: feature hashing, integer dot product,
+    margin, threshold — not the training run that produced the
+    weights; a real deployment pastes its trained weights into the
+    same literal slot). One source for all three legs: the Spark
+    literal array, the oracle SQL list, and the Python replay all
+    derive from this function (the Bloom-tuple rule)."""
+    import hashlib
+
+    span = 2 * CLF_WEIGHT_SPAN + 1
+    return [
+        int(hashlib.md5(f"w{j}".encode()).hexdigest()[:12], 16) % span
+        - CLF_WEIGHT_SPAN
+        for j in range(dim)
+    ]
+
+
+def classifier_bias() -> int:
+    """Deterministic bias term, same derivation as the weights."""
+    import hashlib
+
+    span = 2 * CLF_WEIGHT_SPAN + 1
+    return (
+        int(hashlib.md5(CLF_BIAS_KEY.encode()).hexdigest()[:12], 16) % span
+        - CLF_WEIGHT_SPAN
+    )
+
+
+def clf_feature_idx(tok) -> F.Column:
+    """Feature bucket of a token: first 16-bit md5 hex slice mod
+    CLF_DIM — the engine-portable hash recipe (sketch.cms_lane_pos
+    lane 0 with a smaller modulus)."""
+    t = F.col(tok) if isinstance(tok, str) else tok
+    return (
+        F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")
+        % F.lit(CLF_DIM).cast("long")
+    )
+
+
+def classifier_quality_scores(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """fasttext-style linear quality classifier scoring, MAP-ONLY and
+    integer-exact: per document the bag-of-words dot product of
+    hashed token features against a literal weight vector.
+
+        score = bias + Σ_{token occurrences} W[md5_16(token) mod DIM]
+
+    Columns: (doc_id, n_tokens, score, margin, label,
+    score_per_token_milli) with label = 'keep' iff score >= 0,
+    margin = |score|, and score_per_token_milli = (1000·score) div
+    n_tokens — integer division truncating toward zero in BOTH
+    engines (score may be negative; truncate ≠ floor there, but Spark
+    `div` and DuckDB `//` agree — the mlfit wording lesson). Empty
+    docs keep their row: score = bias, NULL per-token rate (the
+    gopher NULL-on-empty landmine, handled on both sides).
+
+    Scale shape: zero shuffles — tokenize and the weighted fold are
+    one HOF projection over the scan (the weight table rides along as
+    a 256-literal array, not a join); output rows == input rows. This
+    is the classifier-filter step of a 100 TB corpus prep exactly as
+    it should run: embarrassingly parallel, no state. The fold is
+    interpreted (HOF), so declared callers widen_scan the 1-row-group
+    fixture (the PQ lesson)."""
+    weights = classifier_weights()
+    bias = classifier_bias()
+    warr = F.array(*[F.lit(w).cast("long") for w in weights])
+    toks = ascii_tokens(text_col, lowercase=True)
+    wsum = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.element_at(warr, (clf_feature_idx(t) + 1).cast("int")),
+    )
+    score = (F.lit(bias).cast("long") + wsum).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    out = documents.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.alias("n_tokens"),
+        score.alias("score"),
+        F.abs(score).cast("long").alias("margin"),
+        F.when(score >= 0, F.lit("keep")).otherwise(F.lit("toss")).alias(
+            "label"
+        ),
+    )
+    return out.withColumn(
+        "score_per_token_milli",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("(1000 * score) div n_tokens"),
+        ).cast("long"),
+    )
+
+
+def classifier_quality_audit(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Threshold audit of the classifier filter — the bounded
+    (2-row) corpus-level view a pipeline dashboards: per label,
+    (label, n_docs, total_tokens, sum_score, min_score, max_score).
+    One partial-agg shuffle over the map-only scores frame."""
+    s = classifier_quality_scores(documents, text_col, id_col)
+    return s.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("score").cast("long").alias("sum_score"),
+        F.min("score").cast("long").alias("min_score"),
+        F.max("score").cast("long").alias("max_score"),
+    )
