@@ -17,7 +17,9 @@ MUST_BE_GATED = [
     "dedup_exact",                  # X1
     "dedup_fingerprint",            # X2 near-dup
     "semantic_dedup",               # X2 embedding-cosine dedup
-    "minhash_lsh_pairs",            # X2 MinHash LSH
+    "minhash_md5_pairs",            # X2 MinHash LSH (r6: md5-portable
+    #                                 oracle twin replaces the
+    #                                 rows-only seeded form in-gate)
     "dup_cluster_components",       # X2 connected components
     "dedup_pipeline_canonical",     # X2 end-to-end pipeline
     "edit_distance_pairs",          # X2 edit-distance blocking
@@ -26,12 +28,19 @@ MUST_BE_GATED = [
     # X2 held 9; the demoted entry stays declared + driver_sim-run)
     "exact_substring_audit",        # X2 exact-substring dedup (r4c)
     "topk_cosine",                  # X3 similarity search
-    "embedding_quantize",           # X3 quantization
-    "pq_codes",                     # X3 product quantization (r4c)
+    "pq_codes",                     # X3 quantization (r6: pq_codes is
+    #                                 the in-gate quantization rep;
+    #                                 embedding_quantize demoted for
+    #                                 kmv_distinct_parts)
+    "kmv_distinct_parts",           # portable sketches (r6: the
+    #                                 KMV/CMS/quantile class's first
+    #                                 gate rep, VERDICT_r5 #7)
     "bpe_train_merges",             # X4 tokenizer training (r4c)
     "text_token_stats",             # X4 token stats
     "lang_id_heuristic",            # X4 language id
-    "quality_score",                # X4 quality scoring
+    "quality_score",                # X4 heuristic quality scoring
+    "classifier_quality_scores",    # X4 classifier filter (r6,
+    #                                 VERDICT_r5 #5)
     "tfidf_top_terms",              # X4 tf-idf
     "decontaminate_stats",          # pipeline: eval-leak audit
     "dataset_split",                # pipeline: split
@@ -68,7 +77,9 @@ def test_window_is_mostly_oracle_checked():
     q, o = load()
     window = list(q)[:DRIVER_WINDOW]
     rows_only = [n for n in window if n not in o]
-    assert set(rows_only) <= {"minhash_lsh_pairs", "topk_cosine_ivf"}, rows_only
+    # r6: zero rows-only entries in the gate window (minhash_lsh_pairs
+    # demoted for its fully-oracle md5 twin)
+    assert rows_only == [], rows_only
 
 
 def test_oracle_names_subset_of_queries():
