@@ -696,6 +696,71 @@ def q_kmv_distinct(spark, sf_dir):
 
 
 @declare(
+    "hll_distinct_parts",
+    # every constant interpolates from operators.sketch (HLL_M=64
+    # registers, RHO_MAX=43, alpha_64 = 461632/650790 exact rational)
+    f"""
+    WITH h AS (
+        SELECT l_returnflag AS grp,
+               CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)),
+                                        1, 12)) AS BIGINT) AS h
+        FROM lineitem
+    ),
+    r AS (
+        SELECT grp, h % {sketch.HLL_M} AS j,
+               CASE WHEN h // {sketch.HLL_M} = 0 THEN {sketch.HLL_RHO_MAX}
+                    ELSE {sketch.HLL_RHO_MAX}
+                         - length(bin(h // {sketch.HLL_M}))
+               END AS rho
+        FROM h
+    ),
+    m AS (
+        SELECT grp, j, CAST(max(rho) AS BIGINT) AS m_j FROM r GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n_regs_hit,
+               CAST(sum(1::BIGINT << ({sketch.HLL_RHO_MAX} - m_j))
+                    + ({sketch.HLL_M} - count(*))
+                      * (1::BIGINT << {sketch.HLL_RHO_MAX})
+                    AS BIGINT) AS s_sum
+        FROM m GROUP BY grp
+    ),
+    ex AS (
+        SELECT l_returnflag AS grp,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+        FROM lineitem GROUP BY 1
+    )
+    SELECT s.grp, s.n_regs_hit, s.s_sum,
+           CAST(({sketch.HLL_ALPHA_NUM}
+                 * (({sketch.HLL_M * sketch.HLL_M}
+                     * (1::BIGINT << {sketch.HLL_RHO_MAX})) // s_sum))
+                // {sketch.HLL_ALPHA_DEN} AS BIGINT) AS hll_estimate,
+           ex.exact_distinct
+    FROM s JOIN ex USING (grp)
+    """,
+)
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog, verifiably (r6) — completes the portable-sketch
+    trio (KMV cardinality, CMS frequency, bucketed quantiles) with
+    THE canonical cardinality sketch: 64 registers off the 48-bit md5
+    hash, rho as exact integer bit-length (length(bin(w)) — the zipf
+    trick), harmonic-mean estimate with alpha_64 as the exact
+    rational 7213·64/(10000·64+10790), every intermediate a
+    replayable integer. Registers merge by per-(grp,j) MAX (merge law
+    tested); unlike KMV no pre-DISTINCT shuffle is needed — max is
+    idempotent over raw rows. exact_distinct rides along so the
+    driver row documents the estimation error (~13% at m=64).
+    Small-range linear counting needs ln() (not hash-portable);
+    n_regs_hit lets callers apply it float-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = sketch.hll_distinct(li, "l_returnflag", "l_partkey")
+    ex = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.countDistinct("l_partkey").cast("long").alias("exact_distinct")
+    )
+    return sk.join(ex, "grp")
+
+
+@declare(
     "linreg_discount_quantity",
     """
     WITH pts AS (

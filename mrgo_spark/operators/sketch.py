@@ -202,6 +202,100 @@ def cms_heavy_hitters(
     )
 
 
+# ------------------------------------------------------- HyperLogLog
+
+HLL_M = 64          # registers (6 index bits off the 48-bit hash)
+HLL_WBITS = 42      # rank bits: h div HLL_M lies in [0, 2^42)
+HLL_RHO_MAX = HLL_WBITS + 1   # rho(0) over 42 bits
+# alpha_64 as the EXACT rational from Flajolet et al. 2007:
+# alpha_m = 0.7213/(1 + 1.079/m) = 7213*m / (10000*m + 10790)
+HLL_ALPHA_NUM = 7213 * HLL_M
+HLL_ALPHA_DEN = 10000 * HLL_M + 10790
+
+
+def hll_registers(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """(grp, j, m_j) HyperLogLog register table over the md5 48-bit
+    hash — j = h mod m, rho = (leading zeros of the remaining 42 bits)
+    + 1 computed as HLL_RHO_MAX - bit_length(w) with bit_length =
+    length(bin(w)) (EXACT integer log₂, identical in both engines —
+    the zipf trick; w = 0 ⇒ rho = HLL_RHO_MAX). At most m rows per
+    group regardless of input size; registers MERGE by per-(grp, j)
+    MAX — the sketch algebra that lets per-day/per-partition sketches
+    combine, here with every intermediate a replayable integer
+    (Spark's own approx_count_distinct keeps the same registers
+    engine-opaquely)."""
+    h = kmv_hash(value_col)
+    w = F.expr(f"_h div {HLL_M}")
+    rho = F.when(w == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        F.lit(HLL_RHO_MAX) - F.length(F.bin(w))
+    )
+    return (
+        df.select(F.col(group_col).alias("grp"), h.alias("_h"))
+        .select(
+            "grp",
+            (F.col("_h") % HLL_M).cast("long").alias("j"),
+            rho.cast("long").alias("rho"),
+        )
+        .groupBy("grp", "j")
+        .agg(F.max("rho").cast("long").alias("m_j"))
+    )
+
+
+def hll_merge(register_rows: DataFrame) -> DataFrame:
+    """Union-merge raw register rows (grp, j, m_j) from any number of
+    partial sketches: per-(grp, j) max — the same frame the builder
+    yields, so merging is literally re-running the aggregate."""
+    return register_rows.groupBy("grp", "j").agg(
+        F.max("m_j").cast("long").alias("m_j")
+    )
+
+
+def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """(grp, n_regs_hit, s_sum, hll_estimate) per group — the raw
+    HyperLogLog harmonic-mean estimate in exact integer arithmetic:
+
+        S = Σ_j 2^(RHO_MAX - M[j])   (absent registers count 2^RHO_MAX)
+        E = alpha_m · m² / Σ_j 2^-M[j]
+          = (alpha_num · ((m² << RHO_MAX) div S)) div alpha_den
+
+    with alpha_m the exact rational 7213·m/(10000·m+10790). Integer
+    division twice (both non-negative, floor == truncate, DuckDB //
+    replays). Overflow bound: valid while the raw estimate stays
+    under 2^63/alpha_num ≈ 2·10¹³ distincts — beyond that you want
+    more registers anyway. The standard small-range linear-counting
+    correction needs ln() (NOT hash-portable — the tfidf lesson), so
+    the declared surface reports the raw estimate plus n_regs_hit
+    (64 - n_regs_hit empty registers) so callers can apply float-side
+    corrections; the demo entry carries exact_distinct alongside to
+    document the error honestly."""
+    regs = hll_registers(df, group_col, value_col)
+    per = regs.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_regs_hit"),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {HLL_RHO_MAX} - m_j)")
+        )
+        .cast("long")
+        .alias("_s_present"),
+    )
+    s_sum = (
+        F.col("_s_present")
+        + (F.lit(HLL_M).cast("long") - F.col("n_regs_hit"))
+        * F.lit(1 << HLL_RHO_MAX).cast("long")
+    )
+    return per.withColumn("s_sum", s_sum.cast("long")).select(
+        "grp",
+        "n_regs_hit",
+        "s_sum",
+        F.expr(
+            f"(cast({HLL_ALPHA_NUM} as bigint) * ({HLL_M * HLL_M} * "
+            f"cast({1 << HLL_RHO_MAX} as bigint) div s_sum)) "
+            f"div {HLL_ALPHA_DEN}"
+        )
+        .cast("long")
+        .alias("hll_estimate"),
+    )
+
+
 def quantile_cells(
     df: DataFrame, group_col: str, value, width: int
 ) -> DataFrame:

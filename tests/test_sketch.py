@@ -239,3 +239,94 @@ def test_bucket_quantile_fixture_vs_exact_percentile(spark):
         vs = sorted(vals[r.grp])
         true_med = vs[r.rank_target - 1]
         assert r.est_lo <= true_med < r.est_lo + 1_000_000
+
+
+# ----------------------------------------------------- HyperLogLog
+
+
+def _py_hll(values):
+    """(n_regs_hit, s_sum, estimate) replay of the declared chain."""
+    regs: dict[int, int] = {}
+    for v in values:
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:12], 16)
+        j, w = h % sketch.HLL_M, h // sketch.HLL_M
+        rho = (
+            sketch.HLL_RHO_MAX
+            if w == 0
+            else sketch.HLL_RHO_MAX - w.bit_length()
+        )
+        regs[j] = max(regs.get(j, 0), rho)
+    s = sum(1 << (sketch.HLL_RHO_MAX - m) for m in regs.values())
+    s += (sketch.HLL_M - len(regs)) * (1 << sketch.HLL_RHO_MAX)
+    est0 = (
+        sketch.HLL_M * sketch.HLL_M * (1 << sketch.HLL_RHO_MAX)
+    ) // s
+    return (
+        len(regs),
+        s,
+        (sketch.HLL_ALPHA_NUM * est0) // sketch.HLL_ALPHA_DEN,
+    )
+
+
+def test_hll_matches_python_replay(spark):
+    li = load_table(spark, SF, "lineitem")
+    got = {
+        r.grp: (r.n_regs_hit, r.s_sum, r.hll_estimate)
+        for r in sketch.hll_distinct(li, "l_returnflag", "l_partkey").collect()
+    }
+    rows = li.select("l_returnflag", "l_partkey").collect()
+    groups: dict[str, set] = {}
+    for r in rows:
+        groups.setdefault(r.l_returnflag, set()).add(r.l_partkey)
+    want = {g: _py_hll(vs) for g, vs in groups.items()}
+    assert got == want
+
+
+def test_hll_estimate_accuracy(spark):
+    # relative error ~ 1.04/sqrt(m) ~ 13% at m=64; pin a generous 0.4
+    li = load_table(spark, SF, "lineitem")
+    sk = {
+        r.grp: r.hll_estimate
+        for r in sketch.hll_distinct(li, "l_returnflag", "l_partkey").collect()
+    }
+    exact = {
+        r.grp: r.n
+        for r in li.groupBy(F.col("l_returnflag").alias("grp"))
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for g, n in exact.items():
+        assert abs(sk[g] - n) <= max(0.4 * n, 2), (g, sk[g], n)
+
+
+def test_hll_registers_merge_by_max(spark):
+    li = load_table(spark, SF, "lineitem")
+    full = sketch.hll_registers(li, "l_returnflag", "l_partkey")
+    h1 = sketch.hll_registers(
+        li.filter(F.col("l_orderkey") % 2 == 0), "l_returnflag", "l_partkey"
+    )
+    h2 = sketch.hll_registers(
+        li.filter(F.col("l_orderkey") % 2 == 1), "l_returnflag", "l_partkey"
+    )
+    merged = sketch.hll_merge(h1.unionAll(h2))
+    key = lambda r: (r.grp, r.j, r.m_j)  # noqa: E731
+    assert sorted(map(key, merged.collect())) == sorted(
+        map(key, full.collect())
+    )
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    # max is idempotent: feeding each value 5x yields the identical
+    # sketch (why HLL needs no pre-DISTINCT, unlike KMV's top-k walk)
+    vals = [("a", i) for i in range(200)]
+    df1 = spark.createDataFrame(vals, "grp string, v long")
+    df5 = spark.createDataFrame(vals * 5, "grp string, v long")
+    r1 = sorted(
+        (r.grp, r.j, r.m_j)
+        for r in sketch.hll_registers(df1, "grp", "v").collect()
+    )
+    r5 = sorted(
+        (r.grp, r.j, r.m_j)
+        for r in sketch.hll_registers(df5, "grp", "v").collect()
+    )
+    assert r1 == r5
