@@ -453,6 +453,34 @@ def streaming_quantile_cells(
     )
 
 
+def streaming_hll_registers(
+    value_stream: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Streaming HyperLogLog registers (r6, sketch-family streaming
+    twin, same shape as streaming_cms_counters): the batch register
+    builder is a plain groupBy max on (grp, j), which streams as-is
+    with state bounded by |groups| × HLL_M rows — a running distinct
+    monitor with fixed memory. Update mode; landed registers merge
+    with at-rest sketches by per-(grp, j) MAX (the pinned merge law)
+    and sketch.hll_distinct's estimator answers against them."""
+    from ..operators import sketch
+
+    return sketch.hll_registers(value_stream, group_col, value_col)
+
+
+def streaming_classifier_scores(
+    doc_stream: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Streaming twin of classifier_quality_scores (r6): the scorer
+    is a stateless map-only projection (hashed-feature integer dot
+    product against literal weights), so it streams UNCHANGED in
+    append mode with zero state — the ingest-time quality gate a
+    100 TB pipeline runs on arriving documents."""
+    from ..operators.textstats import classifier_quality_scores
+
+    return classifier_quality_scores(doc_stream, text_col, id_col)
+
+
 def streaming_corpus_prep(
     doc_stream: DataFrame,
     text_col: str = "text",

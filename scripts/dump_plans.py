@@ -91,12 +91,23 @@ PICKS = [
      "with no row-level window"),
     ("quantile_sketch_orders", "cells = one partial agg; cumsum + rank "
      "pick run over the |buckets| cell table, not the corpus"),
-    ("triangle_copurchase_top", "wedge-close join: three scans of the "
-     "SAME checkpointed edge RDD (ExistingRDD), corners credited by one "
+    ("triangle_copurchase_top", "r6 degree-ordered wedge join: edges "
+     "re-oriented lower-degree endpoint first (bounds fan-out by "
+     "sqrt|E| under skew), three scans of the SAME checkpointed "
+     "ORIENTED edge RDD (ExistingRDD), corners credited by one "
      "Generate — no union re-running the join"),
     ("degree_assortativity_copurchase", "checkpointed edges + "
      "checkpointed degree frame (both ExistingRDD) — symmetrize and "
      "double-join without recomputing either aggregate"),
+    ("profile_customer", "one-pass profiling: a single scan feeds ONE "
+     "Expand + partial/final agg; per-column stats unpivot from the "
+     "aggregate row — never a per-column union of scans"),
+    ("classifier_quality_scores", "r6 classifier filter: tokenizer + "
+     "weighted HOF fold ride in ONE projection over the scan — zero "
+     "shuffles, the 256 literal weights travel in the expression"),
+    ("hll_distinct_parts", "HLL registers via one partial-aggregated "
+     "groupBy (grp,j) — no pre-DISTINCT shuffle (max is idempotent); "
+     "estimator arithmetic on the 64-row register frame"),
 ]
 
 

@@ -206,6 +206,12 @@ def main() -> None:
         "profile_customer",
         "zipf_fit_tokens",
         "degree_assortativity_copurchase",
+        # r6: map-only classifier filter (HOF fold — expect ~scan
+        # growth), and the degree-ordered triangle form now behind
+        # triangle_copurchase_top probes a graph that actually grows
+        # (keys offset per copy as of r6).
+        "classifier_quality_scores",
+        "hll_distinct_parts",
     ]
     only = set(sys.argv[3:])
     if only:

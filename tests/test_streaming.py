@@ -653,3 +653,62 @@ def test_streaming_quantile_cells_match_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM qcells_out").collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_streaming_hll_registers_match_batch(spark, tmp_path):
+    """The streaming HLL registers (|groups|*m bounded state) must
+    equal the batch sketch over the same rows."""
+    from mrgo_spark.operators import sketch
+    from mrgo_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_partkey"
+    )
+    expected = {
+        (r.grp, r.j): r.m_j
+        for r in sketch.hll_registers(
+            li, "l_returnflag", "l_partkey"
+        ).collect()
+    }
+    d = tmp_path / "hll_stream"
+    li.coalesce(2).write.parquet(str(d))
+    stream = spark.readStream.schema(
+        "l_returnflag string, l_partkey long"
+    ).parquet(str(d))
+    out = stream_ops.streaming_hll_registers(
+        stream, "l_returnflag", "l_partkey"
+    )
+    stream_ops.run_to_memory(out, "hll_out")
+    got = {
+        (r.grp, r.j): r.m_j
+        for r in spark.sql("SELECT * FROM hll_out").collect()
+    }
+    assert got == expected and len(got) > 0
+    assert len(got) <= 3 * sketch.HLL_M
+
+
+def test_streaming_classifier_scores_match_batch(spark, tmp_path):
+    """Stateless map-only scoring streams bit-identically in append
+    mode with zero state."""
+    from mrgo_spark.operators import textstats
+    from mrgo_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").limit(100).select(
+        "doc_id", "text"
+    )
+    expected = {
+        r.doc_id: (r.n_tokens, r.score, r.label, r.score_per_token_milli)
+        for r in textstats.classifier_quality_scores(docs).collect()
+    }
+    d = tmp_path / "clf_stream"
+    docs.coalesce(2).write.parquet(str(d))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(d)
+    )
+    out = stream_ops.streaming_classifier_scores(stream)
+    stream_ops.run_to_memory(out, "clf_out", output_mode="append")
+    got = {
+        r.doc_id: (r.n_tokens, r.score, r.label, r.score_per_token_milli)
+        for r in spark.sql("SELECT * FROM clf_out").collect()
+    }
+    assert got == expected and len(got) == 100
