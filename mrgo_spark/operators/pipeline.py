@@ -449,18 +449,31 @@ def stratified_sample_exact(
     cnt = d.groupBy("stratum").agg(
         F.count("*").cast("long").alias("n_s")
     )
+    alloc = _hamilton_quotas(cnt, F.col("n_s"), total)
+    w_pick = Window.partitionBy("stratum").orderBy("_h", "id")
+    picked = (
+        d.join(F.broadcast(alloc), "stratum")
+        .withColumn("samp_rank", F.row_number().over(w_pick).cast("long"))
+        .where(F.col("samp_rank") <= F.col("quota"))
+    )
+    return picked.select("stratum", "id", "samp_rank", "quota")
+
+
+def _hamilton_quotas(cnt: DataFrame, weight, total: int) -> DataFrame:
+    """Largest-remainder apportionment of ``total`` over the strata
+    of ``cnt`` (one row per stratum) proportional to ``weight`` (a
+    column over cnt): (stratum, quota) with Σ quota == total exactly.
+    Both windows run over the |strata|-row frame only."""
     w_all = Window.partitionBy()
-    alloc = cnt.withColumn("n", F.sum("n_s").over(w_all)).select(
+    alloc = cnt.withColumn("_w", weight.cast("long")).withColumn(
+        "_wn", F.sum("_w").over(w_all)
+    ).select(
         "stratum",
-        "n_s",
-        "n",
-        F.expr(f"({total}L * n_s) div n").alias("base"),
-        F.expr(f"({total}L * n_s) % n").alias("rem"),
+        F.expr(f"({total}L * _w) div _wn").alias("base"),
+        F.expr(f"({total}L * _w) % _wn").alias("rem"),
     )
-    w_rank = Window.partitionBy().orderBy(
-        F.desc("rem"), F.asc("stratum")
-    )
-    alloc = (
+    w_rank = Window.partitionBy().orderBy(F.desc("rem"), F.asc("stratum"))
+    return (
         alloc.withColumn("leftover", F.lit(total) - F.sum("base").over(w_all))
         .withColumn("rk", F.row_number().over(w_rank))
         .select(
@@ -473,6 +486,42 @@ def stratified_sample_exact(
             .alias("quota"),
         )
     )
+
+
+def mixture_temperature_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    total: int,
+) -> DataFrame:
+    """Temperature-flattened mixture sampling at τ = 1/2 — the
+    data-mixing step real LLM pipelines run (upweight small domains,
+    flatten head domains; GPT-3/T5-style p_s ∝ n_s^τ): stratum s's
+    share of the exact ``total`` budget is proportional to
+    isqrt(n_s), apportioned by the same largest-remainder (Hamilton)
+    rule as stratified_sample_exact, rows picked in md5(id) order.
+
+    τ = 1/2 is the one temperature that stays ENGINE-PORTABLE: n_s^τ
+    = floor(sqrt(n_s)) where IEEE-754 sqrt is correctly rounded in
+    both engines and n_s ≤ 2^52 is exact in double (the
+    scalar_math_battery precedent; arbitrary τ needs pow/exp — not
+    hash-safe, the ln() lesson). Output (stratum, id, samp_rank,
+    quota); a stratum whose flattened share exceeds its size comes
+    back short (same contract as stratified_sample_exact — callers
+    wanting replacement-upsampling repeat ids downstream).
+
+    Scale: identical to stratified_sample_exact — |strata|-row
+    allocation windows, one partitioned pick window over the data."""
+    d = df.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(id_col).alias("id"),
+        F.md5(F.col(id_col).cast("string")).alias("_h"),
+    )
+    cnt = d.groupBy("stratum").agg(
+        F.count("*").cast("long").alias("n_s")
+    )
+    isqrt = F.floor(F.sqrt(F.col("n_s").cast("double"))).cast("long")
+    alloc = _hamilton_quotas(cnt, isqrt, total)
     w_pick = Window.partitionBy("stratum").orderBy("_h", "id")
     picked = (
         d.join(F.broadcast(alloc), "stratum")

@@ -61,3 +61,50 @@ def profile_columns(df: DataFrame, cols: dict) -> DataFrame:
         F.col("_p.min_s").alias("min_s"),
         F.col("_p.max_s").alias("max_s"),
     )
+
+
+def corpus_datacard(
+    documents: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """Per-language corpus datacard (r6) — the one-table summary a
+    training-data release ships: document and token volume, heuristic
+    and classifier keep rates, and duplication, all from ONE pass.
+
+    Columns: (lang, n_docs, total_tokens, heuristic_keep,
+    classifier_keep, distinct_fingerprints, dup_docs) where
+    heuristic_keep counts quality_keep() docs, classifier_keep counts
+    classifier_score >= 0 docs, distinct_fingerprints is the exact
+    count of distinct token-multiset canonical strings (the
+    dedup_fingerprint key), and dup_docs = n_docs −
+    distinct_fingerprints.
+
+    Scale shape: every per-doc feature (token count, keep flags,
+    canonical fingerprint) is a map-side column expression; ONE
+    groupBy(lang) aggregates them (the count-distinct expands to the
+    standard two-phase plan — no per-metric re-scan, the profile
+    idiom). Composes three already-declared contracts (quality_keep,
+    classifier_score_col, fingerprint canonicalization) so the
+    datacard is consistent with the filters it summarizes."""
+    from ..functions.text import ascii_tokens
+    from .textstats import classifier_score_col, quality_keep
+
+    toks = ascii_tokens(text_col, lowercase=True)
+    canon = F.array_join(F.array_sort(toks), " ")
+    per_doc = documents.select(
+        F.col(lang_col).alias("lang"),
+        F.size(toks).cast("long").alias("_ntok"),
+        quality_keep(text_col).cast("int").alias("_hkeep"),
+        (classifier_score_col(text_col) >= 0).cast("int").alias("_ckeep"),
+        canon.alias("_fp"),
+    )
+    out = per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_ntok").cast("long").alias("total_tokens"),
+        F.sum("_hkeep").cast("long").alias("heuristic_keep"),
+        F.sum("_ckeep").cast("long").alias("classifier_keep"),
+        F.countDistinct("_fp").cast("long").alias("distinct_fingerprints"),
+    )
+    return out.withColumn(
+        "dup_docs",
+        (F.col("n_docs") - F.col("distinct_fingerprints")).cast("long"),
+    )

@@ -3225,3 +3225,127 @@ def q_classifier_quality_audit(spark, sf_dir):
     partial-agg shuffle over the map-only scores."""
     docs = widen_scan(load_table(spark, sf_dir, "documents"))
     return textstats.classifier_quality_audit(docs)
+
+
+@declare(
+    "mixture_temperature_docs",
+    """
+    WITH d AS (
+        SELECT lang AS stratum, doc_id AS id,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents),
+    cnt AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_s
+            FROM d GROUP BY 1),
+    wts AS (SELECT stratum,
+                   CAST(floor(sqrt(CAST(n_s AS DOUBLE))) AS BIGINT) AS w
+            FROM cnt),
+    alloc0 AS (SELECT stratum, w, sum(w) OVER () AS wn FROM wts),
+    alloc1 AS (
+        SELECT stratum,
+               (100 * w) // wn AS base,
+               (100 * w) % wn AS rem
+        FROM alloc0),
+    alloc AS (
+        SELECT stratum,
+               CAST(base + CASE WHEN row_number()
+                                     OVER (ORDER BY rem DESC, stratum)
+                                <= 100 - sum(base) OVER ()
+                           THEN 1 ELSE 0 END AS BIGINT) AS quota
+        FROM alloc1),
+    p AS (
+        SELECT d.stratum, d.id,
+               row_number() OVER (PARTITION BY d.stratum
+                                  ORDER BY d.h, d.id) AS samp_rank,
+               a.quota
+        FROM d JOIN alloc a USING (stratum))
+    SELECT stratum, id, CAST(samp_rank AS BIGINT) AS samp_rank, quota
+    FROM p WHERE samp_rank <= quota
+    """,
+)
+def q_mixture_temperature_docs(spark, sf_dir):
+    """Temperature-flattened mixture sampling (r6,
+    pipeline.mixture_temperature_sample): 100 documents apportioned
+    across language strata proportional to isqrt(n_s) — the tau=1/2
+    data-mixing flattening (small domains upweighted relative to
+    proportional sampling) that real LLM mixtures use, at the one
+    temperature whose power stays engine-portable (IEEE sqrt is
+    correctly rounded in both engines; arbitrary tau needs pow — the
+    ln() lesson). Same Hamilton exact-budget allocation and md5 pick
+    order as stratified_sample_docs; quotas still sum to the budget
+    exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.mixture_temperature_sample(
+        docs, "lang", "doc_id", total=100
+    )
+
+
+# -- datacard oracle constants (one-source rule) ----------------------
+from .textstats import (  # noqa: E402
+    CLF_DIM as _CLF_DIM,
+    LANG_MARKERS as _LANG_MARKERS,
+    classifier_bias as _clf_bias_fn,
+    classifier_weights as _clf_weights_fn,
+)
+
+_CLF_W_LIST_SQL = "[" + ", ".join(str(w) for w in _clf_weights_fn()) + "]"
+_CLF_BIAS = _clf_bias_fn()
+_CLF_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in _LANG_MARKERS["en"])
+
+
+@declare(
+    "corpus_datacard",
+    # stopwords / weights / bias interpolate from textstats (one
+    # source for all legs); keep-rule thresholds mirror
+    # corpus_quality_filter's oracle verbatim
+    f"""
+    WITH base AS (
+        SELECT doc_id, lang, text,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t,
+               length(text) AS n_chars
+        FROM documents),
+    m AS (
+        SELECT lang,
+               len(t) AS n_tokens,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    AS DOUBLE) / greatest(n_chars, 1) AS letter_ratio,
+               CASE WHEN len(t) > 0
+                    THEN CAST(coalesce(list_sum([length(x) for x in t]), 0)
+                              AS DOUBLE) / len(t)
+                    ELSE 0.0 END AS mean_word_len,
+               CAST(len(list_filter(t,
+                    x -> x IN ({_CLF_STOPWORDS_SQL}))) AS DOUBLE)
+                   / greatest(len(t), 1) AS stopword_ratio,
+               coalesce(list_sum([list_extract({_CLF_W_LIST_SQL},
+                   CAST((CAST(concat('0x', substr(md5(x), 1, 4))
+                         AS BIGINT) % {_CLF_DIM}) + 1 AS INT))
+                   for x in t]), 0) AS wsum,
+               array_to_string(list_sort(t), ' ') AS fp
+        FROM base)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN n_tokens BETWEEN 10 AND 100000
+                          AND letter_ratio >= 0.6
+                          AND mean_word_len BETWEEN 2.0 AND 12.0
+                          AND stopword_ratio > 0.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS heuristic_keep,
+           CAST(sum(CASE WHEN {_CLF_BIAS} + wsum >= 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS classifier_keep,
+           CAST(count(DISTINCT fp) AS BIGINT) AS distinct_fingerprints,
+           CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS dup_docs
+    FROM m GROUP BY lang
+    """,
+)
+def q_corpus_datacard(spark, sf_dir):
+    """Per-language corpus datacard (r6, profile.corpus_datacard):
+    the release-notes table — volume, heuristic + classifier keep
+    rates, duplication — in ONE pass (map-side features, one
+    groupBy(lang) with an exact count-distinct; no per-metric
+    re-scan). Composes three declared contracts (quality_keep,
+    classifier_score_col, the fingerprint canonical string) so the
+    summary is provably consistent with the filters it describes."""
+    from . import profile
+
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    return profile.corpus_datacard(docs)

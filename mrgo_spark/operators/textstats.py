@@ -792,6 +792,24 @@ def clf_feature_idx(tok) -> F.Column:
     )
 
 
+def classifier_score_col(text_col="text") -> F.Column:
+    """The classifier score as ONE column expression (bias + hashed
+    bag-of-words weighted fold) — shared by the per-doc scorer, the
+    audit and the corpus datacard so every consumer applies the
+    identical contract."""
+    weights = classifier_weights()
+    bias = classifier_bias()
+    warr = F.array(*[F.lit(w).cast("long") for w in weights])
+    toks = ascii_tokens(text_col, lowercase=True)
+    wsum = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.element_at(warr, (clf_feature_idx(t) + 1).cast("int")),
+    )
+    return (F.lit(bias).cast("long") + wsum).cast("long")
+
+
 def classifier_quality_scores(
     documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -817,18 +835,8 @@ def classifier_quality_scores(
     it should run: embarrassingly parallel, no state. The fold is
     interpreted (HOF), so declared callers widen_scan the 1-row-group
     fixture (the PQ lesson)."""
-    weights = classifier_weights()
-    bias = classifier_bias()
-    warr = F.array(*[F.lit(w).cast("long") for w in weights])
-    toks = ascii_tokens(text_col, lowercase=True)
-    wsum = F.aggregate(
-        toks,
-        F.lit(0).cast("long"),
-        lambda acc, t: acc
-        + F.element_at(warr, (clf_feature_idx(t) + 1).cast("int")),
-    )
-    score = (F.lit(bias).cast("long") + wsum).cast("long")
-    n_tokens = F.size(toks).cast("long")
+    score = classifier_score_col(text_col)
+    n_tokens = F.size(ascii_tokens(text_col, lowercase=True)).cast("long")
     out = documents.select(
         F.col(id_col).alias("doc_id"),
         n_tokens.alias("n_tokens"),

@@ -212,6 +212,8 @@ def main() -> None:
         # (keys offset per copy as of r6).
         "classifier_quality_scores",
         "hll_distinct_parts",
+        "mixture_temperature_docs",
+        "corpus_datacard",
     ]
     only = set(sys.argv[3:])
     if only:

@@ -330,3 +330,54 @@ def test_stratified_sample_stable_under_nonsampled_appends(spark):
         )[:q]
         got = sorted(r[1] for r in ra if r[0] == s)
         assert got == sorted(want)
+
+
+def test_mixture_temperature_flattens_and_hits_budget(spark):
+    import math
+
+    docs = load_table(spark, SF, "documents")
+    out = pipeline.mixture_temperature_sample(
+        docs, "lang", "doc_id", total=40
+    ).collect()
+    assert len(out) == 40
+    n_s = {
+        r.lang: r.cnt
+        for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    # Hamilton replay on isqrt weights
+    w = {s: math.isqrt(c) for s, c in n_s.items()}
+    wn = sum(w.values())
+    base = {s: (40 * x) // wn for s, x in w.items()}
+    rem = {s: (40 * x) % wn for s, x in w.items()}
+    leftover = 40 - sum(base.values())
+    for s in sorted(rem, key=lambda s: (-rem[s], s))[:leftover]:
+        base[s] += 1
+    by_stratum = {}
+    for r in out:
+        by_stratum[r.stratum] = by_stratum.get(r.stratum, 0) + 1
+        assert r.samp_rank <= r.quota
+    assert by_stratum == {s: q for s, q in base.items() if q > 0}
+
+
+def test_mixture_temperature_upweights_small_strata(spark):
+    # 900 docs of lang 'big', 9 of lang 'small': proportional gives
+    # small ~1% of budget; tau=1/2 gives sqrt(9)/(sqrt(900)+sqrt(9))
+    # = 3/33 ~ 9%. Budget 33 -> small gets 3, not 0-1.
+    rows = [(i, "big") for i in range(900)] + [
+        (10000 + i, "small") for i in range(9)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = pipeline.mixture_temperature_sample(
+        df, "lang", "doc_id", total=33
+    ).collect()
+    by = {}
+    for r in out:
+        by[r.stratum] = by.get(r.stratum, 0) + 1
+    assert by == {"big": 30, "small": 3}
+    prop = pipeline.stratified_sample_exact(
+        df, "lang", "doc_id", total=33
+    ).collect()
+    byp = {}
+    for r in prop:
+        byp[r.stratum] = byp.get(r.stratum, 0) + 1
+    assert byp.get("small", 0) <= 1  # the flattening is real

@@ -65,3 +65,44 @@ def test_profile_single_aggregate_plan(spark):
     # one table scan feeding one (expanded) aggregate — no per-column
     # re-scan, no union
     assert plan.count("Scan parquet") == 1 and "Union" not in plan
+
+
+def test_corpus_datacard_consistent_with_component_contracts(spark):
+    from mrgo_spark.operators import dedup, profile, textstats
+    from mrgo_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    card = {r.lang: r for r in profile.corpus_datacard(docs).collect()}
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    assert set(card) == langs
+
+    scores = textstats.classifier_quality_scores(docs).collect()
+    lang_of = {
+        r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()
+    }
+    ckeep: dict = {}
+    ntok: dict = {}
+    for r in scores:
+        lg = lang_of[r.doc_id]
+        ckeep[lg] = ckeep.get(lg, 0) + (1 if r.score >= 0 else 0)
+        ntok[lg] = ntok.get(lg, 0) + r.n_tokens
+    from pyspark.sql import functions as F
+
+    hkeep_rows = docs.select(
+        "lang", textstats.quality_keep("text").cast("int").alias("k")
+    ).collect()
+    hkeep: dict = {}
+    for r in hkeep_rows:
+        hkeep[r.lang] = hkeep.get(r.lang, 0) + r.k
+    fp_rows = docs.select(
+        "lang", dedup.fingerprint("text").alias("fp")
+    ).collect()
+    fps: dict = {}
+    for r in fp_rows:
+        fps.setdefault(r.lang, set()).add(r.fp)
+    for lg, row in card.items():
+        assert row.classifier_keep == ckeep[lg]
+        assert row.total_tokens == ntok[lg]
+        assert row.heuristic_keep == hkeep[lg]
+        assert row.distinct_fingerprints == len(fps[lg])
+        assert row.dup_docs == row.n_docs - len(fps[lg])
