@@ -160,6 +160,14 @@ PRIORITY = [
 # (the judge counts declared plans, not window position) and the
 # exact form is the stronger CORRECTNESS evidence; the SRP scale twin
 # remains declared + receipt-checked just outside.
+#
+# The other r6 additions — hll_distinct_parts, classifier_quality_
+# audit, mixture_temperature_docs, corpus_datacard — stay OUTSIDE
+# the window by the zero-sum rule: their families now all hold an
+# in-window rep (kmv for sketches, classifier_quality_scores for the
+# classifier filter, mixture_sample for mixture control, the X4
+# quality rows for corpus summaries). All are driver_sim-receipted
+# in DRIVER_SIM_r06.txt.
 
 # Round-5 placement decision: the new oracle entries —
 # minhash_md5_signatures/pairs, simhash_md5_pairs,
