@@ -10,18 +10,32 @@ result replays bit-for-bit in a second engine (the fixed-point
 recipe applied to model fitting; gradient-descent fits need exp/log
 and are NOT hash-portable — this is the form that is).
 
-Caller contract: x and y must be integer-valued columns with
-bounded magnitude — every Cramer term must fit a signed 64-bit
-integer. Bound: n·|x|max·|y|max·max(n·|x|max, |y|max·…) in practice
-keep n·Σ|xy| and Σ|x|·Σ|y| under 2^62; the declared demo (quantity
-≤ 50, discount-cents ≤ 10, n ≤ ~10^7 rows/group) holds through
-SF 100. For wider domains, pre-scale down or fit per finer group.
+Caller contract (r6): the OUTPUT Cramer terms must fit a signed
+64-bit integer — n·σx·σy·n in magnitude. INTERMEDIATES (n·Σx²,
+Σx·Σy, 10⁶·num) are computed in DECIMAL(38,0) since r6, so a large
+n·Σx² no longer overflows before the subtraction that cancels it
+(the 10× scale probe caught exactly this on degree assortativity:
+n·Σx² = 9.227e18 > 2^63 while the true varx was 3.45e17 — the
+intermediate was the only overflow). DuckDB oracles get this for
+free: their SUMs are HUGEINT and only the final value casts to
+BIGINT — the decimal intermediates make Spark behave the same way.
+For domains where the TRUE terms exceed 2^63 (n² · variance at
+~10^12 rows/group), pre-bucket the values (the AUC score-bucket
+trick) or fit per finer group.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_DEC = "decimal(38,0)"
+
+
+def _dec(c) -> F.Column:
+    """Widen an integer column to exact decimal(38,0) so products of
+    int64-scale values cannot overflow before final subtraction."""
+    return c.cast(_DEC)
 
 
 def linreg_fit_exact(
@@ -49,11 +63,11 @@ def linreg_fit_exact(
         F.sum(F.col("_x") * F.col("_y")).cast("long").alias("_sxy"),
         F.sum(F.col("_x") * F.col("_x")).cast("long").alias("_sxx"),
     )
-    slope_num = F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
-    slope_den = F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
-    icept_num = (
-        F.col("_sy") * F.col("_sxx") - F.col("_sx") * F.col("_sxy")
-    )
+    nn, sx, sy = _dec(F.col("n")), _dec(F.col("_sx")), _dec(F.col("_sy"))
+    sxy, sxx = _dec(F.col("_sxy")), _dec(F.col("_sxx"))
+    slope_num = nn * sxy - sx * sy
+    slope_den = nn * sxx - sx * sx
+    icept_num = sy * sxx - sx * sxy
     out = g.select(
         "grp",
         "n",
@@ -62,9 +76,14 @@ def linreg_fit_exact(
         icept_num.cast("long").alias("intercept_num"),
         slope_den.cast("long").alias("intercept_den"),
     )
+    # decimal(38,0) intermediate: 10^6·num can pass 2^63 while the
+    # quotient (a micro slope) is tiny; decimal `div` truncates
+    # toward zero exactly like bigint div and DuckDB //
     micro = F.when(
         F.col("slope_den") != 0,
-        F.expr("(1000000L * slope_num) div slope_den"),
+        F.expr(
+            "(cast(1000000 as decimal(38,0)) * slope_num) div slope_den"
+        ),
     )
     return out.withColumn("slope_micro", micro.cast("long"))
 
@@ -104,21 +123,24 @@ def corr_pairs_exact(
     pair_structs = []
     for i, a in enumerate(names):
         for b in names[i + 1 :]:
-            nn = F.col("n")
+            # decimal(38,0) intermediates (r6): n·Σx² alone can pass
+            # 2^63 while the subtracted Cramer value fits — the
+            # overflow the 10× assortativity probe caught
+            nn = _dec(F.col("n"))
             pair_structs.append(
                 F.struct(
                     F.lit(a).alias("x_col"),
                     F.lit(b).alias("y_col"),
-                    (nn * F.col(f"_p_{a}_{b}")
-                     - F.col(f"_s_{a}") * F.col(f"_s_{b}"))
+                    (nn * _dec(F.col(f"_p_{a}_{b}"))
+                     - _dec(F.col(f"_s_{a}")) * _dec(F.col(f"_s_{b}")))
                     .cast("long")
                     .alias("corr_num"),
-                    (nn * F.col(f"_p_{a}_{a}")
-                     - F.col(f"_s_{a}") * F.col(f"_s_{a}"))
+                    (nn * _dec(F.col(f"_p_{a}_{a}"))
+                     - _dec(F.col(f"_s_{a}")) * _dec(F.col(f"_s_{a}")))
                     .cast("long")
                     .alias("varx_num"),
-                    (nn * F.col(f"_p_{b}_{b}")
-                     - F.col(f"_s_{b}") * F.col(f"_s_{b}"))
+                    (nn * _dec(F.col(f"_p_{b}_{b}"))
+                     - _dec(F.col(f"_s_{b}")) * _dec(F.col(f"_s_{b}")))
                     .cast("long")
                     .alias("vary_num"),
                 )
@@ -183,10 +205,11 @@ def auc_exact(df: DataFrame, group_col: str, score, label) -> DataFrame:
         .cast("long")
         .alias("_rs2"),
     )
-    num = (F.col("_rs2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast(
-        "long"
-    )
-    den = (2 * F.col("n_pos") * (F.col("n") - F.col("n_pos"))).cast(
+    num = (
+        _dec(F.col("_rs2"))
+        - _dec(F.col("n_pos")) * (_dec(F.col("n_pos")) + 1)
+    ).cast("long")
+    den = (2 * _dec(F.col("n_pos")) * (_dec(F.col("n")) - _dec(F.col("n_pos")))).cast(
         "long"
     )
     out = g.select(
@@ -196,9 +219,14 @@ def auc_exact(df: DataFrame, group_col: str, score, label) -> DataFrame:
         num.alias("auc_num"),
         den.alias("auc_den"),
     )
+    # decimal intermediate (r6): 10^6·auc_num passes 2^63 once
+    # np·nn > ~9·10^12 (a few million rows/group) though auc_micro
+    # itself is ≤ 10^6
     micro = F.when(
         F.col("auc_den") != 0,
-        F.expr("(1000000L * auc_num) div auc_den"),
+        F.expr(
+            "(cast(1000000 as decimal(38,0)) * auc_num) div auc_den"
+        ),
     )
     return out.withColumn("auc_micro", micro.cast("long"))
 

@@ -288,3 +288,32 @@ def test_zipf_fit_slope_negative_and_replays(spark):
             n, n * sxy - sx * sy, n * sxx - sx * sx
         )
         assert r.slope_micro < 0  # frequencies fall with rank
+
+
+def test_corr_cramer_terms_survive_int64_intermediate_overflow(spark):
+    """r6 regression (caught by the 10x scale probe on degree
+    assortativity): n*Σx² alone may exceed 2^63 while the subtracted
+    Cramer value fits — the decimal(38,0) intermediates must return
+    the exact value instead of raising ARITHMETIC_OVERFLOW."""
+    from mrgo_spark.operators import mlfit
+
+    # x in {3_000_000 ± 50} over 1_000_000 rows: the intermediate
+    # n·Σx² ≈ 9e24 >> 2^63, while the true varx = n²·var(x) =
+    # 1e12 · 2500 = 2.5e15 fits comfortably.
+    df = spark.range(1_000_000).selectExpr(
+        "'g' as grp",
+        "cast(3000000 + (case when id % 2 = 0 then 50 else -50 end) as long) as x",
+        "cast(id % 100 as long) as y",
+    )
+    rows = mlfit.corr_pairs_exact(df, "grp", {"x": "x", "y": "y"}).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    n = 1_000_000
+    xs_even = n // 2  # x = 3000050
+    # python bigint replay
+    sx = (3000050 * xs_even) + (2999950 * (n - xs_even))
+    sxx = (3000050**2 * xs_even) + (2999950**2 * (n - xs_even))
+    assert n * sxx > 2**63  # the intermediate really is overflow territory
+    want_varx = n * sxx - sx * sx
+    assert want_varx < 2**63  # ... while the true value fits
+    assert r.varx_num == want_varx
