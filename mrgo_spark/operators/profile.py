@@ -86,16 +86,22 @@ def corpus_datacard(
     classifier_score_col, fingerprint canonicalization) so the
     datacard is consistent with the filters it summarizes."""
     from ..functions.text import ascii_tokens
+    from .dedup import fingerprint
     from .textstats import classifier_score_col, quality_keep
 
     toks = ascii_tokens(text_col, lowercase=True)
-    canon = F.array_join(F.array_sort(toks), " ")
     per_doc = documents.select(
         F.col(lang_col).alias("lang"),
         F.size(toks).cast("long").alias("_ntok"),
         quality_keep(text_col).cast("int").alias("_hkeep"),
         (classifier_score_col(text_col) >= 0).cast("int").alias("_ckeep"),
-        canon.alias("_fp"),
+        # dedup.fingerprint = sha2 over the canonical sorted-token
+        # string: the count-distinct shuffle carries 64-byte hashes,
+        # not document-sized canonical strings (10x probe measured
+        # 13.1x wall on the raw-string form — shuffle-volume bound).
+        # The oracle counts DISTINCT over the RAW canonical string,
+        # which doubles as a collision check on this hash.
+        fingerprint(text_col).alias("_fp"),
     )
     out = per_doc.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_docs"),
