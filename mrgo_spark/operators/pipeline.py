@@ -69,6 +69,145 @@ def dataset_split(
     return df.withColumn("split", split)
 
 
+DSIR_BUCKETS = 4096   # hashed bigram feature space (DSIR's hashed n-grams)
+DSIR_FP_BITS = 20     # fixed-point bits for the likelihood ratio
+_DSIR_CLAMP = 1 << 62  # ratio clamp keeps the quotient castable to int64
+
+
+def dsir_importance_scores(
+    df: DataFrame,
+    target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how target-like its hashed-bigram distribution is, entirely in
+    portable integers.
+
+    ``target`` is a boolean Column marking the in-domain subset (e.g.
+    lang == 'en'). Features are word bigrams hashed into ``buckets``
+    cells (md5, the hash_bucket rule). One conditional aggregate over
+    the exploded gram stream yields per-bucket target (pc) and corpus
+    (qc) counts; the per-bucket log-likelihood-ratio surrogate is
+
+        lb[b] = floor(log2( (pc+1)/Np / ((qc+1)/Nq) ))
+
+    computed exactly as bit_length(fixed-point ratio) − 1 − FP_BITS —
+    the zipf/HLL integer-log2 trick, so the whole score is
+    engine-portable (true log-ratio is approximated within 1 bit per
+    gram; products run in decimal(38,0) before the division — the r6
+    Cramer-term overflow rule). A doc's score sums lb over its grams;
+    ``selected`` = score ≥ 0 (more target-like than not, the
+    importance-resampling keep rule with threshold 1).
+
+    Columns: (id_col, n_grams, dsir_score_bits, selected); gram-less
+    docs (< 2 tokens) score 0 and are selected by convention.
+
+    Scale shape: the bucket/llr tables are ``buckets`` rows (broadcast
+    side at any corpus size); per-doc work is one explode + broadcast
+    join + partial-agg sum — two corpus scans total (bucket build +
+    score), no corpus-sized shuffle beyond the per-doc agg keyed on id.
+    """
+    grams = df.select(
+        F.col(id_col),
+        target.cast("int").alias("_t"),
+        F.explode(word_ngrams(text_col, 2)).alias("_g"),
+    )
+    fb = grams.select(id_col, "_t", hash_bucket("_g", buckets).alias("_b"))
+    bt = fb.groupBy("_b").agg(
+        F.count("*").alias("qc"), F.sum("_t").alias("pc")
+    )
+    tot = bt.agg(F.sum("qc").alias("nq"), F.sum("pc").alias("np"))
+    ratio = F.expr(
+        f"cast(greatest(least("
+        f"((cast(pc as decimal(38,0)) + 1) * cast(nq as decimal(38,0))"
+        f"  * cast({1 << DSIR_FP_BITS} as decimal(38,0)))"
+        f" div ((cast(qc as decimal(38,0)) + 1) * cast(np as decimal(38,0))),"
+        f" cast({_DSIR_CLAMP} as decimal(38,0))),"
+        f" cast(1 as decimal(38,0))) as bigint)"
+    )
+    llr = bt.crossJoin(F.broadcast(tot)).select(
+        "_b",
+        (F.length(F.bin(ratio)) - F.lit(1 + DSIR_FP_BITS))
+        .cast("long")
+        .alias("_lb"),
+    )
+    per_doc = (
+        fb.join(F.broadcast(llr), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("_lb").cast("long").alias("dsir_score_bits"),
+        )
+    )
+    score = F.coalesce(F.col("dsir_score_bits"), F.lit(0)).cast("long")
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            score.alias("dsir_score_bits"),
+            (score >= 0).alias("selected"),
+        )
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "src",
+    dst: str = "dst",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    max_iter: int = 10,
+    converge: bool = False,
+) -> DataFrame:
+    """Cluster-atomic train/val/test split (r6): every member of a
+    near-dup cluster gets the split of the cluster's CANONICAL member
+    (min id), so no near-duplicate pair ever straddles train/test.
+    ``dataset_split`` alone is stable but leakage-blind — a mutated
+    copy of a training doc can land in test and inflate eval. Here the
+    split is a pure function of md5(canonical_id): still deterministic,
+    still incremental (new singletons never move old docs; a new edge
+    moves only the cluster it joins), and singletons degrade to exactly
+    ``dataset_split``'s assignment.
+
+    Columns: (id_col, canonical_id, split, moved) — ``moved`` marks
+    docs whose cluster pulled them away from their own-id split (the
+    leakage the operator prevented).
+
+    Scale shape: components run only over ids that appear in ``pairs``
+    (dup-rate-sized); the corpus-sized work is one left join back and a
+    map-side md5 bucket — same cost envelope as dup_clusters itself.
+    """
+    from .dedup import dup_clusters
+
+    clusters = dup_clusters(
+        df, pairs, id_col=id_col, src=src, dst=dst,
+        max_iter=max_iter, converge=converge,
+    )
+
+    def split_of(bucket):
+        return (
+            F.when(bucket < train_pct, "train")
+            .when(bucket < train_pct + val_pct, "val")
+            .otherwise("test")
+        )
+
+    cluster_split = split_of(hash_bucket("canonical_id", 100))
+    own_split = split_of(hash_bucket(id_col, 100))
+    return clusters.select(
+        F.col(id_col),
+        "canonical_id",
+        cluster_split.alias("split"),
+        (cluster_split != own_split).alias("moved"),
+    )
+
+
 def mixture_sample(
     df: DataFrame, rate_permille: F.Column, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -802,9 +802,12 @@ def q_dup_cluster_components(spark, sf_dir):
     )
 
 
-@declare(
-    "dedup_pipeline_canonical",
-    """
+# Shared planted-duplicate graph (one source for the
+# dedup_pipeline_canonical and leakage_safe_split oracles): corpus
+# with exact (+100000), token-reversed (+200000) and 50-token-
+# truncated (+300000) copies; fingerprint + 5-token-prefix star
+# edges; recursive-CTE connected components → comp(id, canonical).
+_DUP_GRAPH_SQL = """
     WITH RECURSIVE corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
@@ -854,7 +857,13 @@ def q_dup_cluster_components(spark, sf_dir):
         UNION
         SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.id
     ),
-    comp AS (SELECT id, MIN(lbl) AS canonical FROM reach GROUP BY id)
+    comp AS (SELECT id, MIN(lbl) AS canonical FROM reach GROUP BY id)"""
+
+
+@declare(
+    "dedup_pipeline_canonical",
+    _DUP_GRAPH_SQL
+    + """
     SELECT c.doc_id,
            COALESCE(p.canonical, c.doc_id) AS canonical_id,
            CAST(COUNT(*) OVER (
@@ -876,10 +885,25 @@ def q_dedup_pipeline_canonical(spark, sf_dir):
     become one cluster only through the original. Oracle walks the
     same graph with a recursive CTE.
     """
+    corpus = _planted_dup_corpus(spark, sf_dir)
+    return dedup.dup_clusters(
+        corpus,
+        _dup_blocking_pairs(corpus),
+        id_col="doc_id",
+        src="src",
+        dst="dst",
+        converge=True,
+    )
+
+
+def _planted_dup_corpus(spark, sf_dir):
+    """Spark twin of _DUP_GRAPH_SQL's corpus CTE: documents plus
+    exact (+100000), token-reversed (+200000) and 50-token-truncated
+    (+300000) planted copies."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tenth = docs.filter(F.col("doc_id") % 10 == 0)
     toks_raw = ascii_tokens("text")
-    corpus = (
+    return (
         docs.unionAll(
             tenth.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
         )
@@ -896,15 +920,60 @@ def q_dedup_pipeline_canonical(spark, sf_dir):
             )
         )
     )
+
+
+def _dup_blocking_pairs(corpus):
+    """Spark twin of _DUP_GRAPH_SQL's edge CTEs: fingerprint +
+    5-token-prefix star edges over the planted corpus."""
     toks = ascii_tokens("text", lowercase=True)
     keys = corpus.select(
         "doc_id",
         F.array_join(F.array_sort(toks), " ").alias("fp"),
         F.array_join(F.slice(toks, 1, 5), " ").alias("pre"),
     )
-    pairs = dedup.star_edges(keys, "fp").unionAll(dedup.star_edges(keys, "pre"))
-    return dedup.dup_clusters(
-        corpus, pairs, id_col="doc_id", src="src", dst="dst", converge=True
+    return dedup.star_edges(keys, "fp").unionAll(dedup.star_edges(keys, "pre"))
+
+
+@declare(
+    "leakage_safe_split",
+    _DUP_GRAPH_SQL
+    + """
+    , assigned AS (
+        SELECT c.doc_id, COALESCE(p.canonical, c.doc_id) AS canonical_id
+        FROM corpus c LEFT JOIN comp p ON c.doc_id = p.id
+    )
+    SELECT doc_id, canonical_id,
+           CASE WHEN cb < 80 THEN 'train'
+                WHEN cb < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           (CASE WHEN cb < 80 THEN 'train'
+                 WHEN cb < 90 THEN 'val'
+                 ELSE 'test' END)
+             <> (CASE WHEN ob < 80 THEN 'train'
+                      WHEN ob < 90 THEN 'val'
+                      ELSE 'test' END) AS moved
+    FROM (
+        SELECT doc_id, canonical_id,
+               CAST(('0x' || substr(md5(CAST(canonical_id AS VARCHAR)), 1, 4))
+                    AS BIGINT) % 100 AS cb,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS BIGINT) % 100 AS ob
+        FROM assigned
+    )
+    """,
+)
+def q_leakage_safe_split(spark, sf_dir):
+    """Cluster-atomic train/val/test split (pipeline.leakage_safe_
+    split): near-dup clusters — the dedup-pipeline planted corpus and
+    blocking graph, reused verbatim — are assigned to ONE split by
+    md5(canonical_id), so no planted copy ever straddles train/test.
+    ``moved`` marks docs whose cluster pulled them off their own-id
+    split (the contamination dataset_split alone would have let
+    through). Oracle walks the same recursive-CTE graph, then applies
+    the same md5-bucket rule to the canonical id."""
+    corpus = _planted_dup_corpus(spark, sf_dir)
+    return pipeline.leakage_safe_split(
+        corpus, _dup_blocking_pairs(corpus), converge=True
     )
 
 
@@ -3349,3 +3418,73 @@ def q_corpus_datacard(spark, sf_dir):
 
     docs = widen_scan(load_table(spark, sf_dir, "documents"))
     return profile.corpus_datacard(docs)
+
+
+@declare(
+    "dsir_importance_scores",
+    # constants interpolate from pipeline (one source for all legs):
+    # bucket count, fixed-point bits, ratio clamp
+    f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    fb AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(g), 1, 4)) AS BIGINT)
+                 % {pipeline.DSIR_BUCKETS} AS b,
+               tflag
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tflag,
+                   unnest([array_to_string(t[i:i+1], ' ')
+                           for i in generate_series(1, len(t) - 1)]) AS g
+            FROM tok WHERE len(t) >= 2
+        )
+    ),
+    bt AS MATERIALIZED (
+        SELECT b, CAST(count(*) AS HUGEINT) AS qc,
+               CAST(coalesce(sum(tflag), 0) AS HUGEINT) AS pc
+        FROM fb GROUP BY b
+    ),
+    tot AS (
+        SELECT CAST(sum(qc) AS HUGEINT) AS nq,
+               CAST(sum(pc) AS HUGEINT) AS np
+        FROM bt
+    ),
+    llr AS MATERIALIZED (
+        SELECT b,
+               CAST(length(bin(CAST(greatest(least(
+                   ((pc + 1) * nq * {1 << pipeline.DSIR_FP_BITS}::HUGEINT)
+                     // ((qc + 1) * np),
+                   {pipeline._DSIR_CLAMP}::HUGEINT), 1::HUGEINT)
+                   AS BIGINT))) AS BIGINT) - {1 + pipeline.DSIR_FP_BITS} AS lb
+        FROM bt, tot
+    ),
+    sc AS (
+        SELECT f.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(l.lb) AS BIGINT) AS dsir_score_bits
+        FROM fb f JOIN llr l USING (b)
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(s.dsir_score_bits, 0) AS BIGINT) AS dsir_score_bits,
+           coalesce(s.dsir_score_bits, 0) >= 0 AS selected
+    FROM documents d LEFT JOIN sc s USING (doc_id)
+    """,
+)
+def q_dsir_importance_scores(spark, sf_dir):
+    """DSIR data selection (r6, pipeline.dsir_importance_scores):
+    per-document target-likeness scores from hashed-bigram importance
+    ratios — the importance-resampling selection step of Xie et al.
+    2023, with the log-likelihood ratio replaced by its exact integer
+    floor-log2 (bit_length of a decimal(38,0) fixed-point ratio — the
+    zipf/HLL trick), so every leg is hash-portable. Target here =
+    lang='en'; the 4096-cell bucket/llr tables are broadcast-sized at
+    any corpus scale."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    return pipeline.dsir_importance_scores(docs, F.col("lang") == "en")

@@ -381,3 +381,143 @@ def test_mixture_temperature_upweights_small_strata(spark):
     for r in prop:
         byp[r.stratum] = byp.get(r.stratum, 0) + 1
     assert byp.get("small", 0) <= 1  # the flattening is real
+
+
+# ---------------------------------------------------- leakage_safe_split
+
+
+def _star_pairs(spark, edges):
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_leakage_safe_split_cluster_atomic(spark):
+    """Every member of a connected cluster gets the canonical member's
+    split — no near-dup pair straddles train/test."""
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # clusters: {1,2,3}, {50,51}, plus singletons
+    pairs = _star_pairs(spark, [(1, 2), (2, 3), (50, 51)])
+    out = pipeline.leakage_safe_split(docs, pairs, converge=True).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(out) == 200
+    assert {by_id[i].split for i in (1, 2, 3)} == {by_id[1].split}
+    assert {by_id[i].canonical_id for i in (1, 2, 3)} == {1}
+    assert by_id[50].split == by_id[51].split
+    # singletons degrade to dataset_split exactly
+    naive = {
+        r.doc_id: r.split
+        for r in pipeline.dataset_split(docs).collect()
+    }
+    clustered = {1, 2, 3, 50, 51}
+    for i in range(200):
+        if i not in clustered:
+            assert by_id[i].split == naive[i], i
+            assert not by_id[i].moved
+    # moved is exactly "cluster split differs from own-id split"
+    for i in clustered:
+        assert by_id[i].moved == (by_id[i].split != naive[i]), i
+
+
+def test_leakage_safe_split_incremental_stability(spark):
+    """Adding new singleton docs never moves existing assignments
+    (the dataset_split stability contract lifted to clusters)."""
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    grown = spark.createDataFrame(
+        [(i,) for i in range(150)], "doc_id long"
+    )
+    pairs = _star_pairs(spark, [(7, 8), (7, 9)])
+    before = {
+        r.doc_id: (r.canonical_id, r.split)
+        for r in pipeline.leakage_safe_split(docs, pairs, converge=True).collect()
+    }
+    after = {
+        r.doc_id: (r.canonical_id, r.split)
+        for r in pipeline.leakage_safe_split(grown, pairs, converge=True).collect()
+    }
+    assert before == {k: v for k, v in after.items() if k < 100}
+
+
+# ------------------------------------------------- dsir_importance_scores
+
+
+def test_dsir_scores_match_pure_python_model(spark):
+    """Exact integer differential: replay the full DSIR pipeline
+    (md5 bucket, conditional counts, decimal fixed-point ratio,
+    bit_length log2, per-doc sum) in pure Python and compare
+    score-for-score."""
+    import hashlib
+    import re
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    rows = docs.collect()
+    B, FP, CLAMP = (
+        pipeline.DSIR_BUCKETS,
+        pipeline.DSIR_FP_BITS,
+        pipeline._DSIR_CLAMP,
+    )
+
+    def toks(s):
+        return [w for w in re.split(r"[^a-z]+", s.lower()) if w]
+
+    def grams(s):
+        t = toks(s)
+        return [" ".join(t[i : i + 2]) for i in range(len(t) - 1)]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:4], 16) % B
+
+    qc, pc = {}, {}
+    for r in rows:
+        for g in grams(r.text):
+            b = bucket(g)
+            qc[b] = qc.get(b, 0) + 1
+            if r.lang == "en":
+                pc[b] = pc.get(b, 0) + 1
+    nq, np_ = sum(qc.values()), sum(pc.values())
+    lb = {}
+    for b, q in qc.items():
+        ratio = ((pc.get(b, 0) + 1) * nq * (1 << FP)) // ((q + 1) * np_)
+        ratio = max(min(ratio, CLAMP), 1)
+        lb[b] = ratio.bit_length() - 1 - FP
+    expect = {}
+    for r in rows:
+        gs = grams(r.text)
+        expect[r.doc_id] = (
+            len(gs),
+            sum(lb[bucket(g)] for g in gs),
+        )
+    out = pipeline.dsir_importance_scores(
+        docs, F.col("lang") == "en"
+    ).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        n, s = expect[r.doc_id]
+        assert (r.n_grams, r.dsir_score_bits) == (n, s), r.doc_id
+        assert r.selected == (s >= 0)
+
+
+def test_dsir_separates_planted_target_vocab(spark):
+    """Docs written in the target vocabulary score positive; docs in a
+    disjoint vocabulary score negative (the selection signal)."""
+    tv = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    ov = ["zork", "quux", "fnord", "blarg", "wibble"]
+    rows = []
+    for i in range(20):
+        rows.append((i, " ".join(tv[(i + j) % 5] for j in range(30)), 1))
+    for i in range(20, 40):
+        rows.append((i, " ".join(ov[(i + j) % 5] for j in range(30)), 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, flag int")
+    out = {
+        r.doc_id: r
+        for r in pipeline.dsir_importance_scores(
+            df, F.col("flag") == 1
+        ).collect()
+    }
+    assert all(out[i].dsir_score_bits > 0 and out[i].selected for i in range(20))
+    assert all(
+        out[i].dsir_score_bits < 0 and not out[i].selected
+        for i in range(20, 40)
+    )
