@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..functions.text import ascii_tokens
 from ..registry import declare
 from ..sources.tables import load_table, widen_scan
-from . import dedup, pipeline, similarity, sketch, textstats
+from . import dedup, pipeline, retrieval, similarity, sketch, textstats
 
 # ---------------------------------------------------------------- dedup
 
@@ -3488,3 +3488,164 @@ def q_dsir_importance_scores(spark, sf_dir):
     any corpus scale."""
     docs = widen_scan(load_table(spark, sf_dir, "documents"))
     return pipeline.dsir_importance_scores(docs, F.col("lang") == "en")
+
+
+# --------------------------------------------------------- retrieval
+
+
+def _bm25_sql(k: int) -> str:
+    """BM25 oracle fragment: CTEs tok/dl/sc/qt/ex/cand/tf/dfq/bm
+    ending with bm(query_id, doc_id, n_terms, score_fp, rank <= k).
+    Queries = first-5 distinct tokens of every doc_id % 100 == 0 doc;
+    constants mirror retrieval.bm25_topk (k1=6/5, b=3/4 multiplied
+    out; products in HUGEINT — the decimal(38,0) twin)."""
+    return f"""
+    tok AS MATERIALIZED (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    dl AS MATERIALIZED (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok
+    ),
+    sc AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(dl) AS BIGINT) AS tt
+        FROM dl
+    ),
+    qt AS MATERIALIZED (
+        SELECT doc_id AS query_id,
+               unnest(list_distinct(toks[1:5])) AS term
+        FROM tok WHERE doc_id % 100 = 0
+    ),
+    ex AS MATERIALIZED (
+        SELECT doc_id, unnest(toks) AS term FROM tok
+    ),
+    cand AS MATERIALIZED (
+        SELECT q.query_id, e.doc_id, e.term
+        FROM ex e JOIN qt q USING (term)
+    ),
+    tf AS (
+        SELECT query_id, doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM cand GROUP BY 1, 2, 3
+    ),
+    dfq AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM cand GROUP BY 1
+    ),
+    bm AS MATERIALIZED (
+        SELECT query_id, doc_id, n_terms, score_fp, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY score_fp DESC, doc_id) AS rank
+            FROM (
+                SELECT t.query_id, t.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_terms,
+                       CAST(sum(
+                           ((2::HUGEINT * s.n - 2 * f.df + 1)
+                            * (22::HUGEINT * s.tt * t.tf)
+                            * {retrieval.BM25_SCALE})
+                           // ((2::HUGEINT * f.df + 1)
+                               * (10::HUGEINT * s.tt * t.tf
+                                  + 3::HUGEINT * s.tt
+                                  + 9::HUGEINT * d.dl * s.n))
+                       ) AS BIGINT) AS score_fp
+                FROM tf t
+                JOIN dfq f USING (term)
+                JOIN dl d USING (doc_id), sc s
+                GROUP BY 1, 2
+            )
+        ) WHERE rank <= {k}
+    )"""
+
+
+@declare(
+    "bm25_topk_docs",
+    f"""
+    WITH {_bm25_sql(10)}
+    SELECT query_id, doc_id, n_terms, score_fp, rank FROM bm
+    """,
+)
+def q_bm25_topk_docs(spark, sf_dir):
+    """Lexical retrieval (retrieval.bm25_topk): top-10 documents per
+    query under exact-integer Okapi BM25 — k1=6/5 and b=3/4 multiply
+    out to one truncating fixed-point division per (query, doc, term)
+    and an exact integer sum, so the full RANKING is oracle-checked
+    (not just the row set). Queries are fixture-derived: the first 5
+    distinct tokens of every doc_id % 100 == 0 document."""
+    docs = widen_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    qterms = retrieval.query_terms_from_docs(docs, F.col("doc_id") % 100 == 0)
+    return retrieval.bm25_topk(docs, qterms, k=10)
+
+
+@declare(
+    "rrf_hybrid_retrieval",
+    f"""
+    WITH {_bm25_sql(20)},
+    {_FX_NORMS_SQL.replace("norms AS", "norms AS MATERIALIZED")},
+    sem AS (
+        SELECT query_id, doc_id, rank FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {_FX_DOT_SQL}
+                                / (sqrt(a.norm_fx) * sqrt(b.norm_fx)) DESC,
+                                b.vec_id) AS rank
+            FROM norms a JOIN norms b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id % 100 = 0
+              AND a.vec_id IN (SELECT doc_id FROM documents)
+        ) WHERE rank <= 20
+    ),
+    fuse_in AS (
+        SELECT query_id, doc_id,
+               {retrieval.RRF_SCALE} // ({retrieval.RRF_K} + rank) AS c
+        FROM bm
+        UNION ALL
+        SELECT query_id, doc_id,
+               {retrieval.RRF_SCALE} // ({retrieval.RRF_K} + rank) AS c
+        FROM sem
+    ),
+    fused AS (
+        SELECT query_id, doc_id,
+               CAST(count(*) AS BIGINT) AS n_sources,
+               CAST(sum(c) AS BIGINT) AS rrf_score_fp
+        FROM fuse_in GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, n_sources, rrf_score_fp, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY rrf_score_fp DESC, doc_id) AS rank
+        FROM fused
+    ) WHERE rank <= 10
+    """,
+)
+def q_rrf_hybrid_retrieval(spark, sf_dir):
+    """Hybrid retrieval (retrieval.rrf_fuse): reciprocal-rank fusion
+    of BM25 top-20 (lexical, over documents) and exact cosine top-20
+    (semantic, over embeddings — the topk_cosine scorer) for the same
+    fixture-derived query set (doc_id % 100 == 0). RRF contributions
+    are the exact integer SCALE div (60 + rank), so the fused ranking
+    hash-matches; the cosine leg contributes only its rank (its
+    double score never reaches the output)."""
+    docs = widen_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    qterms = retrieval.query_terms_from_docs(docs, F.col("doc_id") % 100 == 0)
+    lex = retrieval.bm25_topk(docs, qterms, k=20)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = docs.filter(F.col("doc_id") % 100 == 0).select("doc_id")
+    sem_q = emb.join(
+        F.broadcast(qids),
+        (F.col("vec_id") == F.col("doc_id")) & (F.col("vec_id") % 100 == 0),
+        "left_semi",
+    )
+    sem = similarity.topk_cosine_exact(emb, sem_q, k=20).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return retrieval.rrf_fuse(
+        [lex.select("query_id", "doc_id", "rank"), sem], k=10
+    )

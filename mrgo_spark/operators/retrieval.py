@@ -1,0 +1,172 @@
+"""Text retrieval operators: exact-integer BM25 ranking and
+reciprocal-rank fusion (hybrid lexical + semantic search).
+
+The retrieval step of a RAG / training-data-curation pipeline:
+rank documents for a query term set (BM25), rank by embedding
+cosine (similarity.topk_cosine_exact), fuse the two rankings
+(RRF, Cormack et al. SIGIR 2009). Everything here is declared-
+surface material: scores are exact integers, so the whole ranking —
+not just the row set — is oracle-checkable.
+
+Portability design (the tfidf/zipf lessons applied to BM25):
+
+- Okapi BM25 uses k1 = 6/5 and b = 3/4, so the tf-normalization
+  term multiplies out to an exact integer fraction. With T = total
+  corpus tokens, N = docs, dl = doc length, tf = term frequency:
+
+      tf_norm = tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl·N/T)
+              = 22·T·tf / (10·T·tf + 3·T + 9·dl·N)
+
+- idf uses the rational BM25 form (N − df + ½)/(df + ½) =
+  (2N − 2df + 1)/(2df + 1) — same monotone ranking as the log form,
+  zero libm (the r2 tfidf finding: ln() is not hash-safe).
+
+- A float Σ over query terms would be order-dependent; instead each
+  per-term score becomes fixed-point via one truncating division
+  (products in decimal(38,0) — the r6 overflow rule), and the
+  per-document score is an exact integer SUM.
+
+Scale shape: query term tables are broadcast-sized; corpus-side work
+is one tokenize+explode scan filtered by the broadcast term set plus
+one map-only doc-length scan; every aggregate after the filter is
+candidate-sized (docs containing a query term), and the top-k window
+partitions by query. Nothing is all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import ascii_tokens
+
+BM25_SCALE = 1_000_000  # fixed-point scale for per-term scores
+RRF_K = 60              # the standard RRF damping constant
+RRF_SCALE = 1_000_000   # fixed-point scale for 1/(K+rank)
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents per query under exact-integer Okapi BM25
+    (k1 = 1.2, b = 0.75 — multiplied out to integer arithmetic, see
+    module docstring).
+
+    ``query_terms`` has columns (query_id, term), one row per distinct
+    lowercase query term; it is broadcast, so the corpus is never
+    shuffled by term. df counts documents containing the term
+    (over the whole corpus — candidates ARE every doc containing the
+    term, so the filtered stream suffices). Ties break by doc id.
+
+    Columns: (query_id, doc_id, n_terms, score_fp, rank) with
+    score_fp = Σ_term (idf_num·tf_num·SCALE) div (idf_den·tf_den),
+    all terms positive so truncation == floor.
+    """
+    toks = ascii_tokens(text_col, lowercase=True)
+    ex = documents.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+    # map-only second scan: per-doc length + the (N, T) scalars
+    dl = documents.select(
+        F.col(id_col).alias("doc_id"), F.size(toks).cast("long").alias("dl")
+    )
+    scalars = dl.agg(
+        F.count("*").cast("long").alias("n"), F.sum("dl").cast("long").alias("tt")
+    )
+    cand = ex.join(F.broadcast(query_terms.select("query_id", "term")), "term")
+    tf = cand.groupBy("query_id", "doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dfreq = (
+        cand.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    score_fp = F.expr(
+        f"cast("
+        f"((cast(2 as decimal(38,0)) * n - 2 * df + 1)"
+        f" * (cast(22 as decimal(38,0)) * tt * tf)"
+        f" * cast({BM25_SCALE} as decimal(38,0)))"
+        f" div ((cast(2 as decimal(38,0)) * df + 1)"
+        f" * (cast(10 as decimal(38,0)) * tt * tf"
+        f"     + cast(3 as decimal(38,0)) * tt"
+        f"     + cast(9 as decimal(38,0)) * dl * n))"
+        f" as bigint)"
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum(score_fp).cast("long").alias("score_fp"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_fp"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "n_terms", "score_fp", "rank")
+    )
+
+
+def query_terms_from_docs(
+    documents: DataFrame,
+    query_filter,
+    n_terms: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Derive a (query_id, term) table from the corpus itself: each
+    selected document's first ``n_terms`` distinct lowercase tokens
+    become its query — the fixture-driven query-set idiom
+    (topk_cosine's vec_id % 100 pattern) lifted to text."""
+    toks = ascii_tokens(text_col, lowercase=True)
+    return documents.filter(query_filter).select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.array_distinct(F.slice(toks, 1, n_terms))).alias("term"),
+    )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    k: int = 10,
+    k_rrf: int = RRF_K,
+    scale: int = RRF_SCALE,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked lists (Cormack et al. 2009):
+    rrf(d) = Σ_lists 1/(k_rrf + rank_d), here as the exact integer
+    Σ scale div (k_rrf + rank) so the fused ORDER is oracle-checkable
+    (both engines truncate positive division identically).
+
+    Each input frame needs (query_id, doc_id, rank); docs missing
+    from a list contribute nothing (the standard convention). Output:
+    (query_id, doc_id, n_sources, rrf_score_fp, rank), top-k per
+    query, ties by doc_id.
+
+    Scale shape: inputs are already top-k-per-query (bounded); the
+    fuse is a union + one small groupBy + a per-query window.
+    """
+    contrib = F.expr(f"cast({scale} div ({k_rrf} + rank) as bigint)")
+    parts = [
+        r.select("query_id", "doc_id", contrib.alias("_c")) for r in ranked
+    ]
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionAll(p)
+    fused = allc.groupBy("query_id", "doc_id").agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.sum("_c").cast("long").alias("rrf_score_fp"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score_fp"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "n_sources", "rrf_score_fp", "rank")
+    )

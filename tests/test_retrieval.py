@@ -1,0 +1,154 @@
+"""Tests for retrieval operators (operators/retrieval.py): BM25
+pure-Python differential, ranking signal, RRF hand case."""
+
+from __future__ import annotations
+
+import re
+from fractions import Fraction
+
+from pyspark.sql import functions as F
+
+from mrgo_spark.operators import retrieval
+from mrgo_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _toks(s):
+    return [w for w in re.split(r"[^a-z]+", s.lower()) if w]
+
+
+def _bm25_model(rows, queries):
+    """Pure-Python replay of bm25_topk's exact integer math.
+    rows: [(doc_id, text)]; queries: {query_id: [terms]}.
+    Returns {(query_id, doc_id): (n_terms, score_fp)}."""
+    toks = {d: _toks(t) for d, t in rows}
+    dl = {d: len(t) for d, t in toks.items()}
+    n, tt = len(rows), sum(dl.values())
+    dfc = {}
+    tfc = {}
+    for d, t in toks.items():
+        seen = set()
+        for w in t:
+            tfc[(d, w)] = tfc.get((d, w), 0) + 1
+            if w not in seen:
+                seen.add(w)
+                dfc[w] = dfc.get(w, 0) + 1
+    out = {}
+    for q, terms in queries.items():
+        for d in toks:
+            matched = [w for w in terms if (d, w) in tfc]
+            if not matched:
+                continue
+            s = 0
+            for w in matched:
+                tf, df = tfc[(d, w)], dfc[w]
+                num = (2 * n - 2 * df + 1) * (22 * tt * tf) * retrieval.BM25_SCALE
+                den = (2 * df + 1) * (10 * tt * tf + 3 * tt + 9 * dl[d] * n)
+                s += num // den
+            out[(q, d)] = (len(matched), s)
+    return out
+
+
+def test_bm25_matches_pure_python_model(spark):
+    """Score-for-score integer differential on the fixture corpus with
+    the declared query rule (first-5 distinct tokens, doc_id % 20)."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    queries = {
+        d: list(dict.fromkeys(_toks(t)[:5])) for d, t in rows if d % 20 == 0
+    }
+    expect = _bm25_model(rows, queries)
+    qterms = retrieval.query_terms_from_docs(docs, F.col("doc_id") % 20 == 0)
+    got = retrieval.bm25_topk(docs, qterms, k=10).collect()
+    assert got, "fixture produced no candidates"
+    for r in got:
+        assert (r.n_terms, r.score_fp) == expect[(r.query_id, r.doc_id)], r
+    # rank agrees with the model's ordering (score desc, doc_id asc)
+    for q in queries:
+        model_order = sorted(
+            ((d, v[1]) for (qq, d), v in expect.items() if qq == q),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        got_order = sorted(
+            [(r.rank, r.doc_id) for r in got if r.query_id == q]
+        )
+        assert [d for _, d in got_order] == [d for d, _ in model_order], q
+
+
+def test_bm25_rare_term_beats_common_term(spark):
+    """idf signal: with equal tf and dl, the doc matching the rare
+    query term outranks the doc matching the ubiquitous one."""
+    rows = [(0, "aardvark common pad pad"), (1, "common zebra pad pad")]
+    rows += [(i, "common filler pad pad") for i in range(2, 12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qterms = spark.createDataFrame(
+        [(99, "aardvark"), (99, "common")], "query_id long, term string"
+    )
+    out = {r.doc_id: r for r in retrieval.bm25_topk(docs, qterms, k=12).collect()}
+    assert out[0].rank == 1  # matches rare + common
+    assert out[0].n_terms == 2
+    # doc 1 matches only 'common', same as fillers; ties break by id
+    assert out[1].score_fp == out[2].score_fp
+    assert out[1].rank < out[2].rank
+
+
+def test_bm25_score_is_floor_of_rational(spark):
+    """The fixed-point score truncates the exact rational from below
+    (all-positive terms): score_fp <= SCALE * exact < score_fp + n_terms."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    toks = {d: _toks(t) for d, t in rows}
+    dl = {d: len(t) for d, t in toks.items()}
+    n, tt = len(rows), sum(dl.values())
+    qterms = retrieval.query_terms_from_docs(docs, F.col("doc_id") == 0)
+    got = retrieval.bm25_topk(docs, qterms, k=5).collect()
+    q0 = list(dict.fromkeys(toks[0][:5]))
+    dfc = {w: sum(1 for t in toks.values() if w in t) for w in q0}
+    for r in got:
+        exact = sum(
+            Fraction(
+                (2 * n - 2 * dfc[w] + 1) * 22 * tt * toks[r.doc_id].count(w),
+                (2 * dfc[w] + 1)
+                * (10 * tt * toks[r.doc_id].count(w) + 3 * tt + 9 * dl[r.doc_id] * n),
+            )
+            for w in q0
+            if w in toks[r.doc_id]
+        )
+        assert r.score_fp <= exact * retrieval.BM25_SCALE < r.score_fp + r.n_terms
+
+
+def test_rrf_fuse_hand_case(spark):
+    """Hand-computed fusion: a doc present in both lists beats docs
+    present in one; contributions are SCALE // (60 + rank)."""
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    sem = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], "query_id long, doc_id long, rank int"
+    )
+    out = {r.doc_id: r for r in retrieval.rrf_fuse([lex, sem], k=10).collect()}
+    S = retrieval.RRF_SCALE
+    assert out[11].rrf_score_fp == S // 62 + S // 61
+    assert out[11].n_sources == 2 and out[11].rank == 1
+    assert out[10].rrf_score_fp == S // 61 and out[10].n_sources == 1
+    assert out[13].rrf_score_fp == S // 62
+    assert out[12].rrf_score_fp == S // 63
+    # full ordering: 11 (both) > 10 (lex r1) > 13 (sem r2) > 12 (lex r3)
+    assert [out[d].rank for d in (11, 10, 13, 12)] == [1, 2, 3, 4]
+
+
+def test_bm25_plan_broadcasts_query_side(spark):
+    """The corpus must never shuffle by term: the query-term join and
+    the df join are broadcasts, no SortMergeJoin on term."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    qterms = retrieval.query_terms_from_docs(docs, F.col("doc_id") % 20 == 0)
+    plan = (
+        retrieval.bm25_topk(docs, qterms, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
