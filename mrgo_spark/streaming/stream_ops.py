@@ -481,6 +481,98 @@ def streaming_classifier_scores(
     return classifier_quality_scores(doc_stream, text_col, id_col)
 
 
+_INC_DEDUP_OUTPUT_SCHEMA = "doc_id long, verdict string, match_id long"
+_INC_DEDUP_STATE_SCHEMA = "first_id long"
+
+
+def _classify_one_fp(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-fingerprint classifier for streaming_incremental_dedup.
+    State = smallest stream doc id already seen for this fingerprint
+    (one long per distinct fingerprint). Rows carry the static lake
+    match (_ex_match, nullable); the lake ALWAYS wins — the batch
+    twin's existing-beats-batch priority."""
+    first = state.get[0] if state.exists else None
+    out_ids, out_v, out_m = [], [], []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("doc_id")
+        ids = pdf["doc_id"].to_numpy()
+        exs = pdf["_ex_match"].to_numpy()
+        for i in range(len(ids)):
+            ex = None if pd.isna(exs[i]) else int(exs[i])
+            if ex is not None:
+                out_v.append("dup_of_existing")
+                out_m.append(ex)
+            elif first is not None:
+                out_v.append("dup_within_stream")
+                out_m.append(first)
+            else:
+                first = int(ids[i])
+                out_v.append("new")
+                out_m.append(None)
+            out_ids.append(int(ids[i]))
+    if first is not None:
+        state.update((first,))
+    yield pd.DataFrame(
+        {"doc_id": out_ids, "verdict": out_v, "match_id": out_m}
+    )
+
+
+def streaming_incremental_dedup(
+    doc_stream: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of ``dedup.incremental_dedup_audit`` (r6): the
+    production ingest-time shape — classify each ARRIVING document
+    against the at-rest lake fingerprint index without re-deduping
+    the lake, and against the stream's own history.
+
+    Plan: the static side collapses to one (fingerprint, min_id) row
+    per distinct fingerprint (the lake index); the stream probes it
+    with a stream-static left join keyed on the fingerprint (no text
+    moves — the sha2 key is 32 bytes), then applyInPandasWithState
+    keyed by fingerprint marks within-stream repeats. State is one
+    long per distinct NEW fingerprint; at 100 TB the lake index side
+    is the thing that scales, and it is a static DataFrame Spark
+    re-broadcasts/joins per micro-batch.
+
+    Verdicts: dup_of_existing (lake wins, always), new (first stream
+    arrival, id-ordered within a micro-batch), dup_within_stream
+    (later arrival; match_id = the first stream id). Within one
+    micro-batch this agrees exactly with the batch twin whenever ids
+    arrive in id order (tested); across batches first-seen wins — the
+    stream semantics.
+    """
+    from ..operators.dedup import fingerprint
+
+    ex_min = (
+        existing.select(
+            F.col(id_col).alias("_eid"), fingerprint(text_col).alias("_fp")
+        )
+        .groupBy("_fp")
+        .agg(F.min("_eid").alias("_ex_match"))
+    )
+    inc = doc_stream.select(
+        F.col(id_col).alias("doc_id"), fingerprint(text_col).alias("_fp")
+    )
+    return (
+        inc.join(ex_min, "_fp", "left")
+        .groupBy("_fp")
+        .applyInPandasWithState(
+            _classify_one_fp,
+            outputStructType=_INC_DEDUP_OUTPUT_SCHEMA,
+            stateStructType=_INC_DEDUP_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_corpus_prep(
     doc_stream: DataFrame,
     text_col: str = "text",

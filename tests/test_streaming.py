@@ -712,3 +712,78 @@ def test_streaming_classifier_scores_match_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM clf_out").collect()
     }
     assert got == expected and len(got) == 100
+
+
+def test_streaming_incremental_dedup_classifies_against_lake_and_stream(
+    spark, tmp_path
+):
+    """r6 streaming twin of dedup.incremental_dedup_audit: arriving
+    docs are classified against the static lake fingerprint index
+    (lake always wins) and the stream's own history (first-seen wins,
+    state carries across micro-batches)."""
+    existing = spark.createDataFrame(
+        [(i, f"lake text number {chr(97 + i)} stable") for i in range(10)],
+        "doc_id long, text string",
+    )
+    b1 = [
+        (100, "lake text number d stable"),     # dup_of_existing -> 3
+        (101, "Stable lake number d text"),      # fingerprint match -> 3
+        (102, "fresh stream content alpha"),     # new
+        (103, "fresh stream content beta"),      # new
+        (104, "alpha content stream fresh"),     # dup_within_stream -> 102
+    ]
+    b2 = [
+        (200, "fresh stream content alpha"),     # cross-batch dup -> 102
+        (201, "lake text number h stable"),      # dup_of_existing -> 7
+        (202, "entirely novel content gamma"),   # new
+    ]
+    d = tmp_path / "inc_stream"
+    d.mkdir()
+
+    def write_chunk(name, rows):
+        stage = tmp_path / f"inc_stage_{name}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(stage))
+        os.rename(next(stage.glob("part-*.parquet")), d / f"{name}.parquet")
+
+    write_chunk("b1", b1)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(d))
+    q = (
+        stream_ops.streaming_incremental_dedup(stream, existing)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("inc_dedup_out")
+        .start()
+    )
+    q.processAllAvailable()
+    got1 = {
+        r.doc_id: (r.verdict, r.match_id)
+        for r in spark.sql("SELECT * FROM inc_dedup_out").collect()
+    }
+    # single-batch agreement with the batch twin (modulo the verdict name)
+    from mrgo_spark.operators import dedup
+
+    batch = {
+        r.doc_id: (
+            r.verdict.replace("dup_within_batch", "dup_within_stream"),
+            r.match_id,
+        )
+        for r in dedup.incremental_dedup_audit(
+            existing,
+            spark.createDataFrame(b1, "doc_id long, text string"),
+        ).collect()
+    }
+    assert got1 == batch
+    assert got1[104] == ("dup_within_stream", 102)
+
+    write_chunk("b2", b2)
+    q.processAllAvailable()
+    q.stop()
+    got2 = {
+        r.doc_id: (r.verdict, r.match_id)
+        for r in spark.sql("SELECT * FROM inc_dedup_out").collect()
+    }
+    assert got2[200] == ("dup_within_stream", 102)  # state crossed batches
+    assert got2[201] == ("dup_of_existing", 7)
+    assert got2[202] == ("new", None)
