@@ -208,6 +208,108 @@ def leakage_safe_split(
     )
 
 
+def epoch_allocation(
+    df: DataFrame,
+    budget_tokens,
+    cap_epochs: int = 4,
+    stratum_col: str = "source",
+    token_count=None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-constrained token budgeting (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"): split a total token
+    budget across sources under a repetition cap — no source may be
+    repeated for more than ``cap_epochs`` epochs — steering toward a
+    UNIFORM per-source mixture (the flattening use case; small
+    sources cap out, the freed budget water-fills the rest).
+
+    ``budget_tokens`` is an integer Column expression over the
+    1-row corpus-totals frame (so the budget may derive from the
+    data, e.g. ``F.expr("(18 * tot) div 10")`` for 1.8 average
+    epochs). The water-filling level is found ANALYTICALLY, not
+    iteratively: sort strata by their cap threshold cap·n_s, and the
+    first uncapped stratum is the smallest rank r with
+    B − capΣ_{<r} ≤ cap·n_r·(m−r+1) — one cumulative window over the
+    |strata|-row frame, no loop, no collect. Uncapped strata share
+    the remaining budget equally (integer base + largest-remainder
+    +1s by stratum order; the knife-edge case λ == threshold yields
+    remainder 0, so no allocation ever exceeds its cap). Σ alloc ==
+    min(B, cap·Σn) exactly.
+
+    Columns: (stratum, n_tokens, cap_tokens, alloc_tokens,
+    epochs_permille, capped). All windows are |strata|-sized; the
+    corpus-sized work is one tokenize scan + one partial agg.
+    """
+    tokc = (
+        token_count
+        if token_count is not None
+        else F.size(ascii_tokens(text_col))
+    )
+    st = (
+        df.select(F.col(stratum_col).alias("stratum"), tokc.alias("_tk"))
+        .groupBy("stratum")
+        .agg(F.sum("_tk").cast("long").alias("n_tokens"))
+    )
+    w_all = Window.partitionBy()
+    w_ord = Window.partitionBy().orderBy("cap_tokens", "stratum")
+    ann = (
+        st.withColumn("cap_tokens", (F.lit(cap_epochs) * F.col("n_tokens")).cast("long"))
+        .withColumn("tot", F.sum("n_tokens").over(w_all))
+        .withColumn("m", F.count("*").over(w_all))
+        .withColumn("bud", budget_tokens.cast("long"))
+        .withColumn("rn", F.row_number().over(w_ord))
+        .withColumn(
+            "capcum", F.sum("cap_tokens").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    # first-uncapped rank: smallest rn with
+    #   B − capcum_{rn−1} ≤ cap_tokens_rn · (m − rn + 1)
+    cond = (F.col("bud") - (F.col("capcum") - F.col("cap_tokens"))) <= (
+        F.col("cap_tokens") * (F.col("m") - F.col("rn") + 1)
+    )
+    ann = ann.withColumn(
+        "rstar",
+        F.min(F.when(cond, F.col("rn"))).over(w_all),
+    ).withColumn(
+        "capped", F.col("rstar").isNull() | (F.col("rn") < F.col("rstar"))
+    )
+    ann = (
+        ann.withColumn(
+            "cap_spent",
+            F.coalesce(
+                F.sum(F.when(F.col("capped"), F.col("cap_tokens"))).over(w_all),
+                F.lit(0),
+            ),
+        )
+        .withColumn("n_unc", F.sum(F.when(~F.col("capped"), 1).otherwise(0)).over(w_all))
+        .withColumn(
+            "rem_budget", F.greatest(F.col("bud") - F.col("cap_spent"), F.lit(0))
+        )
+    )
+    w_unc = Window.partitionBy().orderBy(
+        F.col("capped").cast("int"), F.col("stratum")
+    )
+    alloc = F.when(F.col("capped"), F.col("cap_tokens")).otherwise(
+        F.expr("rem_budget div n_unc")
+        + F.when(
+            F.row_number().over(w_unc) <= F.expr("rem_budget % n_unc"), 1
+        ).otherwise(0)
+    )
+    return (
+        ann.withColumn("alloc_tokens", alloc.cast("long"))
+        .select(
+            "stratum",
+            "n_tokens",
+            "cap_tokens",
+            "alloc_tokens",
+            F.expr("(1000 * alloc_tokens) div n_tokens").alias(
+                "epochs_permille"
+            ),
+            "capped",
+        )
+    )
+
+
 def mixture_sample(
     df: DataFrame, rate_permille: F.Column, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -3649,3 +3649,119 @@ def q_rrf_hybrid_retrieval(spark, sf_dir):
     return retrieval.rrf_fuse(
         [lex.select("query_id", "doc_id", "rank"), sem], k=10
     )
+
+
+@declare(
+    "hard_negatives_topk",
+    f"""
+    WITH nl AS (
+        SELECT vec_id, label, embedding,
+               CAST(list_sum([CAST(round(CAST(embedding[i] AS DOUBLE)
+                                         * CAST(embedding[i] AS DOUBLE)
+                                         * 1000000.0) AS BIGINT)
+                              for i in generate_series(1, len(embedding))])
+                    AS BIGINT) AS norm_fx
+        FROM embeddings
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label, score, rank
+    FROM (
+        SELECT a.vec_id AS query_id, a.label AS query_label,
+               b.vec_id AS neighbor_id, b.label AS neighbor_label,
+               {_FX_DOT_SQL} / (sqrt(a.norm_fx) * sqrt(b.norm_fx)) AS score,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_FX_DOT_SQL}
+                            / (sqrt(a.norm_fx) * sqrt(b.norm_fx)) DESC,
+                            b.vec_id) AS rank
+        FROM nl a JOIN nl b ON a.label <> b.label
+        WHERE a.vec_id % 100 = 0
+    ) WHERE rank <= 5
+    """,
+)
+def q_hard_negatives_topk(spark, sf_dir):
+    """Hard-negative mining (similarity.hard_negatives): for each
+    query vector (vec_id % 100 == 0) the 5 nearest neighbors with a
+    DIFFERENT label — the contrastive-training negatives step (DPR,
+    Karpukhin et al. 2020). Same fixed-point cosine and broadcast-
+    query shape as topk_cosine; the label inequality rides the join
+    condition so same-label rows never reach the scorer."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), k=5
+    )
+
+
+@declare(
+    "epoch_allocation_sources",
+    """
+    WITH tok AS (
+        SELECT source AS stratum,
+               len(list_filter(string_split_regex(text, '[^A-Za-z]+'),
+                               x -> x <> '')) AS tk
+        FROM documents
+    ),
+    st AS MATERIALIZED (
+        SELECT stratum, CAST(sum(tk) AS BIGINT) AS n_tokens
+        FROM tok GROUP BY 1
+    ),
+    ann AS MATERIALIZED (
+        SELECT stratum, n_tokens,
+               CAST(2 * n_tokens AS BIGINT) AS cap_tokens,
+               CAST(sum(n_tokens) OVER () AS BIGINT) AS tot,
+               CAST(count(*) OVER () AS BIGINT) AS m,
+               row_number() OVER (ORDER BY 2 * n_tokens, stratum) AS rn,
+               CAST(sum(2 * n_tokens) OVER (
+                   ORDER BY 2 * n_tokens, stratum
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS capcum
+        FROM st
+    ),
+    sel AS MATERIALIZED (
+        SELECT *, (18 * tot) // 10 AS bud,
+               min(CASE WHEN ((18 * tot) // 10) - (capcum - cap_tokens)
+                             <= cap_tokens * (m - rn + 1)
+                   THEN rn END) OVER () AS rstar
+        FROM ann
+    ),
+    cp AS MATERIALIZED (
+        SELECT *, (rstar IS NULL OR rn < rstar) AS capped FROM sel
+    ),
+    agg2 AS MATERIALIZED (
+        SELECT *,
+               coalesce(sum(CASE WHEN capped THEN cap_tokens END)
+                        OVER (), 0) AS cap_spent,
+               sum(CASE WHEN NOT capped THEN 1 ELSE 0 END) OVER () AS n_unc,
+               row_number() OVER (ORDER BY capped, stratum) AS rn2
+        FROM cp
+    ),
+    fin AS (
+        SELECT stratum, n_tokens, cap_tokens, capped,
+               CAST(CASE WHEN capped THEN cap_tokens
+                    ELSE (greatest(bud - cap_spent, 0) // n_unc)
+                         + (CASE WHEN rn2 <= greatest(bud - cap_spent, 0)
+                                          % n_unc
+                            THEN 1 ELSE 0 END)
+                    END AS BIGINT) AS alloc_tokens
+        FROM agg2
+    )
+    SELECT stratum, n_tokens, cap_tokens, alloc_tokens,
+           CAST((1000 * alloc_tokens) // n_tokens AS BIGINT)
+               AS epochs_permille,
+           capped
+    FROM fin
+    """,
+)
+def q_epoch_allocation_sources(spark, sf_dir):
+    """Data-constrained token budgeting (pipeline.epoch_allocation):
+    a budget of 1.8 average epochs — derived from the data as
+    (18·total_tokens) div 10 — is water-filled across sources toward
+    a uniform mixture under a 2-epoch repetition cap (Muennighoff et
+    al. 2023). The fill level is found analytically with one
+    cumulative window over the 20-row strata frame (no iteration);
+    sources whose 2-epoch supply sits below the level cap out and
+    the freed budget spreads over the rest. Σ alloc == budget
+    exactly (largest-remainder +1s)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.epoch_allocation(
+        docs, F.expr("(18 * tot) div 10"), cap_epochs=2
+    )

@@ -113,6 +113,69 @@ def _fixed_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def hard_negatives(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the retrieval-
+    training data op): for each query vector, the k nearest
+    neighbors with a DIFFERENT label — the negatives most likely to
+    confuse a model, per the in-batch-negatives literature (e.g.
+    Karpukhin et al. 2020, DPR §3.2).
+
+    Same shape as ``topk_cosine_exact`` (broadcast queries, one
+    corpus scan, fixed-point dot products, WindowGroupLimit top-k);
+    the label inequality rides the join condition, so same-label
+    rows never reach the scorer. Ties break by neighbor id.
+
+    Columns: (query_id, query_label, neighbor_id, neighbor_label,
+    score, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("qvec"),
+        F.sqrt(_fx_dot(F.col(vec_col), F.col(vec_col))).alias("qnorm"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("cvec"),
+        F.sqrt(_fx_dot(F.col(vec_col), F.col(vec_col))).alias("cnorm"),
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_label") != F.col("neighbor_label")
+    ).select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        (
+            _fx_dot(F.col("qvec"), F.col("cvec"))
+            / (F.col("qnorm") * F.col("cnorm"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "score",
+            "rank",
+        )
+    )
+
+
 def topk_cosine_lsh(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -521,3 +521,89 @@ def test_dsir_separates_planted_target_vocab(spark):
         out[i].dsir_score_bits < 0 and not out[i].selected
         for i in range(20, 40)
     )
+
+
+# -------------------------------------------------- epoch_allocation
+
+
+def _water_fill_model(sizes, budget, cap):
+    """Pure-Python water-filling replay: iterate fill levels until
+    stable (the reference algorithm the analytic rank-selection must
+    reproduce)."""
+    strata = sorted(sizes)  # (stratum, n)
+    capped = {}
+    uncapped = [s for s, _ in strata]
+    while True:
+        cap_spent = sum(cap * n for s, n in strata if s in capped)
+        rem = max(budget - cap_spent, 0)
+        if not uncapped:
+            return {s: cap * dict(strata)[s] for s in capped}, 0
+        level = rem // len(uncapped)
+        newly = [
+            s for s, n in strata if s in uncapped and cap * n < level
+        ]
+        # knife-edge: cap*n == level stays uncapped (alloc == cap)
+        if not newly:
+            out = {s: cap * dict(strata)[s] for s in capped}
+            base, extra = rem // len(uncapped), rem % len(uncapped)
+            for i, s in enumerate(sorted(uncapped)):
+                out[s] = base + (1 if i < extra else 0)
+            return out, extra
+        for s in newly:
+            capped[s] = True
+            uncapped.remove(s)
+
+
+def _epoch_rows(spark, rows, budget_expr, cap):
+    df = spark.createDataFrame(rows, "source string, text string")
+    return {
+        r.stratum: r
+        for r in pipeline.epoch_allocation(
+            df, F.expr(budget_expr), cap_epochs=cap
+        ).collect()
+    }
+
+
+def test_epoch_allocation_matches_water_filling_model(spark):
+    """Differential vs the iterative water-filling reference on a
+    skewed synthetic: tiny sources cap, budget lands exactly."""
+    rows = []
+    sizes = {"a": 4, "b": 10, "c": 40, "d": 100, "e": 400}
+    for s, n in sizes.items():
+        rows.append((s, " ".join(["tok"] * n)))
+    tot = sum(sizes.values())
+    budget = (3 * tot) // 2
+    got = _epoch_rows(spark, rows, "(3 * tot) div 2", cap=2)
+    expect, _ = _water_fill_model(list(sizes.items()), budget, 2)
+    assert {s: r.alloc_tokens for s, r in got.items()} == expect
+    assert sum(r.alloc_tokens for r in got.values()) == budget
+    for s, r in got.items():
+        assert r.alloc_tokens <= r.cap_tokens
+        assert r.capped == (r.alloc_tokens == r.cap_tokens and sizes[s] * 2 < budget)
+
+
+def test_epoch_allocation_infeasible_budget_caps_everything(spark):
+    """Budget above cap·total supply: every source allocates its full
+    cap (the honest shortfall shape, not an error)."""
+    rows = [(s, " ".join(["w"] * n)) for s, n in [("x", 5), ("y", 9)]]
+    got = _epoch_rows(spark, rows, "100 * tot", cap=3)
+    assert all(r.capped for r in got.values())
+    assert {s: r.alloc_tokens for s, r in got.items()} == {"x": 15, "y": 27}
+    assert all(r.epochs_permille == 3000 for r in got.values())
+
+
+def test_epoch_allocation_uniform_fixture_properties(spark):
+    """Fixture run: exact budget, caps respected, uncapped sources
+    share equally (uniform-mixture semantics)."""
+    docs = load_table(spark, SF, "documents")
+    out = pipeline.epoch_allocation(
+        docs, F.expr("(18 * tot) div 10"), cap_epochs=2
+    ).collect()
+    tot = sum(r.n_tokens for r in out)
+    budget = (18 * tot) // 10
+    assert sum(r.alloc_tokens for r in out) == min(budget, 2 * tot)
+    for r in out:
+        assert r.alloc_tokens <= r.cap_tokens
+    unc = sorted(r.alloc_tokens for r in out if not r.capped)
+    if unc:
+        assert unc[-1] - unc[0] <= 1  # equal shares ± the remainder 1s

@@ -428,3 +428,32 @@ def test_semantic_dedup_srp_fold_consistent(spark):
     # and every SRP drop is also an exact-cosine drop (verify step
     # guarantees candidates are a subset of the true pair set)
     assert srp_drop <= exact_drop
+
+
+# ------------------------------------------------------- hard negatives
+
+
+def test_hard_negatives_excludes_query_label_and_orders_by_score(spark):
+    """No mined negative shares the query's label, and per query the
+    ranking equals the label-filtered slice of the full neighbor
+    ordering (score desc, id asc)."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = similarity.hard_negatives(emb, queries, k=5).collect()
+    assert out
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for r in out:
+        assert r.query_label == labels[r.query_id]
+        assert r.neighbor_label == labels[r.neighbor_id]
+        assert r.neighbor_label != r.query_label
+    # differential: full exact ordering, then filter by label, take 5
+    full = similarity.topk_cosine_exact(emb, queries, k=10**6).collect()
+    by_q = {}
+    for r in sorted(full, key=lambda r: (r.query_id, r.rank)):
+        if labels[r.neighbor_id] != labels[r.query_id]:
+            by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    got_by_q = {}
+    for r in sorted(out, key=lambda r: (r.query_id, r.rank)):
+        got_by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    for q, ids in got_by_q.items():
+        assert ids == by_q[q][:5], q
