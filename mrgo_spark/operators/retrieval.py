@@ -68,19 +68,27 @@ def bm25_topk(
     """
     toks = ascii_tokens(text_col, lowercase=True)
     ex = documents.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
-    # map-only second scan: per-doc length + the (N, T) scalars
+    # dl is consumed twice (the scalars agg and the score join) and tf
+    # three ways (score join, df derivation) — and Catalyst will NOT
+    # reuse exchanges across consumers with different pruned
+    # projections (the r3/r4 no-exchange-reuse class: measured here as
+    # the corpus tokenize running once per consumer). Both frames are
+    # checkpoint-cheap — dl is two longs per doc, tf is candidate-
+    # sized — so lazy localCheckpoints pin the corpus work to exactly
+    # TWO passes (one tokenize+explode, one tokenize count) at any
+    # scale; consumers replay from ExistingRDD (plan-tested).
     dl = documents.select(
         F.col(id_col).alias("doc_id"), F.size(toks).cast("long").alias("dl")
-    )
+    ).localCheckpoint(eager=False)
     scalars = dl.agg(
         F.count("*").cast("long").alias("n"), F.sum("dl").cast("long").alias("tt")
     )
     cand = ex.join(F.broadcast(query_terms.select("query_id", "term")), "term")
     tf = cand.groupBy("query_id", "doc_id", "term").agg(
         F.count("*").cast("long").alias("tf")
-    )
+    ).localCheckpoint(eager=False)
     dfreq = (
-        cand.select("term", "doc_id")
+        tf.select("term", "doc_id")
         .distinct()
         .groupBy("term")
         .agg(F.count("*").cast("long").alias("df"))
