@@ -255,6 +255,21 @@ def main() -> None:
         # triangle_copurchase_top stays OUT (7 s warm wedge-close at
         # sf0.1 — real quadratic work, the semantic_dedup policy);
         # it is gate-cheap at sf0.01 and probed at 10x instead.
+        # round-6: hashed-classifier filter (map-only), portable HLL,
+        # sqrt-temperature mixture, per-language datacard, DSIR
+        # selection scores, cluster-atomic split (runs the converge-CC
+        # pipeline — compare to dedup_pipeline_canonical), BM25 +
+        # hybrid RRF retrieval, hard-negative mining.
+        "classifier_quality_scores",
+        "hll_distinct_parts",
+        "mixture_temperature_docs",
+        "corpus_datacard",
+        "dsir_importance_scores",
+        "leakage_safe_split",
+        "bm25_topk_docs",
+        "rrf_hybrid_retrieval",
+        "hard_negatives_topk",
+        "epoch_allocation_sources",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there
@@ -275,6 +290,8 @@ def main() -> None:
         "exact_substring_scrub",
         "pq_topk_adc",
         "pq_topk_imi",
+        "leakage_safe_split",
+        "rrf_hybrid_retrieval",
     }
     for name in EXTRA:
         timed(name, lambda n=name: queries[n](spark, SF_DIR))

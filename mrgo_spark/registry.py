@@ -99,7 +99,14 @@ PRIORITY = [
     "minhash_md5_pairs",
     # similarity / embeddings (X3)
     "topk_cosine", "embedding_near_pairs", "embedding_normalize",
-    "embedding_centroids",
+    # r6 session-2 swap: bm25_topk_docs takes embedding_centroids's
+    # slot — the RETRIEVAL family (BM25 exact-integer ranking, RRF
+    # hybrid fusion, hard-negative mining; new this session) had zero
+    # in-window reps while X3 held six, and per-group centroids are a
+    # re-demonstration of the aggregate family (kmeans_lloyd also
+    # covers centroid math outside the window). embedding_centroids
+    # stays declared + checked just past the window.
+    "bm25_topk_docs",
     # r6 swap: kmv_distinct_parts takes embedding_quantize's slot —
     # the portable-sketch class (KMV/CMS/quantile cells, new in r5)
     # had ZERO in-window reps while X3 held six; scalar quantization
@@ -121,7 +128,15 @@ PRIORITY = [
     # weights scoring vs heuristic rules). char_quality_stats stays
     # declared + checked just past the window.
     "classifier_quality_scores",
-    "lang_id_heuristic", "quality_score",
+    "lang_id_heuristic",
+    # r6 session-2 swap: dsir_importance_scores takes quality_score's
+    # slot — distribution-matching data SELECTION (DSIR importance
+    # resampling) is a different class from heuristic quality
+    # scoring, which keeps two in-window reps (corpus_quality_filter
+    # composes the same signals; classifier_quality_scores is the
+    # learned filter). quality_score stays declared + checked just
+    # past the window.
+    "dsir_importance_scores",
     "tfidf_top_terms", "repetition_stats",
     # r4c swap: bpe_train_merges (tokenizer TRAINING — the X4
     # iterative-algorithm class) takes q3_top_revenue_orders's slot
@@ -141,6 +156,7 @@ PRIORITY = [
     # TPC-H representative (the remaining 21 variants follow after)
     "q1_pricing_summary",
     # first entries past the driver window, in checked order
+    "embedding_centroids", "quality_score",
     "minhash_lsh_pairs", "embedding_quantize", "char_quality_stats",
     "line_dedup_stats",
     "q3_top_revenue_orders", "edit_distance_pairs_symdelete",

@@ -108,6 +108,20 @@ PICKS = [
     ("hll_distinct_parts", "HLL registers via one partial-aggregated "
      "groupBy (grp,j) — no pre-DISTINCT shuffle (max is idempotent); "
      "estimator arithmetic on the 64-row register frame"),
+    ("dsir_importance_scores", "r6 DSIR selection: gram explode feeds "
+     "the 4096-cell bucket agg; the llr table comes back as a "
+     "BROADCAST join onto the same gram stream — two corpus scans, "
+     "per-doc agg keyed on id, no corpus-sized shuffle by bucket"),
+    ("bm25_topk_docs", "r6 BM25: query-term and df joins are "
+     "broadcasts (the corpus never shuffles by term); candidate-sized "
+     "aggs after the broadcast filter; WindowGroupLimit top-k per "
+     "query"),
+    ("rrf_hybrid_retrieval", "r6 hybrid fusion: BM25 subtree + "
+     "broadcast-query cosine subtree union into one small groupBy — "
+     "each ranked list is already top-k-bounded before the fuse"),
+    ("epoch_allocation_sources", "r6 token budgeting: one tokenize "
+     "scan + one partial agg to the |strata| frame; ALL water-filling "
+     "windows (rank, cumsum, min-feasible-rank) run over 20 rows"),
 ]
 
 

@@ -214,6 +214,22 @@ def main() -> None:
         "hll_distinct_parts",
         "mixture_temperature_docs",
         "corpus_datacard",
+        # r6 session 2: DSIR is two corpus scans against a fixed
+        # 4096-cell broadcast table (expect ~scan growth); the
+        # leakage-safe split runs converge-CC on the planted graph
+        # (compare dedup_pipeline_canonical). Retrieval caveat: the
+        # probe's verbatim doc copies put every copy-query (offsets
+        # divisible by 100) over K× duplicated candidates, so
+        # bm25/rrf/hard-negative pair counts grow K² BY FIXTURE
+        # CONSTRUCTION (query set scales with the corpus — same class
+        # as topk_cosine's probe row); per-pair cost flat is the
+        # thing to check.
+        "dsir_importance_scores",
+        "leakage_safe_split",
+        "bm25_topk_docs",
+        "rrf_hybrid_retrieval",
+        "hard_negatives_topk",
+        "epoch_allocation_sources",
     ]
     only = set(sys.argv[3:])
     if only:

@@ -38,9 +38,15 @@ MUST_BE_GATED = [
     "bpe_train_merges",             # X4 tokenizer training (r4c)
     "text_token_stats",             # X4 token stats
     "lang_id_heuristic",            # X4 language id
-    "quality_score",                # X4 heuristic quality scoring
+    # quality_score demoted just past the window in r6 session 2 —
+    # its slot funds dsir_importance_scores (distribution-matching
+    # selection, a new class; heuristic quality keeps
+    # corpus_quality_filter + classifier_quality_scores in-window)
+    "dsir_importance_scores",       # DSIR data selection (r6s2)
     "classifier_quality_scores",    # X4 classifier filter (r6,
     #                                 VERDICT_r5 #5)
+    "bm25_topk_docs",               # retrieval family rep (r6s2;
+    #                                 embedding_centroids demoted)
     "tfidf_top_terms",              # X4 tf-idf
     "decontaminate_stats",          # pipeline: eval-leak audit
     "dataset_split",                # pipeline: split
