@@ -110,12 +110,35 @@ def dsir_importance_scores(
     join + partial-agg sum — two corpus scans total (bucket build +
     score), no corpus-sized shuffle beyond the per-doc agg keyed on id.
     """
+    llr = dsir_bucket_llr(df, target, text_col, buckets)
+    per_doc = _dsir_gram_scores(df, llr, text_col, id_col, buckets)
+    score = F.coalesce(F.col("dsir_score_bits"), F.lit(0)).cast("long")
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            score.alias("dsir_score_bits"),
+            (score >= 0).alias("selected"),
+        )
+    )
+
+
+def dsir_bucket_llr(
+    df: DataFrame,
+    target,
+    text_col: str = "text",
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """The DSIR BUILD half: per-bucket integer floor-log2 likelihood
+    ratios (_b, _lb) from the corpus — ``buckets`` rows, the frozen
+    table an ingest-time scorer (streaming twin) probes."""
     grams = df.select(
-        F.col(id_col),
         target.cast("int").alias("_t"),
         F.explode(word_ngrams(text_col, 2)).alias("_g"),
     )
-    fb = grams.select(id_col, "_t", hash_bucket("_g", buckets).alias("_b"))
+    fb = grams.select("_t", hash_bucket("_g", buckets).alias("_b"))
     bt = fb.groupBy("_b").agg(
         F.count("*").alias("qc"), F.sum("_t").alias("pc")
     )
@@ -128,29 +151,36 @@ def dsir_importance_scores(
         f" cast({_DSIR_CLAMP} as decimal(38,0))),"
         f" cast(1 as decimal(38,0))) as bigint)"
     )
-    llr = bt.crossJoin(F.broadcast(tot)).select(
+    return bt.crossJoin(F.broadcast(tot)).select(
         "_b",
         (F.length(F.bin(ratio)) - F.lit(1 + DSIR_FP_BITS))
         .cast("long")
         .alias("_lb"),
     )
-    per_doc = (
+
+
+def _dsir_gram_scores(
+    df: DataFrame,
+    llr: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """The DSIR SCORE half: (id, n_grams, dsir_score_bits) for docs
+    with ≥1 gram, against a given llr table — one explode + broadcast
+    join + per-doc agg; streams as-is (stream-static broadcast join +
+    update-mode groupBy)."""
+    # explode in its own select — generators can't nest inside
+    # expressions (the hash_bucket md5 wrap)
+    fb = df.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, 2)).alias("_g")
+    ).select(F.col(id_col), hash_bucket("_g", buckets).alias("_b"))
+    return (
         fb.join(F.broadcast(llr), "_b")
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_grams"),
             F.sum("_lb").cast("long").alias("dsir_score_bits"),
-        )
-    )
-    score = F.coalesce(F.col("dsir_score_bits"), F.lit(0)).cast("long")
-    return (
-        df.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
-            score.alias("dsir_score_bits"),
-            (score >= 0).alias("selected"),
         )
     )
 

@@ -573,6 +573,36 @@ def streaming_incremental_dedup(
     )
 
 
+def streaming_dsir_scores(
+    doc_stream: DataFrame,
+    llr: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of ``pipeline.dsir_importance_scores`` (r6s2):
+    ingest-time DSIR data selection against a FROZEN per-bucket
+    log-ratio table — the production shape: the llr table is built
+    once from the lake (``pipeline.dsir_bucket_llr``, 4096 rows) and
+    every arriving document is scored against it.
+
+    Plan: gram explode → stream-static broadcast join on the bucket →
+    update-mode per-doc aggregate (state = two longs per doc seen; a
+    watermarked variant would bound it, but selection normally reads
+    each doc's final row anyway). Emits (id, n_grams,
+    dsir_score_bits, selected); gram-less docs (< 2 tokens) produce
+    no row in the stream — the batch twin's join-back convention
+    can't stream, documented divergence."""
+    from ..operators.pipeline import _dsir_gram_scores
+
+    scored = _dsir_gram_scores(doc_stream, llr, text_col, id_col)
+    return scored.select(
+        F.col(id_col),
+        "n_grams",
+        "dsir_score_bits",
+        (F.col("dsir_score_bits") >= 0).alias("selected"),
+    )
+
+
 def streaming_corpus_prep(
     doc_stream: DataFrame,
     text_col: str = "text",

@@ -787,3 +787,50 @@ def test_streaming_incremental_dedup_classifies_against_lake_and_stream(
     assert got2[200] == ("dup_within_stream", 102)  # state crossed batches
     assert got2[201] == ("dup_of_existing", 7)
     assert got2[202] == ("new", None)
+
+
+def test_streaming_dsir_scores_agree_with_batch(spark, tmp_path):
+    """r6s2 streaming DSIR twin: scoring a doc stream against the
+    batch-built llr table reproduces the batch operator's rows for
+    every doc with >= 1 gram, across two micro-batches."""
+    from mrgo_spark.operators import pipeline as pl
+    from mrgo_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    llr = pl.dsir_bucket_llr(docs, F.col("lang") == "en")
+    batch = {
+        r.doc_id: (r.n_grams, r.dsir_score_bits, r.selected)
+        for r in pl.dsir_importance_scores(
+            docs, F.col("lang") == "en"
+        ).collect()
+        if r.n_grams > 0
+    }
+
+    d = tmp_path / "dsir_stream"
+    d.mkdir()
+
+    def write_chunk(name, df):
+        stage = tmp_path / f"dsir_stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        os.rename(next(stage.glob("part-*.parquet")), d / f"{name}.parquet")
+
+    write_chunk("b1", docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(d))
+    q = (
+        stream_ops.streaming_dsir_scores(stream, llr)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("dsir_stream_out")
+        .start()
+    )
+    q.processAllAvailable()
+    write_chunk("b2", docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text"))
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.doc_id: (r.n_grams, r.dsir_score_bits, r.selected)
+        for r in spark.sql("SELECT * FROM dsir_stream_out").collect()
+    }
+    assert got == batch
