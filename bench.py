@@ -292,6 +292,13 @@ def main() -> None:
         "pq_topk_imi",
         "leakage_safe_split",
         "rrf_hybrid_retrieval",
+        # r7 (VERDICT_r6 #8): separate first-run codegen from
+        # steady-state serve cost. bm25_topk_docs' cold number now
+        # includes the one-time BM25Index build (the pq_codes
+        # order-semantic note applies); its warm twin is the pure
+        # at-rest serve path.
+        "bm25_topk_docs",
+        "dsir_importance_scores",
     }
     for name in EXTRA:
         timed(name, lambda n=name: queries[n](spark, SF_DIR))
@@ -366,6 +373,27 @@ def main() -> None:
         timed("topk_cosine_ivf@index", idx.query(qs, k=5, n_probe=6))
     except Exception as e:
         print(f"bench: ivf index variants failed: {e}", file=sys.stderr)
+
+    # BM25 at-rest index amortization (r7, the ivf_index_build idiom):
+    # one-time postings/df/dl build, then the served query path that
+    # reads only the query terms' term_bucket partitions — next to the
+    # two-pass form that re-tokenizes the corpus per call.
+    try:
+        from mrgo_spark.operators.retrieval import (
+            BM25Index,
+            bm25_topk,
+            query_terms_from_docs,
+        )
+
+        docs = _load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+        qterms = query_terms_from_docs(docs, F.col("doc_id") % 100 == 0)
+        timed("bm25_topk@twopass", lambda: bm25_topk(docs, qterms, k=10))
+        t0 = time.perf_counter()
+        bm_idx = BM25Index.build(docs, tempfile.mkdtemp(prefix="mrgo_bm25_"))
+        timings["bm25_index_build"] = round(time.perf_counter() - t0, 3)
+        timed("bm25_topk@index", lambda: bm_idx.query(qterms, k=10))
+    except Exception as e:
+        print(f"bench: bm25 index variants failed: {e}", file=sys.stderr)
 
     # Bucketed fact-join variants, recorded SEPARATELY (not in the
     # headline total, which stays comparable round-over-round): the

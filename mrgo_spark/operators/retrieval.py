@@ -93,6 +93,22 @@ def bm25_topk(
         .groupBy("term")
         .agg(F.count("*").cast("long").alias("df"))
     )
+    return _bm25_rank(tf, dfreq, dl, scalars, k)
+
+
+def _bm25_rank(
+    tf: DataFrame,
+    dfreq: DataFrame,
+    dl: DataFrame,
+    scalars: DataFrame,
+    k: int,
+) -> DataFrame:
+    """The shared BM25 scoring tail: join the per-(query, doc, term)
+    tf stream with the (broadcast) df table, doc lengths, and corpus
+    scalars, sum exact-integer per-term scores, take top-k per query.
+    Used by both the two-pass form (``bm25_topk``) and the at-rest
+    index serve path (``BM25Index.query``), so the two stay in exact
+    lockstep by construction."""
     score_fp = F.expr(
         f"cast("
         f"((cast(2 as decimal(38,0)) * n - 2 * df + 1)"
@@ -120,6 +136,112 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "n_terms", "score_fp", "rank")
     )
+
+
+class BM25Index:
+    """Persisted BM25 corpus statistics — the retrieval analog of
+    ``similarity.IVFIndex`` (VERDICT_r6 #3): a retrieval SERVICE over
+    a static corpus should not re-tokenize it per query batch.
+
+    ``build`` tokenizes the corpus ONCE and writes four tables:
+
+    - ``postings``: (term, doc_id, tf), partitioned by
+      ``term_bucket = pmod(xxhash64(term), n_buckets)`` — a query
+      batch reads only the partition directories its terms hash into
+      (partition pruning, the IVFIndex cell idiom; the bucket choice
+      affects which files are READ, never the result).
+    - ``df``: (term, df) with the same bucketing.
+    - ``dl``: (doc_id, dl) — two longs per doc.
+    - ``scalars``: the 1-row (n, tt) corpus totals.
+
+    ``query`` serves any query batch with ZERO corpus passes: the
+    term-bucket set is collected from the broadcast-sized query table,
+    postings/df scans prune to those buckets, and the scoring tail is
+    the exact ``_bm25_rank`` the two-pass form uses — so served
+    rankings are bit-identical to ``bm25_topk`` (parity-pinned in
+    tests/test_retrieval.py). At 100 TB the build is one tokenize +
+    two partial aggs + partitioned writes, amortized across every
+    subsequent query batch (bench pair: bm25_index_build /
+    bm25_topk_docs@index)."""
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+        meta = spark.read.parquet(f"{path}/meta").collect()[0]
+        self.n_buckets = int(meta.n_buckets)
+
+    @staticmethod
+    def build(
+        documents: DataFrame,
+        path: str,
+        n_buckets: int = 64,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> "BM25Index":
+        spark = documents.sparkSession
+        toks = ascii_tokens(text_col, lowercase=True)
+        dl = documents.select(
+            F.col(id_col).alias("doc_id"), F.size(toks).cast("long").alias("dl")
+        ).localCheckpoint(eager=False)
+        dl.write.mode("overwrite").parquet(f"{path}/dl")
+        dl.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("dl").cast("long").alias("tt"),
+        ).write.mode("overwrite").parquet(f"{path}/scalars")
+        ex = documents.select(
+            F.col(id_col).alias("doc_id"), F.explode(toks).alias("term")
+        )
+        postings = ex.groupBy("term", "doc_id").agg(
+            F.count("*").cast("long").alias("tf")
+        ).withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+        ).localCheckpoint(eager=False)
+        (
+            postings.repartition("term_bucket")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(f"{path}/postings")
+        )
+        (
+            postings.groupBy("term_bucket", "term")
+            .agg(F.count("*").cast("long").alias("df"))
+            .repartition("term_bucket")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(f"{path}/df")
+        )
+        spark.createDataFrame(
+            [(int(n_buckets),)], "n_buckets int"
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+        return BM25Index(spark, path)
+
+    def query(self, query_terms: DataFrame, k: int = 10) -> DataFrame:
+        """Same output contract as ``bm25_topk`` for the same
+        (query_id, term) table, zero corpus passes."""
+        qt = query_terms.select("query_id", "term")
+        buckets = [
+            r.b
+            for r in qt.select(
+                F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        post = self.spark.read.parquet(f"{self.path}/postings").filter(
+            F.col("term_bucket").isin(buckets)
+        )
+        tf = post.join(F.broadcast(qt), "term").select(
+            "query_id", "doc_id", "term", "tf"
+        )
+        dfreq = (
+            self.spark.read.parquet(f"{self.path}/df")
+            .filter(F.col("term_bucket").isin(buckets))
+            .join(F.broadcast(qt.select("term").distinct()), "term")
+            .select("term", "df")
+        )
+        dl = self.spark.read.parquet(f"{self.path}/dl")
+        scalars = self.spark.read.parquet(f"{self.path}/scalars")
+        return _bm25_rank(tf, dfreq, dl, scalars, k)
 
 
 def query_terms_from_docs(

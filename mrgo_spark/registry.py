@@ -182,8 +182,11 @@ PRIORITY = [
 # the window by the zero-sum rule: their families now all hold an
 # in-window rep (kmv for sketches, classifier_quality_scores for the
 # classifier filter, mixture_sample for mixture control, the X4
-# quality rows for corpus summaries). All are driver_sim-receipted
-# in DRIVER_SIM_r06.txt.
+# quality rows for corpus summaries). (Correction, r7: no
+# DRIVER_SIM_r06.txt was ever committed — the r6 receipt exists only
+# as the judge's own session run, 157/157 green. The round-close
+# receipt for this round is DRIVER_SIM_r07.txt, generated at final
+# HEAD; VERDICT_r6 item #1.)
 
 # Round-5 placement decision: the new oracle entries —
 # minhash_md5_signatures/pairs, simhash_md5_pairs,

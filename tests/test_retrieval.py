@@ -152,3 +152,42 @@ def test_bm25_plan_broadcasts_query_side(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_index_parity_with_two_pass_form(spark, tmp_path):
+    """The at-rest index serve path (BM25Index.query) must be
+    bit-identical to the two-pass bm25_topk for the same query table —
+    same scoring tail by construction, and df/dl/scalars computed at
+    build time must equal the per-call derivation."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    qterms = retrieval.query_terms_from_docs(docs, F.col("doc_id") % 20 == 0)
+    direct = sorted(
+        map(tuple, retrieval.bm25_topk(docs, qterms, k=10).collect())
+    )
+    idx = retrieval.BM25Index.build(docs, str(tmp_path / "bm25idx"))
+    served = sorted(map(tuple, idx.query(qterms, k=10).collect()))
+    assert served == direct
+    # and a reopened index (fresh metadata read) serves identically
+    reopened = retrieval.BM25Index(spark, str(tmp_path / "bm25idx"))
+    assert sorted(map(tuple, reopened.query(qterms, k=10).collect())) == direct
+
+
+def test_bm25_index_query_prunes_partitions(spark, tmp_path):
+    """The postings scan must carry a term_bucket partition filter:
+    a single-term query reads only its bucket's directory, not the
+    whole postings table."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    idx = retrieval.BM25Index.build(docs, str(tmp_path / "bm25idx"))
+    one_term = spark.createDataFrame(
+        [(1, "the")], "query_id long, term string"
+    )
+    plan = (
+        idx.query(one_term, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # partition pruning shows as a PartitionFilters entry on the scan
+    assert "term_bucket" in plan
+    # and the serve path never re-reads the documents table
+    assert "documents" not in plan
