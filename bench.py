@@ -270,6 +270,11 @@ def main() -> None:
         "rrf_hybrid_retrieval",
         "hard_negatives_topk",
         "epoch_allocation_sources",
+        # round-7: IMI-pruned hard negatives (serves from the PQ
+        # session cache — order-semantic after pq_codes) and the DSIR
+        # importance-resampling pick (scores + Hamilton allocation).
+        "hard_negatives_imi",
+        "dsir_resample_docs",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there

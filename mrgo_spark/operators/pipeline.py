@@ -185,6 +185,72 @@ def _dsir_gram_scores(
     )
 
 
+DSIR_RESAMPLE_CLAMP = 8  # score-stratum clamp: weights ∈ [2^0, 2^16]
+
+
+def dsir_resample(
+    df: DataFrame,
+    target,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = DSIR_BUCKETS,
+    clamp_bits: int = DSIR_RESAMPLE_CLAMP,
+) -> DataFrame:
+    """The importance-RESAMPLING step that closes the DSIR loop
+    (Xie et al. 2023 §3; VERDICT_r6 #5): ``dsir_importance_scores``
+    ranks documents by target-likeness, this allocates an exact
+    ``budget`` of documents across score strata proportional to each
+    stratum's total IMPORTANCE MASS and picks deterministically
+    within strata — the engine-portable analog of Gumbel-top-k
+    sampling with weights w ∝ 2^score.
+
+    Mechanics: stratum = dsir_score_bits clamped to ±``clamp_bits``
+    (so the per-stratum weight n_s · 2^(stratum+clamp) stays an exact
+    int64 for n_s up to 2^47 docs); the budget is apportioned by the
+    shared largest-remainder (Hamilton) rule (decimal(38,0)
+    intermediates); rows within a stratum are picked in md5(id)
+    order — stable under reruns and appends of non-picked docs (the
+    stratified_sample_exact contract). A stratum whose mass-share
+    exceeds its size comes back short, so Σ picked ≤ budget (exactly
+    == budget whenever no stratum exhausts — tested).
+
+    Columns: (id_col, dsir_score_bits, stratum, samp_rank, quota).
+
+    Scale shape: scoring is the two-scan DSIR pipeline; allocation
+    windows run over the ≤ 2·clamp+1 strata only; the pick is one
+    partitioned window keyed by stratum."""
+    scores = dsir_importance_scores(df, target, text_col, id_col, buckets)
+    strat = scores.select(
+        F.col(id_col),
+        F.col("dsir_score_bits"),
+        F.greatest(
+            F.least(F.col("dsir_score_bits"), F.lit(clamp_bits)),
+            F.lit(-clamp_bits),
+        )
+        .cast("long")
+        .alias("stratum"),
+        F.md5(F.col(id_col).cast("string")).alias("_h"),
+    )
+    cnt = strat.groupBy("stratum").agg(
+        F.count("*").cast("long").alias("n_s")
+    )
+    weight = F.expr(
+        f"n_s * shiftleft(cast(1 as bigint),"
+        f" cast(stratum + {clamp_bits} as int))"
+    )
+    alloc = _hamilton_quotas(cnt, weight, budget)
+    w_pick = Window.partitionBy("stratum").orderBy("_h", id_col)
+    picked = (
+        strat.join(F.broadcast(alloc), "stratum")
+        .withColumn("samp_rank", F.row_number().over(w_pick).cast("long"))
+        .where(F.col("samp_rank") <= F.col("quota"))
+    )
+    return picked.select(
+        id_col, "dsir_score_bits", "stratum", "samp_rank", "quota"
+    )
+
+
 def leakage_safe_split(
     df: DataFrame,
     pairs: DataFrame,
@@ -736,12 +802,21 @@ def _hamilton_quotas(cnt: DataFrame, weight, total: int) -> DataFrame:
     column over cnt): (stratum, quota) with Σ quota == total exactly.
     Both windows run over the |strata|-row frame only."""
     w_all = Window.partitionBy()
+    # products in decimal(38,0) — the r6 Cramer-term overflow rule:
+    # budget × weight passes 2^63 once weights carry importance
+    # factors (dsir_resample's n_s·2^16) at large n_s; div/% on
+    # non-negative decimals truncate exactly like bigint math, so
+    # results are unchanged where the old int64 form was safe
     alloc = cnt.withColumn("_w", weight.cast("long")).withColumn(
         "_wn", F.sum("_w").over(w_all)
     ).select(
         "stratum",
-        F.expr(f"({total}L * _w) div _wn").alias("base"),
-        F.expr(f"({total}L * _w) % _wn").alias("rem"),
+        F.expr(
+            f"cast((cast({total} as decimal(38,0)) * _w) div _wn as bigint)"
+        ).alias("base"),
+        F.expr(
+            f"cast((cast({total} as decimal(38,0)) * _w) % _wn as bigint)"
+        ).alias("rem"),
     )
     w_rank = Window.partitionBy().orderBy(F.desc("rem"), F.asc("stratum"))
     return (

@@ -3420,12 +3420,12 @@ def q_corpus_datacard(spark, sf_dir):
     return profile.corpus_datacard(docs)
 
 
-@declare(
-    "dsir_importance_scores",
-    # constants interpolate from pipeline (one source for all legs):
-    # bucket count, fixed-point bits, ratio clamp
-    f"""
-    WITH tok AS (
+# Shared DSIR score CTE chain (tok/fb/bt/tot/llr/sc, constants
+# interpolated from pipeline — one source for all legs), ending with
+# sc(doc_id, n_grams, dsir_score_bits) over gram-bearing docs. Used
+# verbatim by dsir_importance_scores AND dsir_resample_docs.
+_DSIR_SQL = f"""
+    tok AS (
         SELECT doc_id, lang,
                list_filter(string_split_regex(lower(text), '[^a-z]+'),
                            x -> x <> '') AS t
@@ -3469,7 +3469,13 @@ def q_corpus_datacard(spark, sf_dir):
                CAST(sum(l.lb) AS BIGINT) AS dsir_score_bits
         FROM fb f JOIN llr l USING (b)
         GROUP BY 1
-    )
+    )"""
+
+
+@declare(
+    "dsir_importance_scores",
+    f"""
+    WITH {_DSIR_SQL}
     SELECT d.doc_id,
            CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
            CAST(coalesce(s.dsir_score_bits, 0) AS BIGINT) AS dsir_score_bits,
@@ -3488,6 +3494,64 @@ def q_dsir_importance_scores(spark, sf_dir):
     any corpus scale."""
     docs = widen_scan(load_table(spark, sf_dir, "documents"))
     return pipeline.dsir_importance_scores(docs, F.col("lang") == "en")
+
+
+@declare(
+    "dsir_resample_docs",
+    f"""
+    WITH {_DSIR_SQL},
+    scores AS (
+        SELECT d.doc_id,
+               CAST(coalesce(s.dsir_score_bits, 0) AS BIGINT) AS bits
+        FROM documents d LEFT JOIN sc s USING (doc_id)),
+    strat AS (
+        SELECT doc_id, bits,
+               CAST(greatest(least(bits, {pipeline.DSIR_RESAMPLE_CLAMP}),
+                             -{pipeline.DSIR_RESAMPLE_CLAMP}) AS BIGINT)
+                 AS stratum,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM scores),
+    cnt AS (
+        SELECT stratum, CAST(count(*) AS HUGEINT)
+                 * (1::HUGEINT << CAST(stratum
+                     + {pipeline.DSIR_RESAMPLE_CLAMP} AS INTEGER)) AS w
+        FROM strat GROUP BY 1),
+    alloc0 AS (SELECT stratum, w, sum(w) OVER () AS wn FROM cnt),
+    alloc1 AS (
+        SELECT stratum,
+               (500::HUGEINT * w) // wn AS base,
+               (500::HUGEINT * w) % wn AS rem
+        FROM alloc0),
+    alloc AS (
+        SELECT stratum,
+               CAST(base + CASE WHEN row_number()
+                                     OVER (ORDER BY rem DESC, stratum)
+                                <= 500 - sum(base) OVER ()
+                           THEN 1 ELSE 0 END AS BIGINT) AS quota
+        FROM alloc1),
+    p AS (
+        SELECT s.doc_id, s.bits AS dsir_score_bits, s.stratum,
+               row_number() OVER (PARTITION BY s.stratum
+                                  ORDER BY s.h, s.doc_id) AS samp_rank,
+               a.quota
+        FROM strat s JOIN alloc a USING (stratum))
+    SELECT doc_id, dsir_score_bits, stratum,
+           CAST(samp_rank AS BIGINT) AS samp_rank, quota
+    FROM p WHERE samp_rank <= quota
+    """,
+)
+def q_dsir_resample_docs(spark, sf_dir):
+    """The DSIR RESAMPLING step (VERDICT_r6 #5,
+    pipeline.dsir_resample): a 500-document budget apportioned across
+    dsir_score_bits strata (clamped to ±8) proportional to each
+    stratum's total importance mass n_s·2^(stratum+8) — the
+    largest-remainder machinery shared with stratified/temperature
+    sampling — with the within-stratum pick in md5(doc_id) order.
+    Closes the score→select loop of Xie et al. 2023 end-to-end under
+    one oracle; strata whose mass-share exceeds their size come back
+    short (Σ picked ≤ 500)."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    return pipeline.dsir_resample(docs, F.col("lang") == "en", budget=500)
 
 
 # --------------------------------------------------------- retrieval
@@ -3560,6 +3624,52 @@ def _bm25_sql(k: int) -> str:
     )"""
 
 
+# One BM25Index per (session, sf_dir) — the _IVF_CACHE idiom applied
+# to retrieval (VERDICT_r6 #3): the declared BM25 entries serve from
+# an at-rest postings/df/dl index (built once, term-bucket-partitioned
+# parquet) instead of re-tokenizing the corpus per call. Output is
+# bit-identical to the two-pass retrieval.bm25_topk (the serve path
+# reuses the exact _bm25_rank scoring tail; parity-pinned in
+# tests/test_retrieval.py), so the oracle SQL is unchanged. Keyed by
+# sf_dir with the owning session held (the _PQ_CACHE identity rule).
+_BM25_CACHE: dict[str, tuple] = {}
+
+
+def _bm25_index(spark, sf_dir):
+    hit = _BM25_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    if hit is not None:
+        del _BM25_CACHE[sf_dir]
+    docs = widen_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    idx = retrieval.BM25Index.build(docs, _ivf_tmpdir())
+    _BM25_CACHE[sf_dir] = (spark, idx)
+    return idx
+
+
+def _bm25_served(spark, sf_dir, k: int):
+    """Served BM25 top-k for the fixture query set, with the
+    topk_cosine_ivf dead-cached-path recovery: a cached index whose
+    /tmp dir was reaped rebuilds instead of failing the entry."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    qterms = retrieval.query_terms_from_docs(docs, F.col("doc_id") % 100 == 0)
+    idx = _bm25_index(spark, sf_dir)
+    try:
+        return idx.query(qterms, k=k)
+    except Exception as e:
+        import sys
+
+        print(
+            f"bm25 serve: cached index query failed "
+            f"({type(e).__name__}: {e}); rebuilding",
+            file=sys.stderr,
+        )
+        _BM25_CACHE.pop(sf_dir, None)
+        return _bm25_index(spark, sf_dir).query(qterms, k=k)
+
+
 @declare(
     "bm25_topk_docs",
     f"""
@@ -3573,12 +3683,11 @@ def q_bm25_topk_docs(spark, sf_dir):
     out to one truncating fixed-point division per (query, doc, term)
     and an exact integer sum, so the full RANKING is oracle-checked
     (not just the row set). Queries are fixture-derived: the first 5
-    distinct tokens of every doc_id % 100 == 0 document."""
-    docs = widen_scan(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    )
-    qterms = retrieval.query_terms_from_docs(docs, F.col("doc_id") % 100 == 0)
-    return retrieval.bm25_topk(docs, qterms, k=10)
+    distinct tokens of every doc_id % 100 == 0 document. Serves from
+    the session-cached at-rest BM25Index (r7): postings/df scans
+    prune to the query terms' hash buckets; zero corpus passes after
+    the one-time build."""
+    return _bm25_served(spark, sf_dir, k=10)
 
 
 @declare(
@@ -3630,11 +3739,8 @@ def q_rrf_hybrid_retrieval(spark, sf_dir):
     are the exact integer SCALE div (60 + rank), so the fused ranking
     hash-matches; the cosine leg contributes only its rank (its
     double score never reaches the output)."""
-    docs = widen_scan(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    )
-    qterms = retrieval.query_terms_from_docs(docs, F.col("doc_id") % 100 == 0)
-    lex = retrieval.bm25_topk(docs, qterms, k=20)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lex = _bm25_served(spark, sf_dir, k=20)
 
     emb = load_table(spark, sf_dir, "embeddings")
     qids = docs.filter(F.col("doc_id") % 100 == 0).select("doc_id")
@@ -3684,11 +3790,69 @@ def q_hard_negatives_topk(spark, sf_dir):
     DIFFERENT label — the contrastive-training negatives step (DPR,
     Karpukhin et al. 2020). Same fixed-point cosine and broadcast-
     query shape as topk_cosine; the label inequality rides the join
-    condition so same-label rows never reach the scorer."""
+    condition so same-label rows never reach the scorer. This is the
+    exact differential twin; the pruned serve path is
+    hard_negatives_imi (the topk_cosine / topk_cosine_ivf pairing)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.hard_negatives(
         emb, emb.filter(F.col("vec_id") % 100 == 0), k=5
     )
+
+
+@declare(
+    "hard_negatives_imi",
+    _pq_cte()
+    + ","
+    + _PQ_LUT_SQL
+    + f"""
+    probed AS (
+        SELECT query_id, cid AS cell0 FROM (
+            SELECT query_id, cid,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d, cid) AS rn
+            FROM lut WHERE sub = 0) WHERE rn <= 4),
+    cell0 AS (SELECT vec_id, cid AS cell0 FROM a2 WHERE sub = 0),
+    nl AS MATERIALIZED (
+        SELECT vec_id, label, embedding,
+               CAST(list_sum([CAST(round(CAST(embedding[i] AS DOUBLE)
+                                         * CAST(embedding[i] AS DOUBLE)
+                                         * 1000000.0) AS BIGINT)
+                              for i in generate_series(1, len(embedding))])
+                    AS BIGINT) AS norm_fx
+        FROM embeddings)
+    SELECT query_id, query_label, neighbor_id, neighbor_label, score, rank
+    FROM (
+        SELECT p.query_id, a.label AS query_label,
+               b.vec_id AS neighbor_id, b.label AS neighbor_label,
+               {_FX_DOT_SQL} / (sqrt(a.norm_fx) * sqrt(b.norm_fx)) AS score,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY {_FX_DOT_SQL}
+                            / (sqrt(a.norm_fx) * sqrt(b.norm_fx)) DESC,
+                            b.vec_id) AS rank
+        FROM probed p
+        JOIN cell0 c ON c.cell0 = p.cell0
+        JOIN nl b ON b.vec_id = c.vec_id
+        JOIN nl a ON a.vec_id = p.query_id
+        WHERE a.label <> b.label AND a.vec_id <> b.vec_id
+    ) WHERE rank <= 5
+    """,
+)
+def q_hard_negatives_imi(spark, sf_dir):
+    """IMI-PRUNED hard-negative mining (VERDICT_r6 #2,
+    similarity.hard_negatives_imi): candidates from each query's 4
+    best of 16 coarse cells (subspace-0 PQ codes, the pq_topk_imi
+    prune), label-inequality filter on the candidate join, exact
+    fixed-point cosine verify on survivors only — so negative mining
+    now has the same scale posture as the ANN family (prune → verify),
+    and because the PQ training is the seeded integer Lloyd fold, the
+    WHOLE pruned pipeline oracle-checks. Queries = the 8 smallest-id
+    vectors (the PQ LUT set); serves from the session-cached PQ
+    codes frame. n_probe=K degenerates to the exact hard_negatives
+    (pinned in tests/test_similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, a, luts = _pq_artifacts(spark, sf_dir)
+    return similarity.hard_negatives_imi(emb, a, luts, k=5, n_probe=4)
 
 
 @declare(

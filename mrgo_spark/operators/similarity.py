@@ -176,6 +176,120 @@ def hard_negatives(
     )
 
 
+def hard_negatives_imi(
+    embeddings: DataFrame,
+    assigned: DataFrame = None,
+    luts=None,
+    k: int = 5,
+    n_probe: int = 4,
+    n_queries: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IMI-pruned hard-negative mining (VERDICT_r6 #5/#2): candidates
+    come from each query's ``n_probe`` best coarse cells (subspace-0
+    PQ codes — the pq_topk_imi prune), the label-inequality filter
+    rides the candidate join, and only SURVIVORS get the exact
+    fixed-point cosine verify. The ANN-backed serve path next to the
+    exact ``hard_negatives`` differential twin — the topk_cosine /
+    topk_cosine_ivf precedent applied to negative mining.
+
+    ``assigned`` is a PQ-assigned frame (``_pq_assign`` output, e.g.
+    the session-cached codes frame) and ``luts`` the ``_pq_luts``
+    query LUTs; the query set is luts' key set. Candidates join the
+    broadcast (cell0, query) probe rows BEFORE any dot product
+    (prune-then-score); the only corpus-sized shuffle is the honest
+    id join-back attaching labels/raw vectors to cell assignments —
+    at rest the codes+labels live in ONE cell0-partitioned table and
+    even that join disappears (the IVFIndex shape).
+
+    n_probe = K (all cells probed) degenerates to the exact
+    ``hard_negatives`` for the same query set — pinned in tests.
+    Columns match ``hard_negatives``. Passing assigned/luts as None
+    trains + assigns one-shot (the pq_topk_imi convenience form)."""
+    if assigned is None or luts is None:
+        q = _pq_quantized(embeddings, id_col, vec_col)
+        cents = _pq_train(q, PQ_M, PQ_SUBDIM, PQ_K, PQ_ITERS)
+        assigned = _pq_assign(q, cents, PQ_M, PQ_SUBDIM)
+        luts = _pq_luts(q, cents, n_queries, PQ_M, PQ_SUBDIM)
+    qids = sorted(luts)
+    probe_cells = []
+    for qid in qids:
+        cells = [
+            c
+            for _, c in sorted(
+                (d, c) for c, d in enumerate(luts[qid][0])
+            )[:n_probe]
+        ]
+        for c in cells:
+            probe_cells.append((int(c), int(qid)))
+    probe_df = embeddings.sparkSession.createDataFrame(
+        probe_cells, "qcell0 int, query_id long"
+    )
+    qside = (
+        embeddings.filter(F.col(id_col).isin([int(q) for q in qids]))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("query_label"),
+            F.col(vec_col).alias("qvec"),
+            F.sqrt(_fx_dot(F.col(vec_col), F.col(vec_col))).alias("qnorm"),
+        )
+        .join(probe_df, "query_id")
+    )
+    corpus = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("neighbor_label"),
+            F.col(vec_col).alias("cvec"),
+            F.sqrt(_fx_dot(F.col(vec_col), F.col(vec_col))).alias("cnorm"),
+        )
+        .join(
+            assigned.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("_b0.cid").cast("int").alias("cell0"),
+            ),
+            "neighbor_id",
+        )
+    )
+    cand = corpus.join(
+        F.broadcast(qside),
+        (F.col("cell0") == F.col("qcell0"))
+        & (F.col("query_label") != F.col("neighbor_label"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        (
+            _fx_dot(F.col("qvec"), F.col("cvec"))
+            / (F.col("qnorm") * F.col("cnorm"))
+        ).alias("score"),
+    )
+    # no distinct needed: each corpus vector has exactly ONE cell0 and
+    # probe rows are unique (cell, query) pairs, so a (query, neighbor)
+    # candidate appears at most once — a dedup here would add a
+    # candidate-sized shuffle for nothing (unlike topk_cosine_ivf,
+    # whose per-call assignment frame can carry multi-probe rows)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "score",
+            "rank",
+        )
+    )
+
+
 def topk_cosine_lsh(
     embeddings: DataFrame,
     queries: DataFrame,

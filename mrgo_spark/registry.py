@@ -119,7 +119,18 @@ PRIORITY = [
     # in-window reps; the demoted entry stays declared + checked).
     "pq_codes",
     # text analysis (X4)
-    "text_token_stats", "bpe_token_stats", "ngram_bigrams_top20",
+    # r7 swap (VERDICT_r6 #6 window review): rrf_hybrid_retrieval
+    # takes ngram_bigrams_top20's slot — rank FUSION is a distinct
+    # retrieval sub-class from BM25 scoring (the retrieval family
+    # held one in-window rep while X4 held nine, and n-gram counting
+    # is re-demonstrated by tfidf_top_terms + bigram-based DSIR).
+    # ngram_bigrams_top20 was driver-green r1-r6 and stays declared +
+    # checked just past the window. Considered and REJECTED:
+    # hll_distinct_parts for kmv_distinct_parts — both are the
+    # portable-sketch class and kmv already holds the gate rep;
+    # swapping within a family buys no new class coverage (the
+    # semantic_dedup→srp precedent).
+    "text_token_stats", "bpe_token_stats", "rrf_hybrid_retrieval",
     # r6 swap: classifier_quality_scores (the fasttext-style hashed
     # linear classifier filter, VERDICT_r5 #5) takes
     # char_quality_stats's slot — X4 held NINE in-window reps and

@@ -112,16 +112,29 @@ PICKS = [
      "the 4096-cell bucket agg; the llr table comes back as a "
      "BROADCAST join onto the same gram stream — two corpus scans, "
      "per-doc agg keyed on id, no corpus-sized shuffle by bucket"),
-    ("bm25_topk_docs", "r6 BM25: query-term and df joins are "
-     "broadcasts (the corpus never shuffles by term); candidate-sized "
-     "aggs after the broadcast filter; WindowGroupLimit top-k per "
-     "query"),
-    ("rrf_hybrid_retrieval", "r6 hybrid fusion: BM25 subtree + "
+    ("bm25_topk_docs", "r7 BM25 SERVED from the at-rest BM25Index: "
+     "the corpus-side scan is the term_bucket-partitioned postings "
+     "parquet with a PartitionFilters entry (only the query terms' "
+     "buckets are read); the only documents scan left derives the "
+     "query terms from the 1% doc_id%100 subset (filter pushed to "
+     "the scan) — the corpus-sized tokenize is gone; query-term and "
+     "df joins are broadcasts; WindowGroupLimit top-k per query"),
+    ("rrf_hybrid_retrieval", "r6 hybrid fusion: served-BM25 subtree + "
      "broadcast-query cosine subtree union into one small groupBy — "
      "each ranked list is already top-k-bounded before the fuse"),
     ("epoch_allocation_sources", "r6 token budgeting: one tokenize "
      "scan + one partial agg to the |strata| frame; ALL water-filling "
      "windows (rank, cumsum, min-feasible-rank) run over 20 rows"),
+    ("hard_negatives_imi", "r7 pruned negative mining: corpus cell0 "
+     "assignments (ExistingRDD from the cached PQ codes frame) BHJ "
+     "the 32-row broadcast probe set BEFORE any dot product "
+     "(prune-then-score); label inequality rides the join; exact "
+     "fixed-point cosine only on survivors; no "
+     "BroadcastNestedLoopJoin anywhere"),
+    ("dsir_resample_docs", "r7 DSIR resampling: the two-scan score "
+     "subtree feeds a ≤17-row stratum agg; Hamilton windows run over "
+     "that tiny frame (decimal(38,0) products); the pick is ONE "
+     "window partitioned by stratum + broadcast quota join"),
 ]
 
 

@@ -230,6 +230,12 @@ def main() -> None:
         "rrf_hybrid_retrieval",
         "hard_negatives_topk",
         "epoch_allocation_sources",
+        # r7: IMI-pruned negative mining (fixed 8-query LUT set, so
+        # unlike hard_negatives_topk its work does NOT grow with
+        # corpus×queries — candidates ≈ 8·n·n_probe/K) and the DSIR
+        # resampling step (scoring scans + |strata| windows).
+        "hard_negatives_imi",
+        "dsir_resample_docs",
     ]
     only = set(sys.argv[3:])
     if only:

@@ -607,3 +607,81 @@ def test_epoch_allocation_uniform_fixture_properties(spark):
     unc = sorted(r.alloc_tokens for r in out if not r.capped)
     if unc:
         assert unc[-1] - unc[0] <= 1  # equal shares ± the remainder 1s
+
+
+def test_dsir_resample_matches_python_hamilton_replay(spark):
+    """Full-row differential: replay the clamp → mass-weighted
+    largest-remainder allocation → md5-order pick in pure Python from
+    the (already differential-tested) score frame and compare every
+    output row."""
+    import hashlib
+
+    docs = load_table(spark, SF, "documents")
+    target = F.col("lang") == "en"
+    budget, clamp = 120, pipeline.DSIR_RESAMPLE_CLAMP
+    scores = {
+        r.doc_id: r.dsir_score_bits
+        for r in pipeline.dsir_importance_scores(docs, target).collect()
+    }
+    # python replay
+    strat = {
+        d: max(min(b, clamp), -clamp) for d, b in scores.items()
+    }
+    n_s = {}
+    for s in strat.values():
+        n_s[s] = n_s.get(s, 0) + 1
+    w = {s: n * (1 << (s + clamp)) for s, n in n_s.items()}
+    wn = sum(w.values())
+    base = {s: budget * x // wn for s, x in w.items()}
+    rem = {s: budget * x % wn for s, x in w.items()}
+    leftover = budget - sum(base.values())
+    order = sorted(w, key=lambda s: (-rem[s], s))
+    quota = {
+        s: base[s] + (1 if i < leftover else 0) for i, s in enumerate(order)
+    }
+    expect = set()
+    for s in n_s:
+        members = sorted(
+            (d for d in strat if strat[d] == s),
+            key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d),
+        )
+        for rank, d in enumerate(members[: quota[s]], start=1):
+            expect.add((d, scores[d], s, rank, quota[s]))
+    got = {
+        (r.doc_id, r.dsir_score_bits, r.stratum, r.samp_rank, r.quota)
+        for r in pipeline.dsir_resample(docs, target, budget=budget).collect()
+    }
+    assert got == expect
+
+
+def test_dsir_resample_respects_budget_and_stratum_sizes(spark):
+    """Σ picked ≤ budget always; per stratum, picked == min(quota,
+    stratum size); and quotas sum to the budget exactly (Hamilton)."""
+    docs = load_table(spark, SF, "documents")
+    out = pipeline.dsir_resample(
+        docs, F.col("lang") == "en", budget=120
+    ).collect()
+    assert len(out) <= 120
+    by_s = {}
+    quotas = {}
+    for r in out:
+        by_s[r.stratum] = by_s.get(r.stratum, 0) + 1
+        quotas[r.stratum] = r.quota
+    sizes = {
+        r.stratum: r.n
+        for r in pipeline.dsir_importance_scores(docs, F.col("lang") == "en")
+        .select(
+            F.greatest(
+                F.least(F.col("dsir_score_bits"), F.lit(8)), F.lit(-8)
+            ).alias("stratum")
+        )
+        .groupBy("stratum")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for s, picked in by_s.items():
+        assert picked == min(quotas[s], sizes[s]), s
+    # quotas over REPRESENTED strata are a subset of a full Hamilton
+    # apportionment summing to the budget; re-check the global sum by
+    # including strata whose quota exceeded their size
+    assert sum(quotas.values()) >= len(out)
