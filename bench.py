@@ -271,10 +271,21 @@ def main() -> None:
         "hard_negatives_topk",
         "epoch_allocation_sources",
         # round-7: IMI-pruned hard negatives (serves from the PQ
-        # session cache — order-semantic after pq_codes) and the DSIR
-        # importance-resampling pick (scores + Hamilton allocation).
+        # session cache — order-semantic after pq_codes), the DSIR
+        # importance-resampling pick (scores + Hamilton allocation),
+        # and retrieval evaluation (queries×k-sized — serves from the
+        # BM25 session cache, order-semantic after bm25_topk_docs).
         "hard_negatives_imi",
         "dsir_resample_docs",
+        "retrieval_eval_bm25_vs_cosine",
+        # portable bigram-LM perplexity (shuffle_hash model joins —
+        # compare bigram_novelty_stats, the count-based stand-in),
+        # CCNet terciles (LM + domain-sized threshold windows), FIM
+        # transform + RAG sliding chunks (both map-only).
+        "bigram_lm_bits",
+        "ccnet_ppl_buckets",
+        "fim_transform_docs",
+        "sliding_chunks_docs",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there
@@ -397,6 +408,28 @@ def main() -> None:
         bm_idx = BM25Index.build(docs, tempfile.mkdtemp(prefix="mrgo_bm25_"))
         timings["bm25_index_build"] = round(time.perf_counter() - t0, 3)
         timed("bm25_topk@index", lambda: bm_idx.query(qterms, k=10))
+        # fully SERVED hybrid: at-rest BM25 lexical leg + at-rest IVF
+        # semantic leg fused by RRF — the production composition next
+        # to the declared exact-leg rrf_hybrid_retrieval (`idx`/`qs`
+        # come from the IVF block above; NameError lands in except)
+        from mrgo_spark.operators.retrieval import rrf_fuse
+
+        timed(
+            "rrf_hybrid@served",
+            lambda: rrf_fuse(
+                [
+                    bm_idx.query(qterms, k=20).select(
+                        "query_id", "doc_id", "rank"
+                    ),
+                    idx.query(qs, k=20, n_probe=6).select(
+                        "query_id",
+                        F.col("neighbor_id").alias("doc_id"),
+                        "rank",
+                    ),
+                ],
+                k=10,
+            ),
+        )
     except Exception as e:
         print(f"bench: bm25 index variants failed: {e}", file=sys.stderr)
 

@@ -185,6 +185,76 @@ def _dsir_gram_scores(
     )
 
 
+def fim_transform(
+    df: DataFrame,
+    rate_pct: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle"):
+    a deterministic ``rate_pct``% of documents are split into
+    (prefix, middle, suffix) at md5-derived token cut points, tagged
+    PSM or SPM (50/50, another md5 slice) for the downstream packer;
+    the rest pass through as mode 'plain'. Everything is a pure
+    function of (doc_id, text) — md5 buckets for selection, two
+    16-bit md5 slices for the cuts c1 = h1 % (n+1),
+    c2 = c1 + h2 % (n − c1 + 1) — so the transform replays
+    identically anywhere (oracle-checked), is stable under reruns,
+    and never moves a doc between modes as the corpus grows (the
+    dataset_split contract). Text is token-normalized (lowercase
+    ascii tokens re-joined by single spaces), matching the corpus
+    tokenization the packer consumes.
+
+    Columns: (id_col, fim_mode ∈ {{psm, spm, plain}}, prefix, middle,
+    suffix, n_tokens). Map-only: zero shuffles at any scale."""
+    toks = ascii_tokens(text_col, lowercase=True)
+    h = F.md5(F.col(id_col).cast("string"))
+    pick = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 100) < rate_pct
+    spm = (F.conv(F.substring(h, 13, 1), 16, 10).cast("long") % 2) == 1
+    staged = df.select(
+        F.col(id_col),
+        toks.alias("_t"),
+        pick.alias("_pick"),
+        spm.alias("_spm"),
+    )
+    # cut points over the STAGED token column (toks referenced
+    # text_col, which the first select drops); c2 embeds c1's
+    # expression so both are plain columns — no dependent projection
+    n = F.size("_t")
+    c1 = (
+        F.conv(F.substring(h, 5, 4), 16, 10).cast("long") % (n + 1)
+    ).cast("int")
+    c2 = c1 + (
+        F.conv(F.substring(h, 9, 4), 16, 10).cast("long") % (n - c1 + 1)
+    ).cast("int")
+    base = staged.select(
+        id_col, "_t", "_pick", "_spm", c1.alias("_c1"), c2.alias("_c2")
+    )
+    join = lambda a: F.array_join(a, " ")  # noqa: E731
+    return base.select(
+        id_col,
+        F.when(~F.col("_pick"), F.lit("plain"))
+        .when(F.col("_spm"), F.lit("spm"))
+        .otherwise(F.lit("psm"))
+        .alias("fim_mode"),
+        F.when(~F.col("_pick"), join(F.col("_t")))
+        .otherwise(join(F.slice("_t", 1, F.col("_c1"))))
+        .alias("prefix"),
+        F.when(~F.col("_pick"), F.lit(""))
+        .otherwise(
+            join(F.slice("_t", F.col("_c1") + 1, F.col("_c2") - F.col("_c1")))
+        )
+        .alias("middle"),
+        F.when(~F.col("_pick"), F.lit(""))
+        .otherwise(
+            join(F.slice("_t", F.col("_c2") + 1, F.size("_t") - F.col("_c2")))
+        )
+        .alias("suffix"),
+        F.size("_t").cast("long").alias("n_tokens"),
+    )
+
+
 DSIR_RESAMPLE_CLAMP = 8  # score-stratum clamp: weights ∈ [2^0, 2^16]
 
 
@@ -445,6 +515,39 @@ def sequence_chunks(
     return ex.select(
         "doc_id",
         "chunk_id",
+        F.size(piece).alias("n_tokens"),
+        F.sha2(F.array_join(piece, " "), 256).alias("chunk_hash"),
+    )
+
+
+def sliding_chunks(
+    df: DataFrame,
+    size: int = 32,
+    stride: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """OVERLAPPING token windows per document — the RAG-index chunking
+    next to ``sequence_chunks``' disjoint training windows: window w
+    covers tokens [w·stride, w·stride + size), windows start while
+    w·stride < n, so with stride < size every token (except the tail
+    fringe) appears in size/stride chunks and no retrieval boundary
+    splits a span. Columns: (doc_id, chunk_id, start_tok, n_tokens,
+    chunk_hash) — sha256 of the space-joined chunk pins exact content
+    (the sequence_chunks convention). Empty docs produce no chunks.
+    Map-side only; output rows ≈ corpus_tokens/stride."""
+    toks = ascii_tokens(text_col, lowercase=True)
+    n = F.size(toks)
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_t"), idx.alias("_s"))
+    ex = base.select("doc_id", "_t", F.explode("_s").alias("start_tok"))
+    piece = F.slice(ex["_t"], F.col("start_tok") + 1, size)
+    return ex.select(
+        "doc_id",
+        F.expr(f"cast(start_tok div {stride} as int)").alias("chunk_id"),
+        F.col("start_tok").cast("int").alias("start_tok"),
         F.size(piece).alias("n_tokens"),
         F.sha2(F.array_join(piece, " "), 256).alias("chunk_hash"),
     )

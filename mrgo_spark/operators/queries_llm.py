@@ -1132,6 +1132,123 @@ def q_bigram_novelty_stats(spark, sf_dir):
     return textstats.bigram_novelty_stats(docs)
 
 
+# Shared bigram-LM CTE chain (tok/ex/big/uni/voc/sc/lmsc, constants
+# from textstats), ending with lmsc(doc_id, n_grams, lm_bits,
+# centibits_per_gram) — used by bigram_lm_bits AND ccnet_ppl_buckets.
+_BIGRAM_LM_SQL = f"""
+    tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    ex AS MATERIALIZED (
+        SELECT doc_id, u.bg AS bg, u.a AS a FROM (
+            SELECT doc_id,
+                   unnest([{{'bg': array_to_string(t[i:i+1], ' '),
+                             'a': t[i]}}
+                           for i in generate_series(1, len(t) - 1)]) AS u
+            FROM tok WHERE len(t) >= 2
+        )
+    ),
+    big AS MATERIALIZED (
+        SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM ex GROUP BY 1
+    ),
+    uni AS MATERIALIZED (
+        SELECT a, CAST(count(*) AS BIGINT) AS ca FROM ex GROUP BY 1
+    ),
+    voc AS (
+        SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+        FROM (SELECT unnest(t) AS w FROM tok)
+    ),
+    sc AS (
+        SELECT e.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(
+                   CAST(length(bin(CAST(greatest(
+                       ((b.cb + 1)::HUGEINT
+                         * {1 << textstats.LM_FP_BITS}::HUGEINT)
+                         // (u.ca::HUGEINT + v.v),
+                       1::HUGEINT) AS BIGINT))) AS BIGINT)
+                   - {1 + textstats.LM_FP_BITS}
+               ) AS BIGINT) AS lm_bits
+        FROM ex e JOIN big b USING (bg) JOIN uni u USING (a), voc v
+        GROUP BY 1
+    ),
+    lmsc AS MATERIALIZED (
+        SELECT doc_id, n_grams, lm_bits,
+               CAST((-lm_bits * 100) // n_grams AS BIGINT)
+                 AS centibits_per_gram
+        FROM sc
+    )"""
+
+
+@declare(
+    "bigram_lm_bits",
+    f"""
+    WITH {_BIGRAM_LM_SQL}
+    SELECT doc_id, n_grams, lm_bits, centibits_per_gram FROM lmsc
+    """,
+)
+def q_bigram_lm_bits(spark, sf_dir):
+    """CCNet-style LM-perplexity quality scoring (r7,
+    textstats.bigram_lm_bits): an add-one-smoothed bigram LM trained
+    on the corpus scores every document with EXACT integer floor-log2
+    probabilities — the DSIR bit_length trick applied to conditional
+    probabilities p(b|a) = (c(ab)+1)/(c(a)+V), so true log-likelihood
+    perplexity (not the count-based novelty stand-in) is now on the
+    oracle-checked surface. centibits_per_gram is the integer
+    perplexity exponent (PPL = 2^(centibits/100)); low = predictable
+    text, the CCNet keep side. Model joins are shuffle_hash (the
+    bigram_novelty 10× BHJ→SMJ cliff lesson)."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    return textstats.bigram_lm_bits(docs)
+
+
+@declare(
+    "ccnet_ppl_buckets",
+    f"""
+    WITH {_BIGRAM_LM_SQL},
+    hist AS (
+        SELECT centibits_per_gram, CAST(count(*) AS BIGINT) AS c
+        FROM lmsc GROUP BY 1
+    ),
+    cum AS (
+        SELECT centibits_per_gram,
+               CAST(sum(c) OVER (ORDER BY centibits_per_gram
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cm,
+               CAST(sum(c) OVER () AS BIGINT) AS n
+        FROM hist
+    ),
+    th AS (
+        SELECT min(CASE WHEN cm * 3 >= n THEN centibits_per_gram END)
+                 AS t1,
+               min(CASE WHEN cm * 3 >= 2 * n THEN centibits_per_gram END)
+                 AS t2
+        FROM cum
+    )
+    SELECT s.doc_id, s.centibits_per_gram,
+           CASE WHEN s.centibits_per_gram <= th.t1 THEN 'head'
+                WHEN s.centibits_per_gram <= th.t2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM lmsc s, th
+    """,
+)
+def q_ccnet_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity terciles (r7,
+    textstats.perplexity_terciles; Wenzek et al. 2020 §4.3): each
+    document bucketed by its bigram-LM centibits/gram against the
+    corpus' EXACT tercile thresholds — the quality gate CCNet trains
+    filters with, here fully oracle-checked because both the LM
+    (floor-log2 rationals) and the thresholds (bounded-domain rank
+    trick: the cumulative window runs over the ≤4001-value centibits
+    histogram, never the corpus) are integer-exact. Ties share a
+    bucket."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    return textstats.perplexity_terciles(docs)
+
+
 @declare(
     "cms_token_heavy_hitters",
     # constants interpolated from operators.sketch (the Bloom-tuple
@@ -1760,6 +1877,61 @@ def q_dataset_split(spark, sf_dir):
 
 
 @declare(
+    "fim_transform_docs",
+    """
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    cuts AS (
+        SELECT doc_id, t,
+               CAST(('0x' || substr(h, 1, 4)) AS BIGINT) % 100 < 50 AS pick,
+               CAST(('0x' || substr(h, 13, 1)) AS BIGINT) % 2 = 1 AS spm,
+               CAST(CAST(('0x' || substr(h, 5, 4)) AS BIGINT)
+                    % (len(t) + 1) AS INTEGER) AS c1
+        FROM base
+    ),
+    cuts2 AS (
+        SELECT doc_id, t, pick, spm, c1,
+               CAST(c1 + CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                              9, 4)) AS BIGINT)
+                    % (len(t) - c1 + 1) AS INTEGER) AS c2
+        FROM cuts
+    )
+    SELECT doc_id,
+           CASE WHEN NOT pick THEN 'plain'
+                WHEN spm THEN 'spm' ELSE 'psm' END AS fim_mode,
+           -- an empty DuckDB slice stringifies to NULL, Spark's
+           -- array_join to '' — coalesce every slice join
+           CASE WHEN NOT pick THEN coalesce(array_to_string(t, ' '), '')
+                ELSE coalesce(array_to_string(t[1:c1], ' '), '')
+                END AS prefix,
+           CASE WHEN NOT pick THEN ''
+                ELSE coalesce(array_to_string(t[c1+1:c2], ' '), '')
+                END AS middle,
+           CASE WHEN NOT pick THEN ''
+                ELSE coalesce(array_to_string(t[c2+1:len(t)], ' '), '')
+                END AS suffix,
+           CAST(len(t) AS BIGINT) AS n_tokens
+    FROM cuts2
+    """,
+)
+def q_fim_transform_docs(spark, sf_dir):
+    """Fill-in-the-middle transform (r7, pipeline.fim_transform;
+    Bavarian et al. 2022): a deterministic 50% of documents split
+    into (prefix, middle, suffix) at md5-derived token cut points and
+    tagged psm/spm for the downstream packer — the code-LLM data
+    op. Pure function of (doc_id, text): stable under reruns and
+    corpus growth (the dataset_split contract), map-only, zero
+    shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.fim_transform(docs)
+
+
+@declare(
     "mixture_sample",
     """
     SELECT doc_id, source
@@ -1818,6 +1990,39 @@ def q_sequence_chunks(spark, sf_dir):
     Map-side only (tokenize → slice → explode), zero shuffles."""
     docs = load_table(spark, sf_dir, "documents")
     return pipeline.sequence_chunks(docs, chunk_size=32)
+
+
+@declare(
+    "sliding_chunks_docs",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    ex AS (
+        SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 16)) AS s
+        FROM tok WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(s // 16 AS INTEGER) AS chunk_id,
+           CAST(s AS INTEGER) AS start_tok,
+           CAST(len(t[s+1:s+32]) AS INTEGER) AS n_tokens,
+           sha256(coalesce(array_to_string(t[s+1:s+32], ' '), ''))
+             AS chunk_hash
+    FROM ex
+    """,
+)
+def q_sliding_chunks_docs(spark, sf_dir):
+    """RAG-index chunking (r7, pipeline.sliding_chunks): OVERLAPPING
+    32-token windows at stride 16 — every token appears in two
+    chunks, so no retrieval boundary splits a span (the embedding-
+    index preparation step next to sequence_chunks' disjoint training
+    windows). Content pinned by sha256; map-side only, zero
+    shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.sliding_chunks(docs, size=32, stride=16)
 
 
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -3755,6 +3960,64 @@ def q_rrf_hybrid_retrieval(spark, sf_dir):
     return retrieval.rrf_fuse(
         [lex.select("query_id", "doc_id", "rank"), sem], k=10
     )
+
+
+@declare(
+    "retrieval_eval_bm25_vs_cosine",
+    f"""
+    WITH {_bm25_sql(10)},
+    {_FX_NORMS_SQL.replace("norms AS", "norms AS MATERIALIZED")},
+    t AS (
+        SELECT query_id, doc_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {_FX_DOT_SQL}
+                                / (sqrt(a.norm_fx) * sqrt(b.norm_fx)) DESC,
+                                b.vec_id) AS rank
+            FROM norms a JOIN norms b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id % 100 = 0
+              AND a.vec_id IN (SELECT doc_id FROM documents)
+        ) WHERE rank <= 10
+    ),
+    nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+           FROM t GROUP BY 1),
+    h AS (
+        SELECT b.query_id, CAST(count(*) AS BIGINT) AS hits_at_k,
+               min(b.rank) AS fr
+        FROM bm b JOIN t ON b.query_id = t.query_id
+                        AND b.doc_id = t.doc_id
+        GROUP BY 1
+    )
+    SELECT nt.query_id, nt.n_truth,
+           CAST(coalesce(h.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+           CAST(CASE WHEN h.fr IS NULL THEN 0
+                     ELSE {retrieval.RRF_SCALE} // h.fr END AS BIGINT)
+             AS mrr_fp
+    FROM nt LEFT JOIN h USING (query_id)
+    """,
+)
+def q_retrieval_eval(spark, sf_dir):
+    """Retrieval EVALUATION (r7, retrieval.retrieval_eval): the served
+    BM25 top-10 run scored against the exact-cosine top-10 as ground
+    truth — per-query hit counts and integer MRR measuring lexical vs
+    semantic agreement (the trec_eval step of a retrieval pipeline,
+    restricted to hash-portable metrics; nDCG's log2 discount is
+    deliberately absent). Inputs are both top-k-bounded, so the whole
+    eval is queries×k-sized."""
+    lex = _bm25_served(spark, sf_dir, k=10)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = docs.filter(F.col("doc_id") % 100 == 0)
+    sem_q = emb.join(
+        F.broadcast(qids),
+        (F.col("vec_id") == F.col("doc_id")) & (F.col("vec_id") % 100 == 0),
+        "left_semi",
+    )
+    truth = similarity.topk_cosine_exact(emb, sem_q, k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id")
+    )
+    return retrieval.retrieval_eval(lex, truth, k=10)
 
 
 @declare(

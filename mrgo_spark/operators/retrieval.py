@@ -215,6 +215,64 @@ class BM25Index:
         ).write.mode("overwrite").parquet(f"{path}/meta")
         return BM25Index(spark, path)
 
+    @staticmethod
+    def merge(a: "BM25Index", b: "BM25Index", path: str) -> "BM25Index":
+        """Segment merge for incremental ingestion (the Lucene story):
+        given indexes over two DISJOINT document sets, produce the
+        index of the union WITHOUT touching any document text —
+        postings and dl union as-is, df adds per term, scalars add.
+        merge(build(A), build(B)) == build(A ∪ B) exactly (parity-
+        pinned in tests/test_retrieval.py), so a 100 TB corpus
+        ingests as per-batch builds + metadata-sized merges; only the
+        bucketed stats tables are ever rewritten, never the corpus.
+
+        Caller contract: doc sets disjoint (same-doc postings in both
+        would double-count tf). Bucket counts may differ — terms are
+        re-bucketed to ``a``'s n_buckets."""
+        spark, nb = a.spark, a.n_buckets
+        rebucket = F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int")
+        post = (
+            spark.read.parquet(f"{a.path}/postings")
+            .unionByName(spark.read.parquet(f"{b.path}/postings"))
+            .withColumn("term_bucket", rebucket)
+        )
+        (
+            post.repartition("term_bucket")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(f"{path}/postings")
+        )
+        dfm = (
+            spark.read.parquet(f"{a.path}/df")
+            .unionByName(spark.read.parquet(f"{b.path}/df"))
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"))
+            .withColumn("term_bucket", rebucket)
+        )
+        (
+            dfm.repartition("term_bucket")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(f"{path}/df")
+        )
+        spark.read.parquet(f"{a.path}/dl").unionByName(
+            spark.read.parquet(f"{b.path}/dl")
+        ).write.mode("overwrite").parquet(f"{path}/dl")
+        (
+            spark.read.parquet(f"{a.path}/scalars")
+            .unionByName(spark.read.parquet(f"{b.path}/scalars"))
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("tt").cast("long").alias("tt"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{path}/scalars")
+        )
+        spark.createDataFrame([(int(nb),)], "n_buckets int").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/meta")
+        return BM25Index(spark, path)
+
     def query(self, query_terms: DataFrame, k: int = 10) -> DataFrame:
         """Same output contract as ``bm25_topk`` for the same
         (query_id, term) table, zero corpus passes."""
@@ -259,6 +317,56 @@ def query_terms_from_docs(
     return documents.filter(query_filter).select(
         F.col(id_col).alias("query_id"),
         F.explode(F.array_distinct(F.slice(toks, 1, n_terms))).alias("term"),
+    )
+
+
+def retrieval_eval(
+    run: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+    scale: int = RRF_SCALE,
+) -> DataFrame:
+    """Exact-integer retrieval evaluation — the EVAL step of a
+    retrieval pipeline (trec_eval-style, restricted to the metrics
+    that stay engine-portable): per query,
+
+    - ``n_truth``   — ground-truth set size,
+    - ``hits_at_k`` — |run top-k ∩ truth| (recall@k = hits/n_truth,
+      left as the exact numerator/denominator pair — a float division
+      here would be the only non-integer in the family),
+    - ``mrr_fp``    — scale div (first hit rank), 0 when no hit (the
+      reciprocal-rank integer form rrf_fuse already uses; nDCG is
+      deliberately absent — log2 discounting is not hash-portable,
+      the ln() lesson).
+
+    ``run`` needs (query_id, doc_id, rank); ``truth`` needs
+    (query_id, doc_id). Queries present in truth but absent from the
+    run score 0 hits (LEFT join from the truth-side query set).
+
+    Scale shape: both inputs are top-k-per-query bounded by contract,
+    so every join/agg here is queries×k-sized — nothing corpus-sized.
+    """
+    r = run.filter(F.col("rank") <= k).select("query_id", "doc_id", "rank")
+    t = truth.select("query_id", "doc_id")
+    n_truth = t.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_truth")
+    )
+    hits = (
+        r.join(t, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("hits_at_k"),
+            F.min("rank").alias("_fr"),
+        )
+    )
+    return n_truth.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_truth",
+        F.coalesce("hits_at_k", F.lit(0)).cast("long").alias("hits_at_k"),
+        F.when(F.col("_fr").isNull(), F.lit(0))
+        .otherwise(F.expr(f"cast({scale} div _fr as bigint)"))
+        .cast("long")
+        .alias("mrr_fp"),
     )
 
 

@@ -870,3 +870,134 @@ def classifier_quality_audit(
         F.min("score").cast("long").alias("min_score"),
         F.max("score").cast("long").alias("max_score"),
     )
+
+
+# ---- portable bigram-LM perplexity (r7) -----------------------------------
+
+LM_FP_BITS = 40  # fixed-point bits for p(b|a); p ≥ 2^-40 before clamp
+
+
+def bigram_lm_bits(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style LM-perplexity quality scoring (Wenzek et al. 2020)
+    made hash-portable: an add-one-smoothed bigram LM trained on the
+    corpus scores each document with EXACT integer floor-log2
+    probabilities — the DSIR bit_length trick applied to conditional
+    probabilities, superseding bigram_novelty_stats' "true perplexity
+    is not portable" restriction (that held for ln(); floor-log2 of a
+    rational does not need libm).
+
+        p(b|a) = (c(a,b) + 1) / (c(a) + V)
+        bits(a,b) = floor(log2 p) = bit_length((c(ab)+1)·2^40
+                      div (c(a)+V), clamped ≥ 1) − 41   ∈ [−40, 0]
+
+    with c(a) = bigram occurrences starting with a, V = corpus
+    distinct-token count; products run in decimal(38,0) (the r6
+    overflow rule). Per doc: n_grams, lm_bits = Σ bits (the exact
+    log2-likelihood surrogate), and centibits_per_gram =
+    (−lm_bits·100) div n_grams — the integer perplexity exponent
+    (PPL = 2^(centibits/100)); LOW centibits = predictable text, the
+    CCNet keep side. Docs with < 2 tokens have no bigrams and drop
+    out (the bigram_novelty_stats convention).
+
+    Shape: explode bigram occurrences once; ONE groupBy(bg) and ONE
+    groupBy(a) for the model tables, both joined back shuffle_hash
+    (the novelty lesson — the aggregated sides are corpus-distinct-
+    sized, NOT broadcastable at 100 TB, and SMJ would sort the
+    occurrence stream); V rides as a 1-row crossJoin; one partial-agg
+    per doc."""
+    ex = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(text_col, 2)).alias("bg"),
+    ).select("doc_id", "bg", F.substring_index("bg", " ", 1).alias("a"))
+    big = ex.groupBy("bg").agg(F.count("*").cast("long").alias("cb"))
+    uni = ex.groupBy("a").agg(F.count("*").cast("long").alias("ca"))
+    vocab = documents.select(
+        F.explode(ascii_tokens(text_col, lowercase=True)).alias("w")
+    ).agg(F.count_distinct("w").cast("long").alias("v"))
+    ratio = F.expr(
+        f"cast(greatest("
+        f"((cast(cb as decimal(38,0)) + 1)"
+        f" * cast({1 << LM_FP_BITS} as decimal(38,0)))"
+        f" div (cast(ca as decimal(38,0)) + v),"
+        f" cast(1 as decimal(38,0))) as bigint)"
+    )
+    bits = (F.length(F.bin(ratio)) - F.lit(1 + LM_FP_BITS)).cast("long")
+    scored = (
+        ex.join(big.hint("shuffle_hash"), "bg")
+        .join(uni.hint("shuffle_hash"), "a")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(bits).cast("long").alias("lm_bits"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "lm_bits",
+        F.expr("cast((-lm_bits * 100) div n_grams as bigint)").alias(
+            "centibits_per_gram"
+        ),
+    )
+
+
+def perplexity_terciles(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet's head/middle/tail perplexity split (Wenzek et al. 2020
+    §4.3) on the portable bigram LM: documents are bucketed by their
+    ``bigram_lm_bits`` centibits_per_gram against the corpus' exact
+    tercile thresholds — head = most predictable third (the keep
+    side), tail = noisiest.
+
+    Thresholds come from the bounded-domain rank trick (the auc/
+    pr_at_thresholds bucket-table recipe): centibits ∈ [0, 100·LM_FP_
+    BITS], so the histogram is ≤ 4001 rows and the cumulative window
+    runs over the DOMAIN, never the corpus; t_k = smallest centibits
+    value whose cumulative count reaches ⌈k·n/3⌉. Ties share a
+    bucket (deterministic; head/middle may overshoot n/3 by the tie
+    mass, the standard convention). Columns: (id_col,
+    centibits_per_gram, ppl_bucket ∈ {head, middle, tail}).
+
+    Scale: one corpus agg to the histogram, thresholds broadcast
+    back — no global sort of the corpus. The score frame feeds TWO
+    consumers with different pruned projections (histogram + output
+    join), which Catalyst will not reuse an exchange across (the
+    BM25 tf/dl lesson) — a lazy localCheckpoint on the doc-count-
+    sized frame pins the LM scoring to exactly one run."""
+    scores = bigram_lm_bits(documents, text_col, id_col).localCheckpoint(
+        eager=False
+    )
+    hist = scores.groupBy("centibits_per_gram").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    w = Window.orderBy("centibits_per_gram").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "centibits_per_gram",
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(w_all).alias("_n"),
+    )
+    thresholds = cum.agg(
+        F.min(
+            F.when(F.col("_cum") * 3 >= F.col("_n"), F.col("centibits_per_gram"))
+        ).alias("_t1"),
+        F.min(
+            F.when(
+                F.col("_cum") * 3 >= 2 * F.col("_n"), F.col("centibits_per_gram")
+            )
+        ).alias("_t2"),
+    )
+    return scores.crossJoin(F.broadcast(thresholds)).select(
+        id_col,
+        "centibits_per_gram",
+        F.when(F.col("centibits_per_gram") <= F.col("_t1"), "head")
+        .when(F.col("centibits_per_gram") <= F.col("_t2"), "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )

@@ -130,7 +130,15 @@ PRIORITY = [
     # portable-sketch class and kmv already holds the gate rep;
     # swapping within a family buys no new class coverage (the
     # semantic_dedup→srp precedent).
-    "text_token_stats", "bpe_token_stats", "rrf_hybrid_retrieval",
+    # r7 swap (2): bigram_lm_bits takes bpe_token_stats' slot —
+    # LM-PERPLEXITY quality filtering (CCNet's gate, exact floor-log2
+    # bigram LM) is the third quality paradigm next to heuristic
+    # rules and the learned classifier, while BPE-regex token
+    # counting re-demonstrates text_token_stats (and the BPE class
+    # keeps bpe_train_merges in-window). bpe_token_stats was
+    # driver-green r1-r6 and stays declared + checked just past the
+    # window.
+    "text_token_stats", "bigram_lm_bits", "rrf_hybrid_retrieval",
     # r6 swap: classifier_quality_scores (the fasttext-style hashed
     # linear classifier filter, VERDICT_r5 #5) takes
     # char_quality_stats's slot — X4 held NINE in-window reps and

@@ -745,6 +745,68 @@ def serve_ann_foreach_batch(
     return query_stream.writeStream.foreachBatch(_process)
 
 
+# ---- streaming BM25 serve over a persisted postings index ----------------
+
+
+def streaming_bm25_scores(index, query_stream: DataFrame) -> DataFrame:
+    """X4 streaming: serve BM25 from an unbounded stream of
+    (query_id, term) rows against a persisted
+    ``retrieval.BM25Index`` — the streaming_ann_topk story for
+    lexical retrieval. Corpus statistics are FROZEN at build time:
+    n/tt ride as literals (collected once from the 1-row scalars
+    table), df and dl join stream-static, postings join stream-static
+    on term. One update-mode aggregate per (query, doc) sums the
+    exact per-term integer scores — identical values to
+    ``retrieval._bm25_rank`` (batch-agreement tested); final RANKING
+    happens in the consumer (a second streaming agg would be illegal;
+    for ranked per-batch output use ``serve_bm25_foreach_batch``).
+    Columns: (query_id, doc_id, n_terms, score_fp)."""
+    from ..operators.retrieval import BM25_SCALE
+
+    sc = index.spark.read.parquet(f"{index.path}/scalars").collect()[0]
+    n, tt = int(sc.n), int(sc.tt)
+    post = index.spark.read.parquet(f"{index.path}/postings").select(
+        "term", "doc_id", "tf"
+    )
+    dfreq = index.spark.read.parquet(f"{index.path}/df").select("term", "df")
+    dl = index.spark.read.parquet(f"{index.path}/dl")
+    qt = query_stream.select("query_id", "term")
+    scored = qt.join(post, "term").join(dfreq, "term").join(dl, "doc_id")
+    score_fp = F.expr(
+        f"cast("
+        f"((cast(2 as decimal(38,0)) * {n} - 2 * df + 1)"
+        f" * (cast(22 as decimal(38,0)) * {tt} * tf)"
+        f" * cast({BM25_SCALE} as decimal(38,0)))"
+        f" div ((cast(2 as decimal(38,0)) * df + 1)"
+        f" * (cast(10 as decimal(38,0)) * {tt} * tf"
+        f"     + cast(3 as decimal(38,0)) * {tt}"
+        f"     + cast(9 as decimal(38,0)) * dl * {n}))"
+        f" as bigint)"
+    )
+    return scored.groupBy("query_id", "doc_id").agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum(score_fp).cast("long").alias("score_fp"),
+    )
+
+
+def serve_bm25_foreach_batch(index, query_stream: DataFrame, sink, k: int = 10):
+    """X4 streaming, foreachBatch form: every micro-batch of query
+    terms runs through ``BM25Index.query`` — which collects the
+    batch's term-bucket set and partition-prunes the postings scan
+    (the stream-static join in ``streaming_bm25_scores`` cannot
+    prune). ``sink(result_df, batch_id)`` receives the fully RANKED
+    (query_id, doc_id, n_terms, score_fp, rank) rows per batch.
+    Returns the writeStream builder (caller starts/awaits) — the
+    serve_ann_foreach_batch idiom."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sink(index.query(batch_df, k=k), batch_id)
+
+    return query_stream.writeStream.foreachBatch(_process)
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "update"):
     """Drive a streaming query to completion over the available batch
     of files and land results in an in-memory table (test harness)."""

@@ -236,6 +236,9 @@ def main() -> None:
         # resampling step (scoring scans + |strata| windows).
         "hard_negatives_imi",
         "dsir_resample_docs",
+        # bigram-LM perplexity: same join law as bigram_novelty_stats
+        # (shuffle_hash against the Zipf-compressed model tables)
+        "bigram_lm_bits",
     ]
     only = set(sys.argv[3:])
     if only:

@@ -685,3 +685,83 @@ def test_dsir_resample_respects_budget_and_stratum_sizes(spark):
     # apportionment summing to the budget; re-check the global sum by
     # including strata whose quota exceeded their size
     assert sum(quotas.values()) >= len(out)
+
+
+def test_fim_transform_matches_python_replay(spark):
+    """Full-row differential: replay selection, mode, and md5 cut
+    points in pure Python and compare every output field."""
+    import hashlib
+    import re
+
+    docs = load_table(spark, SF, "documents")
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    expect = {}
+    for d, text in rows:
+        t = [w for w in re.split(r"[^a-z]+", text.lower()) if w]
+        h = hashlib.md5(str(d).encode()).hexdigest()
+        n = len(t)
+        if int(h[0:4], 16) % 100 >= 50:
+            expect[d] = ("plain", " ".join(t), "", "", n)
+            continue
+        c1 = int(h[4:8], 16) % (n + 1)
+        c2 = c1 + int(h[8:12], 16) % (n - c1 + 1)
+        mode = "spm" if int(h[12], 16) % 2 == 1 else "psm"
+        expect[d] = (
+            mode,
+            " ".join(t[:c1]),
+            " ".join(t[c1:c2]),
+            " ".join(t[c2:]),
+            n,
+        )
+    got = {
+        r.doc_id: (r.fim_mode, r.prefix, r.middle, r.suffix, r.n_tokens)
+        for r in pipeline.fim_transform(docs).collect()
+    }
+    assert got == expect
+
+
+def test_fim_transform_reassembles_and_is_stable(spark):
+    """Prefix+middle+suffix must reassemble to the normalized token
+    stream, and assignments must not move when the corpus grows (the
+    dataset_split stability contract)."""
+    docs = load_table(spark, SF, "documents")
+    out = pipeline.fim_transform(docs).collect()
+    for r in out:
+        joined = " ".join(x for x in (r.prefix, r.middle, r.suffix) if x)
+        assert len(joined.split()) == r.n_tokens, r.doc_id
+    half = pipeline.fim_transform(
+        docs.filter(F.col("doc_id") % 2 == 0)
+    ).collect()
+    full_by_id = {r.doc_id: (r.fim_mode, r.prefix, r.middle, r.suffix) for r in out}
+    for r in half:
+        assert full_by_id[r.doc_id] == (r.fim_mode, r.prefix, r.middle, r.suffix)
+
+
+def test_sliding_chunks_cover_with_overlap(spark):
+    """Python replay: window w covers [16w, 16w+32); chunk hashes,
+    counts and tail lengths must match exactly, and interior tokens
+    are covered by exactly two chunks at stride = size/2."""
+    import hashlib
+    import re
+
+    docs = load_table(spark, SF, "documents")
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    expect = set()
+    for d, text in rows:
+        t = [w for w in re.split(r"[^a-z]+", text.lower()) if w]
+        for s in range(0, len(t), 16):
+            piece = t[s : s + 32]
+            expect.add(
+                (
+                    d,
+                    s // 16,
+                    s,
+                    len(piece),
+                    hashlib.sha256(" ".join(piece).encode()).hexdigest(),
+                )
+            )
+    got = {
+        (r.doc_id, r.chunk_id, r.start_tok, r.n_tokens, r.chunk_hash)
+        for r in pipeline.sliding_chunks(docs, size=32, stride=16).collect()
+    }
+    assert got == expect

@@ -191,3 +191,48 @@ def test_bm25_index_query_prunes_partitions(spark, tmp_path):
     assert "term_bucket" in plan
     # and the serve path never re-reads the documents table
     assert "documents" not in plan
+
+
+def test_retrieval_eval_hand_case(spark):
+    """Hand-computed metrics: hits, first-hit MRR, zero-hit query,
+    and a truth query absent from the run."""
+    run = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2),
+         (3, 30, 1)],
+        "query_id long, doc_id long, rank int",
+    )
+    truth = spark.createDataFrame(
+        [(1, 11), (1, 12), (1, 99),      # 2 hits, first at rank 2
+         (2, 77),                        # 0 hits
+         (4, 40)],                       # query absent from run
+        "query_id long, doc_id long",
+    )
+    out = {r.query_id: r for r in retrieval.retrieval_eval(run, truth, k=10).collect()}
+    S = retrieval.RRF_SCALE
+    assert set(out) == {1, 2, 4}         # query 3 has no truth -> absent
+    assert (out[1].n_truth, out[1].hits_at_k, out[1].mrr_fp) == (3, 2, S // 2)
+    assert (out[2].n_truth, out[2].hits_at_k, out[2].mrr_fp) == (1, 0, 0)
+    assert (out[4].n_truth, out[4].hits_at_k, out[4].mrr_fp) == (1, 0, 0)
+    # k truncation: rank-3 hit disappears at k=2 and MRR keeps rank 2
+    out2 = {r.query_id: r for r in retrieval.retrieval_eval(run, truth, k=2).collect()}
+    assert (out2[1].hits_at_k, out2[1].mrr_fp) == (1, S // 2)
+
+
+def test_bm25_index_merge_equals_union_build(spark, tmp_path):
+    """Segment-merge parity: merge(build(A), build(B)) must serve
+    exactly what build(A ∪ B) serves — postings/dl union, df sums,
+    scalars add; document text is never touched."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    ia = retrieval.BM25Index.build(a, str(tmp_path / "ia"))
+    ib = retrieval.BM25Index.build(b, str(tmp_path / "ib"), n_buckets=32)
+    merged = retrieval.BM25Index.merge(ia, ib, str(tmp_path / "im"))
+    full = retrieval.BM25Index.build(docs, str(tmp_path / "ifull"))
+    qterms = retrieval.query_terms_from_docs(docs, F.col("doc_id") % 20 == 0)
+    got = sorted(map(tuple, merged.query(qterms, k=10).collect()))
+    want = sorted(map(tuple, full.query(qterms, k=10).collect()))
+    assert got == want
+    # merged metadata: re-bucketed to a's bucket count
+    assert merged.n_buckets == ia.n_buckets

@@ -834,3 +834,63 @@ def test_streaming_dsir_scores_agree_with_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM dsir_stream_out").collect()
     }
     assert got == batch
+
+
+def _build_bm25_fixture(spark, tmp_path):
+    """Persisted BM25 index over the fixture corpus + the declared
+    query-term table staged as a parquet dir for readStream."""
+    from mrgo_spark.operators import retrieval
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    idx = retrieval.BM25Index.build(docs, str(tmp_path / "bm25"))
+    qterms = retrieval.query_terms_from_docs(docs, F.col("doc_id") % 100 == 0)
+    qdir = tmp_path / "bm25_queries"
+    qterms.write.parquet(str(qdir))
+    return docs, idx, qterms, str(qdir)
+
+
+def test_streaming_bm25_scores_match_batch(spark, tmp_path):
+    """Stream-static BM25 scoring against the frozen index must emit
+    the exact per-(query, doc) integer scores of the batch ranker
+    (pre-ranking — ranking needs a second agg, illegal on streams)."""
+    from mrgo_spark.operators import retrieval
+
+    docs, idx, qterms, qdir = _build_bm25_fixture(spark, tmp_path)
+    qstream = spark.readStream.schema("query_id long, term string").parquet(qdir)
+    out = stream_ops.streaming_bm25_scores(idx, qstream)
+    stream_ops.run_to_memory(out, "bm25_serve")
+    got = {
+        (r.query_id, r.doc_id): (r.n_terms, r.score_fp)
+        for r in spark.sql("SELECT * FROM bm25_serve").collect()
+    }
+    # batch twin WITHOUT the top-k cut: every scored (query, doc) pair
+    expected = {
+        (r.query_id, r.doc_id): (r.n_terms, r.score_fp)
+        for r in retrieval.bm25_topk(docs, qterms, k=10**9).collect()
+    }
+    assert got == expected
+
+
+def test_serve_bm25_foreach_batch_matches_batch(spark, tmp_path):
+    """foreachBatch serve: per-micro-batch BM25Index.query results
+    must union to the batch ranked answer."""
+    docs, idx, qterms, qdir = _build_bm25_fixture(spark, tmp_path)
+    qstream = spark.readStream.schema("query_id long, term string").parquet(qdir)
+    got = []
+
+    def sink(df, batch_id):
+        got.extend(
+            (r.query_id, r.doc_id, r.score_fp, r.rank) for r in df.collect()
+        )
+
+    q = (
+        stream_ops.serve_bm25_foreach_batch(idx, qstream, sink, k=10)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    expected = [
+        (r.query_id, r.doc_id, r.score_fp, r.rank)
+        for r in idx.query(qterms, k=10).collect()
+    ]
+    assert sorted(got) == sorted(expected)

@@ -116,3 +116,96 @@ def test_bigram_novelty_identities(spark):
     # doc 3's bigrams are corpus-unique
     assert rows[3].singleton_bigrams == rows[3].n_bigrams == 5
     assert rows[3].familiarity_sum == 5
+
+
+def test_bigram_lm_bits_matches_pure_python_model(spark):
+    """Full-row differential: train the add-one bigram LM and score
+    every fixture doc in pure Python (integer floor-log2 via
+    bit_length), compare against the Spark frame exactly."""
+    import re
+
+    from mrgo_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    toks = {
+        d: [w for w in re.split(r"[^a-z]+", t.lower()) if w] for d, t in rows
+    }
+    cb, ca, vocab = {}, {}, set()
+    grams = {}
+    for d, t in toks.items():
+        vocab.update(t)
+        grams[d] = [(t[i], t[i + 1]) for i in range(len(t) - 1)]
+        for a, b in grams[d]:
+            cb[(a, b)] = cb.get((a, b), 0) + 1
+            ca[a] = ca.get(a, 0) + 1
+    v = len(vocab)
+    FP = textstats.LM_FP_BITS
+
+    def bits(a, b):
+        ratio = max(((cb[(a, b)] + 1) << FP) // (ca[a] + v), 1)
+        return ratio.bit_length() - 1 - FP
+
+    expect = {}
+    for d, g in grams.items():
+        if not g:
+            continue
+        s = sum(bits(a, b) for a, b in g)
+        expect[d] = (len(g), s, (-s * 100) // len(g))
+    got = {
+        r.doc_id: (r.n_grams, r.lm_bits, r.centibits_per_gram)
+        for r in textstats.bigram_lm_bits(docs).collect()
+    }
+    assert got == expect
+
+
+def test_bigram_lm_bits_monotone_in_probability(spark):
+    """A document made of the corpus' most common bigram repeated must
+    score FEWER centibits/gram (more predictable) than one made of a
+    corpus-unique bigram — the CCNet keep-side ordering."""
+    base = [(i, "alpha beta " * 5) for i in range(20)]
+    probe = [(100, "alpha beta " * 5), (101, "zzz qqq")]
+    df = spark.createDataFrame(base + probe, "doc_id long, text string")
+    out = {r.doc_id: r.centibits_per_gram for r in textstats.bigram_lm_bits(df).collect()}
+    assert out[100] < out[101]
+
+
+def test_perplexity_terciles_shares_and_threshold_minimality(spark):
+    """Each bucket holds ≥ its exact tercile share minus tie mass:
+    head is the SMALLEST prefix of the centibits order reaching n/3
+    (threshold minimality), buckets partition the corpus, and the
+    bucket order respects the score order."""
+    from mrgo_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = textstats.perplexity_terciles(docs).collect()
+    n = len(out)
+    assert n > 0
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.ppl_bucket, []).append(r.centibits_per_gram)
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert max(by_bucket["head"]) < min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) < min(by_bucket["tail"])
+    # python replay of threshold minimality over the exact histogram
+    vals = sorted(r.centibits_per_gram for r in out)
+    t1 = vals[(n + 2) // 3 - 1]  # smallest v with cum*3 >= n
+    head = [v for v in vals if v <= t1]
+    assert sorted(by_bucket["head"]) == head
+    # head reaches its share (ties may overshoot, never undershoot)
+    assert 3 * len(by_bucket["head"]) >= n
+
+
+def test_perplexity_terciles_runs_lm_once(spark):
+    """The score frame feeds two consumers; the checkpoint must pin
+    the LM subtree to ONE run (ExistingRDD replay in the plan)."""
+    from mrgo_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = (
+        textstats.perplexity_terciles(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ExistingRDD" in plan
