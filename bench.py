@@ -286,6 +286,10 @@ def main() -> None:
         "ccnet_ppl_buckets",
         "fim_transform_docs",
         "sliding_chunks_docs",
+        # embedding-space eval + training-pair assembly (both bounded
+        # after the broadcast-anchor scan)
+        "knn_label_eval",
+        "contrastive_pairs",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there

@@ -4021,6 +4021,119 @@ def q_retrieval_eval(spark, sf_dir):
 
 
 @declare(
+    "contrastive_pairs",
+    f"""
+    WITH nl AS MATERIALIZED (
+        SELECT vec_id, label, embedding,
+               CAST(list_sum([CAST(round(CAST(embedding[i] AS DOUBLE)
+                                         * CAST(embedding[i] AS DOUBLE)
+                                         * 1000000.0) AS BIGINT)
+                              for i in generate_series(1, len(embedding))])
+                    AS BIGINT) AS norm_fx
+        FROM embeddings
+    ),
+    legs AS (
+        SELECT query_id, query_label, other_id, other_label, pair_role,
+               score, rank FROM (
+            SELECT a.vec_id AS query_id, a.label AS query_label,
+                   b.vec_id AS other_id, b.label AS other_label,
+                   'positive' AS pair_role,
+                   {_FX_DOT_SQL} / (sqrt(a.norm_fx) * sqrt(b.norm_fx))
+                     AS score,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {_FX_DOT_SQL}
+                                / (sqrt(a.norm_fx) * sqrt(b.norm_fx)) DESC,
+                                b.vec_id) AS rank
+            FROM nl a JOIN nl b
+              ON a.label = b.label AND a.vec_id <> b.vec_id
+            WHERE a.vec_id % 100 = 0
+        ) WHERE rank <= 1
+        UNION ALL
+        SELECT query_id, query_label, other_id, other_label, pair_role,
+               score, rank FROM (
+            SELECT a.vec_id AS query_id, a.label AS query_label,
+                   b.vec_id AS other_id, b.label AS other_label,
+                   'hard_negative' AS pair_role,
+                   {_FX_DOT_SQL} / (sqrt(a.norm_fx) * sqrt(b.norm_fx))
+                     AS score,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {_FX_DOT_SQL}
+                                / (sqrt(a.norm_fx) * sqrt(b.norm_fx)) DESC,
+                                b.vec_id) AS rank
+            FROM nl a JOIN nl b
+              ON a.label <> b.label
+            WHERE a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id
+        ) WHERE rank <= 3
+    )
+    SELECT * FROM legs
+    """,
+)
+def q_contrastive_pairs(spark, sf_dir):
+    """Contrastive training-pair assembly (r7,
+    similarity.contrastive_pairs; DPR §3): per anchor (vec_id % 100)
+    one gold positive — the nearest SAME-label neighbor — plus the 3
+    nearest different-label hard negatives, emitted as one labeled
+    example table. The training-data construction step that consumes
+    the negatives hard_negatives mines; both legs share the exact
+    fixed-point scorer so the whole table oracle-checks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.contrastive_pairs(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), n_neg=3
+    )
+
+
+@declare(
+    "knn_label_eval",
+    f"""
+    WITH {_FX_NORMS_SQL.replace("norms AS", "norms AS MATERIALIZED")},
+    nl AS (SELECT vec_id, label FROM embeddings),
+    top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {_FX_DOT_SQL}
+                                / (sqrt(a.norm_fx) * sqrt(b.norm_fx)) DESC,
+                                b.vec_id) AS rank
+            FROM norms a JOIN norms b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id % 50 = 0
+        ) WHERE rank <= 5
+    ),
+    votes AS (
+        SELECT t.query_id, n.label AS pred_label,
+               CAST(count(*) AS BIGINT) AS votes
+        FROM top t JOIN nl n ON n.vec_id = t.neighbor_id
+        GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT query_id, pred_label, votes FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY votes DESC, pred_label)
+                        AS r
+            FROM votes
+        ) WHERE r = 1
+    )
+    SELECT p.query_id, n.label AS true_label, p.pred_label, p.votes,
+           p.pred_label = n.label AS correct
+    FROM pred p JOIN nl n ON n.vec_id = p.query_id
+    """,
+)
+def q_knn_label_eval(spark, sf_dir):
+    """k-NN classification eval (r7, similarity.knn_label_eval): the
+    intrinsic embedding-quality probe — each query's label predicted
+    by majority vote of its 5 exact-cosine nearest neighbors (self
+    excluded, ties by count DESC then label), scored against the true
+    label. Queries = vec_id % 50. Everything after the top-k is
+    queries×k-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.knn_label_eval(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), k=5
+    )
+
+
+@declare(
     "hard_negatives_topk",
     f"""
     WITH nl AS (

@@ -176,6 +176,101 @@ def hard_negatives(
     )
 
 
+def contrastive_pairs(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_neg: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive training-pair construction (DPR, Karpukhin et al.
+    2020 §3): for each anchor, ONE gold positive (the nearest
+    same-label neighbor) and ``n_neg`` hard negatives (the nearest
+    different-label neighbors) — the assembled training-example table
+    a bi-encoder trains on, in one operator. Same broadcast-anchor /
+    fixed-point-cosine shape as hard_negatives; the label predicate
+    (== for the positive leg, != for the negative leg) rides each
+    join. Columns: (query_id, query_label, other_id, other_label,
+    pair_role ∈ {positive, hard_negative}, score, rank); anchors
+    whose label is unique in the corpus produce no positive row
+    (rank never reached — the standard drop)."""
+    pos = _label_topk(
+        embeddings, queries, 1, True, id_col, vec_col, label_col
+    ).withColumn("pair_role", F.lit("positive"))
+    neg = _label_topk(
+        embeddings, queries, n_neg, False, id_col, vec_col, label_col
+    ).withColumn("pair_role", F.lit("hard_negative"))
+    return pos.unionByName(neg).select(
+        "query_id",
+        "query_label",
+        F.col("neighbor_id").alias("other_id"),
+        F.col("neighbor_label").alias("other_label"),
+        "pair_role",
+        "score",
+        "rank",
+    )
+
+
+def _label_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    same_label: bool,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+) -> DataFrame:
+    """hard_negatives' scorer with the label predicate parameterized:
+    same_label=False IS hard-negative mining, same_label=True mines
+    gold positives. Kept private; hard_negatives stays the public
+    cited form."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("qvec"),
+        F.sqrt(_fx_dot(F.col(vec_col), F.col(vec_col))).alias("qnorm"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("cvec"),
+        F.sqrt(_fx_dot(F.col(vec_col), F.col(vec_col))).alias("cnorm"),
+    )
+    lab = (
+        (F.col("query_label") == F.col("neighbor_label"))
+        if same_label
+        else (F.col("query_label") != F.col("neighbor_label"))
+    )
+    scored = c.join(
+        F.broadcast(q), lab & (F.col("query_id") != F.col("neighbor_id"))
+    ).select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        (
+            _fx_dot(F.col("qvec"), F.col("cvec"))
+            / (F.col("qnorm") * F.col("cnorm"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "score",
+            "rank",
+        )
+    )
+
+
 def hard_negatives_imi(
     embeddings: DataFrame,
     assigned: DataFrame = None,
@@ -287,6 +382,48 @@ def hard_negatives_imi(
             "score",
             "rank",
         )
+    )
+
+
+def knn_label_eval(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN classification eval over the embedding space — the
+    standard intrinsic embedding-quality probe (labels predicted by
+    majority vote of the k nearest neighbors, self excluded, scored
+    against the true label). Vote ties break (count DESC, label ASC);
+    all aggregates after the top-k are queries×k-sized. Columns:
+    (query_id, true_label, pred_label, votes, correct)."""
+    top = topk_cosine_exact(embeddings, queries, k, id_col, vec_col)
+    nlab = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("_nl"),
+    )
+    votes = (
+        top.join(nlab, "neighbor_id")
+        .groupBy("query_id", "_nl")
+        .agg(F.count("*").cast("long").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("_nl"))
+    pred = (
+        votes.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("query_id", F.col("_nl").alias("pred_label"), "votes")
+    )
+    truth = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    return truth.join(pred, "query_id").select(
+        "query_id",
+        "true_label",
+        "pred_label",
+        "votes",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
     )
 
 

@@ -514,3 +514,59 @@ def test_hard_negatives_imi_plan_prunes_before_scoring(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_knn_label_eval_matches_majority_vote_replay(spark):
+    """Differential: majority vote (count DESC, label ASC) over the
+    exact top-k in pure Python must reproduce every output row."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    top = similarity.topk_cosine_exact(emb, queries, k=5).collect()
+    votes = {}
+    for r in top:
+        votes.setdefault(r.query_id, {})
+        nl = labels[r.neighbor_id]
+        votes[r.query_id][nl] = votes[r.query_id].get(nl, 0) + 1
+    expect = {}
+    for q, vs in votes.items():
+        pred, n = sorted(vs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expect[q] = (labels[q], pred, n, pred == labels[q])
+    got = {
+        r.query_id: (r.true_label, r.pred_label, r.votes, r.correct)
+        for r in similarity.knn_label_eval(emb, queries, k=5).collect()
+    }
+    assert got == expect
+
+
+def test_contrastive_pairs_legs_consistent(spark):
+    """The negative leg must equal hard_negatives(k=3) exactly; the
+    positive must be the best SAME-label row of the full exact
+    ordering; every anchor gets ≤ 1 positive and ≤ 3 negatives."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = similarity.contrastive_pairs(emb, queries, n_neg=3).collect()
+    assert out
+    neg = {
+        (r.query_id, r.other_id, r.rank)
+        for r in out
+        if r.pair_role == "hard_negative"
+    }
+    want_neg = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.hard_negatives(emb, queries, k=3).collect()
+    }
+    assert neg == want_neg
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    full = similarity.topk_cosine_exact(emb, queries, k=10**6).collect()
+    best_same = {}
+    for r in sorted(full, key=lambda r: (r.query_id, r.rank)):
+        if labels[r.neighbor_id] == labels[r.query_id]:
+            best_same.setdefault(r.query_id, r.neighbor_id)
+    pos = {r.query_id: r.other_id for r in out if r.pair_role == "positive"}
+    assert pos == best_same
+    counts = {}
+    for r in out:
+        counts[(r.query_id, r.pair_role)] = counts.get((r.query_id, r.pair_role), 0) + 1
+    for (q, role), c in counts.items():
+        assert c <= (1 if role == "positive" else 3)
