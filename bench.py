@@ -290,6 +290,8 @@ def main() -> None:
         # after the broadcast-anchor scan)
         "knn_label_eval",
         "contrastive_pairs",
+        # X5 end-to-end media dedup (aHash bands -> CC -> canonical)
+        "media_dedup_canonical",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there

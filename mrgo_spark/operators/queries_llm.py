@@ -3186,6 +3186,86 @@ def q_media_phash_pairs(spark, sf_dir):
     )
 
 
+@declare(
+    "media_dedup_canonical",
+    f"""
+    WITH RECURSIVE {_DUP_CORPUS_SQL},
+    ph0 AS (SELECT doc_id, sha256(text) || sha256(text) AS dd FROM corpus),
+    ph1 AS MATERIALIZED (
+      SELECT doc_id,
+             [CAST(concat('0x', substr(dd, 2 * i - 1, 2)) AS BIGINT)
+              for i in generate_series(1, 64)] AS px
+      FROM ph0),
+    ph2 AS MATERIALIZED (
+      SELECT doc_id, px, CAST(list_sum(px) AS BIGINT) AS s FROM ph1),
+    ph AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(list_sum([CASE WHEN px[i] * 64 > s
+                                 THEN (CAST(1 AS BIGINT) << (i - 1))
+                                 ELSE CAST(0 AS BIGINT) END
+                            for i in generate_series(1, 60)]) AS BIGINT)
+               AS phash
+      FROM ph2),
+    bands AS MATERIALIZED (
+      SELECT doc_id, phash, j.band,
+             (phash >> (15 * j.band)) & 32767 AS bkey
+      FROM ph, (SELECT unnest(range(0, 4)) AS band) j),
+    pairs AS MATERIALIZED (
+      SELECT id_a, id_b FROM (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+      WHERE hamming <= 2),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(id, lbl) AS (
+      SELECT DISTINCT a, a FROM und
+      UNION
+      SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.id),
+    comp AS (SELECT id, MIN(lbl) AS canonical FROM reach GROUP BY id)
+    SELECT c.doc_id AS media_id,
+           COALESCE(p.canonical, c.doc_id) AS canonical_id,
+           CAST(COUNT(*) OVER (
+               PARTITION BY COALESCE(p.canonical, c.doc_id)
+           ) AS BIGINT) AS cluster_size,
+           c.doc_id = COALESCE(p.canonical, c.doc_id) AS keep
+    FROM corpus c LEFT JOIN comp p ON c.doc_id = p.id
+    """,
+)
+def q_media_dedup_canonical(spark, sf_dir):
+    """X5 end-to-end media dedup (r7): perceptual aHash → 4×15-bit
+    banded Hamming pairs (≤2) → connected components → canonical
+    keep/drop for EVERY media item — the full media near-dup pipeline
+    next to the text pipeline (dedup_pipeline_canonical), declared
+    through the closure-free FakeCodec twin so the whole chain
+    (hash → band → verify → components) oracle-checks; the real-codec
+    path computes the identical hash when PIL exists (bit-identity
+    pinned in tests). Oracle walks the same pair graph with a
+    recursive CTE."""
+    from . import multimodal
+
+    # EAGER checkpoint: connected_components' own localCheckpoint on
+    # the pairs lineage trips a Catalyst bug in Union constraint
+    # rewriting ("key not found: text#N" in UnionBase.
+    # rewriteConstraints — fixture-size-dependent: sf0.001 failed,
+    # sf0.01 passed) when the planted-corpus UNION is still in the
+    # plan; materializing the tiny corpus first removes the Union.
+    corpus = _dup_corpus(spark, sf_dir).localCheckpoint()
+    hashed = multimodal.ahash_frames(
+        corpus, F.col("text").cast("binary"), id_col="doc_id"
+    )
+    pairs = multimodal.phash_hamming_pairs(
+        hashed, bands=4, max_hamming=2, id_col="media_id"
+    )
+    media = corpus.select(F.col("doc_id").alias("media_id"))
+    return dedup.dup_clusters(
+        media, pairs, id_col="media_id", src="id_a", dst="id_b",
+        converge=True,
+    )
+
+
 # r5: lanes are disjoint 16-bit md5 hex slices (chars 4o+1..4o+4)
 _BLOOM_LANES_SQL = "[" + ", ".join(
     f"CAST(concat('0x', substr(hx, {4 * o + 1}, 4)) AS BIGINT)"

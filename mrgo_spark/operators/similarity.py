@@ -989,6 +989,40 @@ class IVFIndex:
         )
         return IVFIndex(embeddings.sparkSession, path)
 
+    def add(
+        self,
+        embeddings: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IVFIndex":
+        """Incremental ingestion against FROZEN centroids (the
+        BM25Index.merge story for ANN): new vectors are assigned to
+        the existing coarse cells (one broadcast-assign pass) and
+        APPENDED to the cell-partitioned parquet — no retrain, no
+        rewrite of existing cells' files. Queries over the grown
+        index equal a same-centroid assignment of the union corpus
+        (parity-pinned in tests/test_similarity.py). Centroid drift
+        under heavy growth is the standard trade-off: re-run build
+        when the added fraction gets large (Lucene-style segment
+        hygiene). Caller contract: new ids disjoint from existing."""
+        cells = _assign_cells(
+            embeddings.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("cvec_"),
+            ),
+            self.centroids,
+            "neighbor_id",
+            "cvec_",
+            n_probe=1,
+        )
+        (
+            cells.repartition("cell_id")
+            .write.mode("append")
+            .partitionBy("cell_id")
+            .parquet(f"{self.path}/cells")
+        )
+        return self
+
     def query(
         self,
         queries: DataFrame,

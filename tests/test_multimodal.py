@@ -179,3 +179,23 @@ def test_phash_pairs_find_planted_blob_copies(spark):
     assert any(
         (r.id_a, r.id_b, r.hamming) == (0, 7000, 0) for r in pairs
     )
+
+
+def test_media_dedup_canonical_drops_planted_copies(spark):
+    """End-to-end media dedup over the planted-dup corpus: every
+    exact copy (+100000, identical bytes → identical aHash) must be
+    dropped with its original as canonical; originals stay kept."""
+    from mrgo_spark.operators.queries_llm import q_media_dedup_canonical
+
+    out = {r.media_id: r for r in q_media_dedup_canonical(
+        spark, "/root/testdata/sf0.001"
+    ).collect()}
+    copies = [m for m in out if 100000 <= m < 200000]
+    assert copies
+    for m in copies:
+        orig = m - 100000
+        assert not out[m].keep, m
+        # canonical is the min cluster member = the original
+        assert out[m].canonical_id == out[orig].canonical_id == orig
+        assert out[orig].keep
+        assert out[m].cluster_size >= 2

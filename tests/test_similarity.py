@@ -570,3 +570,42 @@ def test_contrastive_pairs_legs_consistent(spark):
         counts[(r.query_id, r.pair_role)] = counts.get((r.query_id, r.pair_role), 0) + 1
     for (q, role), c in counts.items():
         assert c <= (1 if role == "positive" else 3)
+
+
+def test_ivf_index_add_equals_union_assignment(spark, tmp_path):
+    """Incremental add parity: build on half the corpus, add the
+    other half — queries must equal a fresh same-centroid index over
+    the union (centroids frozen, so the only difference could be the
+    cell files, which append must extend losslessly)."""
+    emb = load_table(spark, SF, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = similarity.IVFIndex.build(a, str(tmp_path / "grow"))
+    idx.add(b)
+    # reference: same centroids, union corpus, fresh cell write
+    ref_path = str(tmp_path / "ref")
+    idx.centroids.write.mode("overwrite").parquet(f"{ref_path}/centroids")
+    cells = similarity._assign_cells(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cvec_"),
+        ),
+        idx.centroids,
+        "neighbor_id",
+        "cvec_",
+        n_probe=1,
+    )
+    cells.repartition("cell_id").write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(f"{ref_path}/cells")
+    ref = similarity.IVFIndex(spark, ref_path)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in idx.query(queries, k=5).collect()
+    )
+    want = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ref.query(queries, k=5).collect()
+    )
+    assert got == want
