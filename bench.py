@@ -292,6 +292,8 @@ def main() -> None:
         "contrastive_pairs",
         # X5 end-to-end media dedup (aHash bands -> CC -> canonical)
         "media_dedup_canonical",
+        # DPO preference-pair assembly (classifier-scored, widened HOF)
+        "preference_pairs_by_quality",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there
@@ -395,6 +397,20 @@ def main() -> None:
         timed("topk_cosine_ivf@index", idx.query(qs, k=5, n_probe=6))
     except Exception as e:
         print(f"bench: ivf index variants failed: {e}", file=sys.stderr)
+
+    # Closure-based compressibility signal (zlib mapInPandas — the
+    # topk_cosine@numpy pattern: benched directly, never declared)
+    try:
+        from mrgo_spark.operators.textstats import compression_ratio_stats
+
+        timed(
+            "compression_ratio@zlib",
+            lambda: compression_ratio_stats(
+                _load_table(spark, SF_DIR, "documents")
+            ),
+        )
+    except Exception as e:
+        print(f"bench: compression ratio failed: {e}", file=sys.stderr)
 
     # BM25 at-rest index amortization (r7, the ivf_index_build idiom):
     # one-time postings/df/dl build, then the served query path that

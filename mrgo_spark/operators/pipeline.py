@@ -255,6 +255,70 @@ def fim_transform(
     )
 
 
+def preference_pairs(
+    df: DataFrame,
+    score,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DPO/RLHF preference-pair construction: within each group
+    (prompt surrogate), documents pair off in md5(id) order — a
+    deterministic stand-in for "two completions of the same prompt" —
+    and each pair emits the higher-``score`` member as chosen
+    (reward-model labeling; ties break to the smaller id). Odd
+    leftovers per group produce no pair. ``score`` is any integer
+    Column over df (the declared entry passes the hashed-classifier
+    score, the reward-model surrogate already on the oracle surface).
+
+    Columns: (group_col, pair_id, chosen_id, rejected_id,
+    chosen_score, rejected_score, margin) with margin ≥ 0.
+
+    Scale shape: one window partitioned by group (the per-source
+    ordering a pairing inherently needs), one equi-join of the two
+    pair sides on (group, pair_id) — no corpus×corpus anything."""
+    d = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        score.cast("long").alias("_s"),
+        F.md5(F.col(id_col).cast("string")).alias("_h"),
+    )
+    w = Window.partitionBy("grp").orderBy("_h", "id")
+    ranked = d.withColumn("_r", F.row_number().over(w) - 1).select(
+        "grp",
+        "id",
+        "_s",
+        F.expr("cast(_r div 2 as bigint)").alias("pair_id"),
+        F.expr("_r % 2").alias("_side"),
+    )
+    a = ranked.filter(F.col("_side") == 0).select(
+        "grp", "pair_id", F.col("id").alias("_ida"), F.col("_s").alias("_sa")
+    )
+    b = ranked.filter(F.col("_side") == 1).select(
+        "grp", "pair_id", F.col("id").alias("_idb"), F.col("_s").alias("_sb")
+    )
+    j = a.join(b, ["grp", "pair_id"])  # inner: odd leftovers drop
+    a_wins = (F.col("_sa") > F.col("_sb")) | (
+        (F.col("_sa") == F.col("_sb")) & (F.col("_ida") < F.col("_idb"))
+    )
+    return j.select(
+        F.col("grp").alias(group_col),
+        "pair_id",
+        F.when(a_wins, F.col("_ida")).otherwise(F.col("_idb")).alias(
+            "chosen_id"
+        ),
+        F.when(a_wins, F.col("_idb")).otherwise(F.col("_ida")).alias(
+            "rejected_id"
+        ),
+        F.when(a_wins, F.col("_sa")).otherwise(F.col("_sb")).alias(
+            "chosen_score"
+        ),
+        F.when(a_wins, F.col("_sb")).otherwise(F.col("_sa")).alias(
+            "rejected_score"
+        ),
+        F.abs(F.col("_sa") - F.col("_sb")).cast("long").alias("margin"),
+    )
+
+
 DSIR_RESAMPLE_CLAMP = 8  # score-stratum clamp: weights ∈ [2^0, 2^16]
 
 

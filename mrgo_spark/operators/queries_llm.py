@@ -3647,6 +3647,64 @@ _CLF_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in _LANG_MARKERS["en"])
 
 
 @declare(
+    "preference_pairs_by_quality",
+    f"""
+    WITH pbase AS (
+        SELECT doc_id, source,
+               {_CLF_BIAS} + coalesce(list_sum([list_extract(
+                   {_CLF_W_LIST_SQL},
+                   CAST((CAST(concat('0x', substr(md5(x), 1, 4)) AS BIGINT)
+                         % {_CLF_DIM}) + 1 AS INT))
+                   for x in list_filter(
+                       string_split_regex(lower(text), '[^a-z]+'),
+                       x -> x <> '')]), 0) AS s,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents),
+    ranked AS (
+        SELECT doc_id, source, s,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY h, doc_id) - 1 AS r
+        FROM pbase),
+    sides AS (
+        SELECT source, CAST(r // 2 AS BIGINT) AS pair_id, r % 2 AS side,
+               doc_id, CAST(s AS BIGINT) AS s
+        FROM ranked)
+    SELECT a.source, a.pair_id,
+           CASE WHEN a.s > b.s OR (a.s = b.s AND a.doc_id < b.doc_id)
+                THEN a.doc_id ELSE b.doc_id END AS chosen_id,
+           CASE WHEN a.s > b.s OR (a.s = b.s AND a.doc_id < b.doc_id)
+                THEN b.doc_id ELSE a.doc_id END AS rejected_id,
+           CASE WHEN a.s > b.s OR (a.s = b.s AND a.doc_id < b.doc_id)
+                THEN a.s ELSE b.s END AS chosen_score,
+           CASE WHEN a.s > b.s OR (a.s = b.s AND a.doc_id < b.doc_id)
+                THEN b.s ELSE a.s END AS rejected_score,
+           CAST(abs(a.s - b.s) AS BIGINT) AS margin
+    FROM sides a JOIN sides b
+      ON a.source = b.source AND a.pair_id = b.pair_id
+     AND a.side = 0 AND b.side = 1
+    """,
+)
+def q_preference_pairs(spark, sf_dir):
+    """DPO/RLHF preference-pair construction (r7,
+    pipeline.preference_pairs): within each source (prompt
+    surrogate), documents pair off deterministically in md5 order and
+    the hashed-classifier quality score — the reward-model surrogate
+    already on the oracle surface — labels chosen vs rejected (ties
+    to the smaller id, odd leftovers drop). The preference-data
+    assembly step of an alignment pipeline, fully oracle-checked.
+    widen_scan: the classifier fold is the interpreted-HOF class (the
+    PQ lesson)."""
+    docs = widen_scan(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+    )
+    return pipeline.preference_pairs(
+        docs, textstats.classifier_score_col("text")
+    )
+
+
+@declare(
     "corpus_datacard",
     # stopwords / weights / bias interpolate from textstats (one
     # source for all legs); keep-rule thresholds mirror

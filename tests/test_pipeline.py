@@ -765,3 +765,42 @@ def test_sliding_chunks_cover_with_overlap(spark):
         for r in pipeline.sliding_chunks(docs, size=32, stride=16).collect()
     }
     assert got == expect
+
+
+def test_preference_pairs_matches_python_replay(spark):
+    """Differential: md5-order pairing within source + score-based
+    chosen/rejected labeling replayed in pure Python."""
+    import hashlib
+
+    from mrgo_spark.operators import textstats
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "source", "text")
+    scores = {
+        r.doc_id: r.score
+        for r in textstats.classifier_quality_scores(docs).collect()
+    }
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    by_src = {}
+    for d in src:
+        by_src.setdefault(src[d], []).append(d)
+    expect = set()
+    for s, ids in by_src.items():
+        ordered = sorted(ids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))
+        for p in range(len(ordered) // 2):
+            x, y = ordered[2 * p], ordered[2 * p + 1]
+            sx, sy = scores[x], scores[y]
+            if sx > sy or (sx == sy and x < y):
+                c, r_ = x, y
+            else:
+                c, r_ = y, x
+            expect.add((s, p, c, r_, scores[c], scores[r_], abs(sx - sy)))
+    got = {
+        (r.source, r.pair_id, r.chosen_id, r.rejected_id,
+         r.chosen_score, r.rejected_score, r.margin)
+        for r in pipeline.preference_pairs(
+            docs, textstats.classifier_score_col("text")
+        ).collect()
+    }
+    assert got == expect
+    for (_, _, c, rj, cs, rs, m) in got:
+        assert cs >= rs and m == cs - rs

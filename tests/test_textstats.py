@@ -209,3 +209,30 @@ def test_perplexity_terciles_runs_lm_once(spark):
         .toString()
     )
     assert "ExistingRDD" in plan
+
+
+def test_compression_ratio_matches_zlib_and_orders_noise(spark):
+    """Differential vs in-process zlib, plus the quality-signal
+    ordering: a pathologically repetitive doc compresses far better
+    than natural fixture text."""
+    import zlib
+
+    from mrgo_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    got = {
+        r.doc_id: (r.n_bytes, r.n_deflate, r.ratio_milli)
+        for r in textstats.compression_ratio_stats(docs).collect()
+    }
+    for d, text in rows.items():
+        raw = text.encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        want = (len(raw), comp, (1000 * comp) // len(raw) if raw else None)
+        assert got[d] == want, d
+    boiler = spark.createDataFrame(
+        [(1, "spam " * 400), (2, rows[next(iter(rows))])],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.ratio_milli for r in textstats.compression_ratio_stats(boiler).collect()}
+    assert out[1] < out[2]
