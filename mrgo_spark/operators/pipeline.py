@@ -206,7 +206,7 @@ def fim_transform(
     ascii tokens re-joined by single spaces), matching the corpus
     tokenization the packer consumes.
 
-    Columns: (id_col, fim_mode ∈ {{psm, spm, plain}}, prefix, middle,
+    Columns: (id_col, fim_mode ∈ {psm, spm, plain}, prefix, middle,
     suffix, n_tokens). Map-only: zero shuffles at any scale."""
     toks = ascii_tokens(text_col, lowercase=True)
     h = F.md5(F.col(id_col).cast("string"))

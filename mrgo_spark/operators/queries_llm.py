@@ -2148,14 +2148,14 @@ def q_topk_ivf(spark, sf_dir):
     return idx.query(queries, k=5, n_probe=6)
 
 
-def _ivf_tmpdir() -> str:
-    """mkdtemp for the served-index cache, registered for atexit
+def _ivf_tmpdir(prefix: str = "mrgo_ivf_idx_") -> str:
+    """mkdtemp for a served-index cache, registered for atexit
     removal so long-lived sessions don't leak index dirs."""
     import atexit
     import shutil
     import tempfile
 
-    d = tempfile.mkdtemp(prefix="mrgo_ivf_idx_")
+    d = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     return d
 
@@ -3987,7 +3987,7 @@ def _bm25_index(spark, sf_dir):
     docs = widen_scan(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    idx = retrieval.BM25Index.build(docs, _ivf_tmpdir())
+    idx = retrieval.BM25Index.build(docs, _ivf_tmpdir(prefix="mrgo_bm25_idx_"))
     _BM25_CACHE[sf_dir] = (spark, idx)
     return idx
 

@@ -911,8 +911,17 @@ def bigram_lm_bits(
         F.col(id_col).alias("doc_id"),
         F.explode(word_ngrams(text_col, 2)).alias("bg"),
     ).select("doc_id", "bg", F.substring_index("bg", " ", 1).alias("a"))
-    big = ex.groupBy("bg").agg(F.count("*").cast("long").alias("cb"))
-    uni = ex.groupBy("a").agg(F.count("*").cast("long").alias("ca"))
+    # c(a) = Σ_b c(a,b): derive the condition counts FROM the bigram
+    # table instead of a second pass over the occurrence stream — one
+    # fewer corpus tokenize (plan audit r7: ex fed 3 consumers); the
+    # lazy checkpoint pins big's agg so uni replays from ExistingRDD.
+    big = ex.groupBy("bg").agg(
+        F.count("*").cast("long").alias("cb")
+    ).localCheckpoint(eager=False)
+    uni = (
+        big.groupBy(F.substring_index("bg", " ", 1).alias("a"))
+        .agg(F.sum("cb").cast("long").alias("ca"))
+    )
     vocab = documents.select(
         F.explode(ascii_tokens(text_col, lowercase=True)).alias("w")
     ).agg(F.count_distinct("w").cast("long").alias("v"))

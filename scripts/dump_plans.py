@@ -135,6 +135,26 @@ PICKS = [
      "subtree feeds a ≤17-row stratum agg; Hamilton windows run over "
      "that tiny frame (decimal(38,0) products); the pick is ONE "
      "window partitioned by stratum + broadcast quota join"),
+    ("bigram_lm_bits", "r7 portable perplexity: bigram occurrences "
+     "explode once; BOTH model joins (bg counts, condition counts) "
+     "are shuffle_hash against Zipf-compressed aggregated sides (the "
+     "bigram_novelty BHJ→SMJ cliff rule); V rides as a broadcast "
+     "1-row crossJoin; one partial-agg per doc"),
+    ("ccnet_ppl_buckets", "r7 CCNet terciles: the checkpointed score "
+     "frame (ExistingRDD — the LM runs ONCE for histogram + output) "
+     "feeds a ≤4001-row domain histogram; threshold windows run over "
+     "that frame, thresholds broadcast back — no corpus sort"),
+    ("contrastive_pairs", "r7 DPR pair assembly: two broadcast-anchor "
+     "scans (positive leg label==, negative leg label!=) union into "
+     "bounded top-k windows; no corpus×corpus join"),
+    ("media_dedup_canonical", "r7 media dedup end-to-end: eager-"
+     "checkpointed planted corpus (the Union-constraint Catalyst bug "
+     "fix) → aHash bands → banded equi-join pairs → CC over pair ids "
+     "only → broadcastable canonical join-back"),
+    ("preference_pairs_by_quality", "r7 DPO pairs: one window "
+     "partitioned by source (the pairing's inherent order) + one "
+     "equi-join of the two pair sides; classifier fold rides the "
+     "widened scan map-only"),
 ]
 
 
