@@ -294,6 +294,8 @@ def main() -> None:
         "media_dedup_canonical",
         # DPO preference-pair assembly (classifier-scored, widened HOF)
         "preference_pairs_by_quality",
+        # dataset-writer sharding (weighted distributed ranking)
+        "token_balanced_shards",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there

@@ -798,6 +798,73 @@ def corpus_shuffle(
     )
 
 
+def token_balanced_shards(
+    df: DataFrame,
+    n_shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """The final dataset-WRITER step: assign every document to one of
+    ``n_shards`` output shards balanced by TOKEN mass (not row
+    count), in the deterministic md5 shuffle order — so the exported
+    pretraining shards are equal-work units for downstream loaders
+    and the assignment replays bit-for-bit on re-runs.
+
+    shard = (max(cum,1) − 1) div cap with cum = inclusive running
+    token sum in md5(salt‖id) order and cap = ⌈total/n⌉ — the greedy
+    boundary rule: a doc straddling a boundary lands in the shard of
+    its last token, bounding every shard at cap + max_doc_tokens.
+
+    Scale shape: the weighted extension of corpus_shuffle's
+    distributed-ranking trick — one shuffle into 4096 md5 buckets,
+    in-bucket weighted cumsum windows, a 4096-row prefix-sum of
+    per-bucket token totals broadcast back. No global window
+    anywhere; positions and sums equal the naive global sort's
+    exactly (oracle). Columns: (id_col, n_tokens, shuffle_pos,
+    cum_tokens, shard)."""
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    tok = F.size(ascii_tokens(text_col, lowercase=True)).cast("long")
+    keyed = df.select(
+        F.col(id_col), tok.alias("_tok"), key.alias("_sk")
+    ).withColumn("_bkt", F.conv(F.substring("_sk", 1, 3), 16, 10).cast("int"))
+    counts = keyed.groupBy("_bkt").agg(
+        F.count("*").alias("_n"), F.sum("_tok").alias("_tn")
+    )
+    w_off = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    offsets = counts.select(
+        "_bkt",
+        (F.sum("_n").over(w_off) - F.col("_n")).alias("_off"),
+        (F.sum("_tn").over(w_off) - F.col("_tn")).alias("_toff"),
+        F.sum("_tn").over(w_all).alias("_total"),
+    )
+    w_in = Window.partitionBy("_bkt").orderBy("_sk", F.col(id_col))
+    cum = F.col("_toff") + F.sum("_tok").over(w_in)
+    cap = F.expr(f"(_total + {n_shards} - 1) div {n_shards}")
+    return (
+        keyed.join(F.broadcast(offsets), "_bkt")
+        .select(
+            id_col,
+            F.col("_tok").alias("n_tokens"),
+            (F.row_number().over(w_in).cast("bigint") - 1 + F.col("_off"))
+            .alias("shuffle_pos"),
+            cum.alias("cum_tokens"),
+            (F.greatest(cum, F.lit(1)) - 1).cast("long").alias("_cm1"),
+            cap.cast("long").alias("_cap"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "shuffle_pos",
+            "cum_tokens",
+            F.expr("cast(_cm1 div _cap as bigint)").alias("shard"),
+        )
+    )
+
+
 # ------------------------------------------ Bloom decontamination
 
 # At 100 TB the broadcast-set mark-join in ``decontaminate`` has a

@@ -1877,6 +1877,45 @@ def q_dataset_split(spark, sf_dir):
 
 
 @declare(
+    "token_balanced_shards",
+    """
+    WITH k AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(text),
+                                                       '[^a-z]+'),
+                        x -> x <> '')) AS BIGINT) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS sk
+        FROM documents),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST(row_number() OVER (ORDER BY sk, doc_id) - 1 AS BIGINT)
+                 AS shuffle_pos,
+               CAST(sum(n_tokens) OVER (ORDER BY sk, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_tokens,
+               CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+        FROM k)
+    SELECT doc_id, n_tokens, shuffle_pos, cum_tokens,
+           CAST((greatest(cum_tokens, 1) - 1)
+                // ((total + 15) // 16) AS BIGINT) AS shard
+    FROM c
+    """,
+)
+def q_token_balanced_shards(spark, sf_dir):
+    """Final dataset-writer sharding (r7,
+    pipeline.token_balanced_shards): every document assigned to one
+    of 16 output shards balanced by TOKEN mass in the deterministic
+    md5 shuffle order — equal-work pretraining shards, rerun-stable.
+    Spark side uses the corpus_shuffle distributed-ranking trick
+    extended to WEIGHTED cumsum (4096 md5 buckets, in-bucket windows,
+    a 4096-row token prefix-sum broadcast back — no global window);
+    the oracle is the naive global running sum, so the decomposition
+    is proven exact, shuffle_pos and cum_tokens included."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.token_balanced_shards(docs, n_shards=16)
+
+
+@declare(
     "fim_transform_docs",
     """
     WITH base AS (

@@ -804,3 +804,33 @@ def test_preference_pairs_matches_python_replay(spark):
     assert got == expect
     for (_, _, c, rj, cs, rs, m) in got:
         assert cs >= rs and m == cs - rs
+
+
+def test_token_balanced_shards_invariants(spark):
+    """Shards partition the corpus; per-shard token mass is bounded by
+    cap + max_doc_tokens (the greedy last-token rule); positions are a
+    permutation; empty-token docs are still assigned."""
+    docs = load_table(spark, SF, "documents")
+    n = 8
+    out = pipeline.token_balanced_shards(docs, n_shards=n).collect()
+    assert len(out) == docs.count()
+    poss = sorted(r.shuffle_pos for r in out)
+    assert poss == list(range(len(out)))
+    total = sum(r.n_tokens for r in out)
+    cap = -(-total // n)
+    per = {}
+    maxdoc = max(r.n_tokens for r in out)
+    for r in out:
+        assert 0 <= r.shard < n
+        per[r.shard] = per.get(r.shard, 0) + r.n_tokens
+    for s, t in per.items():
+        assert t <= cap + maxdoc, (s, t)
+    assert sum(per.values()) == total
+    # determinism + growth stability of the ORDER: same corpus, same
+    # assignment
+    again = {
+        r.doc_id: (r.shuffle_pos, r.shard)
+        for r in pipeline.token_balanced_shards(docs, n_shards=n).collect()
+    }
+    for r in out:
+        assert again[r.doc_id] == (r.shuffle_pos, r.shard)
