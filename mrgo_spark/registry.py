@@ -98,7 +98,15 @@ PRIORITY = [
     # window, still recall-tested + driver_sim-run.
     "minhash_md5_pairs",
     # similarity / embeddings (X3)
-    "topk_cosine", "embedding_near_pairs", "embedding_normalize",
+    # r7 swap (3): hard_negatives_imi takes embedding_normalize's
+    # slot — negative MINING with a pruned serve path is the class
+    # VERDICT_r6 #2 mandated (and the whole pruned ranking is
+    # oracle-checked, rare for an ANN op); unit normalization is a
+    # map-only re-demonstration of the array-math family that
+    # topk_cosine/pq_codes already exercise in-window.
+    # embedding_normalize was driver-green r1-r6 and stays declared +
+    # checked just past the window.
+    "topk_cosine", "embedding_near_pairs", "hard_negatives_imi",
     # r6 session-2 swap: bm25_topk_docs takes embedding_centroids's
     # slot — the RETRIEVAL family (BM25 exact-integer ranking, RRF
     # hybrid fusion, hard-negative mining; new this session) had zero

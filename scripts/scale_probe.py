@@ -239,6 +239,20 @@ def main() -> None:
         # bigram-LM perplexity: same join law as bigram_novelty_stats
         # (shuffle_hash against the Zipf-compressed model tables)
         "bigram_lm_bits",
+        # r7 batch 2: terciles = LM + domain histogram; media dedup =
+        # bands+CC over the planted corpus; writer sharding = weighted
+        # distributed ranking; DPO pairs = per-source window + join.
+        # knn/contrastive probe rows grow with the query set BY THE
+        # FIXTURE RULE (vec_id % K over K× vectors — the topk_cosine
+        # class); per-pair cost is the thing to check.
+        "ccnet_ppl_buckets",
+        "media_dedup_canonical",
+        "token_balanced_shards",
+        "preference_pairs_by_quality",
+        "fim_transform_docs",
+        "sliding_chunks_docs",
+        "knn_label_eval",
+        "retrieval_eval_bm25_vs_cosine",
     ]
     only = set(sys.argv[3:])
     if only:
