@@ -155,6 +155,10 @@ PICKS = [
      "partitioned by source (the pairing's inherent order) + one "
      "equi-join of the two pair sides; classifier fold rides the "
      "widened scan map-only"),
+    ("token_balanced_shards", "r7 writer sharding: weighted "
+     "distributed ranking — one shuffle into 4096 md5 buckets, "
+     "in-bucket cumsum windows, 4096-row token prefix-sum broadcast "
+     "back; NO global window (the corpus_shuffle law, weighted)"),
 ]
 
 
