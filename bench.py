@@ -296,6 +296,11 @@ def main() -> None:
         "preference_pairs_by_quality",
         # dataset-writer sharding (weighted distributed ranking)
         "token_balanced_shards",
+        # padding-efficiency batching + quality-aware canonical dedup
+        # (the latter runs the converge-CC pipeline — compare
+        # dedup_pipeline_canonical)
+        "length_bucket_batches",
+        "canonical_dedup_by_quality",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there

@@ -1324,3 +1324,38 @@ def exact_substring_scrub(
         F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
         F.coalesce("scrub_text", F.lit("")).alias("scrub_text"),
     )
+
+
+def canonical_by_score(
+    clusters: DataFrame,
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware canonicalization (r7): re-pick each dup
+    cluster's representative as its HIGHEST-``score_col`` member
+    (ties → smallest id) instead of dup_clusters' min-id rule — the
+    production dedup policy (keep the best copy, not the oldest).
+
+    ``clusters`` = dup_clusters output (id_col, canonical_id, ...);
+    ``scored`` = (id_col, score_col). Columns: (id_col, cluster_id,
+    rep_id, score, keep). One id join + ONE window partitioned by
+    cluster: rep_id = first(id) over the (score DESC, id) order —
+    the running-first frame makes a rep join unnecessary (a reps
+    frame would be ~cluster-count ≈ corpus-sized, NOT broadcastable;
+    the window shuffles the corpus once by cluster, which the keep
+    decision needs anyway)."""
+    j = clusters.select(
+        F.col(id_col), F.col("canonical_id").alias("cluster_id")
+    ).join(scored.select(id_col, F.col(score_col).alias("score")), id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    rep = F.first(id_col).over(w)
+    return j.select(
+        id_col,
+        "cluster_id",
+        rep.alias("rep_id"),
+        "score",
+        (F.col(id_col) == rep).alias("keep"),
+    )

@@ -865,6 +865,50 @@ def token_balanced_shards(
     )
 
 
+def length_bucket_batches(
+    df: DataFrame,
+    batch_size: int = 8,
+    bucket_width: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batch construction — the padding-efficiency
+    step of inference/training serving: documents are grouped into
+    length buckets (⌊n_tokens/width⌋) and batched ``batch_size`` at a
+    time within each bucket in md5(id) order, so sequences in a batch
+    have similar lengths and the padding waste
+    Σ(batch_max_len − len) stays small. Deterministic and
+    rerun-stable; the trailing short batch per bucket is kept (real
+    loaders pad it).
+
+    Columns: (length_bucket, batch_id, n_docs, max_len, sum_len,
+    padding_waste = n_docs·max_len − sum_len).
+
+    Scale shape: one map pass for lengths/buckets, one window
+    partitioned by bucket (bounded partitions: corpus/width spread),
+    one partial agg per batch."""
+    toks = ascii_tokens(text_col, lowercase=True)
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).cast("long").alias("len"),
+        F.md5(F.col(id_col).cast("string")).alias("_h"),
+    ).withColumn(
+        "length_bucket", F.expr(f"cast(len div {bucket_width} as bigint)")
+    )
+    w = Window.partitionBy("length_bucket").orderBy("_h", "id")
+    batched = d.withColumn("_rk", F.row_number().over(w) - 1).withColumn(
+        "batch_id", F.expr(f"cast(_rk div {batch_size} as bigint)")
+    )
+    return batched.groupBy("length_bucket", "batch_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max("len").cast("long").alias("max_len"),
+        F.sum("len").cast("long").alias("sum_len"),
+        (F.count("*") * F.max("len") - F.sum("len"))
+        .cast("long")
+        .alias("padding_waste"),
+    )
+
+
 # ------------------------------------------ Bloom decontamination
 
 # At 100 TB the broadcast-set mark-join in ``decontaminate`` has a

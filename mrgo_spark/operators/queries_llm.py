@@ -1916,6 +1916,44 @@ def q_token_balanced_shards(spark, sf_dir):
 
 
 @declare(
+    "length_bucket_batches",
+    """
+    WITH k AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(text),
+                                                       '[^a-z]+'),
+                        x -> x <> '')) AS BIGINT) AS len,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents),
+    b AS (
+        SELECT len,
+               CAST(len // 16 AS BIGINT) AS length_bucket,
+               CAST((row_number() OVER (PARTITION BY len // 16
+                                        ORDER BY h, doc_id) - 1) // 8
+                    AS BIGINT) AS batch_id
+        FROM k)
+    SELECT length_bucket, batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(len) AS BIGINT) AS max_len,
+           CAST(sum(len) AS BIGINT) AS sum_len,
+           CAST(count(*) * max(len) - sum(len) AS BIGINT) AS padding_waste
+    FROM b GROUP BY 1, 2
+    """,
+)
+def q_length_bucket_batches(spark, sf_dir):
+    """Length-bucketed batch construction (r7,
+    pipeline.length_bucket_batches): documents grouped into 16-token
+    length buckets and batched 8 at a time in md5 order — the
+    padding-efficiency step of serving/training loaders, with the
+    per-batch waste Σ(max_len − len) as a measured output. One map
+    pass + one bucket-partitioned window + one partial agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.length_bucket_batches(
+        docs, batch_size=8, bucket_width=16
+    )
+
+
+@declare(
     "fim_transform_docs",
     """
     WITH base AS (
@@ -3741,6 +3779,57 @@ def q_preference_pairs(spark, sf_dir):
     return pipeline.preference_pairs(
         docs, textstats.classifier_score_col("text")
     )
+
+
+@declare(
+    "canonical_dedup_by_quality",
+    _DUP_GRAPH_SQL
+    + f""",
+    qscored AS (
+        SELECT c.doc_id,
+               COALESCE(p.canonical, c.doc_id) AS cluster_id,
+               CAST({_CLF_BIAS} + coalesce(list_sum([list_extract(
+                   {_CLF_W_LIST_SQL},
+                   CAST((CAST(concat('0x', substr(md5(x), 1, 4)) AS BIGINT)
+                         % {_CLF_DIM}) + 1 AS INT))
+                   for x in list_filter(
+                       string_split_regex(lower(c.text), '[^a-z]+'),
+                       x -> x <> '')]), 0) AS BIGINT) AS score
+        FROM corpus c LEFT JOIN comp p ON c.doc_id = p.id)
+    SELECT doc_id, cluster_id, rep_id, score, doc_id = rep_id AS keep
+    FROM (
+        SELECT doc_id, cluster_id, score,
+               first_value(doc_id) OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY score DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS rep_id
+        FROM qscored)
+    """,
+)
+def q_canonical_dedup_by_quality(spark, sf_dir):
+    """Quality-aware canonicalization (r7, dedup.canonical_by_score):
+    the dup-cluster pipeline re-picks each cluster's representative as
+    its HIGHEST classifier-quality member (ties → smallest id) instead
+    of the min-id rule — the production dedup policy (keep the best
+    copy). Clusters come from the planted-dup graph
+    (dedup_pipeline_canonical's corpus); the reward surrogate is the
+    in-window hashed-classifier score; rep selection is one
+    running-first window (no corpus-sized rep join). Oracle walks the
+    same graph recursively and replays the window."""
+    corpus = _planted_dup_corpus(spark, sf_dir)
+    clusters = dedup.dup_clusters(
+        corpus,
+        _dup_blocking_pairs(corpus),
+        id_col="doc_id",
+        src="src",
+        dst="dst",
+        converge=True,
+    )
+    scored = corpus.select(
+        "doc_id", textstats.classifier_score_col("text").alias("score")
+    )
+    return dedup.canonical_by_score(clusters, scored)
 
 
 @declare(

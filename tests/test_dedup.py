@@ -486,3 +486,41 @@ def test_simhash_md5_pairs_recall_copies(spark):
     for d in planted:
         assert rows.get((d, d + 100000)) == 0
         assert rows.get((d, d + 200000)) == 0
+
+
+def test_canonical_by_score_picks_best_member(spark):
+    """The representative must be the max-score member (ties → min
+    id), clusters must match dup_clusters', and exactly one keep per
+    cluster."""
+    from pyspark.sql import functions as F
+
+    from mrgo_spark.operators import dedup, textstats
+    from mrgo_spark.operators.queries_llm import (
+        _dup_blocking_pairs,
+        _planted_dup_corpus,
+    )
+
+    corpus = _planted_dup_corpus(spark, "/root/testdata/sf0.001")
+    clusters = dedup.dup_clusters(
+        corpus, _dup_blocking_pairs(corpus), id_col="doc_id",
+        src="src", dst="dst", converge=True,
+    )
+    scored = corpus.select(
+        "doc_id", textstats.classifier_score_col("text").alias("score")
+    )
+    out = dedup.canonical_by_score(clusters, scored).collect()
+    assert len(out) == corpus.count()
+    by_c = {}
+    for r in out:
+        by_c.setdefault(r.cluster_id, []).append(r)
+    for c, members in by_c.items():
+        best = sorted(members, key=lambda r: (-r.score, r.doc_id))[0]
+        keeps = [r for r in members if r.keep]
+        assert len(keeps) == 1
+        assert keeps[0].doc_id == best.doc_id == members[0].rep_id
+        assert all(r.rep_id == best.doc_id for r in members)
+    # the min-id rule and the quality rule agree on CLUSTERING, not
+    # necessarily on the representative
+    minid = {r.doc_id: r.canonical_id for r in clusters.collect()}
+    for r in out:
+        assert minid[r.doc_id] == r.cluster_id

@@ -834,3 +834,39 @@ def test_token_balanced_shards_invariants(spark):
     }
     for r in out:
         assert again[r.doc_id] == (r.shuffle_pos, r.shard)
+
+
+def test_length_bucket_batches_replay_and_waste_bound(spark):
+    """Python replay of bucket/batch assignment; within-batch padding
+    waste per doc is < bucket_width by construction (all members of a
+    batch share a length bucket)."""
+    import hashlib
+    import re
+
+    docs = load_table(spark, SF, "documents")
+    B, W = 8, 16
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    lens = {
+        d: len([w for w in re.split(r"[^a-z]+", t.lower()) if w])
+        for d, t in rows
+    }
+    by_bucket = {}
+    for d, n in lens.items():
+        by_bucket.setdefault(n // W, []).append(d)
+    expect = {}
+    for bkt, ids in by_bucket.items():
+        ordered = sorted(ids, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))
+        for i, d in enumerate(ordered):
+            key = (bkt, i // B)
+            expect.setdefault(key, []).append(lens[d])
+    want = {
+        k: (len(v), max(v), sum(v), len(v) * max(v) - sum(v))
+        for k, v in expect.items()
+    }
+    got = {
+        (r.length_bucket, r.batch_id): (r.n_docs, r.max_len, r.sum_len, r.padding_waste)
+        for r in pipeline.length_bucket_batches(docs, batch_size=B, bucket_width=W).collect()
+    }
+    assert got == want
+    for (bkt, _), (n, mx, sm, waste) in got.items():
+        assert waste <= n * (W - 1)  # every member within W-1 of max
