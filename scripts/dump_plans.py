@@ -159,6 +159,10 @@ PICKS = [
      "distributed ranking — one shuffle into 4096 md5 buckets, "
      "in-bucket cumsum windows, 4096-row token prefix-sum broadcast "
      "back; NO global window (the corpus_shuffle law, weighted)"),
+    ("canonical_dedup_by_quality", "r7 quality-aware canonical: the "
+     "converge-CC cluster subtree + classifier-scored corpus join; "
+     "rep selection is ONE running-first window by cluster — no "
+     "corpus-sized rep join"),
 ]
 
 
