@@ -301,6 +301,12 @@ def main() -> None:
         # dedup_pipeline_canonical)
         "length_bucket_batches",
         "canonical_dedup_by_quality",
+        # round-8: the fully index-served hybrid (BM25 index lexical
+        # leg + IMI-pruned semantic leg; serves from the PQ + BM25
+        # session caches — order-semantic after pq_codes and
+        # bm25_topk_docs; compare rrf_hybrid_retrieval, whose
+        # semantic leg is the exact scorer)
+        "rrf_hybrid_served",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there
@@ -330,6 +336,7 @@ def main() -> None:
         # at-rest serve path.
         "bm25_topk_docs",
         "dsir_importance_scores",
+        "rrf_hybrid_served",
     }
     for name in EXTRA:
         timed(name, lambda n=name: queries[n](spark, SF_DIR))

@@ -1340,16 +1340,26 @@ def canonical_by_score(
     ``clusters`` = dup_clusters output (id_col, canonical_id, ...);
     ``scored`` = (id_col, score_col). Columns: (id_col, cluster_id,
     rep_id, score, keep). One id join + ONE window partitioned by
-    cluster: rep_id = first(id) over the (score DESC, id) order —
-    the running-first frame makes a rep join unnecessary (a reps
-    frame would be ~cluster-count ≈ corpus-sized, NOT broadcastable;
-    the window shuffles the corpus once by cluster, which the keep
-    decision needs anyway)."""
+    cluster: rep_id = first(id) over the (score DESC NULLS LAST, id)
+    order — the running-first frame makes a rep join unnecessary (a
+    reps frame would be ~cluster-count ≈ corpus-sized, NOT
+    broadcastable; the window shuffles the corpus once by cluster,
+    which the keep decision needs anyway).
+
+    ``scored`` need not cover every cluster member (ADVICE r7: the
+    old inner join silently DROPPED unscored members, shifting the
+    rep with no signal): unscored members survive the LEFT join with
+    a NULL score, sort last in the rep order, and surface in the
+    output — a partial scored frame is visible, never silent."""
     j = clusters.select(
         F.col(id_col), F.col("canonical_id").alias("cluster_id")
-    ).join(scored.select(id_col, F.col(score_col).alias("score")), id_col)
+    ).join(
+        scored.select(id_col, F.col(score_col).alias("score")),
+        id_col,
+        "left",
+    )
     w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("score"), F.asc(id_col)
+        F.col("score").desc_nulls_last(), F.asc(id_col)
     )
     rep = F.first(id_col).over(w)
     return j.select(

@@ -812,9 +812,12 @@ def token_balanced_shards(
     and the assignment replays bit-for-bit on re-runs.
 
     shard = (max(cum,1) − 1) div cap with cum = inclusive running
-    token sum in md5(salt‖id) order and cap = ⌈total/n⌉ — the greedy
-    boundary rule: a doc straddling a boundary lands in the shard of
-    its last token, bounding every shard at cap + max_doc_tokens.
+    token sum in md5(salt‖id) order and cap = max(⌈total/n⌉, 1) — the
+    greedy boundary rule: a doc straddling a boundary lands in the
+    shard of its last token, bounding every shard at
+    cap + max_doc_tokens. The cap floors at 1 so an all-empty corpus
+    (total = 0) lands every row in shard 0 instead of dividing by
+    zero (ADVICE r7).
 
     Scale shape: the weighted extension of corpus_shuffle's
     distributed-ranking trick — one shuffle into 4096 md5 buckets,
@@ -843,7 +846,7 @@ def token_balanced_shards(
     )
     w_in = Window.partitionBy("_bkt").orderBy("_sk", F.col(id_col))
     cum = F.col("_toff") + F.sum("_tok").over(w_in)
-    cap = F.expr(f"(_total + {n_shards} - 1) div {n_shards}")
+    cap = F.expr(f"greatest((_total + {n_shards} - 1) div {n_shards}, 1)")
     return (
         keyed.join(F.broadcast(offsets), "_bkt")
         .select(

@@ -1897,7 +1897,7 @@ def q_dataset_split(spark, sf_dir):
         FROM k)
     SELECT doc_id, n_tokens, shuffle_pos, cum_tokens,
            CAST((greatest(cum_tokens, 1) - 1)
-                // ((total + 15) // 16) AS BIGINT) AS shard
+                // greatest((total + 15) // 16, 1) AS BIGINT) AS shard
     FROM c
     """,
 )
@@ -2208,14 +2208,15 @@ def q_topk_ivf(spark, sf_dir):
         except Exception as e:
             # cached index path died (e.g. /tmp reaped mid-session):
             # drop the stale entry and rebuild below instead of
-            # failing the declared entry with no recovery path. Log
-            # the swallowed error — if the cause is NOT a dead path,
-            # the rebuild will fail the same way and only the second
-            # error would surface, so keep the first one visible.
+            # failing the declared entry with no recovery path.
+            # Only dead-path errors earn the rebuild; anything else
+            # is a genuine query-path bug and propagates (ADVICE r7).
+            if not _dead_index_path(e):
+                raise
             import sys
 
             print(
-                f"topk_cosine_ivf: cached index query failed "
+                f"topk_cosine_ivf: cached index path dead "
                 f"({type(e).__name__}: {e}); rebuilding",
                 file=sys.stderr,
             )
@@ -2223,6 +2224,27 @@ def q_topk_ivf(spark, sf_dir):
     idx = similarity.IVFIndex.build(emb, _ivf_tmpdir())
     _IVF_CACHE[key] = idx
     return idx.query(queries, k=5, n_probe=6)
+
+
+def _dead_index_path(e: Exception) -> bool:
+    """True iff ``e`` looks like a reaped/missing served-index path —
+    the ONLY failure the cached-index recovery paths should mask with
+    a rebuild (ADVICE r7: a bare except here hid genuine query-path
+    bugs behind an expensive rebuild-and-retry whose second failure
+    surfaced far from the root cause). Matches FileNotFound /
+    path-not-exist shapes from both the JVM (AnalysisException,
+    Py4JJavaError wrapping FileNotFoundException) and the OS."""
+    if isinstance(e, FileNotFoundError):
+        return True
+    msg = f"{type(e).__name__}: {e}"
+    needles = (
+        "PATH_NOT_FOUND",
+        "FileNotFoundException",
+        "No such file or directory",
+        "does not exist",
+        "Unable to infer schema",  # empty/reaped dir read as parquet
+    )
+    return any(n in msg for n in needles)
 
 
 def _ivf_tmpdir(prefix: str = "mrgo_ivf_idx_") -> str:
@@ -4028,12 +4050,13 @@ def q_dsir_resample_docs(spark, sf_dir):
 # --------------------------------------------------------- retrieval
 
 
-def _bm25_sql(k: int) -> str:
+def _bm25_sql(k: int, query_pred: str = "doc_id % 100 = 0") -> str:
     """BM25 oracle fragment: CTEs tok/dl/sc/qt/ex/cand/tf/dfq/bm
     ending with bm(query_id, doc_id, n_terms, score_fp, rank <= k).
-    Queries = first-5 distinct tokens of every doc_id % 100 == 0 doc;
-    constants mirror retrieval.bm25_topk (k1=6/5, b=3/4 multiplied
-    out; products in HUGEINT — the decimal(38,0) twin)."""
+    Queries = first-5 distinct tokens of every ``query_pred`` doc
+    (default: doc_id % 100 == 0); constants mirror
+    retrieval.bm25_topk (k1=6/5, b=3/4 multiplied out; products in
+    HUGEINT — the decimal(38,0) twin)."""
     return f"""
     tok AS MATERIALIZED (
         SELECT doc_id,
@@ -4052,7 +4075,7 @@ def _bm25_sql(k: int) -> str:
     qt AS MATERIALIZED (
         SELECT doc_id AS query_id,
                unnest(list_distinct(toks[1:5])) AS term
-        FROM tok WHERE doc_id % 100 = 0
+        FROM tok WHERE {query_pred}
     ),
     ex AS MATERIALIZED (
         SELECT doc_id, unnest(toks) AS term FROM tok
@@ -4121,19 +4144,28 @@ def _bm25_index(spark, sf_dir):
 
 
 def _bm25_served(spark, sf_dir, k: int):
-    """Served BM25 top-k for the fixture query set, with the
-    topk_cosine_ivf dead-cached-path recovery: a cached index whose
-    /tmp dir was reaped rebuilds instead of failing the entry."""
+    """Served BM25 top-k for the fixture query set (doc_id % 100)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     qterms = retrieval.query_terms_from_docs(docs, F.col("doc_id") % 100 == 0)
+    return _bm25_served_terms(spark, sf_dir, qterms, k)
+
+
+def _bm25_served_terms(spark, sf_dir, qterms, k: int):
+    """Served BM25 top-k for an arbitrary (query_id, term) table, with
+    the topk_cosine_ivf dead-cached-path recovery: a cached index
+    whose /tmp dir was reaped rebuilds instead of failing the entry."""
     idx = _bm25_index(spark, sf_dir)
     try:
         return idx.query(qterms, k=k)
     except Exception as e:
+        # only a dead index PATH earns a rebuild; genuine query-path
+        # bugs propagate on first occurrence (ADVICE r7)
+        if not _dead_index_path(e):
+            raise
         import sys
 
         print(
-            f"bm25 serve: cached index query failed "
+            f"bm25 serve: cached index path dead "
             f"({type(e).__name__}: {e}); rebuilding",
             file=sys.stderr,
         )
@@ -4221,6 +4253,87 @@ def q_rrf_hybrid_retrieval(spark, sf_dir):
         "left_semi",
     )
     sem = similarity.topk_cosine_exact(emb, sem_q, k=20).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return retrieval.rrf_fuse(
+        [lex.select("query_id", "doc_id", "rank"), sem], k=10
+    )
+
+
+@declare(
+    "rrf_hybrid_served",
+    _pq_cte()
+    + ","
+    + _PQ_LUT_SQL
+    + f"""
+    probed AS (
+        SELECT query_id, cid AS cell0 FROM (
+            SELECT query_id, cid,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d, cid) AS rn
+            FROM lut WHERE sub = 0) WHERE rn <= 4),
+    cell0 AS (SELECT vec_id, cid AS cell0 FROM a2 WHERE sub = 0),
+    {_bm25_sql(20, query_pred="doc_id IN (SELECT vec_id FROM qids)")},
+    {_FX_NORMS_SQL.replace("norms AS", "norms AS MATERIALIZED")},
+    sem AS (
+        SELECT query_id, doc_id, rank FROM (
+            SELECT p.query_id, b.vec_id AS doc_id,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY {_FX_DOT_SQL}
+                                / (sqrt(a.norm_fx) * sqrt(b.norm_fx)) DESC,
+                                b.vec_id) AS rank
+            FROM probed p
+            JOIN cell0 c ON c.cell0 = p.cell0
+            JOIN norms b ON b.vec_id = c.vec_id
+            JOIN norms a ON a.vec_id = p.query_id
+            WHERE a.vec_id <> b.vec_id
+        ) WHERE rank <= 20),
+    fuse_in AS (
+        SELECT query_id, doc_id,
+               {retrieval.RRF_SCALE} // ({retrieval.RRF_K} + rank) AS c
+        FROM bm
+        UNION ALL
+        SELECT query_id, doc_id,
+               {retrieval.RRF_SCALE} // ({retrieval.RRF_K} + rank) AS c
+        FROM sem
+    ),
+    fused AS (
+        SELECT query_id, doc_id,
+               CAST(count(*) AS BIGINT) AS n_sources,
+               CAST(sum(c) AS BIGINT) AS rrf_score_fp
+        FROM fuse_in GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, n_sources, rrf_score_fp, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY rrf_score_fp DESC, doc_id) AS rank
+        FROM fused
+    ) WHERE rank <= 10
+    """,
+)
+def q_rrf_hybrid_served(spark, sf_dir):
+    """FULLY index-served hybrid retrieval (VERDICT_r7 #1): RRF
+    fusion where BOTH legs serve from at-rest artifacts — the lexical
+    leg from the session-cached BM25Index (postings scan pruned to
+    the query terms' buckets) and the semantic leg from the
+    IMI-pruned cosine path (similarity.topk_cosine_imi: candidates
+    from each query's 4 best of 16 coarse PQ cells, exact fixed-point
+    cosine on survivors only). r7's rrf_hybrid_retrieval kept the
+    exact cosine scorer on its semantic leg — the last serving-path
+    operator whose hot leg was brute force; that form stays declared
+    as the differential twin (n_probe=K parity pinned in
+    tests/test_similarity.py). Queries = the 8 PQ-LUT vectors (their
+    docs' first-5 distinct tokens feed the lexical leg), so the WHOLE
+    pruned hybrid ranking — PQ training, cell probe, candidate
+    pruning, BM25 integers, RRF fusion — oracle-checks end-to-end."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, a, luts = _pq_artifacts(spark, sf_dir)
+    qids = sorted(int(q) for q in luts)
+    qterms = retrieval.query_terms_from_docs(docs, F.col("doc_id").isin(qids))
+    lex = _bm25_served_terms(spark, sf_dir, qterms, k=20)
+    sem = similarity.topk_cosine_imi(emb, a, luts, k=20, n_probe=4).select(
         "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
     )
     return retrieval.rrf_fuse(

@@ -303,6 +303,83 @@ def hard_negatives_imi(
     ``hard_negatives`` for the same query set — pinned in tests.
     Columns match ``hard_negatives``. Passing assigned/luts as None
     trains + assigns one-shot (the pq_topk_imi convenience form)."""
+    scored = _imi_pruned_cosine(
+        embeddings, assigned, luts, n_probe, n_queries,
+        id_col, vec_col, label_col,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "score",
+            "rank",
+        )
+    )
+
+
+def topk_cosine_imi(
+    embeddings: DataFrame,
+    assigned: DataFrame = None,
+    luts=None,
+    k: int = 5,
+    n_probe: int = 4,
+    n_queries: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IMI-pruned cosine top-k (VERDICT_r7 #1): ``hard_negatives_imi``
+    without the label filter — candidates come from each query's
+    ``n_probe`` best coarse cells (subspace-0 PQ codes), only
+    survivors get the exact fixed-point cosine verify. The served
+    semantic RETRIEVAL leg: rrf_hybrid's fusion composes this with
+    the at-rest BM25 index so BOTH hybrid legs are index-served (the
+    lexical leg was served in r7, leaving the semantic leg the last
+    brute-force serving path).
+
+    Same column contract as ``topk_cosine_exact`` (query_id,
+    neighbor_id, score, rank); n_probe = K (all cells probed)
+    degenerates to the exact form for the same query set — pinned in
+    tests/test_similarity.py. The query set is luts' key set (the PQ
+    LUT idiom), and the whole pruned ranking oracle-checks through
+    the PQ CTE chain, like hard_negatives_imi."""
+    scored = _imi_pruned_cosine(
+        embeddings, assigned, luts, n_probe, n_queries,
+        id_col, vec_col, label_col=None,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def _imi_pruned_cosine(
+    embeddings: DataFrame,
+    assigned: DataFrame,
+    luts,
+    n_probe: int,
+    n_queries: int,
+    id_col: str,
+    vec_col: str,
+    label_col: str | None,
+) -> DataFrame:
+    """Shared IMI prune-then-verify core (hard_negatives_imi /
+    topk_cosine_imi): broadcast (cell0, query) probe rows join
+    cell-assigned corpus vectors BEFORE any dot product; survivors
+    get the exact fixed-point cosine. With ``label_col`` the
+    label-inequality filter rides the candidate join (negative
+    mining); without it every probed-cell vector is a candidate
+    (retrieval). Returns the UNRANKED scored frame."""
     if assigned is None or luts is None:
         q = _pq_quantized(embeddings, id_col, vec_col)
         cents = _pq_train(q, PQ_M, PQ_SUBDIM, PQ_K, PQ_ITERS)
@@ -322,66 +399,51 @@ def hard_negatives_imi(
     probe_df = embeddings.sparkSession.createDataFrame(
         probe_cells, "qcell0 int, query_id long"
     )
+    qcols = [
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.sqrt(_fx_dot(F.col(vec_col), F.col(vec_col))).alias("qnorm"),
+    ]
+    ccols = [
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.sqrt(_fx_dot(F.col(vec_col), F.col(vec_col))).alias("cnorm"),
+    ]
+    if label_col is not None:
+        qcols.insert(1, F.col(label_col).alias("query_label"))
+        ccols.insert(1, F.col(label_col).alias("neighbor_label"))
     qside = (
         embeddings.filter(F.col(id_col).isin([int(q) for q in qids]))
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(label_col).alias("query_label"),
-            F.col(vec_col).alias("qvec"),
-            F.sqrt(_fx_dot(F.col(vec_col), F.col(vec_col))).alias("qnorm"),
-        )
+        .select(*qcols)
         .join(probe_df, "query_id")
     )
-    corpus = (
-        embeddings.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(label_col).alias("neighbor_label"),
-            F.col(vec_col).alias("cvec"),
-            F.sqrt(_fx_dot(F.col(vec_col), F.col(vec_col))).alias("cnorm"),
-        )
-        .join(
-            assigned.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("_b0.cid").cast("int").alias("cell0"),
-            ),
-            "neighbor_id",
-        )
-    )
-    cand = corpus.join(
-        F.broadcast(qside),
-        (F.col("cell0") == F.col("qcell0"))
-        & (F.col("query_label") != F.col("neighbor_label"))
-        & (F.col("query_id") != F.col("neighbor_id")),
-    )
-    scored = cand.select(
-        "query_id",
-        "query_label",
+    corpus = embeddings.select(*ccols).join(
+        assigned.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("_b0.cid").cast("int").alias("cell0"),
+        ),
         "neighbor_id",
-        "neighbor_label",
-        (
-            _fx_dot(F.col("qvec"), F.col("cvec"))
-            / (F.col("qnorm") * F.col("cnorm"))
-        ).alias("score"),
     )
+    cond = (F.col("cell0") == F.col("qcell0")) & (
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    if label_col is not None:
+        cond = cond & (F.col("query_label") != F.col("neighbor_label"))
+    cand = corpus.join(F.broadcast(qside), cond)
+    out_cols = ["query_id", "neighbor_id"]
+    if label_col is not None:
+        out_cols = ["query_id", "query_label", "neighbor_id", "neighbor_label"]
     # no distinct needed: each corpus vector has exactly ONE cell0 and
     # probe rows are unique (cell, query) pairs, so a (query, neighbor)
     # candidate appears at most once — a dedup here would add a
     # candidate-sized shuffle for nothing (unlike topk_cosine_ivf,
     # whose per-call assignment frame can carry multi-probe rows)
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "query_label",
-            "neighbor_id",
-            "neighbor_label",
-            "score",
-            "rank",
-        )
+    return cand.select(
+        *out_cols,
+        (
+            _fx_dot(F.col("qvec"), F.col("cvec"))
+            / (F.col("qnorm") * F.col("cnorm"))
+        ).alias("score"),
     )
 
 
@@ -994,6 +1056,7 @@ class IVFIndex:
         embeddings: DataFrame,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        dedupe: bool = True,
     ) -> "IVFIndex":
         """Incremental ingestion against FROZEN centroids (the
         BM25Index.merge story for ANN): new vectors are assigned to
@@ -1004,7 +1067,16 @@ class IVFIndex:
         (parity-pinned in tests/test_similarity.py). Centroid drift
         under heavy growth is the standard trade-off: re-run build
         when the added fraction gets large (Lucene-style segment
-        hygiene). Caller contract: new ids disjoint from existing."""
+        hygiene).
+
+        ``dedupe=True`` (default) makes add IDEMPOTENT (ADVICE r7: a
+        retried ingestion job re-adding the same batch silently
+        duplicated vectors in the cell files and changed query
+        results): ids already in the index are anti-joined out before
+        the append — an id-column-pruned scan of the existing cells,
+        which a retried batch job affords. Set ``dedupe=False`` only
+        when the caller guarantees disjointness upstream (e.g. an
+        exactly-once writer), skipping the scan."""
         cells = _assign_cells(
             embeddings.select(
                 F.col(id_col).alias("neighbor_id"),
@@ -1015,6 +1087,11 @@ class IVFIndex:
             "cvec_",
             n_probe=1,
         )
+        if dedupe:
+            existing = self.spark.read.parquet(f"{self.path}/cells").select(
+                "neighbor_id"
+            )
+            cells = cells.join(existing, "neighbor_id", "left_anti")
         (
             cells.repartition("cell_id")
             .write.mode("append")

@@ -146,7 +146,15 @@ PRIORITY = [
     # keeps bpe_train_merges in-window). bpe_token_stats was
     # driver-green r1-r6 and stays declared + checked just past the
     # window.
-    "text_token_stats", "bigram_lm_bits", "rrf_hybrid_retrieval",
+    # r8 swap (VERDICT_r7 #1/#5): rrf_hybrid_served takes
+    # rrf_hybrid_retrieval's slot — the same fusion class, but BOTH
+    # legs index-served (BM25 postings buckets + IMI-pruned cosine)
+    # and the WHOLE pruned hybrid ranking oracle-checked; the
+    # minhash_md5-for-minhash_lsh precedent (within-family swap to
+    # the strictly stronger member). rrf_hybrid_retrieval (exact
+    # semantic leg) stays declared + checked just past the window as
+    # the differential twin.
+    "text_token_stats", "bigram_lm_bits", "rrf_hybrid_served",
     # r6 swap: classifier_quality_scores (the fasttext-style hashed
     # linear classifier filter, VERDICT_r5 #5) takes
     # char_quality_stats's slot — X4 held NINE in-window reps and
@@ -163,7 +171,13 @@ PRIORITY = [
     # composes the same signals; classifier_quality_scores is the
     # learned filter). quality_score stays declared + checked just
     # past the window.
-    "dsir_importance_scores",
+    # r8 swap (VERDICT_r7 #5, judge-suggested): dsir_resample_docs
+    # takes dsir_importance_scores' slot — the resample RUNS the
+    # importance scoring and then the Hamilton allocation + md5 pick
+    # on top, so its green row subsumes the scores row (the
+    # loop-closing op is the stronger evidence). scores stays
+    # declared + checked just past the window.
+    "dsir_resample_docs",
     "tfidf_top_terms", "repetition_stats",
     # r4c swap: bpe_train_merges (tokenizer TRAINING — the X4
     # iterative-algorithm class) takes q3_top_revenue_orders's slot
@@ -183,6 +197,7 @@ PRIORITY = [
     # TPC-H representative (the remaining 21 variants follow after)
     "q1_pricing_summary",
     # first entries past the driver window, in checked order
+    "rrf_hybrid_retrieval", "dsir_importance_scores",
     "embedding_centroids", "quality_score",
     "minhash_lsh_pairs", "embedding_quantize", "char_quality_stats",
     "line_dedup_stats",
@@ -190,6 +205,20 @@ PRIORITY = [
     "ngram_jaccard_reversed_pairs", "events_tumbling_hour",
     "hypertable_rollup",
 ]
+
+# Round-8 window review (VERDICT_r7 #5, decision recorded): TWO swaps
+# — rrf_hybrid_served in for rrf_hybrid_retrieval and
+# dsir_resample_docs in for dsir_importance_scores (both
+# within-family upgrades to the strictly stronger member; rationale
+# inline above). Considered and REJECTED: media_dedup_canonical for
+# media_phash_pairs — the pairs row is the oracle pin on the BANDED
+# candidate generation itself (the scale-critical piece), while the
+# canonical pipeline's recursive-CTE oracle is the heavier gate row
+# and sits on the fixture-size-sensitive Union-constraint Catalyst
+# edge (CLAUDE.md r7 gotcha); the end-to-end form stays declared +
+# receipt-checked just outside, where the full-registry driver_sim
+# receipts it every round. X5 keeps two in-window reps
+# (multimodal_blob_stats + media_phash_pairs).
 
 # Round-6 window review (VERDICT_r5 #7, decision recorded): THREE
 # swaps this round — minhash_md5_pairs in for minhash_lsh_pairs

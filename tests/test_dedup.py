@@ -524,3 +524,28 @@ def test_canonical_by_score_picks_best_member(spark):
     minid = {r.doc_id: r.canonical_id for r in clusters.collect()}
     for r in out:
         assert minid[r.doc_id] == r.cluster_id
+
+
+def test_canonical_by_score_partial_scored_frame_is_visible(spark):
+    """ADVICE r7: members missing a score row used to vanish silently
+    (inner join); now they survive the left join with a NULL score,
+    sort last for the rep pick, and still get a keep verdict."""
+    from mrgo_spark.operators import dedup
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, canonical_id long",
+    )
+    # doc 2 (mid cluster) and doc 10 (would-be min-id rep) unscored
+    scored = spark.createDataFrame(
+        [(1, 5), (3, 9), (11, 4)], "doc_id long, score long"
+    )
+    out = {r.doc_id: r for r in
+           dedup.canonical_by_score(clusters, scored).collect()}
+    assert set(out) == {1, 2, 3, 10, 11}          # nobody vanishes
+    assert out[2].score is None and out[10].score is None
+    # cluster 1: best scored member is 3 (score 9)
+    assert all(out[d].rep_id == 3 for d in (1, 2, 3))
+    assert [d for d in (1, 2, 3) if out[d].keep] == [3]
+    # cluster 10: only 11 is scored -> it beats the NULL-scored 10
+    assert out[10].rep_id == 11 and out[11].keep and not out[10].keep

@@ -870,3 +870,15 @@ def test_length_bucket_batches_replay_and_waste_bound(spark):
     assert got == want
     for (bkt, _), (n, mx, sm, waste) in got.items():
         assert waste <= n * (W - 1)  # every member within W-1 of max
+
+
+def test_token_balanced_shards_all_empty_corpus(spark):
+    """ADVICE r7: a zero-token corpus used to divide by a zero cap —
+    the floored cap lands every row in shard 0, positions intact."""
+    docs = spark.createDataFrame(
+        [(i, "!!! ...") for i in range(7)], "doc_id long, text string"
+    )
+    out = pipeline.token_balanced_shards(docs, n_shards=4).collect()
+    assert len(out) == 7
+    assert all(r.n_tokens == 0 and r.shard == 0 for r in out)
+    assert sorted(r.shuffle_pos for r in out) == list(range(7))

@@ -39,10 +39,11 @@ MUST_BE_GATED = [
     "text_token_stats",             # X4 token stats
     "lang_id_heuristic",            # X4 language id
     # quality_score demoted just past the window in r6 session 2 —
-    # its slot funds dsir_importance_scores (distribution-matching
-    # selection, a new class; heuristic quality keeps
-    # corpus_quality_filter + classifier_quality_scores in-window)
-    "dsir_importance_scores",       # DSIR data selection (r6s2)
+    # its slot funds the DSIR selection class (r8: the resample row
+    # subsumes the scores row — it runs scoring + Hamilton allocation
+    # + the md5 pick; dsir_importance_scores demoted just past the
+    # window, VERDICT_r7 #5)
+    "dsir_resample_docs",           # DSIR data selection loop (r8)
     "classifier_quality_scores",    # X4 classifier filter (r6,
     #                                 VERDICT_r5 #5)
     "bm25_topk_docs",               # retrieval family rep (r6s2;

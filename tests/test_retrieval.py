@@ -236,3 +236,51 @@ def test_bm25_index_merge_equals_union_build(spark, tmp_path):
     assert got == want
     # merged metadata: re-bucketed to a's bucket count
     assert merged.n_buckets == ia.n_buckets
+
+
+def test_bm25_index_merge_rejects_overlapping_doc_sets(spark, tmp_path):
+    """ADVICE r7: merging indexes whose doc sets overlap would
+    double-count tf/df/n/tt — the disjointness contract must fail
+    loudly, not corrupt scores."""
+    import pytest
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 3 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 0)  # overlaps a on %6 == 0
+    ia = retrieval.BM25Index.build(a, str(tmp_path / "oa"))
+    ib = retrieval.BM25Index.build(b, str(tmp_path / "ob"))
+    with pytest.raises(ValueError, match="overlap"):
+        retrieval.BM25Index.merge(ia, ib, str(tmp_path / "om"))
+
+
+def test_bm25_index_many_term_batch_degrades_gracefully(spark, tmp_path):
+    """VERDICT_r7 #4: a query batch whose terms hash into EVERY
+    bucket loses pruning but never correctness — the full-scan serve
+    must still equal the two-pass form (and the isin filter is
+    skipped entirely when all buckets are hit)."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    # a tiny bucket count guarantees every bucket is hit by a
+    # many-term batch without needing a huge query set
+    idx = retrieval.BM25Index.build(docs, str(tmp_path / "wide"), n_buckets=2)
+    qterms = retrieval.query_terms_from_docs(
+        docs, F.col("doc_id") % 5 == 0, n_terms=8
+    )
+    served = sorted(map(tuple, idx.query(qterms, k=10).collect()))
+    direct = sorted(
+        map(tuple, retrieval.bm25_topk(docs, qterms, k=10).collect())
+    )
+    assert served == direct
+
+
+def test_dead_index_path_classifier():
+    """ADVICE r7: the cached-index recovery only masks dead-path
+    errors; anything else must propagate on first occurrence."""
+    from mrgo_spark.operators.queries_llm import _dead_index_path
+
+    assert _dead_index_path(FileNotFoundError("gone"))
+    assert _dead_index_path(Exception("[PATH_NOT_FOUND] Path does not exist"))
+    assert _dead_index_path(
+        Exception("java.io.FileNotFoundException: /tmp/mrgo_bm25_idx_x")
+    )
+    assert not _dead_index_path(ValueError("bad k"))
+    assert not _dead_index_path(Exception("AnalysisException: column foo"))

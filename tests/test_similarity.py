@@ -609,3 +609,61 @@ def test_ivf_index_add_equals_union_assignment(spark, tmp_path):
         for r in ref.query(queries, k=5).collect()
     )
     assert got == want
+
+
+def test_ivf_index_add_is_idempotent(spark, tmp_path):
+    """ADVICE r7: a retried ingestion job re-adding the same batch
+    must not duplicate vectors in the cell files — add() anti-joins
+    new ids against the existing index by default."""
+    emb = load_table(spark, SF, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = similarity.IVFIndex.build(a, str(tmp_path / "idem"))
+    idx.add(b)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    before = sorted(map(tuple, idx.query(queries, k=5).collect()))
+    idx.add(b)  # the retried batch: must be a no-op
+    n_b = b.count()
+    cells = spark.read.parquet(str(tmp_path / "idem") + "/cells")
+    assert cells.filter(F.col("neighbor_id") % 2 == 1).count() == n_b
+    after = sorted(map(tuple, idx.query(queries, k=5).collect()))
+    assert after == before
+
+
+def test_topk_cosine_imi_degenerates_to_exact(spark):
+    """n_probe = PQ_K makes the IMI-pruned retrieval top-k's
+    candidate set the whole corpus: output must equal
+    topk_cosine_exact for the same 8-smallest-id query set — the
+    VERDICT_r7 #1 parity pin for the served hybrid semantic leg."""
+    emb = load_table(spark, SF, "embeddings")
+    imi = similarity.topk_cosine_imi(
+        emb, k=5, n_probe=similarity.PQ_K, n_queries=8
+    ).collect()
+    qids = [r.vec_id for r in emb.orderBy("vec_id").limit(8).collect()]
+    exact = similarity.topk_cosine_exact(
+        emb, emb.filter(F.col("vec_id").isin(qids)), k=5
+    ).collect()
+    key = lambda r: (r.query_id, r.rank, r.neighbor_id)  # noqa: E731
+    assert sorted(map(key, imi)) == sorted(map(key, exact))
+
+
+def test_topk_cosine_imi_pruned_recall_and_shape(spark):
+    """At the declared n_probe=4/16 the pruned top-k returns
+    correctly-windowed rows with a usable fraction of the exact
+    top-5, and shares hard_negatives_imi's plan shape (prune before
+    score: no BroadcastNestedLoopJoin anywhere)."""
+    emb = load_table(spark, SF, "embeddings")
+    df = similarity.topk_cosine_imi(emb, k=5, n_probe=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    out = df.collect()
+    assert out
+    for r in out:
+        assert r.rank <= 5 and r.query_id != r.neighbor_id
+    qids = sorted({r.query_id for r in out})
+    exact = similarity.topk_cosine_exact(
+        emb, emb.filter(F.col("vec_id").isin(qids)), k=5
+    ).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in exact}
+    got = {(r.query_id, r.neighbor_id) for r in out}
+    assert len(truth & got) / len(truth) >= 0.20
