@@ -4383,8 +4383,34 @@ def q_retrieval_eval(spark, sf_dir):
     semantic agreement (the trec_eval step of a retrieval pipeline,
     restricted to hash-portable metrics; nDCG's log2 discount is
     deliberately absent). Inputs are both top-k-bounded, so the whole
-    eval is queries×k-sized."""
+    eval is queries×k-sized. r8 (VERDICT_r7 #3): the truth set is
+    computed ONCE per (session, sf_dir) and persisted next to the
+    BM25Index artifacts — repeated eval runs are index-reads (a
+    queries×k parquet scan), never a fresh corpus×queries cosine."""
     lex = _bm25_served(spark, sf_dir, k=10)
+    return retrieval.retrieval_eval(lex, _eval_truth(spark, sf_dir), k=10)
+
+
+def _eval_truth(spark, sf_dir):
+    """The eval ground-truth cache (VERDICT_r7 #3): exact-cosine
+    top-10 for the fixture query set, computed once per (session,
+    sf_dir), written as parquet NEXT TO the session BM25Index
+    (``{index}/eval_truth``), and served from that parquet on every
+    subsequent call — the at-rest story the serve paths already
+    follow, applied to the eval loop. Parity with the recompute form
+    is pinned in tests/test_retrieval.py (it's the same frame,
+    round-tripped). The dict is keyed by sf_dir with the owning
+    session held (the _PQ_CACHE identity rule)."""
+    hit = _EVAL_TRUTH_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        try:
+            return spark.read.parquet(hit[1])
+        except Exception as e:
+            if not _dead_index_path(e):
+                raise
+            del _EVAL_TRUTH_CACHE[sf_dir]
+    elif hit is not None:
+        del _EVAL_TRUTH_CACHE[sf_dir]
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     emb = load_table(spark, sf_dir, "embeddings")
     qids = docs.filter(F.col("doc_id") % 100 == 0)
@@ -4396,7 +4422,84 @@ def q_retrieval_eval(spark, sf_dir):
     truth = similarity.topk_cosine_exact(emb, sem_q, k=10).select(
         "query_id", F.col("neighbor_id").alias("doc_id")
     )
-    return retrieval.retrieval_eval(lex, truth, k=10)
+    path = f"{_bm25_index(spark, sf_dir).path}/eval_truth"
+    truth.write.mode("overwrite").parquet(path)
+    _EVAL_TRUTH_CACHE[sf_dir] = (spark, path)
+    return spark.read.parquet(path)
+
+
+_EVAL_TRUTH_CACHE: dict[str, tuple] = {}
+
+
+@declare(
+    "ngram_precision_eval",
+    f"""
+    WITH tl AS MATERIALIZED (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t
+        FROM documents),
+    pr AS MATERIALIZED (
+        SELECT a.doc_id AS pair_id, a.t AS ct, b.t AS rt
+        FROM tl a JOIN tl b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 10 = 0),
+    cg AS (
+        SELECT pair_id, 1 AS n, unnest(ct) AS g FROM pr
+        UNION ALL
+        SELECT pair_id, 2 AS n,
+               unnest([ct[i] || ' ' || ct[i + 1]
+                       for i in generate_series(1, len(ct) - 1)]) AS g
+        FROM pr WHERE len(ct) >= 2),
+    rg AS (
+        SELECT pair_id, 1 AS n, unnest(rt) AS g FROM pr
+        UNION ALL
+        SELECT pair_id, 2 AS n,
+               unnest([rt[i] || ' ' || rt[i + 1]
+                       for i in generate_series(1, len(rt) - 1)]) AS g
+        FROM pr WHERE len(rt) >= 2),
+    cc AS (SELECT pair_id, n, g, CAST(count(*) AS BIGINT) AS c
+           FROM cg GROUP BY 1, 2, 3),
+    rc AS (SELECT pair_id, n, g, CAST(count(*) AS BIGINT) AS r
+           FROM rg GROUP BY 1, 2, 3),
+    m AS (
+        SELECT cc.pair_id, cc.n,
+               CAST(sum(least(cc.c, coalesce(rc.r, 0))) AS BIGINT)
+                 AS matched,
+               CAST(sum(cc.c) AS BIGINT) AS total
+        FROM cc LEFT JOIN rc
+          ON cc.pair_id = rc.pair_id AND cc.n = rc.n AND cc.g = rc.g
+        GROUP BY 1, 2),
+    base AS (SELECT pair_id, unnest([1, 2]) AS n FROM pr)
+    SELECT b.pair_id, CAST(b.n AS INT) AS n,
+           CAST(coalesce(m.matched, 0) AS BIGINT) AS matched,
+           CAST(coalesce(m.total, 0) AS BIGINT) AS total,
+           CAST(CASE WHEN coalesce(m.total, 0) = 0 THEN 0
+                     ELSE ({textstats.NGRAM_PREC_SCALE} * m.matched)
+                          // m.total END AS BIGINT) AS precision_fp
+    FROM base b LEFT JOIN m ON b.pair_id = m.pair_id AND b.n = m.n
+    """,
+)
+def q_ngram_precision_eval(spark, sf_dir):
+    """Generation-eval metrics (r8, textstats.ngram_precision_eval):
+    BLEU-style CLIPPED n-gram precision (Papineni et al. 2002) as
+    exact integers — matched = Σ min(count_cand, count_ref) per gram,
+    precision_fp = SCALE·matched div total — for the fixture pair set
+    (every doc_id % 10 == 0 doc as candidate against its successor
+    doc as reference). The third eval family next to retrieval_eval
+    (ranking) and knn_label_eval (embedding): generation quality.
+    The BLEU geometric mean / brevity penalty need libm and are
+    deliberately absent (the ln() lesson); per-n precisions are the
+    auditable core."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("pair_id"), F.col("text").alias("cand_text")
+    )
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("pair_id"),
+        F.col("text").alias("ref_text"),
+    )
+    pairs = a.join(b, "pair_id")
+    return textstats.ngram_precision_eval(pairs, max_n=2)
 
 
 @declare(

@@ -1063,3 +1063,104 @@ def compression_ratio_stats(
             F.expr("cast((1000 * n_deflate) div n_bytes as bigint)"),
         ).alias("ratio_milli"),
     )
+
+
+NGRAM_PREC_SCALE = 1_000_000  # fixed-point scale for n-gram precision
+
+
+def ngram_precision_eval(
+    pairs: DataFrame,
+    max_n: int = 2,
+    id_col: str = "pair_id",
+    cand_col: str = "cand_text",
+    ref_col: str = "ref_text",
+) -> DataFrame:
+    """BLEU-style modified n-gram precision (Papineni et al. 2002) —
+    the generation-EVAL metric family, restricted like retrieval_eval
+    to the hash-portable core: per (pair, n ≤ max_n),
+
+    - ``matched`` = Σ_gram min(count_cand(g), count_ref(g)) — the
+      CLIPPED match count (a candidate repeating a reference gram
+      gets credit at most the reference's multiplicity, BLEU's fix
+      for degenerate repetition),
+    - ``total``   = candidate n-gram count,
+    - ``precision_fp`` = SCALE·matched div total (0 when the
+      candidate has no n-grams).
+
+    The BLEU geometric mean and brevity penalty need exp/log — not
+    hash-portable (the ln() lesson); per-n exact precisions are the
+    auditable core and compose downstream. Identical texts score
+    exactly SCALE at every n (pinned in tests).
+
+    ``pairs``: one row per (id_col, cand_col, ref_col). Scale shape:
+    pairs are the bounded eval set by contract; tokenization runs
+    ONCE into a checkpointed (pair_id, toks, toks) frame — the gram
+    consumers (2 sides × max_n) would otherwise each re-run the
+    upstream pair build (the no-exchange-reuse-across-projections
+    class; the exsub_tokens idiom). Per n: two explode+count passes
+    over the token frame, one gram-keyed LEFT join, one pair-keyed
+    agg — everything pairs×length-sized, nothing corpus².
+    Columns: (pair_id, n, matched, total, precision_fp)."""
+    pt = pairs.select(
+        F.col(id_col).alias("pair_id"),
+        ascii_tokens(cand_col, lowercase=True).alias("_ct"),
+        ascii_tokens(ref_col, lowercase=True).alias("_rt"),
+    ).localCheckpoint(eager=False)
+
+    def grams(toks_col: str, n: int) -> F.Column:
+        t = F.col(toks_col)
+        idx = F.sequence(F.lit(0), F.size(t) - n)
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                idx, lambda i: F.array_join(F.slice(t, i + 1, n), " ")
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = pt.select(
+        "pair_id",
+        F.explode(F.array(*[F.lit(n) for n in range(1, max_n + 1)])).alias(
+            "n"
+        ),
+    )
+    parts = []
+    for n in range(1, max_n + 1):
+        cg = (
+            pt.select("pair_id", F.explode(grams("_ct", n)).alias("g"))
+            .groupBy("pair_id", "g")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+        rg = (
+            pt.select("pair_id", F.explode(grams("_rt", n)).alias("g"))
+            .groupBy("pair_id", "g")
+            .agg(F.count("*").cast("long").alias("r"))
+        )
+        agg = (
+            cg.join(rg, ["pair_id", "g"], "left")
+            .groupBy("pair_id")
+            .agg(
+                F.sum(
+                    F.least(F.col("c"), F.coalesce(F.col("r"), F.lit(0)))
+                )
+                .cast("long")
+                .alias("matched"),
+                F.sum("c").cast("long").alias("total"),
+            )
+            .withColumn("n", F.lit(n))
+        )
+        parts.append(agg.select("pair_id", "n", "matched", "total"))
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionAll(p)
+    return base.join(allp, ["pair_id", "n"], "left").select(
+        "pair_id",
+        F.col("n").cast("int").alias("n"),
+        F.coalesce("matched", F.lit(0)).cast("long").alias("matched"),
+        F.coalesce("total", F.lit(0)).cast("long").alias("total"),
+        F.when(F.coalesce("total", F.lit(0)) == 0, F.lit(0))
+        .otherwise(
+            F.expr(f"cast(({NGRAM_PREC_SCALE} * matched) div total as bigint)")
+        )
+        .cast("long")
+        .alias("precision_fp"),
+    )

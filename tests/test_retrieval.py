@@ -284,3 +284,36 @@ def test_dead_index_path_classifier():
     )
     assert not _dead_index_path(ValueError("bad k"))
     assert not _dead_index_path(Exception("AnalysisException: column foo"))
+
+
+def test_eval_truth_cache_parity_and_at_rest(spark):
+    """VERDICT_r7 #3: the cached eval truth set must equal the fresh
+    exact-cosine recompute, and the second call must serve from the
+    persisted parquet (no embeddings scan in its plan)."""
+    from mrgo_spark.operators import queries_llm, similarity
+    from mrgo_spark.operators.queries_llm import _eval_truth
+
+    sf = SF
+    queries_llm._EVAL_TRUTH_CACHE.pop(sf, None)
+    first = _eval_truth(spark, sf)
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    emb = load_table(spark, sf, "embeddings")
+    qids = docs.filter(F.col("doc_id") % 100 == 0)
+    sem_q = emb.join(
+        F.broadcast(qids),
+        (F.col("vec_id") == F.col("doc_id")) & (F.col("vec_id") % 100 == 0),
+        "left_semi",
+    )
+    fresh = similarity.topk_cosine_exact(emb, sem_q, k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id")
+    )
+    key = lambda r: (r.query_id, r.doc_id)  # noqa: E731
+    assert sorted(map(key, first.collect())) == sorted(
+        map(key, fresh.collect())
+    )
+    second = _eval_truth(spark, sf)
+    plan = second._jdf.queryExecution().executedPlan().toString()
+    assert "eval_truth" in plan and "embeddings" not in plan
+    assert sorted(map(key, second.collect())) == sorted(
+        map(key, first.collect())
+    )

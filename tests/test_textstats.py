@@ -236,3 +236,55 @@ def test_compression_ratio_matches_zlib_and_orders_noise(spark):
     )
     out = {r.doc_id: r.ratio_milli for r in textstats.compression_ratio_stats(boiler).collect()}
     assert out[1] < out[2]
+
+
+def test_ngram_precision_eval_replay_and_pins(spark):
+    """Pure-Python replay of the clipped n-gram precision; identity
+    pairs score exactly SCALE; empty candidates score 0 with rows
+    still present."""
+    import re
+
+    from mrgo_spark.operators.textstats import (
+        NGRAM_PREC_SCALE,
+        ngram_precision_eval,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat", "the cat sat on the mat"),   # identity
+        (2, "the the the cat", "the cat"),                         # clipping
+        (3, "alpha beta gamma", "delta epsilon"),                  # no overlap
+        (4, "", "some reference text"),                            # empty cand
+        (5, "one token", ""),                                      # empty ref
+    ]
+    pairs = spark.createDataFrame(
+        rows, "pair_id long, cand_text string, ref_text string"
+    )
+    got = {
+        (r.pair_id, r.n): (r.matched, r.total, r.precision_fp)
+        for r in ngram_precision_eval(pairs, max_n=2).collect()
+    }
+    assert len(got) == 10  # every pair x n present, empties included
+
+    def toks(s):
+        return [w for w in re.split(r"[^a-z]+", s.lower()) if w]
+
+    def grams(ts, n):
+        return [" ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)]
+
+    for pid, cand, ref in rows:
+        for n in (1, 2):
+            cg, rg = grams(toks(cand), n), grams(toks(ref), n)
+            cnt_c, cnt_r = {}, {}
+            for g in cg:
+                cnt_c[g] = cnt_c.get(g, 0) + 1
+            for g in rg:
+                cnt_r[g] = cnt_r.get(g, 0) + 1
+            matched = sum(min(c, cnt_r.get(g, 0)) for g, c in cnt_c.items())
+            total = len(cg)
+            fp = (NGRAM_PREC_SCALE * matched) // total if total else 0
+            assert got[(pid, n)] == (matched, total, fp), (pid, n)
+    # identity pair pins exactly SCALE at both n
+    assert got[(1, 1)][2] == NGRAM_PREC_SCALE
+    assert got[(1, 2)][2] == NGRAM_PREC_SCALE
+    # clipping: "the the the cat" vs "the cat" -> unigram matched 2/4
+    assert got[(2, 1)] == (2, 4, NGRAM_PREC_SCALE // 2)
