@@ -1156,3 +1156,110 @@ def mixture_temperature_sample(
         .where(F.col("samp_rank") <= F.col("quota"))
     )
     return picked.select("stratum", "id", "samp_rank", "quota")
+
+
+def span_corruption(
+    df: DataFrame,
+    block: int = 8,
+    span: int = 3,
+    rate_mod: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """T5-style span-corruption training transform (Raffel et al.
+    2020): mask short token spans and emit the (inputs, targets)
+    pair — inputs with each masked span collapsed to one
+    ``<extra_id_k>`` sentinel, targets listing each sentinel followed
+    by the tokens it hides, closed by the final sentinel. The
+    denoising pretraining objective next to fim_transform's
+    infilling and sequence_chunks' causal LM.
+
+    Deterministic and engine-portable (the fim recipe): the token
+    stream is cut into full ``block``-token blocks; block j of doc d
+    masks a ``span``-token run iff md5(d:j)'s 48-bit prefix h has
+    h % rate_mod == 0 (default 1/4 of blocks → span/block·1/rate_mod
+    ≈ 9% of tokens), starting at in-block offset (h div rate_mod) %
+    (block − span + 1) — always fully inside the block, so no
+    boundary clamps to drift between engines. Partial tail blocks
+    are never masked.
+
+    Everything is array-local column expressions — NO explode (the
+    r4 Generate-pushdown hazard class has nothing to push into) and
+    zero shuffles at any scale. Columns: (id_col, n_tokens, n_spans,
+    n_masked, inputs_text, targets_text)."""
+    # rate_mod must be a power of two: h div rate_mod is computed as
+    # float division + truncation (HOF lambdas can't use expr-div),
+    # which is exact only when the divisor is a power of 2 (h < 2^48
+    # < 2^53, and /2^k is exact in binary floating point)
+    assert rate_mod & (rate_mod - 1) == 0 and rate_mod > 0
+    toks = ascii_tokens(text_col, lowercase=True)
+    d1 = df.select(F.col(id_col), toks.alias("_t"))
+    nblocks = F.floor(F.size("_t") / block).cast("int")
+    blocks = F.when(nblocks > 0, F.sequence(F.lit(0), nblocks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    hof = lambda j: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    j.cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    starts = F.transform(
+        F.filter(blocks, lambda j: hof(j) % rate_mod == 0),
+        lambda j: (
+            j.cast("long") * block
+            + (hof(j) / rate_mod).cast("long") % (block - span + 1)
+        ),
+    )
+    d2 = d1.select(id_col, "_t", starts.alias("_sp"))
+    sentinel = lambda k: F.concat(  # noqa: E731
+        F.lit("<extra_id_"), k.cast("string"), F.lit(">")
+    )
+    tok_out = F.transform(
+        F.col("_t"),
+        lambda x, p: F.when(
+            F.array_position(F.col("_sp"), p.cast("long")) > 0,
+            sentinel(F.array_position(F.col("_sp"), p.cast("long")) - 1),
+        )
+        .when(
+            F.exists(
+                F.col("_sp"),
+                lambda s: (p.cast("long") >= s) & (p.cast("long") < s + span),
+            ),
+            F.lit(None).cast("string"),
+        )
+        .otherwise(x),
+    )
+    tgt_parts = F.transform(
+        F.col("_sp"),
+        lambda s, k: F.concat(
+            sentinel(k),
+            F.lit(" "),
+            F.array_join(F.slice("_t", s.cast("int") + 1, span), " "),
+        ),
+    )
+    closing = sentinel(F.size("_sp"))
+    return d2.select(
+        id_col,
+        F.size("_t").cast("long").alias("n_tokens"),
+        F.size("_sp").cast("long").alias("n_spans"),
+        (F.size("_sp").cast("long") * span).alias("n_masked"),
+        F.array_join(
+            F.filter(tok_out, lambda x: x.isNotNull()), " "
+        ).alias("inputs_text"),
+        F.when(
+            F.size("_sp") > 0,
+            F.concat(F.array_join(tgt_parts, " "), F.lit(" "), closing),
+        )
+        .otherwise(closing)
+        .alias("targets_text"),
+    )

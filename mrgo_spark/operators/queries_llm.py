@@ -2009,6 +2009,71 @@ def q_fim_transform_docs(spark, sf_dir):
 
 
 @declare(
+    "span_corruption_docs",
+    """
+    WITH tl AS MATERIALIZED (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t
+        FROM documents),
+    sp AS MATERIALIZED (
+        SELECT doc_id, t,
+               list_transform(
+                   list_filter(
+                       [{'j': j,
+                         'h': CAST(concat('0x',
+                                 substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                            || CAST(j AS VARCHAR)), 1, 12))
+                              AS BIGINT)}
+                        for j in generate_series(0, len(t) // 8 - 1)],
+                       b -> b.h % 4 = 0),
+                   b -> CAST(b.j * 8 + (b.h // 4) % 6 AS BIGINT)) AS sp
+        FROM tl)
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(sp) AS BIGINT) AS n_spans,
+           CAST(3 * len(sp) AS BIGINT) AS n_masked,
+           coalesce(array_to_string(
+               list_filter(
+                   [CASE
+                        -- list_position returns 0 on a miss (NOT
+                        -- NULL — found the hard way)
+                        WHEN list_position(sp, CAST(p - 1 AS BIGINT)) > 0
+                        THEN '<extra_id_'
+                             || CAST(list_position(sp, CAST(p - 1 AS BIGINT))
+                                     - 1 AS VARCHAR) || '>'
+                        WHEN len(list_filter(sp,
+                                 s -> p - 1 >= s AND p - 1 < s + 3)) > 0
+                        THEN NULL
+                        ELSE t[p]
+                    END for p in generate_series(1, len(t))],
+                   x -> x IS NOT NULL), ' '), '') AS inputs_text,
+           CASE WHEN len(sp) > 0
+                THEN array_to_string(
+                    ['<extra_id_' || CAST(k - 1 AS VARCHAR) || '> '
+                     || coalesce(array_to_string(
+                            t[CAST(sp[k] + 1 AS INT)
+                              :CAST(sp[k] + 3 AS INT)], ' '), '')
+                     for k in generate_series(1, len(sp))], ' ') || ' '
+                ELSE '' END
+           || '<extra_id_' || CAST(len(sp) AS VARCHAR) || '>'
+             AS targets_text
+    FROM sp
+    """,
+)
+def q_span_corruption_docs(spark, sf_dir):
+    """T5 span-corruption transform (r8, pipeline.span_corruption;
+    Raffel et al. 2020): deterministic md5-selected 3-token spans
+    (1/4 of full 8-token blocks) collapsed to <extra_id_k> sentinels
+    in inputs, enumerated with their hidden tokens in targets — the
+    DENOISING pretraining objective next to fim_transform's
+    infilling. Pure array-local column expressions: no explode, no
+    shuffle; the full (inputs, targets) text oracle-checks."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.span_corruption(docs)
+
+
+@declare(
     "mixture_sample",
     """
     SELECT doc_id, source

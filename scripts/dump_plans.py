@@ -163,6 +163,19 @@ PICKS = [
      "converge-CC cluster subtree + classifier-scored corpus join; "
      "rep selection is ONE running-first window by cluster — no "
      "corpus-sized rep join"),
+    ("rrf_hybrid_served", "r8 FULLY index-served hybrid: lexical leg "
+     "= bucket-pruned postings scan from the at-rest BM25Index; "
+     "semantic leg = IMI prune-then-score (cached PQ codes ExistingRDD "
+     "BHJ the broadcast probe rows before any dot product); both "
+     "legs top-k-bounded before the RRF fuse; no "
+     "BroadcastNestedLoopJoin, no exact corpus×queries scorer"),
+    ("ngram_precision_eval", "r8 generation eval: pair tokens "
+     "checkpointed ONCE (ExistingRDD feeds all 2-side × 2-n gram "
+     "consumers); gram-keyed LEFT joins and pair-keyed aggs are all "
+     "pairs×length-sized"),
+    ("span_corruption_docs", "r8 T5 denoising transform: pure "
+     "array-local projection — NO Generate anywhere (nothing for the "
+     "r4 pushdown hazard to push into), zero exchanges"),
 ]
 
 

@@ -86,18 +86,27 @@ def main() -> None:
         p = emb.withColumn(
             "vec_id", F.col("vec_id") + F.lit(i * 10_000_000).cast("long")
         )
-        if i:
-            # distinct rotation per copy (i <= 63): "i % 8 + 1" made
-            # copies 1 and 9 identical at K=10, planting a verbatim
-            # duplicate of a whole corpus copy — exactly the artifact
-            # this rotation exists to avoid (review finding r4b)
-            rot = i
+        # distinct transform per copy: rotation i % 64, sign-flipped
+        # on the second lap — every copy pair is distinct for K <= 128
+        # ("i % 8 + 1" made copies 1 and 9 identical at K=10, planting
+        # a verbatim duplicate of a whole corpus copy — exactly the
+        # artifact this exists to avoid, review finding r4b; plain
+        # "rot = i" broke at K = 100 with a negative slice length, the
+        # r8 K=100 probe finding). Rotation and negation both preserve
+        # norms and the value distribution.
+        assert K <= 128, "embedding copy transform distinct only to K=128"
+        rot = i % 64
+        if rot:
             p = p.withColumn(
                 dim_col,
                 F.concat(
                     F.slice(F.col(dim_col), rot + 1, 64 - rot),
                     F.slice(F.col(dim_col), 1, rot),
                 ),
+            )
+        if (i // 64) % 2:
+            p = p.withColumn(
+                dim_col, F.transform(F.col(dim_col), lambda x: -x)
             )
         eparts.append(p)
     eout = eparts[0]
@@ -253,6 +262,15 @@ def main() -> None:
         "sliding_chunks_docs",
         "knn_label_eval",
         "retrieval_eval_bm25_vs_cosine",
+        # r8: the fully served hybrid probes corpus-linear BY
+        # CONSTRUCTION (fixed 8-query PQ LUT set — the
+        # hard_negatives_imi law, unlike rrf_hybrid_retrieval's
+        # %100 query set which grows with the corpus); n-gram
+        # precision pairs grow ~K (one pair per %10 doc) with
+        # pair-local work; span corruption is map-only.
+        "rrf_hybrid_served",
+        "ngram_precision_eval",
+        "span_corruption_docs",
     ]
     only = set(sys.argv[3:])
     if only:
@@ -264,11 +282,15 @@ def main() -> None:
         t = {}
         for label, d in [("1x", SF_DIR), (f"{K}x", str(OUT))]:
             # run twice, time the second: excludes JIT/codegen warmup
-            # and scan-cache effects that would otherwise dominate
+            # and scan-cache effects that would otherwise dominate.
+            # Construction is INSIDE the clock (the r2 bench lesson,
+            # applied here r8): converge-CC queries run their
+            # iteration actions while the DataFrame is being built,
+            # so timing only the write measured the post-CC tail.
             best = None
             for _ in range(2):
-                df = queries[name](spark, d)
                 t0 = time.perf_counter()
+                df = queries[name](spark, d)
                 df.write.format("noop").mode("overwrite").save()
                 best = time.perf_counter() - t0
             t[label] = round(best, 3)
@@ -291,8 +313,8 @@ def main() -> None:
         for label, d in [("1x", SF_DIR), (f"{K}x", str(OUT))]:
             best = None
             for _ in range(2):
-                df = _lsh_hi(d)
                 t0 = time.perf_counter()
+                df = _lsh_hi(d)
                 df.write.format("noop").mode("overwrite").save()
                 best = time.perf_counter() - t0
             t[label] = round(best, 3)

@@ -882,3 +882,50 @@ def test_token_balanced_shards_all_empty_corpus(spark):
     assert len(out) == 7
     assert all(r.n_tokens == 0 and r.shard == 0 for r in out)
     assert sorted(r.shuffle_pos for r in out) == list(range(7))
+
+
+def test_span_corruption_python_replay(spark):
+    """Pure-Python replay of the T5 span-corruption rule over fixture
+    docs: block selection, in-block offsets, sentinel numbering,
+    inputs/targets assembly — byte-for-byte."""
+    import hashlib
+    import re
+
+    docs = load_table(spark, SF, "documents").limit(120)
+    got = {r.doc_id: r for r in pipeline.span_corruption(docs).collect()}
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    assert len(got) == len(rows)
+    B, S, M = 8, 3, 4
+    saw_span = False
+    for did, text in rows:
+        t = [w for w in re.split(r"[^a-z]+", text.lower()) if w]
+        starts = []
+        for j in range(len(t) // B):
+            h = int(
+                hashlib.md5(f"{did}:{j}".encode()).hexdigest()[:12], 16
+            )
+            if h % M == 0:
+                starts.append(j * B + (h // M) % (B - S + 1))
+        inputs = []
+        for p, w in enumerate(t):
+            if p in starts:
+                inputs.append(f"<extra_id_{starts.index(p)}>")
+            elif any(s <= p < s + S for s in starts):
+                continue
+            else:
+                inputs.append(w)
+        targets = " ".join(
+            f"<extra_id_{k}> " + " ".join(t[s : s + S])
+            for k, s in enumerate(starts)
+        )
+        targets = (targets + " " if starts else "") + f"<extra_id_{len(starts)}>"
+        r = got[did]
+        saw_span = saw_span or bool(starts)
+        assert (
+            r.n_tokens,
+            r.n_spans,
+            r.n_masked,
+            r.inputs_text,
+            r.targets_text,
+        ) == (len(t), len(starts), S * len(starts), " ".join(inputs), targets), did
+    assert saw_span  # the fixture must actually exercise masking
