@@ -224,11 +224,120 @@ def synth_bmp_media(embeddings: DataFrame, w: int = 8, h: int = 8) -> DataFrame:
     )
 
 
+class WavCodec:
+    """Dependency-free REAL audio codec (the BmpCodec story for the
+    'audio' kind): decodes RIFF/WAVE PCM 16-bit mono with stdlib
+    ``struct`` only. Same interface as the image codecs so the
+    mapInPandas ops work unchanged — 'features' are the dim-band mean
+    ABSOLUTE amplitude (the envelope profile, scaled to [0, 1]) and a
+    'thumbnail' is the box-averaged envelope quantized to bytes, so
+    aHash over a WavCodec thumbnail is a real audio-envelope
+    perceptual hash. Deterministic integer math throughout;
+    ``encode_wav`` is the matching writer / round-trip oracle."""
+
+    @staticmethod
+    def decode_samples(blob: bytes):
+        """(sample_rate, samples) — samples as signed 16-bit ints."""
+        import struct
+
+        if blob is None or len(blob) < 44 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+            raise NotImplementedError("WavCodec handles RIFF/WAVE blobs only")
+        pos, rate, bits, ch, fmt = 12, None, None, None, None
+        while pos + 8 <= len(blob):
+            cid = blob[pos : pos + 4]
+            (sz,) = struct.unpack_from("<I", blob, pos + 4)
+            if cid == b"fmt ":
+                fmt, ch, rate, _br, _ba, bits = struct.unpack_from(
+                    "<HHIIHH", blob, pos + 8
+                )
+            elif cid == b"data":
+                if fmt != 1 or bits != 16 or ch != 1:
+                    raise NotImplementedError("only PCM 16-bit mono")
+                n = sz // 2
+                samples = list(
+                    struct.unpack_from(f"<{n}h", blob, pos + 8)
+                )
+                return rate, samples
+            pos += 8 + sz + (sz & 1)
+        raise NotImplementedError("no data chunk")
+
+    @staticmethod
+    def _envelope(blob: bytes, cells: int) -> list[int]:
+        """Box-averaged |amplitude| per cell (0..32767)."""
+        _, s = WavCodec.decode_samples(blob)
+        n = len(s)
+        if n == 0:
+            return [0] * cells
+        out = []
+        for i in range(cells):
+            a = i * n // cells
+            b = max((i + 1) * n // cells, a + 1)
+            block = s[a : min(b, n)] or [0]
+            out.append(sum(min(abs(x), 32767) for x in block) // len(block))
+        return out
+
+    @staticmethod
+    def decode_features(blob: bytes, dim: int = 8) -> list[float]:
+        return [e / 32767.0 for e in WavCodec._envelope(blob, dim)]
+
+    @staticmethod
+    def thumbnail_bytes(blob: bytes, w: int = 4, h: int = 4) -> bytes:
+        return bytes(e >> 7 for e in WavCodec._envelope(blob, w * h))
+
+
+def encode_wav(samples: list[int], rate: int = 8000) -> bytes:
+    """Write signed 16-bit mono PCM samples as a RIFF/WAVE blob
+    (WavCodec.decode_samples round-trips it exactly)."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def synth_wav_media(embeddings: DataFrame, n_samples: int = 256) -> DataFrame:
+    """Media fixture with REAL PCM WAV blobs: samples derived
+    deterministically from sha256(vec_id) — the synth_bmp_media story
+    for the audio kind. Closure-based (mapInPandas) → never part of a
+    declared query."""
+    import hashlib
+    import struct as _struct
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"media_id": [], "kind": [], "blob": [], "meta": []}
+            for vid in pdf["vec_id"]:
+                vid = int(vid)
+                d = hashlib.sha256(str(vid).encode()).digest()
+                raw = (d * ((2 * n_samples) // len(d) + 1))[: 2 * n_samples]
+                samples = list(
+                    _struct.unpack(f"<{n_samples}h", bytes(raw))
+                )
+                rows["media_id"].append(vid)
+                rows["kind"].append("audio")
+                rows["blob"].append(encode_wav(samples))
+                rows["meta"].append(
+                    {"format": "wav", "width": None, "height": None,
+                     "duration_ms": n_samples * 1000 // 8000}
+                )
+            yield pd.DataFrame(rows)
+
+    return embeddings.select("vec_id").mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
 def get_codec():
     """The codec seam: PilCodec when Pillow is importable, else the
     deterministic FakeCodec. Ops below take ``codec=`` for explicit
-    injection (tests, ffmpeg-backed video codecs, BmpCodec for real
-    in-container pixel decode of BMP blobs, ...)."""
+    injection (tests, ffmpeg-backed video codecs, BmpCodec/WavCodec
+    for real in-container decode of BMP/WAV blobs, ...)."""
     try:
         import PIL  # noqa: F401
 

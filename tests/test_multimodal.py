@@ -301,3 +301,87 @@ def test_bmp_feature_extract_and_resize_contract(spark):
     for r in thumbs:
         assert bytes(r.thumb) == bytes([r.media_id * 40] * 16)
         assert r.thumb_w == 4 and r.thumb_h == 4
+
+
+# ------------------------------------------ real audio decode (WAV)
+
+def test_wav_roundtrip_exact():
+    """encode_wav → WavCodec.decode_samples is exact, including
+    negative samples and an odd-length data chunk boundary."""
+    import random
+
+    rng = random.Random(9)
+    for n in (1, 7, 256):
+        s = [rng.randrange(-32768, 32768) for _ in range(n)]
+        rate, got = multimodal.WavCodec.decode_samples(
+            multimodal.encode_wav(s, rate=8000)
+        )
+        assert rate == 8000 and got == s
+
+
+def test_wav_envelope_features_and_thumbnail():
+    """Constant-amplitude audio yields a flat envelope; features and
+    thumbnail quantization match hand math."""
+    blob = multimodal.encode_wav([1000, -1000] * 64)
+    feats = multimodal.WavCodec.decode_features(blob, dim=8)
+    assert feats == [1000 / 32767.0] * 8
+    th = multimodal.WavCodec.thumbnail_bytes(blob, 4, 4)
+    assert th == bytes([1000 >> 7] * 16)
+    # non-WAV bytes refuse loudly (the codec-seam contract)
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.WavCodec.decode_samples(b"BM" + b"\x00" * 60)
+
+
+def test_wav_codec_interface_parity():
+    for meth in ("decode_features", "thumbnail_bytes"):
+        fake = inspect.signature(getattr(multimodal.FakeCodec, meth))
+        wav = inspect.signature(getattr(multimodal.WavCodec, meth))
+        assert fake.parameters.keys() == wav.parameters.keys(), meth
+
+
+def test_wav_real_decode_through_codec_seam(spark):
+    """Real PCM decode through the SAME mapInPandas paths: envelope
+    features from synth WAV blobs match a pure-Python replay, and
+    phash_media(WavCodec) is a real audio-envelope aHash."""
+    import hashlib
+    import struct as _struct
+
+    emb = load_table(spark, SF, "embeddings").limit(30)
+    media = multimodal.synth_wav_media(emb, n_samples=256)
+    got = {
+        r.media_id: list(r.features)
+        for r in multimodal.extract_features(
+            media, dim=8, codec=multimodal.WavCodec
+        ).collect()
+    }
+    assert len(got) == 30
+    ph = {
+        r.media_id: r.phash
+        for r in multimodal.phash_media(
+            media, codec=multimodal.WavCodec
+        ).collect()
+    }
+    B, P = multimodal.PHASH_BITS, multimodal.PHASH_PIXELS
+    for vid, feats in got.items():
+        d = hashlib.sha256(str(vid).encode()).digest()
+        raw = (d * ((512 // len(d)) + 1))[:512]
+        samples = list(_struct.unpack("<256h", bytes(raw)))
+        env = []
+        for i in range(8):
+            blk = samples[i * 32 : (i + 1) * 32]
+            env.append(sum(min(abs(x), 32767) for x in blk) // len(blk))
+        assert feats == [e / 32767.0 for e in env], vid
+        # thumbnail = 64-cell envelope; replay the aHash
+        env64 = []
+        for i in range(64):
+            blk = samples[i * 4 : (i + 1) * 4]
+            env64.append(
+                (sum(min(abs(x), 32767) for x in blk) // len(blk)) >> 7
+            )
+        s = sum(env64)
+        want = sum(
+            1 << i for i, p in enumerate(env64[:B]) if p * P > s
+        )
+        assert ph[vid] == want, vid
