@@ -126,36 +126,14 @@ class BmpCodec:
         )
         if bpp != 24 or comp != 0:
             raise NotImplementedError("only uncompressed 24-bit BMP")
-        bottom_up = h > 0
-        h = abs(h)
-        stride = (w * 3 + 3) & ~3
-        rows = []
-        for y in range(h):
-            src = off + y * stride
-            row = []
-            for x in range(w):
-                b, g, r = blob[src + 3 * x : src + 3 * x + 3]
-                row.append((299 * r + 587 * g + 114 * b) // 1000)
-            rows.append(row)
-        if bottom_up:
-            rows.reverse()
-        return w, h, rows
+        rows = _dib_gray_rows(blob, off, w, abs(h), bottom_up=h > 0)
+        return w, abs(h), rows
 
     @staticmethod
     def _pool(blob: bytes, w: int, h: int) -> list[list[int]]:
         """Box-average the decoded grayscale image to w×h."""
-        sw, sh, rows = BmpCodec.decode_gray(blob)
-        out = []
-        for j in range(h):
-            y0, y1 = j * sh // h, max((j + 1) * sh // h, j * sh // h + 1)
-            orow = []
-            for i in range(w):
-                x0 = i * sw // w
-                x1 = max((i + 1) * sw // w, x0 + 1)
-                block = [rows[y][x] for y in range(y0, y1) for x in range(x0, x1)]
-                orow.append(sum(block) // len(block))
-            out.append(orow)
-        return out
+        _, _, rows = BmpCodec.decode_gray(blob)
+        return _pool_rows(rows, w, h)
 
     @staticmethod
     def decode_features(blob: bytes, dim: int = 8) -> list[float]:
@@ -168,6 +146,43 @@ class BmpCodec:
         return bytes(
             p for row in BmpCodec._pool(blob, w, h) for p in row
         )
+
+
+def _dib_gray_rows(
+    buf: bytes, off: int, w: int, h: int, bottom_up: bool = True
+) -> list[list[int]]:
+    """Decode a raw BGR24 DIB pixel array (4-byte row stride) at
+    ``off`` into top-down grayscale rows — shared by BmpCodec (the
+    pixel array of a .bmp file) and AviCodec ('00db' frame chunks ARE
+    bare DIB pixel arrays)."""
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for y in range(h):
+        src = off + y * stride
+        row = []
+        for x in range(w):
+            b, g, r = buf[src + 3 * x : src + 3 * x + 3]
+            row.append((299 * r + 587 * g + 114 * b) // 1000)
+        rows.append(row)
+    if bottom_up:
+        rows.reverse()
+    return rows
+
+
+def _pool_rows(rows: list[list[int]], w: int, h: int) -> list[list[int]]:
+    """Box-average grayscale rows to w×h (integer block means)."""
+    sh, sw = len(rows), len(rows[0])
+    out = []
+    for j in range(h):
+        y0, y1 = j * sh // h, max((j + 1) * sh // h, j * sh // h + 1)
+        orow = []
+        for i in range(w):
+            x0 = i * sw // w
+            x1 = max((i + 1) * sw // w, x0 + 1)
+            block = [rows[y][x] for y in range(y0, y1) for x in range(x0, x1)]
+            orow.append(sum(block) // len(block))
+        out.append(orow)
+    return out
 
 
 def encode_bmp(gray_rows: list[list[int]]) -> bytes:
@@ -333,11 +348,180 @@ def synth_wav_media(embeddings: DataFrame, n_samples: int = 256) -> DataFrame:
     )
 
 
+class AviCodec:
+    """Dependency-free REAL video codec — the third modality
+    (image BMP / audio WAV / video AVI all decode on real bytes
+    in-container): parses RIFF/AVI with uncompressed 24-bit DIB
+    ('00db') frames using the WavCodec chunk walker and the BmpCodec
+    DIB pixel decode. Minimal by design — 'avih' gives the frame
+    period, 'strf' the frame geometry, the 'movi' LIST the frames;
+    everything else is skipped, and compressed fourccs refuse loudly
+    (the codec-seam contract: swap in ffmpeg for real corpora).
+
+    ``frame_samples`` is the video-specific API ``frame_sample``
+    probes for: real frames sampled every ``every_ms``. The common
+    image-codec interface (decode_features / thumbnail_bytes)
+    operates on frame 0 — the poster-frame convention — so aHash over
+    an AVI 'thumbnail' is a real first-frame perceptual hash.
+    ``encode_avi`` is the matching writer / round-trip oracle."""
+
+    @staticmethod
+    def decode_frames(blob: bytes):
+        """(width, height, usec_per_frame, frames) — frames as
+        top-down grayscale rows."""
+        import struct
+
+        if (
+            blob is None
+            or len(blob) < 24
+            or blob[:4] != b"RIFF"
+            or blob[8:12] != b"AVI "
+        ):
+            raise NotImplementedError("AviCodec handles RIFF/AVI blobs only")
+        usec = w = h = None
+        frames = []
+
+        def walk(pos, end):
+            nonlocal usec, w, h
+            while pos + 8 <= end:
+                cid = blob[pos : pos + 4]
+                (sz,) = struct.unpack_from("<I", blob, pos + 4)
+                body = pos + 8
+                if cid == b"LIST":
+                    walk(body + 4, body + sz)  # skip the list type tag
+                elif cid == b"avih":
+                    (usec,) = struct.unpack_from("<I", blob, body)
+                elif cid == b"strf":
+                    _hsz, w, h, _pl, bpp, comp = struct.unpack_from(
+                        "<IiiHHI", blob, body
+                    )
+                    if bpp != 24 or comp != 0:
+                        raise NotImplementedError(
+                            "only uncompressed 24-bit DIB frames"
+                        )
+                elif cid in (b"00db", b"00dc"):
+                    frames.append((body, sz))
+                pos = body + sz + (sz & 1)
+
+        walk(12, len(blob))
+        if usec is None or w is None or not frames:
+            raise NotImplementedError("missing avih/strf/movi content")
+        decoded = [
+            _dib_gray_rows(blob, off, w, abs(h), bottom_up=h > 0)
+            for off, _ in frames
+        ]
+        return w, abs(h), usec, decoded
+
+    @staticmethod
+    def frame_samples(blob: bytes, every_ms: int = 1000):
+        """[(frame_idx, gray_bytes)] — one sample per ``every_ms`` of
+        timeline (frame k shows at t = k·usec/1000 ms), always
+        including frame 0; deterministic integer time math."""
+        w, h, usec, frames = AviCodec.decode_frames(blob)
+        ms_total = len(frames) * usec // 1000
+        out, t = [], 0
+        while t == 0 or t < ms_total:
+            idx = min(t * 1000 // usec, len(frames) - 1)
+            out.append(
+                (int(idx), bytes(p for row in frames[idx] for p in row))
+            )
+            t += every_ms
+        return out
+
+    @staticmethod
+    def decode_features(blob: bytes, dim: int = 8) -> list[float]:
+        _, _, _, frames = AviCodec.decode_frames(blob)
+        return [p / 255.0 for p in _pool_rows(frames[0], dim, 1)[0]]
+
+    @staticmethod
+    def thumbnail_bytes(blob: bytes, w: int = 4, h: int = 4) -> bytes:
+        _, _, _, frames = AviCodec.decode_frames(blob)
+        return bytes(p for row in _pool_rows(frames[0], w, h) for p in row)
+
+
+def encode_avi(
+    frames: list[list[list[int]]], usec_per_frame: int = 100_000
+) -> bytes:
+    """Write gray frames (each rows top-down, 0-255) as a minimal
+    RIFF/AVI with uncompressed 24-bit bottom-up DIB '00db' chunks
+    (AviCodec.decode_frames round-trips it exactly)."""
+    import struct
+
+    h = len(frames[0])
+    w = len(frames[0][0])
+    stride = (w * 3 + 3) & ~3
+    pad = b"\x00" * (stride - w * 3)
+
+    def dib(img):
+        return b"".join(
+            b"".join(bytes((v, v, v)) for v in row) + pad
+            for row in reversed(img)
+        )
+
+    avih = struct.pack(
+        "<4sI14I", b"avih", 56, usec_per_frame, 0, 0, 0, len(frames),
+        0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4sI4s4sIHHIIIIIIIIhhhh", b"strh", 56, b"vids", b"DIB ", 0,
+        0, 0, 0, 1, 1_000_000 // usec_per_frame, 0, len(frames), 0,
+        0, 0, 0, 0, int(w), int(h),
+    )
+    strf = struct.pack(
+        "<4sIIiiHHIIiiII", b"strf", 40, 40, w, h, 1, 24, 0,
+        stride * h, 2835, 2835, 0, 0,
+    )
+    strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + b"strl" + strh + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) + b"hdrl" + avih + strl
+    movi_body = b"".join(
+        b"00db" + struct.pack("<I", stride * h) + dib(f) for f in frames
+    )
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
+    payload = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def synth_avi_media(
+    embeddings: DataFrame, n_frames: int = 4, w: int = 8, h: int = 8
+) -> DataFrame:
+    """Media fixture with REAL AVI blobs: ``n_frames`` w×h gray
+    frames per embedding row, pixels from sha256(vec_id:frame) — the
+    synth_bmp_media story for the video kind. Closure-based
+    (mapInPandas) → never part of a declared query."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"media_id": [], "kind": [], "blob": [], "meta": []}
+            for vid in pdf["vec_id"]:
+                vid = int(vid)
+                frames = []
+                for f in range(n_frames):
+                    d = hashlib.sha256(f"{vid}:{f}".encode()).digest()
+                    px = (d * ((w * h) // len(d) + 1))[: w * h]
+                    frames.append(
+                        [[px[y * w + x] for x in range(w)] for y in range(h)]
+                    )
+                rows["media_id"].append(vid)
+                rows["kind"].append("video")
+                rows["blob"].append(encode_avi(frames, usec_per_frame=100_000))
+                rows["meta"].append(
+                    {"format": "avi", "width": w, "height": h,
+                     "duration_ms": n_frames * 100}
+                )
+            yield pd.DataFrame(rows)
+
+    return embeddings.select("vec_id").mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
 def get_codec():
     """The codec seam: PilCodec when Pillow is importable, else the
     deterministic FakeCodec. Ops below take ``codec=`` for explicit
-    injection (tests, ffmpeg-backed video codecs, BmpCodec/WavCodec
-    for real in-container decode of BMP/WAV blobs, ...)."""
+    injection (tests, ffmpeg-backed video codecs, BmpCodec/WavCodec/
+    AviCodec for real in-container decode of BMP/WAV/AVI blobs,
+    ...)."""
     try:
         import PIL  # noqa: F401
 
@@ -397,16 +581,29 @@ def resize_thumbnails(
 
 
 def frame_sample(media: DataFrame, every_ms: int = 1000, codec=None) -> DataFrame:
-    """video blob → sampled frame rows (frame-index plumbing is real;
-    pixel decode goes through the codec seam). Output one row per
-    sampled frame: (media_id, frame_idx, frame binary)."""
+    """video blob → sampled frame rows. Output one row per sampled
+    frame: (media_id, frame_idx, frame binary). Codecs exposing the
+    video API (``frame_samples(blob, every_ms)`` — AviCodec, or an
+    ffmpeg-backed swap-in) decode REAL container frames at real
+    timestamps; others (FakeCodec) keep the duration-driven
+    pseudo-frame plumbing, so batch shapes and schema are identical
+    either way."""
     codec = codec or get_codec()
     out_schema = "media_id long, frame_idx int, frame binary"
+    real_video = hasattr(codec, "frame_samples")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = {"media_id": [], "frame_idx": [], "frame": []}
             for _, r in pdf.iterrows():
+                if real_video:
+                    for idx, fb in codec.frame_samples(
+                        bytes(r["blob"]), every_ms
+                    ):
+                        rows["media_id"].append(r["media_id"])
+                        rows["frame_idx"].append(idx)
+                        rows["frame"].append(fb)
+                    continue
                 dur = r["meta"]["duration_ms"] or 0
                 for i in range(max(dur // every_ms, 1)):
                     rows["media_id"].append(r["media_id"])

@@ -929,3 +929,65 @@ def test_span_corruption_python_replay(spark):
             r.targets_text,
         ) == (len(t), len(starts), S * len(starts), " ".join(inputs), targets), did
     assert saw_span  # the fixture must actually exercise masking
+
+
+def test_span_corruption_property_model(spark):
+    """Hypothesis leg: arbitrary ascii texts (punctuation, digits,
+    unicode-free edge shapes) replay the pure-Python model exactly —
+    the winnow three-leg pattern applied to the T5 transform."""
+    import hashlib
+    import re
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    def model(did, text, B=8, S=3, M=4):
+        t = [w for w in re.split(r"[^a-z]+", text.lower()) if w]
+        starts = []
+        for j in range(len(t) // B):
+            h = int(hashlib.md5(f"{did}:{j}".encode()).hexdigest()[:12], 16)
+            if h % M == 0:
+                starts.append(j * B + (h // M) % (B - S + 1))
+        inputs = []
+        for p, w in enumerate(t):
+            if p in starts:
+                inputs.append(f"<extra_id_{starts.index(p)}>")
+            elif any(s <= p < s + S for s in starts):
+                continue
+            else:
+                inputs.append(w)
+        targets = " ".join(
+            f"<extra_id_{k}> " + " ".join(t[s : s + S])
+            for k, s in enumerate(starts)
+        )
+        targets = (targets + " " if starts else "") + f"<extra_id_{len(starts)}>"
+        return (len(t), len(starts), S * len(starts),
+                " ".join(inputs), targets)
+
+    texts_st = st.lists(
+        st.text(
+            alphabet=st.characters(codec="ascii", categories=["L", "N", "P", "Z"]),
+            max_size=200,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts_st)
+    def run(texts):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.n_spans, r.n_masked,
+                       r.inputs_text, r.targets_text)
+            for r in pipeline.span_corruption(df).collect()
+        }
+        assert got == {i: model(i, t) for i, t in enumerate(texts)}
+
+    run()
