@@ -305,8 +305,11 @@ def main() -> None:
         # leg + IMI-pruned semantic leg; serves from the PQ + BM25
         # session caches — order-semantic after pq_codes and
         # bm25_topk_docs; compare rrf_hybrid_retrieval, whose
-        # semantic leg is the exact scorer)
+        # semantic leg is the exact scorer), BLEU-style n-gram
+        # precision eval (pair-bounded), T5 span corruption (map-only)
         "rrf_hybrid_served",
+        "ngram_precision_eval",
+        "span_corruption_docs",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there

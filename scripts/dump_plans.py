@@ -164,11 +164,14 @@ PICKS = [
      "rep selection is ONE running-first window by cluster — no "
      "corpus-sized rep join"),
     ("rrf_hybrid_served", "r8 FULLY index-served hybrid: lexical leg "
-     "= bucket-pruned postings scan from the at-rest BM25Index; "
-     "semantic leg = IMI prune-then-score (cached PQ codes ExistingRDD "
-     "BHJ the broadcast probe rows before any dot product); both "
-     "legs top-k-bounded before the RRF fuse; no "
-     "BroadcastNestedLoopJoin, no exact corpus×queries scorer"),
+     "= bucket-pruned postings scan from the at-rest BM25Index "
+     "(PartitionFilters INSET on term_bucket); semantic leg = IMI "
+     "prune-then-score (cached PQ codes ExistingRDD BHJ the broadcast "
+     "probe rows before any dot product — no exact corpus×queries "
+     "scorer); both legs top-k-bounded before the RRF fuse. The one "
+     "BroadcastNestedLoopJoin is the 1-ROW corpus-scalars broadcast "
+     "crossJoin in the BM25 scoring tail (the blessed scalar-frame "
+     "pattern), not a pair join"),
     ("ngram_precision_eval", "r8 generation eval: pair tokens "
      "checkpointed ONCE (ExistingRDD feeds all 2-side × 2-n gram "
      "consumers); gram-keyed LEFT joins and pair-keyed aggs are all "
