@@ -505,3 +505,26 @@ def test_pagerank_iteration_shape(spark):
     )
     step = plans.explain_str(inbox)
     assert "HashAggregate" in step  # partial+final inbox aggregation
+
+
+def test_rrf_hybrid_served_plan_shape(spark):
+    """r8 served hybrid (VERDICT_r7 #1): the lexical leg's postings
+    scan carries a term_bucket PartitionFilters entry (bucket
+    pruning), the semantic leg's probe join is a BroadcastHashJoin
+    over the cached codes frame, and the only nested-loop join in
+    the whole tree is the 1-row corpus-scalars crossJoin of the BM25
+    tail — never a pair join."""
+    from mrgo_spark.operators.queries_llm import q_rrf_hybrid_served
+
+    df = q_rrf_hybrid_served(spark, SF)
+    plan = plans.explain_str(df, "formatted")
+    assert "PartitionFilters" in plan and "term_bucket" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # BNLJ appears only as the broadcast scalar crossJoin (Cross
+    # BuildRight); any Inner/condition-bearing BNLJ would mean a
+    # pair join fell off the hash path
+    import re
+
+    for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):
+        assert m.group(1) == "Cross", plan[m.start() : m.start() + 120]

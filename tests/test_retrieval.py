@@ -317,3 +317,41 @@ def test_eval_truth_cache_parity_and_at_rest(spark):
     assert sorted(map(key, second.collect())) == sorted(
         map(key, first.collect())
     )
+
+
+def test_rrf_hybrid_served_degenerates_to_exact_legs(spark):
+    """End-to-end n_probe=K pin for the served hybrid: probing every
+    coarse cell makes the IMI semantic leg exact, so the WHOLE fused
+    ranking must equal rrf_fuse(BM25, topk_cosine_exact) for the
+    same query set."""
+    from mrgo_spark.operators import queries_llm, similarity
+    from mrgo_spark.operators.queries_llm import (
+        _bm25_served_terms,
+        _pq_artifacts,
+    )
+    from mrgo_spark.sources.tables import load_table
+
+    sf = SF
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf, "embeddings")
+    _, a, luts = _pq_artifacts(spark, sf)
+    qids = sorted(int(q) for q in luts)
+    qterms = retrieval.query_terms_from_docs(
+        docs, F.col("doc_id").isin(qids)
+    )
+    lex = _bm25_served_terms(spark, sf, qterms, k=20).select(
+        "query_id", "doc_id", "rank"
+    )
+    sem_served = similarity.topk_cosine_imi(
+        emb, a, luts, k=20, n_probe=similarity.PQ_K
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    sem_exact = similarity.topk_cosine_exact(
+        emb, emb.filter(F.col("vec_id").isin(qids)), k=20
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    got = sorted(
+        map(tuple, retrieval.rrf_fuse([lex, sem_served], k=10).collect())
+    )
+    want = sorted(
+        map(tuple, retrieval.rrf_fuse([lex, sem_exact], k=10).collect())
+    )
+    assert got == want and got
