@@ -404,7 +404,8 @@ class AviCodec:
                 pos = body + sz + (sz & 1)
 
         walk(12, len(blob))
-        if usec is None or w is None or not frames:
+        if not usec or w is None or not frames:
+            # usec == 0 would divide frame_samples' time math by zero
             raise NotImplementedError("missing avih/strf/movi content")
         decoded = [
             _dib_gray_rows(blob, off, w, abs(h), bottom_up=h > 0)
@@ -417,6 +418,8 @@ class AviCodec:
         """[(frame_idx, gray_bytes)] — one sample per ``every_ms`` of
         timeline (frame k shows at t = k·usec/1000 ms), always
         including frame 0; deterministic integer time math."""
+        if every_ms <= 0:
+            raise ValueError("every_ms must be positive")
         w, h, usec, frames = AviCodec.decode_frames(blob)
         ms_total = len(frames) * usec // 1000
         out, t = [], 0

@@ -2306,7 +2306,11 @@ def _dead_index_path(e: Exception) -> bool:
         "PATH_NOT_FOUND",
         "FileNotFoundException",
         "No such file or directory",
-        "does not exist",
+        # the legacy Spark dead-path form, kept SPECIFIC: a bare
+        # "does not exist" also matches catalog errors ("Table or
+        # view ... does not exist") and would re-mask genuine bugs
+        # behind a rebuild (r8 review finding)
+        "Path does not exist",
         "Unable to infer schema",  # empty/reaped dir read as parquet
     )
     return any(n in msg for n in needles)

@@ -228,14 +228,29 @@ class BM25Index:
 
         Caller contract: doc sets disjoint (same-doc postings in both
         would double-count tf). The contract is CHECKED, not just
-        documented (ADVICE r7): after the dl write, the merged
-        distinct doc count must equal n_a + n_b — an overlap silently
-        corrupts every downstream score, so it fails loudly here
-        instead. The check is one distinct-count over the 2-longs-
-        per-doc dl table (metadata-sized next to the corpus; at
-        ingest cadence it rides the merge job). Bucket counts may
-        differ — terms are re-bucketed to ``a``'s n_buckets."""
+        documented (ADVICE r7): the two dl tables are joined on
+        doc_id BEFORE anything is written — an overlap silently
+        corrupts every downstream score, so it fails loudly here,
+        and failing FIRST means a rejected merge leaves no partial
+        index at ``path`` (r8 review finding: the original post-write
+        check stranded postings/df/dl with no scalars/meta). One
+        join-count over the 2-longs-per-doc dl tables (metadata-sized
+        next to the corpus; at ingest cadence it rides the merge
+        job). Bucket counts may differ — terms are re-bucketed to
+        ``a``'s n_buckets."""
         spark, nb = a.spark, a.n_buckets
+        overlap = (
+            spark.read.parquet(f"{a.path}/dl")
+            .select("doc_id")
+            .join(spark.read.parquet(f"{b.path}/dl").select("doc_id"), "doc_id")
+            .count()
+        )
+        if overlap:
+            raise ValueError(
+                f"BM25Index.merge: doc sets overlap ({overlap} shared"
+                f" doc_ids) — merging would double-count tf/df/n/tt;"
+                f" deduplicate upstream or rebuild instead"
+            )
         rebucket = F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int")
         post = (
             spark.read.parquet(f"{a.path}/postings")
@@ -264,15 +279,6 @@ class BM25Index:
         spark.read.parquet(f"{a.path}/dl").unionByName(
             spark.read.parquet(f"{b.path}/dl")
         ).write.mode("overwrite").parquet(f"{path}/dl")
-        merged_dl = spark.read.parquet(f"{path}/dl")
-        n_docs = merged_dl.count()
-        n_distinct = merged_dl.select("doc_id").distinct().count()
-        if n_distinct != n_docs:
-            raise ValueError(
-                f"BM25Index.merge: doc sets overlap ({n_docs - n_distinct}"
-                f" shared doc_ids) — merging would double-count tf/df/n/tt;"
-                f" deduplicate upstream or rebuild instead"
-            )
         (
             spark.read.parquet(f"{a.path}/scalars")
             .unionByName(spark.read.parquet(f"{b.path}/scalars"))

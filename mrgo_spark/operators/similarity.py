@@ -1074,9 +1074,12 @@ class IVFIndex:
         duplicated vectors in the cell files and changed query
         results): ids already in the index are anti-joined out before
         the append — an id-column-pruned scan of the existing cells,
-        which a retried batch job affords. Set ``dedupe=False`` only
-        when the caller guarantees disjointness upstream (e.g. an
-        exactly-once writer), skipping the scan."""
+        which a retried batch job affords — and the incoming batch is
+        ALSO deduped on id (r8 review finding: a batch that is itself
+        a union of retry attempts would otherwise append both
+        copies). Set ``dedupe=False`` only when the caller guarantees
+        disjointness upstream (e.g. an exactly-once writer), skipping
+        the scan."""
         cells = _assign_cells(
             embeddings.select(
                 F.col(id_col).alias("neighbor_id"),
@@ -1091,7 +1094,9 @@ class IVFIndex:
             existing = self.spark.read.parquet(f"{self.path}/cells").select(
                 "neighbor_id"
             )
-            cells = cells.join(existing, "neighbor_id", "left_anti")
+            cells = cells.dropDuplicates(["neighbor_id"]).join(
+                existing, "neighbor_id", "left_anti"
+            )
         (
             cells.repartition("cell_id")
             .write.mode("append")

@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import ascii_tokens, word_ngrams, ws_tokens
+from ..functions.text import (
+    ascii_tokens,
+    ngrams_from_tokens,
+    word_ngrams,
+    ws_tokens,
+)
 
 # Marker stopwords per language for the lang-ID heuristic. Determinism
 # matters more than linguistic coverage here; the heuristic is the
@@ -1108,14 +1113,7 @@ def ngram_precision_eval(
     ).localCheckpoint(eager=False)
 
     def grams(toks_col: str, n: int) -> F.Column:
-        t = F.col(toks_col)
-        idx = F.sequence(F.lit(0), F.size(t) - n)
-        return F.when(
-            F.size(t) >= n,
-            F.transform(
-                idx, lambda i: F.array_join(F.slice(t, i + 1, n), " ")
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        return ngrams_from_tokens(F.col(toks_col), n)
 
     base = pt.select(
         "pair_id",

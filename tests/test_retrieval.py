@@ -278,6 +278,9 @@ def test_dead_index_path_classifier():
     from mrgo_spark.operators.queries_llm import _dead_index_path
 
     assert _dead_index_path(FileNotFoundError("gone"))
+    assert not _dead_index_path(
+        Exception("Table or view 'x' does not exist")
+    )
     assert _dead_index_path(Exception("[PATH_NOT_FOUND] Path does not exist"))
     assert _dead_index_path(
         Exception("java.io.FileNotFoundException: /tmp/mrgo_bm25_idx_x")
@@ -355,3 +358,21 @@ def test_rrf_hybrid_served_degenerates_to_exact_legs(spark):
         map(tuple, retrieval.rrf_fuse([lex, sem_exact], k=10).collect())
     )
     assert got == want and got
+
+
+def test_bm25_index_merge_overlap_fails_before_writing(spark, tmp_path):
+    """r8 review finding: a rejected merge must leave NO partial
+    index at the target path."""
+    import os
+
+    import pytest
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 3 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 0)
+    ia = retrieval.BM25Index.build(a, str(tmp_path / "pa"))
+    ib = retrieval.BM25Index.build(b, str(tmp_path / "pb"))
+    target = str(tmp_path / "pm")
+    with pytest.raises(ValueError, match="overlap"):
+        retrieval.BM25Index.merge(ia, ib, target)
+    assert not os.path.exists(target)

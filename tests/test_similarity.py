@@ -667,3 +667,15 @@ def test_topk_cosine_imi_pruned_recall_and_shape(spark):
     truth = {(r.query_id, r.neighbor_id) for r in exact}
     got = {(r.query_id, r.neighbor_id) for r in out}
     assert len(truth & got) / len(truth) >= 0.20
+
+
+def test_ivf_index_add_dedupes_within_batch(spark, tmp_path):
+    """r8 review finding: a batch that is itself a union of retry
+    attempts must not append duplicate vectors."""
+    emb = load_table(spark, SF, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = similarity.IVFIndex.build(a, str(tmp_path / "intra"))
+    idx.add(b.unionAll(b))  # doubled batch
+    cells = spark.read.parquet(str(tmp_path / "intra") + "/cells")
+    assert cells.filter(F.col("neighbor_id") % 2 == 1).count() == b.count()
