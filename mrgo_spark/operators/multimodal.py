@@ -585,31 +585,37 @@ def resize_thumbnails(
 
 def frame_sample(media: DataFrame, every_ms: int = 1000, codec=None) -> DataFrame:
     """video blob → sampled frame rows. Output one row per sampled
-    frame: (media_id, frame_idx, frame binary). Codecs exposing the
-    video API (``frame_samples(blob, every_ms)`` — AviCodec, or an
+    frame: (media_id, t_ms, frame_idx, frame binary). Codecs exposing
+    the video API (``frame_samples(blob, every_ms)`` — AviCodec, or an
     ffmpeg-backed swap-in) decode REAL container frames at real
     timestamps; others (FakeCodec) keep the duration-driven
     pseudo-frame plumbing, so batch shapes and schema are identical
-    either way."""
+    either way. ``t_ms`` is the sample's timeline position (sample
+    ordinal × every_ms) — on the real path ``frame_idx`` REPEATS when
+    every_ms is shorter than the frame period (timeline samples of
+    the same container frame), so (media_id, t_ms) is the unique row
+    key, not (media_id, frame_idx) (ADVICE r8)."""
     codec = codec or get_codec()
-    out_schema = "media_id long, frame_idx int, frame binary"
+    out_schema = "media_id long, t_ms int, frame_idx int, frame binary"
     real_video = hasattr(codec, "frame_samples")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = {"media_id": [], "frame_idx": [], "frame": []}
+            rows = {"media_id": [], "t_ms": [], "frame_idx": [], "frame": []}
             for _, r in pdf.iterrows():
                 if real_video:
-                    for idx, fb in codec.frame_samples(
-                        bytes(r["blob"]), every_ms
+                    for n, (idx, fb) in enumerate(
+                        codec.frame_samples(bytes(r["blob"]), every_ms)
                     ):
                         rows["media_id"].append(r["media_id"])
+                        rows["t_ms"].append(n * every_ms)
                         rows["frame_idx"].append(idx)
                         rows["frame"].append(fb)
                     continue
                 dur = r["meta"]["duration_ms"] or 0
                 for i in range(max(dur // every_ms, 1)):
                     rows["media_id"].append(r["media_id"])
+                    rows["t_ms"].append(i * every_ms)
                     rows["frame_idx"].append(i)
                     rows["frame"].append(
                         codec.thumbnail_bytes(r["blob"] + i.to_bytes(4, "big"))

@@ -1190,8 +1190,16 @@ def span_corruption(
     # rate_mod must be a power of two: h div rate_mod is computed as
     # float division + truncation (HOF lambdas can't use expr-div),
     # which is exact only when the divisor is a power of 2 (h < 2^48
-    # < 2^53, and /2^k is exact in binary floating point)
-    assert rate_mod & (rate_mod - 1) == 0 and rate_mod > 0
+    # < 2^53, and /2^k is exact in binary floating point).
+    # ValueError, not assert: stripped under -O, and the failure mode
+    # (NULL starts / modulo-by-zero in `% (block - span + 1)`) would
+    # surface far from the misuse site (ADVICE r8).
+    if rate_mod <= 0 or rate_mod & (rate_mod - 1) != 0:
+        raise ValueError(f"rate_mod must be a power of two, got {rate_mod}")
+    if span <= 0 or span > block:
+        raise ValueError(
+            f"need 0 < span <= block, got span={span} block={block}"
+        )
     toks = ascii_tokens(text_col, lowercase=True)
     d1 = df.select(F.col(id_col), toks.alias("_t"))
     nblocks = F.floor(F.size("_t") / block).cast("int")

@@ -2311,9 +2311,16 @@ def _dead_index_path(e: Exception) -> bool:
         # view ... does not exist") and would re-mask genuine bugs
         # behind a rebuild (r8 review finding)
         "Path does not exist",
-        "Unable to infer schema",  # empty/reaped dir read as parquet
     )
-    return any(n in msg for n in needles)
+    if any(n in msg for n in needles):
+        return True
+    # "Unable to infer schema" also fires when a genuine bug writes an
+    # EMPTY index dir (ADVICE r8) — count it only when the message
+    # names one of OUR reaped tmp prefixes, so empty-write bugs on a
+    # live path propagate instead of being re-masked by a rebuild.
+    return "Unable to infer schema" in msg and (
+        "mrgo_ivf_idx_" in msg or "mrgo_bm25_idx_" in msg
+    )
 
 
 def _ivf_tmpdir(prefix: str = "mrgo_ivf_idx_") -> str:

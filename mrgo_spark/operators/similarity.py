@@ -1077,26 +1077,43 @@ class IVFIndex:
         which a retried batch job affords — and the incoming batch is
         ALSO deduped on id (r8 review finding: a batch that is itself
         a union of retry attempts would otherwise append both
-        copies). Set ``dedupe=False`` only when the caller guarantees
-        disjointness upstream (e.g. an exactly-once writer), skipping
-        the scan."""
-        cells = _assign_cells(
-            embeddings.select(
-                F.col(id_col).alias("neighbor_id"),
-                F.col(vec_col).alias("cvec_"),
-            ),
-            self.centroids,
-            "neighbor_id",
-            "cvec_",
-            n_probe=1,
+        copies). Only EXACT retry duplicates are safe to collapse —
+        the same id arriving with two DIFFERENT vectors is a caller
+        bug (two writers disagree about the vector), so dedupe raises
+        ValueError instead of silently keeping an arbitrary copy
+        (ADVICE r8). Set ``dedupe=False`` only when the caller
+        guarantees disjointness upstream (e.g. an exactly-once
+        writer), skipping the scan and the conflict check."""
+        batch = embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cvec_"),
         )
         if dedupe:
+            # collapse exact retry duplicates first; what survives with
+            # >1 row per id carries conflicting vectors — refuse loudly
+            batch = batch.dropDuplicates(["neighbor_id", "cvec_"])
+            conflicts = [
+                r.neighbor_id
+                for r in batch.groupBy("neighbor_id")
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(5)
+                .collect()
+            ]
+            if conflicts:
+                raise ValueError(
+                    "IVFIndex.add: batch contains the same id with "
+                    f"different vectors (e.g. ids {conflicts}); "
+                    "resolve upstream — add() only collapses exact "
+                    "retry duplicates"
+                )
             existing = self.spark.read.parquet(f"{self.path}/cells").select(
                 "neighbor_id"
             )
-            cells = cells.dropDuplicates(["neighbor_id"]).join(
-                existing, "neighbor_id", "left_anti"
-            )
+            batch = batch.join(existing, "neighbor_id", "left_anti")
+        cells = _assign_cells(
+            batch, self.centroids, "neighbor_id", "cvec_", n_probe=1
+        )
         (
             cells.repartition("cell_id")
             .write.mode("append")

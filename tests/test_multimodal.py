@@ -48,6 +48,11 @@ def test_frame_sample_only_videos(spark):
     }
     assert len(rows) >= n_videos  # ≥1 frame per video
     assert all(isinstance(r.frame, (bytes, bytearray)) for r in rows)
+    # (media_id, t_ms) is the unique row key (ADVICE r8): t_ms is the
+    # sample ordinal × every_ms on both codec paths
+    keys = [(r.media_id, r.t_ms) for r in rows]
+    assert len(keys) == len(set(keys))
+    assert all(r.t_ms % 1000 == 0 for r in rows)
 
 
 def test_codec_seam_injection(spark):
@@ -456,3 +461,24 @@ def test_avi_real_frames_through_frame_sample(spark):
     ).collect()
     assert {r.media_id for r in fake} == set(got)
     assert all(len(bytes(r.frame)) == 16 for r in fake)
+
+
+def test_frame_sample_oversampling_t_ms_unique(spark):
+    """ADVICE r8: sampling FASTER than the frame rate repeats
+    frame_idx (timeline samples of the same container frame) — t_ms
+    must keep rows unique and monotone per video on the real path."""
+    emb = load_table(spark, SF, "embeddings").limit(5)
+    media = multimodal.synth_avi_media(emb, n_frames=2, w=8, h=8)
+    # frame period is 100ms; sample every 50ms → each frame twice
+    rows = multimodal.frame_sample(
+        media, every_ms=50, codec=multimodal.AviCodec
+    ).collect()
+    per_vid = {}
+    for r in rows:
+        per_vid.setdefault(r.media_id, []).append((r.t_ms, r.frame_idx))
+    assert len(per_vid) == 5
+    for vid, fs in per_vid.items():
+        fs.sort()
+        assert [t for t, _ in fs] == [0, 50, 100, 150], vid
+        assert [i for _, i in fs] == [0, 0, 1, 1], vid  # idx repeats
+        assert len({t for t, _ in fs}) == len(fs)  # t_ms unique

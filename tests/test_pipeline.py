@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from mrgo_spark.functions.text import ascii_tokens
@@ -991,3 +992,16 @@ def test_span_corruption_property_model(spark):
         assert got == {i: model(i, t) for i, t in enumerate(texts)}
 
     run()
+
+
+def test_span_corruption_rejects_bad_params(spark):
+    """ADVICE r8: misuse raises ValueError at the call site (asserts
+    are stripped under -O; span > block would be a modulo by zero or
+    a negative divisor deep in the expression tree)."""
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="power of two"):
+        pipeline.span_corruption(df, rate_mod=3)
+    with pytest.raises(ValueError, match="span"):
+        pipeline.span_corruption(df, block=8, span=9)
+    with pytest.raises(ValueError, match="span"):
+        pipeline.span_corruption(df, span=0)

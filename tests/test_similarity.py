@@ -679,3 +679,28 @@ def test_ivf_index_add_dedupes_within_batch(spark, tmp_path):
     idx.add(b.unionAll(b))  # doubled batch
     cells = spark.read.parquet(str(tmp_path / "intra") + "/cells")
     assert cells.filter(F.col("neighbor_id") % 2 == 1).count() == b.count()
+
+
+def test_ivf_index_add_rejects_conflicting_vectors(spark, tmp_path):
+    """ADVICE r8: the same id arriving with two DIFFERENT vectors is
+    a caller bug — add() must raise, not silently keep an arbitrary
+    copy. Exact retry duplicates still collapse (previous test)."""
+    import pytest
+
+    emb = load_table(spark, SF, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1).limit(6)
+    idx = similarity.IVFIndex.build(a, str(tmp_path / "conflict"))
+    mutated = b.withColumn(
+        "embedding", F.transform("embedding", lambda x: x * 2.0)
+    )
+    n_before = spark.read.parquet(
+        str(tmp_path / "conflict") + "/cells"
+    ).count()
+    with pytest.raises(ValueError, match="different vectors"):
+        idx.add(b.unionAll(mutated))
+    # the rejected batch must leave the index untouched
+    n_after = spark.read.parquet(
+        str(tmp_path / "conflict") + "/cells"
+    ).count()
+    assert n_after == n_before
