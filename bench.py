@@ -310,6 +310,15 @@ def main() -> None:
         "rrf_hybrid_served",
         "ngram_precision_eval",
         "span_corruption_docs",
+        # round-9: graded-relevance eval with the dyadic discount
+        # (serves from the BM25 cache + at-rest eval truth —
+        # order-semantic after bm25_topk_docs), IMI-served k-NN eval
+        # (PQ cache — order-semantic after pq_codes; compare
+        # knn_label_eval, the exact scorer), per-file scan metadata
+        # (one partial-agg shuffle per table).
+        "dcg_eval_bm25_vs_cosine",
+        "knn_label_eval_imi",
+        "file_scan_stats",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there

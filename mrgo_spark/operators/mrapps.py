@@ -108,3 +108,44 @@ def file_metadata(documents: DataFrame) -> DataFrame:
     return documents.select(
         doc.alias("doc"), F.explode(pairs).alias("kv")
     ).select("doc", F.col("kv.mkey").alias("mkey"), F.col("kv.mvalue").alias("mvalue"))
+
+
+def file_scan_stats(frames: list[tuple[DataFrame, str]]) -> DataFrame:
+    """Per-input-file scan metadata — the O1 whole-file scan as a
+    declared, closure-free DataFrame row (VERDICT_r8 #1).
+
+    The reference schedules one map task per input FILE and the map
+    UDF receives the filename as its key (mr/worker.go:68-78,
+    mr/master.go:395-399). ``MRJob.run_files`` keeps that contract
+    imperatively (mr.py), but is closure-based and so barred from the
+    driver's ``queries()``; this is the file-granularity surface a
+    pure column plan can express: for each scanned file,
+    ``input_file_name()`` keys the rows back to their source file and
+    we emit (file_name, n_rows, min_key, max_key). A wrong file read,
+    a partial scan, or broken filename plumbing all hash-mismatch.
+
+    ``frames`` is [(df, key_col)]; each frame contributes one group
+    per underlying file. Scale shape: one partial-agg shuffle per
+    frame, grouped on file_name — at 100 TB the group count equals
+    the file count, never the row count.
+    """
+    outs = []
+    for df, key in frames:
+        outs.append(
+            df.select(
+                F.regexp_extract(F.input_file_name(), "([^/]+)$", 1).alias(
+                    "file_name"
+                ),
+                F.col(key).cast("long").alias("k"),
+            )
+            .groupBy("file_name")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.min("k").alias("min_key"),
+                F.max("k").alias("max_key"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res

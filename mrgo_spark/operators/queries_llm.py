@@ -4495,8 +4495,11 @@ def _eval_truth(spark, sf_dir):
         (F.col("vec_id") == F.col("doc_id")) & (F.col("vec_id") % 100 == 0),
         "left_semi",
     )
+    # rank is kept at rest (r9): graded-relevance eval (dcg_eval)
+    # derives gains from the truth rank; consumers that only need the
+    # set (retrieval_eval) project it away.
     truth = similarity.topk_cosine_exact(emb, sem_q, k=10).select(
-        "query_id", F.col("neighbor_id").alias("doc_id")
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
     )
     path = f"{_bm25_index(spark, sf_dir).path}/eval_truth"
     truth.write.mode("overwrite").parquet(path)
@@ -4505,6 +4508,77 @@ def _eval_truth(spark, sf_dir):
 
 
 _EVAL_TRUTH_CACHE: dict[str, tuple] = {}
+
+
+@declare(
+    "dcg_eval_bm25_vs_cosine",
+    f"""
+    WITH {_bm25_sql(10)},
+    {_FX_NORMS_SQL.replace("norms AS", "norms AS MATERIALIZED")},
+    t AS (
+        SELECT query_id, doc_id, rank FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {_FX_DOT_SQL}
+                                / (sqrt(a.norm_fx) * sqrt(b.norm_fx)) DESC,
+                                b.vec_id) AS rank
+            FROM norms a JOIN norms b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id % 100 = 0
+              AND a.vec_id IN (SELECT doc_id FROM documents)
+        ) WHERE rank <= 10
+    ),
+    g AS MATERIALIZED (
+        SELECT query_id, doc_id, rank AS trank,
+               CAST(11 - rank AS BIGINT) AS rel
+        FROM t
+    ),
+    nt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+           FROM g GROUP BY 1),
+    ideal AS (
+        -- rel = 11 - trank is strictly decreasing in trank, so the
+        -- ideal position of each truth doc IS its truth rank
+        SELECT query_id,
+               CAST(SUM((rel * {retrieval.RRF_SCALE})
+                        // (length(bin(trank + 1)) - 1)) AS BIGINT)
+                   AS idcg_fp
+        FROM g GROUP BY 1
+    ),
+    d AS (
+        SELECT b.query_id,
+               CAST(SUM((g.rel * {retrieval.RRF_SCALE})
+                        // (length(bin(b.rank + 1)) - 1)) AS BIGINT)
+                   AS dcg_fp
+        FROM bm b JOIN g ON b.query_id = g.query_id
+                        AND b.doc_id = g.doc_id
+        GROUP BY 1
+    )
+    SELECT nt.query_id, nt.n_truth,
+           CAST(coalesce(d.dcg_fp, 0) AS BIGINT) AS dcg_fp,
+           ideal.idcg_fp,
+           CAST(CASE WHEN ideal.idcg_fp = 0 THEN 0
+                     ELSE (coalesce(d.dcg_fp, 0) * 1000) // ideal.idcg_fp
+                END AS BIGINT) AS ndcg_milli
+    FROM nt JOIN ideal USING (query_id) LEFT JOIN d USING (query_id)
+    """,
+)
+def q_dcg_eval(spark, sf_dir):
+    """Graded-relevance retrieval eval (r9, retrieval.dcg_eval —
+    VERDICT_r8 #2): the served BM25 top-10 run scored against the
+    exact-cosine truth with gains rel = 11 − truth_rank and the
+    DYADIC discount floor_log2(rank + 1) via length(bin(x)) − 1 —
+    true nDCG's log2 is not hash-portable, but the bit_length
+    floor-log2 (the bigram_lm_bits / zipf recipe) is, so the whole
+    graded metric oracle-checks in exact integers. Truth ranks come
+    from the persisted eval_truth parquet (rank kept at rest, r9).
+    Inputs are top-k-bounded: the eval is queries×k-sized."""
+    lex = _bm25_served(spark, sf_dir, k=10)
+    graded = _eval_truth(spark, sf_dir).select(
+        "query_id",
+        "doc_id",
+        (F.lit(11) - F.col("rank")).cast("long").alias("rel"),
+    )
+    return retrieval.dcg_eval(lex, graded, k=10)
 
 
 @declare(
@@ -4689,6 +4763,77 @@ def q_knn_label_eval(spark, sf_dir):
     return similarity.knn_label_eval(
         emb, emb.filter(F.col("vec_id") % 50 == 0), k=5
     )
+
+
+@declare(
+    "knn_label_eval_imi",
+    _pq_cte()
+    + ","
+    + _PQ_LUT_SQL
+    + f"""
+    probed AS (
+        SELECT query_id, cid AS cell0 FROM (
+            SELECT query_id, cid,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d, cid) AS rn
+            FROM lut WHERE sub = 0) WHERE rn <= 4),
+    cell0 AS (SELECT vec_id, cid AS cell0 FROM a2 WHERE sub = 0),
+    nl AS MATERIALIZED (
+        SELECT vec_id, label, embedding,
+               CAST(list_sum([CAST(round(CAST(embedding[i] AS DOUBLE)
+                                         * CAST(embedding[i] AS DOUBLE)
+                                         * 1000000.0) AS BIGINT)
+                              for i in generate_series(1, len(embedding))])
+                    AS BIGINT) AS norm_fx
+        FROM embeddings),
+    top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY {_FX_DOT_SQL}
+                                / (sqrt(a.norm_fx) * sqrt(b.norm_fx)) DESC,
+                                b.vec_id) AS rank
+            FROM probed p
+            JOIN cell0 c ON c.cell0 = p.cell0
+            JOIN nl b ON b.vec_id = c.vec_id
+            JOIN nl a ON a.vec_id = p.query_id
+            WHERE a.vec_id <> b.vec_id
+        ) WHERE rank <= 5
+    ),
+    votes AS (
+        SELECT t.query_id, n.label AS pred_label,
+               CAST(count(*) AS BIGINT) AS votes
+        FROM top t JOIN nl n ON n.vec_id = t.neighbor_id
+        GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT query_id, pred_label, votes FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY votes DESC, pred_label)
+                        AS r
+            FROM votes
+        ) WHERE r = 1
+    )
+    SELECT p.query_id, n.label AS true_label, p.pred_label, p.votes,
+           p.pred_label = n.label AS correct
+    FROM pred p JOIN nl n ON n.vec_id = p.query_id
+    """,
+)
+def q_knn_label_eval_imi(spark, sf_dir):
+    """IMI-SERVED k-NN eval (r9, similarity.knn_label_eval_imi —
+    VERDICT_r8 #4): the exact-scorer eval's pruned twin. Neighbors
+    come from each query's 4 best of 16 coarse PQ cells with the
+    exact fixed-point cosine only on survivors (the
+    hard_negatives_imi kernel minus the label filter), then the same
+    majority-vote tail as knn_label_eval. Queries = the 8 PQ-LUT
+    vectors; serves from the session-cached PQ codes frame, and the
+    WHOLE pruned eval — PQ training, probe, prune, vote —
+    oracle-checks. n_probe=K degenerates to the exact form (pinned);
+    the exact knn_label_eval stays declared as eval truth."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, a, luts = _pq_artifacts(spark, sf_dir)
+    return similarity.knn_label_eval_imi(emb, a, luts, k=5, n_probe=4)
 
 
 @declare(

@@ -104,3 +104,37 @@ def q_sorted_concat(spark, sf_dir):
 def q_file_metadata(spark, sf_dir):
     """O16 — reference mrapps/crash.go:37-46."""
     return mrapps.file_metadata(load_table(spark, sf_dir, "documents"))
+
+
+@declare(
+    "file_scan_stats",
+    """
+    SELECT 'documents.parquet' AS file_name, COUNT(*) AS n_rows,
+           MIN(doc_id) AS min_key, MAX(doc_id) AS max_key FROM documents
+    UNION ALL
+    SELECT 'orders.parquet', COUNT(*), MIN(o_orderkey), MAX(o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'customer.parquet', COUNT(*), MIN(c_custkey), MAX(c_custkey)
+    FROM customer
+    UNION ALL
+    SELECT 'part.parquet', COUNT(*), MIN(p_partkey), MAX(p_partkey)
+    FROM part
+    """,
+)
+def q_file_scan_stats(spark, sf_dir):
+    """O1 — reference mr/worker.go:68-78, mr/master.go:395-399 (one
+    map task per input file, filename as the map key). The Spark side
+    derives file_name from input_file_name() ON THE SCAN — the oracle
+    pins the expected basenames and per-file stats, so misrouted or
+    partial file reads mismatch. Single-file-per-table fixtures make
+    the oracle's literal basenames exact; a multi-file table would
+    (correctly) emit one row per file on the Spark side."""
+    return mrapps.file_scan_stats(
+        [
+            (load_table(spark, sf_dir, "documents"), "doc_id"),
+            (load_table(spark, sf_dir, "orders"), "o_orderkey"),
+            (load_table(spark, sf_dir, "customer"), "c_custkey"),
+            (load_table(spark, sf_dir, "part"), "p_partkey"),
+        ]
+    )

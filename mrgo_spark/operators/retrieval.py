@@ -407,6 +407,77 @@ def retrieval_eval(
     )
 
 
+def dcg_eval(
+    run: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+    scale: int = RRF_SCALE,
+) -> DataFrame:
+    """Graded-relevance ranking eval: DCG/nDCG with the DYADIC
+    discount — the exactly-portable member of the nDCG family
+    (VERDICT_r8 #2; retrieval_eval deliberately omits true nDCG
+    because log2 is not hash-portable across libm builds).
+
+    Standard DCG discounts gain i by log2(rank_i + 1); here the
+    discount is floor(log2(rank + 1)) = length(bin(rank + 1)) - 1 —
+    the bit_length trick proven portable in bigram_lm_bits / zipf /
+    DSIR. It agrees with log2 exactly when rank + 1 is a power of two
+    (ranks 1, 3, 7, 15, …) and steps dyadically between, keeping the
+    whole metric in exact integers:
+
+        dcg_fp  = Σ_hits  (rel · scale) div floor_log2(rank + 1)
+        idcg_fp = the same sum over the ideal ordering (rel desc,
+                  doc_id asc as the deterministic tie-break), capped
+                  at k positions
+        ndcg_milli = (1000 · dcg_fp) div idcg_fp   (0 when idcg = 0)
+
+    ``run`` needs (query_id, doc_id, rank); ``truth`` needs
+    (query_id, doc_id, rel) with NON-NEGATIVE integer grades (div
+    truncation direction differs between engines for negatives —
+    the DuckDB `//` lesson). Docs absent from truth contribute 0.
+    Queries in truth but absent from the run score dcg_fp = 0.
+
+    Scale shape: both inputs are top-k-per-query bounded by contract;
+    the ideal window partitions by query over a queries×k frame —
+    nothing here is ever corpus-sized."""
+    contrib = F.expr(
+        f"cast((rel * {scale}) div (length(bin(rank + 1)) - 1) as bigint)"
+    )
+    r = run.filter(F.col("rank") <= k).select("query_id", "doc_id", "rank")
+    t = truth.select(
+        "query_id", "doc_id", F.col("rel").cast("long").alias("rel")
+    )
+    nt = t.groupBy("query_id").agg(F.count("*").cast("long").alias("n_truth"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rel"), F.asc("doc_id")
+    )
+    ideal = (
+        t.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .groupBy("query_id")
+        .agg(F.sum(contrib).cast("long").alias("idcg_fp"))
+    )
+    dcg = (
+        r.join(t, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.sum(contrib).cast("long").alias("dcg_fp"))
+    )
+    return (
+        nt.join(ideal, "query_id")
+        .join(dcg, "query_id", "left")
+        .select(
+            "query_id",
+            "n_truth",
+            F.coalesce("dcg_fp", F.lit(0)).cast("long").alias("dcg_fp"),
+            "idcg_fp",
+            F.expr(
+                "cast(case when idcg_fp = 0 then 0 else "
+                "(coalesce(dcg_fp, 0) * 1000) div idcg_fp end as bigint)"
+            ).alias("ndcg_milli"),
+        )
+    )
+
+
 def rrf_fuse(
     ranked: list[DataFrame],
     k: int = 10,

@@ -462,6 +462,24 @@ def knn_label_eval(
     all aggregates after the top-k are queries×k-sized. Columns:
     (query_id, true_label, pred_label, votes, correct)."""
     top = topk_cosine_exact(embeddings, queries, k, id_col, vec_col)
+    truth = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    return _knn_vote_tail(top, embeddings, truth, id_col, label_col)
+
+
+def _knn_vote_tail(
+    top: DataFrame,
+    embeddings: DataFrame,
+    truth: DataFrame,
+    id_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Shared majority-vote tail of the k-NN eval family
+    (knn_label_eval / knn_label_eval_imi): join neighbor labels, vote
+    per query (ties: count DESC, label ASC), score against
+    ``truth``'s (query_id, true_label). Everything here is
+    queries×k-sized."""
     nlab = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("_nl"),
@@ -477,9 +495,6 @@ def knn_label_eval(
         .filter(F.col("_r") == 1)
         .select("query_id", F.col("_nl").alias("pred_label"), "votes")
     )
-    truth = queries.select(
-        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
-    )
     return truth.join(pred, "query_id").select(
         "query_id",
         "true_label",
@@ -487,6 +502,40 @@ def knn_label_eval(
         "votes",
         (F.col("pred_label") == F.col("true_label")).alias("correct"),
     )
+
+
+def knn_label_eval_imi(
+    embeddings: DataFrame,
+    assigned: DataFrame = None,
+    luts=None,
+    k: int = 5,
+    n_probe: int = 4,
+    n_queries: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IMI-SERVED k-NN classification eval (VERDICT_r8 #4): the last
+    exact-scorer consumer gains its pruned twin — neighbors come from
+    ``topk_cosine_imi`` (candidates from each query's ``n_probe``
+    best coarse PQ cells, exact fixed-point cosine on survivors
+    only) instead of the corpus×queries brute force; the vote tail is
+    shared with the exact form. The exact ``knn_label_eval`` stays as
+    eval truth; n_probe = PQ_K degenerates to it for the same query
+    set (pinned in tests/test_similarity.py).
+
+    Query set = luts' key set (the PQ LUT idiom), so the whole pruned
+    eval — PQ training, cell probe, candidate pruning, vote —
+    oracle-checks. Scale shape: candidates are probed-cells-sized
+    (corpus/K per probe), never corpus×queries."""
+    top = topk_cosine_imi(
+        embeddings, assigned, luts, k=k, n_probe=n_probe,
+        n_queries=n_queries, id_col=id_col, vec_col=vec_col,
+    )
+    truth = embeddings.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    return _knn_vote_tail(top, embeddings, truth, id_col, label_col)
 
 
 def topk_cosine_lsh(

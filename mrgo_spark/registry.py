@@ -76,7 +76,15 @@ PRIORITY = [
     # declared + driver_sim-checked just past the window).
     "dedup_exact", "dedup_fingerprint", "semantic_dedup",
     "dup_cluster_components",
-    "dedup_pipeline_canonical", "edit_distance_pairs",
+    # r9 swap (VERDICT_r8 #5): ngram_precision_eval takes
+    # edit_distance_pairs' slot — the EVAL table (retrieval / kNN /
+    # generation quality) held ZERO in-window reps while X2 near-dup
+    # held eight, and edit-distance string similarity is
+    # re-demonstrated in-window by minhash_md5_pairs +
+    # exact_substring_audit (plus the symdelete variant just outside).
+    # edit_distance_pairs was driver-green r2-r8 and stays declared +
+    # receipt-checked just past the window.
+    "dedup_pipeline_canonical",
     # r5 swap (VERDICT_r4 item 5): line_dedup_stats's slot goes to
     # media_phash_pairs in the multimodal section — X2 held 9
     # in-window reps while X5 (media dedup) held zero; line-level
@@ -184,9 +192,21 @@ PRIORITY = [
     # (TPC-H keeps q1 as its in-window rep; q3 was driver-green
     # r1-r3 and stays declared + checked just past the window).
     "bpe_train_merges",
+    # eval family (r9 swap, see dedup section): generation-quality
+    # eval's first gate rep — clipped n-gram precision in exact
+    # integers (BLEU-style)
+    "ngram_precision_eval",
     # training-data pipeline
+    # r9 swap (VERDICT_r8 #5): span_corruption_docs takes
+    # sequence_chunks' slot — the denoising TRANSFORM (T5 span
+    # corruption) is a training-objective class the window lacked,
+    # while causal-LM chunking is the weaker member of the
+    # token-stream-reshaping family whose stronger member
+    # (sequence_packing, concat-and-cut with budget cuts) stays
+    # in-window. sequence_chunks was driver-green r1-r8 and stays
+    # declared + receipt-checked just past the window.
     "corpus_quality_filter", "decontaminate_stats", "dataset_split",
-    "mixture_sample", "sequence_chunks", "sequence_packing",
+    "mixture_sample", "span_corruption_docs", "sequence_packing",
     "pii_scrub_audit", "corpus_shuffle_order", "corpus_prep",
     # multimodal (X5) — media_phash_pairs gives the perceptual-hash
     # media-dedup class a driver-checked row (r5 swap, see above)
@@ -197,6 +217,7 @@ PRIORITY = [
     # TPC-H representative (the remaining 21 variants follow after)
     "q1_pricing_summary",
     # first entries past the driver window, in checked order
+    "edit_distance_pairs", "sequence_chunks",
     "rrf_hybrid_retrieval", "dsir_importance_scores",
     "embedding_centroids", "quality_score",
     "minhash_lsh_pairs", "embedding_quantize", "char_quality_stats",

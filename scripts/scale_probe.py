@@ -271,6 +271,16 @@ def main() -> None:
         "rrf_hybrid_served",
         "ngram_precision_eval",
         "span_corruption_docs",
+        # r9: graded eval (queries×k after the served run + at-rest
+        # truth — but the truth BUILD inside _eval_truth is the exact
+        # cosine over the %100 query set, so the cold probe row
+        # inherits the topk_cosine fixture law; the served read is
+        # the second-run number), IMI-served k-NN eval (fixed 8-query
+        # LUT set — the hard_negatives_imi corpus-linear law), and
+        # per-file scan stats (pure partial-agg scan growth).
+        "dcg_eval_bm25_vs_cosine",
+        "knn_label_eval_imi",
+        "file_scan_stats",
     ]
     only = set(sys.argv[3:])
     if only:

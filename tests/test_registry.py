@@ -22,7 +22,16 @@ MUST_BE_GATED = [
     #                                 rows-only seeded form in-gate)
     "dup_cluster_components",       # X2 connected components
     "dedup_pipeline_canonical",     # X2 end-to-end pipeline
-    "edit_distance_pairs",          # X2 edit-distance blocking
+    # edit_distance_pairs demoted just past the window in r9 — its
+    # slot funds ngram_precision_eval (the EVAL table's first gate
+    # rep; X2 keeps 7 in-window reps and edit-distance similarity is
+    # re-demonstrated by minhash_md5_pairs + exact_substring_audit)
+    "ngram_precision_eval",         # generation eval (r9,
+    #                                 VERDICT_r8 #5)
+    # sequence_chunks demoted just past the window in r9 — its slot
+    # funds span_corruption_docs (denoising-objective transform;
+    # sequence_packing stays as the token-stream-reshaping rep)
+    "span_corruption_docs",         # T5 denoising transform (r9)
     # line_dedup_stats demoted just past the window in r5 — its slot
     # funds media_phash_pairs (X5 was down to 1 in-window rep while
     # X2 held 9; the demoted entry stays declared + driver_sim-run)

@@ -376,3 +376,81 @@ def test_bm25_index_merge_overlap_fails_before_writing(spark, tmp_path):
     with pytest.raises(ValueError, match="overlap"):
         retrieval.BM25Index.merge(ia, ib, target)
     assert not os.path.exists(target)
+
+
+def test_dcg_eval_python_differential(spark):
+    """dcg_eval (r9, VERDICT_r8 #2) vs a pure-Python replay of the
+    dyadic-discount definition on a handcrafted run/truth set,
+    covering: hit/miss mix, a query with no hits, a query missing
+    from the run entirely, and rel ties (doc_id tie-break)."""
+    from mrgo_spark.operators.retrieval import RRF_SCALE, dcg_eval
+
+    truth_rows = [
+        (1, 10, 3), (1, 11, 2), (1, 12, 1),
+        (2, 20, 2), (2, 21, 2),          # rel tie
+        (3, 30, 5),                       # query absent from run
+    ]
+    run_rows = [
+        (1, 10, 1), (1, 99, 2), (1, 12, 3),  # hit, miss, hit
+        (2, 98, 1), (2, 97, 2),              # no hits
+    ]
+    truth = spark.createDataFrame(
+        truth_rows, "query_id long, doc_id long, rel long"
+    )
+    run = spark.createDataFrame(
+        run_rows, "query_id long, doc_id long, rank long"
+    )
+    got = {r.query_id: r for r in dcg_eval(run, truth, k=10).collect()}
+
+    def fl2(x):
+        return x.bit_length() - 1
+
+    def contrib(rel, rank):
+        return (rel * RRF_SCALE) // fl2(rank + 1)
+
+    for q in (1, 2, 3):
+        t = sorted(
+            [(r, d) for (qq, d, r) in truth_rows if qq == q],
+            key=lambda p: (-p[0], p[1]),
+        )
+        idcg = sum(contrib(rel, i + 1) for i, (rel, _) in enumerate(t))
+        rels = {d: r for (qq, d, r) in truth_rows if qq == q}
+        dcg = sum(
+            contrib(rels[d], rk)
+            for (qq, d, rk) in run_rows
+            if qq == q and d in rels
+        )
+        row = got[q]
+        assert row.n_truth == len(t)
+        assert row.dcg_fp == dcg
+        assert row.idcg_fp == idcg
+        assert row.ndcg_milli == (1000 * dcg) // idcg
+    assert got[3].dcg_fp == 0 and got[3].ndcg_milli == 0
+
+
+def test_dcg_eval_monotone_and_perfect(spark):
+    """The ideal ordering scores ndcg_milli == 1000 exactly, and any
+    demotion of a high-rel doc below a lower-rel doc can never score
+    higher than the ideal."""
+    from mrgo_spark.operators.retrieval import dcg_eval
+
+    truth = spark.createDataFrame(
+        [(1, d, 10 - d) for d in range(10)],
+        "query_id long, doc_id long, rel long",
+    )
+    ideal_run = spark.createDataFrame(
+        [(1, d, d + 1) for d in range(10)],
+        "query_id long, doc_id long, rank long",
+    )
+    perfect = dcg_eval(ideal_run, truth, k=10).collect()[0]
+    assert perfect.ndcg_milli == 1000
+    assert perfect.dcg_fp == perfect.idcg_fp
+    # every rotation of the ideal ranking scores <= the ideal
+    for shift in (1, 3, 7):
+        rot = spark.createDataFrame(
+            [(1, (d + shift) % 10, d + 1) for d in range(10)],
+            "query_id long, doc_id long, rank long",
+        )
+        row = dcg_eval(rot, truth, k=10).collect()[0]
+        assert row.dcg_fp <= perfect.idcg_fp
+        assert row.ndcg_milli < 1000

@@ -704,3 +704,37 @@ def test_ivf_index_add_rejects_conflicting_vectors(spark, tmp_path):
         str(tmp_path / "conflict") + "/cells"
     ).count()
     assert n_after == n_before
+
+
+def test_knn_label_eval_imi_degenerates_to_exact(spark):
+    """n_probe = PQ_K makes the IMI-pruned k-NN eval's candidate set
+    the whole corpus: output must equal the exact knn_label_eval for
+    the same 8-smallest-id query set (VERDICT_r8 #4 parity pin)."""
+    emb = load_table(spark, SF, "embeddings")
+    imi = similarity.knn_label_eval_imi(
+        emb, k=5, n_probe=similarity.PQ_K, n_queries=8
+    ).collect()
+    qids = [r.vec_id for r in emb.orderBy("vec_id").limit(8).collect()]
+    exact = similarity.knn_label_eval(
+        emb, emb.filter(F.col("vec_id").isin(qids)), k=5
+    ).collect()
+    key = lambda r: (  # noqa: E731
+        r.query_id, r.true_label, r.pred_label, r.votes, r.correct
+    )
+    assert sorted(map(key, imi)) == sorted(map(key, exact))
+    assert len(imi) == 8
+
+
+def test_knn_label_eval_imi_pruned_shape(spark):
+    """At the declared n_probe=4/16 the pruned eval emits one row per
+    LUT query with a valid vote; no BroadcastNestedLoopJoin anywhere
+    (prune-before-score, the topk_cosine_imi plan contract)."""
+    emb = load_table(spark, SF, "embeddings")
+    df = similarity.knn_label_eval_imi(emb, k=5, n_probe=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    out = df.collect()
+    assert len(out) == 8
+    for r in out:
+        assert 1 <= r.votes <= 5
+        assert r.correct == (r.pred_label == r.true_label)

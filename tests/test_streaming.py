@@ -894,3 +894,70 @@ def test_serve_bm25_foreach_batch_matches_batch(spark, tmp_path):
         for r in idx.query(qterms, k=10).collect()
     ]
     assert sorted(got) == sorted(expected)
+
+
+def test_serve_hybrid_foreach_batch_matches_batch(spark, tmp_path):
+    """VERDICT_r8 #3: the streaming served HYBRID — each micro-batch
+    of (query_id, embedding, terms) rows runs both at-rest index
+    paths (BM25 postings buckets + IVF cells, both partition-pruned)
+    and RRF-fuses them. One-shot availableNow batch must equal the
+    batch composition rrf_fuse(BM25Index.query, IVFIndex.query), and
+    both legs' scans must carry partition filters."""
+    from mrgo_spark.operators import retrieval
+    from mrgo_spark.operators.retrieval import BM25Index, rrf_fuse
+    from mrgo_spark.operators.similarity import IVFIndex
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    emb = load_table(spark, SF, "embeddings")
+    bm_idx = BM25Index.build(docs, str(tmp_path / "bm25_hyb"))
+    ivf_idx = IVFIndex.build(emb, str(tmp_path / "ivf_hyb"))
+
+    qterms = retrieval.query_terms_from_docs(
+        docs, F.col("doc_id") % 100 == 0
+    )
+    terms_arr = qterms.groupBy("query_id").agg(
+        F.array_sort(F.collect_list("term")).alias("terms")
+    )
+    queries = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .join(terms_arr, "query_id")
+    )
+    qdir = tmp_path / "hyb_queries"
+    queries.write.parquet(str(qdir))
+
+    got, plans = [], []
+
+    def sink(df, batch_id):
+        plans.append(df._jdf.queryExecution().executedPlan().toString())
+        got.extend(
+            (r.query_id, r.doc_id, r.n_sources, r.rrf_score_fp, r.rank)
+            for r in df.collect()
+        )
+
+    qstream = spark.readStream.schema(
+        "query_id long, embedding array<float>, terms array<string>"
+    ).parquet(str(qdir))
+    q = (
+        stream_ops.serve_hybrid_foreach_batch(
+            bm_idx, ivf_idx, qstream, sink, k=10
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    lex = bm_idx.query(qterms, k=10).select("query_id", "doc_id", "rank")
+    sem = ivf_idx.query(
+        emb.filter(F.col("vec_id") % 100 == 0), k=10
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    expected = [
+        (r.query_id, r.doc_id, r.n_sources, r.rrf_score_fp, r.rank)
+        for r in rrf_fuse([lex, sem], k=10).collect()
+    ]
+    assert sorted(got) == sorted(expected)
+    assert got  # non-empty
+    # both index scans in the fused plan are partition-pruned
+    plan = "\n".join(plans)
+    assert "PartitionFilters" in plan
+    assert "term_bucket" in plan and "cell_id" in plan
