@@ -319,6 +319,11 @@ def main() -> None:
         "dcg_eval_bm25_vs_cosine",
         "knn_label_eval_imi",
         "file_scan_stats",
+        # distinct-n diversity (one tagged gram explode, 2 shuffles)
+        # and classifier-vs-heuristic calibration (map-only + <=16-row
+        # agg)
+        "ngram_diversity_by_lang",
+        "classifier_calibration_bins",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there

@@ -5008,3 +5008,103 @@ def q_epoch_allocation_sources(spark, sf_dir):
     return pipeline.epoch_allocation(
         docs, F.expr("(18 * tot) div 10"), cap_epochs=2
     )
+
+
+@declare(
+    "ngram_diversity_by_lang",
+    """
+    WITH tl AS MATERIALIZED (
+        SELECT lang,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t
+        FROM documents),
+    g AS (
+        SELECT lang, n, unnest(gs) AS g FROM (
+            SELECT lang, 1 AS n, t AS gs FROM tl
+            UNION ALL
+            SELECT lang, 2, [t[i] || ' ' || t[i+1]
+                             for i in generate_series(1, len(t)-1)]
+            FROM tl
+            UNION ALL
+            SELECT lang, 3, [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                             for i in generate_series(1, len(t)-2)]
+            FROM tl
+        )
+    ),
+    pg AS (SELECT lang, n, g, count(*) AS c FROM g GROUP BY 1, 2, 3)
+    SELECT lang, CAST(n AS INT) AS n,
+           CAST(sum(c) AS BIGINT) AS total_ngrams,
+           CAST(count(*) AS BIGINT) AS distinct_ngrams,
+           CAST((1000 * count(*)) // sum(c) AS BIGINT) AS diversity_milli
+    FROM pg GROUP BY 1, 2
+    """,
+)
+def q_ngram_diversity(spark, sf_dir):
+    """Distinct-n diversity (r9, textstats.ngram_diversity): per
+    (lang, n≤3) total vs distinct word n-grams and their exact
+    ratio — the within-corpus repetitiveness side of the
+    generation-eval family (mode collapse in synthetic data, template
+    spam in scraped data). All three gram streams ride ONE tagged
+    explode (a per-n UNION would rescan the corpus — the multi-grain
+    lesson); widen_scan for the per-gram map fan."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    return textstats.ngram_diversity(docs)
+
+
+@declare(
+    "classifier_calibration_bins",
+    f"""
+    WITH {_clf_sql_fragments()},
+    km AS (
+        SELECT doc_id,
+               len(t) AS n_tokens,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    AS DOUBLE) / greatest(length(text), 1) AS letter_ratio,
+               CASE WHEN len(t) > 0
+                    THEN CAST(coalesce(list_sum([length(x) for x in t]), 0)
+                              AS DOUBLE) / len(t)
+                    ELSE 0.0 END AS mean_word_len,
+               CAST(len(list_filter(t,
+                    x -> x IN ('the','and','of','to','is','in','that')))
+                    AS DOUBLE) / greatest(len(t), 1) AS stopword_ratio
+        FROM (SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                 x -> x <> '') AS t
+              FROM documents)
+    ),
+    k AS (
+        SELECT doc_id,
+               (n_tokens BETWEEN 10 AND 100000
+                AND letter_ratio >= 0.6
+                AND mean_word_len BETWEEN 2.0 AND 12.0
+                AND stopword_ratio > 0.0) AS keep
+        FROM km
+    ),
+    b AS (
+        SELECT (greatest(least(sc.score, 2047), -2048) + 2048) // 256
+                   AS bin_id,
+               CASE WHEN k.keep THEN 1 ELSE 0 END AS kp
+        FROM sc JOIN k USING (doc_id)
+    )
+    SELECT CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(-2048 + bin_id * 256 AS BIGINT) AS score_lo,
+           CAST(-2048 + (bin_id + 1) * 256 - 1 AS BIGINT) AS score_hi,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(kp) AS BIGINT) AS n_keep,
+           CAST((1000 * sum(kp)) // count(*) AS BIGINT) AS keep_rate_milli
+    FROM b GROUP BY b.bin_id
+    """,
+)
+def q_classifier_calibration(spark, sf_dir):
+    """Classifier-vs-heuristic calibration (r9,
+    textstats.classifier_calibration_bins): learned-filter scores
+    clamped to [-2048, 2047] and bucketed into 16 bins; per bin the
+    document count, heuristic-keep count (quality_keep — the
+    corpus_quality_filter rule as one boolean), and the exact keep
+    rate — the threshold-tuning dashboard between the two filter
+    paradigms. The bin shift makes truncating division floor
+    division (both engines), dodging the negative-floor-div recipe.
+    Map-only scoring + one ≤16-row partial agg; widen_scan for the
+    interpreted classifier fold (the PQ lesson)."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    return textstats.classifier_calibration_bins(docs)

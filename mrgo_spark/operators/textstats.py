@@ -1162,3 +1162,132 @@ def ngram_precision_eval(
         .cast("long")
         .alias("precision_fp"),
     )
+
+
+def ngram_diversity(
+    documents: DataFrame,
+    ns: tuple[int, ...] = (1, 2, 3),
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Distinct-n DIVERSITY (Li et al. 2016's "distinct" metric,
+    lifted corpus-level): per (group, n) the total and distinct word
+    n-gram counts and their exact ratio — the diversity side of the
+    generation-eval family (ngram_precision_eval measures overlap
+    AGAINST a reference; this measures repetitiveness WITHIN a
+    corpus slice; low diversity_milli flags mode collapse in
+    generated data, template spam in scraped data).
+
+        diversity_milli = (1000 · distinct) div total
+
+    Columns: (group_col, n, total_ngrams, distinct_ngrams,
+    diversity_milli). Zero-gram groups emit nothing for that n (no
+    0/0 row to disagree on).
+
+    Shape: all n-gram streams ride ONE tagged explode (a 3-way UNION
+    would rescan the corpus per n — the multi-grain lesson), then two
+    partial-agg shuffles: (group, n, gram) counts, re-agg to
+    (group, n). At 100 TB the first shuffle carries hashes of gram
+    strings — the same law as wordcount — and the result is
+    |groups|×|ns| rows."""
+    toks = ascii_tokens(text_col, lowercase=True)
+
+    def tag(n: int):
+        # closure over n keeps the HOF lambda unary (default-arg
+        # lambdas get a Column bound per param — CLAUDE.md gotcha)
+        return F.transform(
+            ngrams_from_tokens(toks, n),
+            lambda g: F.struct(
+                F.lit(n).cast("int").alias("n"), g.alias("g")
+            ),
+        )
+
+    arr = F.concat(*[tag(n) for n in ns])
+    grams = documents.select(
+        F.col(group_col), F.explode(arr).alias("t")
+    ).select(group_col, F.col("t.n").alias("n"), F.col("t.g").alias("g"))
+    per_gram = grams.groupBy(group_col, "n", "g").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    return (
+        per_gram.groupBy(group_col, "n")
+        .agg(
+            F.sum("c").cast("long").alias("total_ngrams"),
+            F.count("*").cast("long").alias("distinct_ngrams"),
+        )
+        .select(
+            group_col,
+            "n",
+            "total_ngrams",
+            "distinct_ngrams",
+            F.expr(
+                "cast((1000 * distinct_ngrams) div total_ngrams as bigint)"
+            ).alias("diversity_milli"),
+        )
+    )
+
+
+def classifier_calibration_bins(
+    documents: DataFrame,
+    text_col: str = "text",
+    n_bins: int = 16,
+    lo: int = -2048,
+    hi: int = 2047,
+) -> DataFrame:
+    """Calibration of the learned classifier filter against the
+    heuristic keep rule — the filter-threshold diagnostics a pipeline
+    dashboards before committing to a cutoff: classifier scores are
+    clamped to [lo, hi] and bucketed into ``n_bins`` equal-width
+    bins; per bin, document count, heuristic-keep count, and the
+    exact keep rate. A classifier that agrees with the heuristic
+    shows keep_rate_milli rising monotonically with the bin.
+
+    Bins shift to non-negative before the divide ((clamped − lo) div
+    width) so truncating integer division IS floor division in both
+    engines — the positive-mod floor-div lesson, dodged instead of
+    implemented. Columns: (bin_id, score_lo, score_hi, n_docs,
+    n_keep, keep_rate_milli).
+
+    Shape: score + keep flag are map-only column expressions (the
+    classifier weights ride as a 256-literal array; the keep rule is
+    the quality_keep fold); one partial-agg shuffle to ≤ n_bins
+    rows. The fold is interpreted HOF work — declared callers
+    widen_scan the fixture (the PQ lesson)."""
+    if (hi - lo + 1) % n_bins:
+        raise ValueError(
+            f"bin range {hi - lo + 1} not divisible by n_bins={n_bins}"
+        )
+    width = (hi - lo + 1) // n_bins
+    score = classifier_score_col(text_col)
+    clamped = F.greatest(F.least(score, F.lit(hi)), F.lit(lo)).cast("long")
+    d = documents.select(
+        clamped.alias("_s"),
+        quality_keep(text_col).cast("int").alias("_k"),
+    )
+    return (
+        d.select(
+            F.expr(f"cast((_s - {lo}) div {width} as bigint)").alias(
+                "bin_id"
+            ),
+            "_k",
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_k").cast("long").alias("n_keep"),
+        )
+        .select(
+            "bin_id",
+            F.expr(f"cast({lo} + bin_id * {width} as bigint)").alias(
+                "score_lo"
+            ),
+            F.expr(
+                f"cast({lo} + (bin_id + 1) * {width} - 1 as bigint)"
+            ).alias("score_hi"),
+            "n_docs",
+            "n_keep",
+            F.expr("cast((1000 * n_keep) div n_docs as bigint)").alias(
+                "keep_rate_milli"
+            ),
+        )
+    )

@@ -176,6 +176,20 @@ PICKS = [
      "checkpointed ONCE (ExistingRDD feeds all 2-side × 2-n gram "
      "consumers); gram-keyed LEFT joins and pair-keyed aggs are all "
      "pairs×length-sized"),
+    ("dcg_eval_bm25_vs_cosine", "r9 graded eval: served-BM25 run + "
+     "at-rest truth parquet; every join/agg is queries×k-sized; the "
+     "ideal window partitions by query over the truth frame"),
+    ("knn_label_eval_imi", "r9 IMI-served kNN eval: broadcast probe "
+     "rows prune the cell0 candidate join BEFORE any dot product; "
+     "vote tail is queries×k-sized (no BroadcastNestedLoopJoin)"),
+    ("file_scan_stats", "r9 O1 file-granularity scan: one partial-agg "
+     "shuffle per table grouped on input_file_name basename — group "
+     "count = file count"),
+    ("ngram_diversity_by_lang", "r9 distinct-n diversity: ONE tagged "
+     "gram explode feeds both agg levels (no per-n corpus rescan); "
+     "two hash-shuffles carrying gram strings"),
+    ("classifier_calibration_bins", "r9 filter calibration: map-only "
+     "score + keep fold, one partial agg to <=16 rows"),
     ("span_corruption_docs", "r8 T5 denoising transform: pure "
      "array-local projection — NO Generate anywhere (nothing for the "
      "r4 pushdown hazard to push into), zero exchanges"),

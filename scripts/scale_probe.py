@@ -281,6 +281,10 @@ def main() -> None:
         "dcg_eval_bm25_vs_cosine",
         "knn_label_eval_imi",
         "file_scan_stats",
+        # distinct-n diversity: gram-hash shuffle (the wordcount law);
+        # calibration: map-only scoring + a 16-row agg (scan growth).
+        "ngram_diversity_by_lang",
+        "classifier_calibration_bins",
     ]
     only = set(sys.argv[3:])
     if only:

@@ -288,3 +288,82 @@ def test_ngram_precision_eval_replay_and_pins(spark):
     assert got[(1, 2)][2] == NGRAM_PREC_SCALE
     # clipping: "the the the cat" vs "the cat" -> unigram matched 2/4
     assert got[(2, 1)] == (2, 4, NGRAM_PREC_SCALE // 2)
+
+
+def test_ngram_diversity_python_replay(spark):
+    """ngram_diversity (r9) vs a pure-Python replay on a handcrafted
+    corpus: a fully repetitive group scores low, a fully distinct one
+    scores 1000; gram-less docs contribute nothing."""
+    rows = [
+        (1, "rep", "a a a a a"),            # 1-grams: 5 total 1 distinct
+        (2, "rep", "a a a"),
+        (3, "div", "one two three four"),   # all distinct
+        (4, "div", "!!!"),                  # zero tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        (r.lang, r.n): (r.total_ngrams, r.distinct_ngrams, r.diversity_milli)
+        for r in textstats.ngram_diversity(df).collect()
+    }
+
+    def grams(toks, n):
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    expected = {}
+    for lang in ("rep", "div"):
+        for n in (1, 2, 3):
+            g = []
+            for _, lg, tx in rows:
+                if lg == lang:
+                    toks = [t for t in
+                            "".join(c if c.isalpha() else " "
+                                    for c in tx.lower()).split() if t]
+                    g += grams(toks, n)
+            if g:
+                expected[(lang, n)] = (
+                    len(g), len(set(g)), 1000 * len(set(g)) // len(g)
+                )
+    assert got == expected
+    assert got[("rep", 1)] == (8, 1, 125)
+    assert got[("div", 1)][2] == 1000
+
+
+def test_classifier_calibration_contracts(spark):
+    """Calibration bins (r9): bins tile the clamped score range,
+    counts reconcile with the corpus, n_keep <= n_docs, and the
+    per-bin keep rate equals a Python replay from the per-doc scorer
+    + keep rule (the two building blocks are independently
+    oracle-checked; this pins their composition)."""
+    from mrgo_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = {r.bin_id: r for r in
+           textstats.classifier_calibration_bins(docs).collect()}
+    assert sum(r.n_docs for r in out.values()) == docs.count()
+    for r in out.values():
+        assert 0 <= r.bin_id <= 15
+        assert r.score_hi - r.score_lo == 255
+        assert r.score_lo == -2048 + r.bin_id * 256
+        assert 0 <= r.n_keep <= r.n_docs
+        assert r.keep_rate_milli == 1000 * r.n_keep // r.n_docs
+    scores = {r.doc_id: r.score for r in
+              textstats.classifier_quality_scores(docs).collect()}
+    import pyspark.sql.functions as F
+    keeps = {r.doc_id: bool(r.k) for r in docs.select(
+        "doc_id", textstats.quality_keep("text").alias("k")).collect()}
+    expect = {}
+    for d, s in scores.items():
+        b = (max(min(s, 2047), -2048) + 2048) // 256
+        n, k = expect.get(b, (0, 0))
+        expect[b] = (n + 1, k + (1 if keeps[d] else 0))
+    assert {b: (r.n_docs, r.n_keep) for b, r in out.items()} == expect
+
+
+def test_classifier_calibration_rejects_bad_bins(spark):
+    import pytest
+
+    from mrgo_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    with pytest.raises(ValueError, match="divisible"):
+        textstats.classifier_calibration_bins(docs, n_bins=7)
