@@ -129,6 +129,8 @@ def file_scan_stats(frames: list[tuple[DataFrame, str]]) -> DataFrame:
     frame, grouped on file_name — at 100 TB the group count equals
     the file count, never the row count.
     """
+    if not frames:
+        raise ValueError("file_scan_stats: need at least one (df, key)")
     outs = []
     for df, key in frames:
         outs.append(

@@ -103,6 +103,16 @@ _FX_NORMS_SQL = """
     )
 """
 
+# Multiply-read form of the norms CTE (self-joined oracles): derived
+# from the ONE source of truth above, with a loud import-time check —
+# a silent str.replace no-op would inline the CTE per consumer, the
+# multiply-read-CTE blowup class (r9 review finding).
+_FX_NORMS_SQL_MAT = _FX_NORMS_SQL.replace(
+    "norms AS", "norms AS MATERIALIZED"
+)
+if "MATERIALIZED" not in _FX_NORMS_SQL_MAT:
+    raise RuntimeError("_FX_NORMS_SQL drifted; MATERIALIZED rewrite failed")
+
 _FX_DOT_SQL = """
     CAST(list_sum([CAST(round(CAST(a.embedding[i] AS DOUBLE)
                               * CAST(b.embedding[i] AS DOUBLE)
@@ -2276,7 +2286,7 @@ def q_topk_ivf(spark, sf_dir):
             # failing the declared entry with no recovery path.
             # Only dead-path errors earn the rebuild; anything else
             # is a genuine query-path bug and propagates (ADVICE r7).
-            if not _dead_index_path(e):
+            if not _dead_index_path(e, idx.path):
                 raise
             import sys
 
@@ -2291,7 +2301,7 @@ def q_topk_ivf(spark, sf_dir):
     return idx.query(queries, k=5, n_probe=6)
 
 
-def _dead_index_path(e: Exception) -> bool:
+def _dead_index_path(e: Exception, path: str | None = None) -> bool:
     """True iff ``e`` looks like a reaped/missing served-index path —
     the ONLY failure the cached-index recovery paths should mask with
     a rebuild (ADVICE r7: a bare except here hid genuine query-path
@@ -2315,12 +2325,22 @@ def _dead_index_path(e: Exception) -> bool:
     if any(n in msg for n in needles):
         return True
     # "Unable to infer schema" also fires when a genuine bug writes an
-    # EMPTY index dir (ADVICE r8) — count it only when the message
-    # names one of OUR reaped tmp prefixes, so empty-write bugs on a
-    # live path propagate instead of being re-masked by a rebuild.
-    return "Unable to infer schema" in msg and (
-        "mrgo_ivf_idx_" in msg or "mrgo_bm25_idx_" in msg
-    )
+    # EMPTY index dir (ADVICE r8). Spark 4's UNABLE_TO_INFER_SCHEMA
+    # message carries NO path (r9 review finding — a substring check
+    # on the message can never match), so callers pass the path they
+    # attempted and we probe the filesystem: missing dir or a dir
+    # with no parquet files = reaped (rebuild); parquet files present
+    # = a genuine read bug, propagate.
+    if "Unable to infer schema" in msg and path is not None:
+        import os
+
+        if not os.path.isdir(path):
+            return True
+        for _root, _dirs, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return False
+        return True
+    return False
 
 
 def _ivf_tmpdir(prefix: str = "mrgo_ivf_idx_") -> str:
@@ -4236,7 +4256,7 @@ def _bm25_served_terms(spark, sf_dir, qterms, k: int):
     except Exception as e:
         # only a dead index PATH earns a rebuild; genuine query-path
         # bugs propagate on first occurrence (ADVICE r7)
-        if not _dead_index_path(e):
+        if not _dead_index_path(e, idx.path):
             raise
         import sys
 
@@ -4273,7 +4293,7 @@ def q_bm25_topk_docs(spark, sf_dir):
     "rrf_hybrid_retrieval",
     f"""
     WITH {_bm25_sql(20)},
-    {_FX_NORMS_SQL.replace("norms AS", "norms AS MATERIALIZED")},
+    {_FX_NORMS_SQL_MAT},
     sem AS (
         SELECT query_id, doc_id, rank FROM (
             SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
@@ -4350,7 +4370,7 @@ def q_rrf_hybrid_retrieval(spark, sf_dir):
             FROM lut WHERE sub = 0) WHERE rn <= 4),
     cell0 AS (SELECT vec_id, cid AS cell0 FROM a2 WHERE sub = 0),
     {_bm25_sql(20, query_pred="doc_id IN (SELECT vec_id FROM qids)")},
-    {_FX_NORMS_SQL.replace("norms AS", "norms AS MATERIALIZED")},
+    {_FX_NORMS_SQL_MAT},
     sem AS (
         SELECT query_id, doc_id, rank FROM (
             SELECT p.query_id, b.vec_id AS doc_id,
@@ -4421,7 +4441,7 @@ def q_rrf_hybrid_served(spark, sf_dir):
     "retrieval_eval_bm25_vs_cosine",
     f"""
     WITH {_bm25_sql(10)},
-    {_FX_NORMS_SQL.replace("norms AS", "norms AS MATERIALIZED")},
+    {_FX_NORMS_SQL_MAT},
     t AS (
         SELECT query_id, doc_id FROM (
             SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
@@ -4482,7 +4502,7 @@ def _eval_truth(spark, sf_dir):
         try:
             return spark.read.parquet(hit[1])
         except Exception as e:
-            if not _dead_index_path(e):
+            if not _dead_index_path(e, hit[1]):
                 raise
             del _EVAL_TRUTH_CACHE[sf_dir]
     elif hit is not None:
@@ -4514,7 +4534,7 @@ _EVAL_TRUTH_CACHE: dict[str, tuple] = {}
     "dcg_eval_bm25_vs_cosine",
     f"""
     WITH {_bm25_sql(10)},
-    {_FX_NORMS_SQL.replace("norms AS", "norms AS MATERIALIZED")},
+    {_FX_NORMS_SQL_MAT},
     t AS (
         SELECT query_id, doc_id, rank FROM (
             SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
@@ -4719,7 +4739,7 @@ def q_contrastive_pairs(spark, sf_dir):
 @declare(
     "knn_label_eval",
     f"""
-    WITH {_FX_NORMS_SQL.replace("norms AS", "norms AS MATERIALIZED")},
+    WITH {_FX_NORMS_SQL_MAT},
     nl AS (SELECT vec_id, label FROM embeddings),
     top AS (
         SELECT query_id, neighbor_id FROM (
@@ -5065,7 +5085,7 @@ def q_ngram_diversity(spark, sf_dir):
                               AS DOUBLE) / len(t)
                     ELSE 0.0 END AS mean_word_len,
                CAST(len(list_filter(t,
-                    x -> x IN ('the','and','of','to','is','in','that')))
+                    x -> x IN ({_CLF_STOPWORDS_SQL})))
                     AS DOUBLE) / greatest(len(t), 1) AS stopword_ratio
         FROM (SELECT doc_id, text,
                      list_filter(string_split_regex(lower(text), '[^a-z]+'),

@@ -443,9 +443,27 @@ def dcg_eval(
     contrib = F.expr(
         f"cast((rel * {scale}) div (length(bin(rank + 1)) - 1) as bigint)"
     )
-    r = run.filter(F.col("rank") <= k).select("query_id", "doc_id", "rank")
+    # Contracts enforced per row, loudly at the source (the
+    # span_corruption ValueError rationale): a 0-based rank would hit
+    # div-0 deep inside the aggregate under ANSI mode, and a negative
+    # rel silently diverges between engines (truncating vs floor
+    # division). assert_true rides in a filter so pruning can't drop
+    # it; it returns NULL on success, making the predicate true.
+    r = (
+        run.filter(F.col("rank") <= k)
+        .filter(
+            F.assert_true(
+                F.col("rank") >= 1, F.lit("dcg_eval: run rank must be >= 1")
+            ).isNull()
+        )
+        .select("query_id", "doc_id", "rank")
+    )
     t = truth.select(
         "query_id", "doc_id", F.col("rel").cast("long").alias("rel")
+    ).filter(
+        F.assert_true(
+            F.col("rel") >= 0, F.lit("dcg_eval: rel must be non-negative")
+        ).isNull()
     )
     nt = t.groupBy("query_id").agg(F.count("*").cast("long").alias("n_truth"))
     w = Window.partitionBy("query_id").orderBy(

@@ -1139,8 +1139,15 @@ class IVFIndex:
         )
         if dedupe:
             # collapse exact retry duplicates first; what survives with
-            # >1 row per id carries conflicting vectors — refuse loudly
-            batch = batch.dropDuplicates(["neighbor_id", "cvec_"])
+            # >1 row per id carries conflicting vectors — refuse loudly.
+            # The deduped batch is eagerly pinned (r9 review finding):
+            # without the checkpoint the upstream batch lineage re-runs
+            # for the conflict probe, the anti-join AND the write — and
+            # a nondeterministic upstream could pass the check yet
+            # write different rows.
+            batch = batch.dropDuplicates(
+                ["neighbor_id", "cvec_"]
+            ).localCheckpoint()
             conflicts = [
                 r.neighbor_id
                 for r in batch.groupBy("neighbor_id")

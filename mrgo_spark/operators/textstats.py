@@ -1189,8 +1189,18 @@ def ngram_diversity(
     partial-agg shuffles: (group, n, gram) counts, re-agg to
     (group, n). At 100 TB the first shuffle carries hashes of gram
     strings — the same law as wordcount — and the result is
-    |groups|×|ns| rows."""
-    toks = ascii_tokens(text_col, lowercase=True)
+    |groups|×|ns| rows. The token frame is lazily checkpointed first
+    (the exsub_tokens / winnow idiom): gram-building is |ns| HOF
+    transforms over the SAME array feeding an explode, and without
+    the lineage cut the inline tokenize expression is cloned into
+    every transform and the Generate's pushed-down predicates,
+    re-running the regexp split per gram element (r9 review
+    finding)."""
+    tokd = documents.select(
+        F.col(group_col),
+        ascii_tokens(text_col, lowercase=True).alias("_t"),
+    ).localCheckpoint(eager=False)
+    toks = F.col("_t")
 
     def tag(n: int):
         # closure over n keeps the HOF lambda unary (default-arg
@@ -1203,7 +1213,7 @@ def ngram_diversity(
         )
 
     arr = F.concat(*[tag(n) for n in ns])
-    grams = documents.select(
+    grams = tokd.select(
         F.col(group_col), F.explode(arr).alias("t")
     ).select(group_col, F.col("t.n").alias("n"), F.col("t.g").alias("g"))
     per_gram = grams.groupBy(group_col, "n", "g").agg(

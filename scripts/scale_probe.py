@@ -271,13 +271,14 @@ def main() -> None:
         "rrf_hybrid_served",
         "ngram_precision_eval",
         "span_corruption_docs",
-        # r9: graded eval (queries×k after the served run + at-rest
-        # truth — but the truth BUILD inside _eval_truth is the exact
-        # cosine over the %100 query set, so the cold probe row
-        # inherits the topk_cosine fixture law; the served read is
-        # the second-run number), IMI-served k-NN eval (fixed 8-query
-        # LUT set — the hard_negatives_imi corpus-linear law), and
-        # per-file scan stats (pure partial-agg scan growth).
+        # r9: graded eval — the dcg tail is queries×k, but its LEX
+        # LEG is _bm25_served over the %100 query set, so the row
+        # inherits bm25_topk_docs' K²-BY-FIXTURE law (queries ×K over
+        # K×-duplicated candidates; measured 2.3 s → 59 s warm at
+        # 10×, the lex leg profiled as the whole cost); the truth
+        # build is one-time and cached. IMI-served k-NN eval = fixed
+        # 8-query LUT set (the hard_negatives_imi corpus-linear law);
+        # per-file scan stats = pure partial-agg scan growth.
         "dcg_eval_bm25_vs_cosine",
         "knn_label_eval_imi",
         "file_scan_stats",

@@ -289,6 +289,29 @@ def test_dead_index_path_classifier():
     assert not _dead_index_path(Exception("AnalysisException: column foo"))
 
 
+def test_dead_index_path_schema_probe(tmp_path):
+    """r9 review finding: Spark 4's UNABLE_TO_INFER_SCHEMA message
+    carries no path, so the classifier probes the attempted path —
+    missing or parquet-less dir = reaped (rebuild); parquet files
+    present = a genuine read bug that must propagate."""
+    from mrgo_spark.operators.queries_llm import _dead_index_path
+
+    e = Exception(
+        "[UNABLE_TO_INFER_SCHEMA] Unable to infer schema for Parquet."
+    )
+    # no path to probe -> not classifiable as dead, propagate
+    assert not _dead_index_path(e)
+    # missing dir -> dead
+    assert _dead_index_path(e, str(tmp_path / "gone"))
+    # empty dir (reaper removed the files) -> dead
+    d = tmp_path / "idx"
+    d.mkdir()
+    assert _dead_index_path(e, str(d))
+    # parquet data present -> a real read bug, propagate
+    (d / "part-0000.parquet").write_bytes(b"PAR1")
+    assert not _dead_index_path(e, str(d))
+
+
 def test_eval_truth_cache_parity_and_at_rest(spark):
     """VERDICT_r7 #3: the cached eval truth set must equal the fresh
     exact-cosine recompute, and the second call must serve from the
