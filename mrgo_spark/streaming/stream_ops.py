@@ -807,6 +807,56 @@ def serve_bm25_foreach_batch(index, query_stream: DataFrame, sink, k: int = 10):
     return query_stream.writeStream.foreachBatch(_process)
 
 
+def ingest_ann_foreach_batch(index, vec_stream: DataFrame, dedupe: bool = True):
+    """Streaming ANN INGESTION (r9): the maintenance twin of the
+    serve paths — each micro-batch of new (vec_id, embedding) rows is
+    appended to the at-rest ``IVFIndex`` against its frozen centroids
+    (``IVFIndex.add``): one broadcast-assign pass per batch, appends
+    only the batch's cell partitions, idempotent under batch replay
+    (the anti-join + within-batch dedupe), and loud on the same id
+    arriving with different vectors (the r9 conflict guard). Grown
+    index == same-centroid assignment of the union corpus
+    (add's parity pin). Returns the writeStream builder."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        index.add(batch_df, dedupe=dedupe)
+
+    return vec_stream.writeStream.foreachBatch(_process)
+
+
+def ingest_bm25_foreach_batch(index, doc_stream: DataFrame, workdir: str):
+    """Streaming BM25 INGESTION (r9, the Lucene segment story): each
+    micro-batch of NEW documents builds a per-batch segment index
+    (the only pass over that batch's text) and merges it with the
+    current index — ``BM25Index.merge`` unions postings/dl as-is and
+    adds df/scalars, so merges rewrite only metadata-sized stats
+    tables, never re-tokenize the corpus. Disjointness is CHECKED by
+    merge per batch: a replayed batch fails loudly instead of
+    double-counting tf/df.
+
+    Returns (writeStream builder, holder); ``holder["index"]`` always
+    points at the latest merged index (merge writes a fresh
+    generation dir under ``workdir``, so a crash mid-merge leaves the
+    previous generation intact — the segment-hygiene story)."""
+    from ..operators.retrieval import BM25Index
+
+    holder = {"index": index, "gen": 0}
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        seg = BM25Index.build(batch_df, f"{workdir}/seg_{batch_id}")
+        gen = holder["gen"] + 1
+        merged = BM25Index.merge(
+            holder["index"], seg, f"{workdir}/gen_{gen}"
+        )
+        holder["index"], holder["gen"] = merged, gen
+
+    return doc_stream.writeStream.foreachBatch(_process), holder
+
+
 def serve_hybrid_foreach_batch(
     bm25_index,
     ivf_index,

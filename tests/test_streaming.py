@@ -961,3 +961,101 @@ def test_serve_hybrid_foreach_batch_matches_batch(spark, tmp_path):
     plan = "\n".join(plans)
     assert "PartitionFilters" in plan
     assert "term_bucket" in plan and "cell_id" in plan
+
+
+def test_ingest_ann_foreach_batch_matches_batch_add(spark, tmp_path):
+    """r9 streaming index maintenance: a 2-batch vector stream
+    appended via IVFIndex.add must leave the index identical to a
+    one-shot add of the union (same frozen centroids), and replaying
+    the stream must be a no-op (idempotent ingestion)."""
+    from mrgo_spark.operators.similarity import IVFIndex
+
+    emb = load_table(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 == 0)
+    b1 = emb.filter(F.col("vec_id") % 3 == 1)
+    b2 = emb.filter(F.col("vec_id") % 3 == 2)
+    idx = IVFIndex.build(base, str(tmp_path / "ann_ing"))
+    ref = IVFIndex.build(base, str(tmp_path / "ann_ref"))
+    ref.add(b1.unionAll(b2))
+
+    d = tmp_path / "vec_stream"
+    d.mkdir()
+    b1.select("vec_id", "embedding").coalesce(1).write.parquet(
+        str(tmp_path / "s1")
+    )
+    b2.select("vec_id", "embedding").coalesce(1).write.parquet(
+        str(tmp_path / "s2")
+    )
+    os.rename(next((tmp_path / "s1").glob("part-*.parquet")), d / "b1.parquet")
+    os.rename(next((tmp_path / "s2").glob("part-*.parquet")), d / "b2.parquet")
+
+    vstream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).parquet(str(d))
+    q = (
+        stream_ops.ingest_ann_foreach_batch(idx, vstream)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ann"))
+        .start()
+    )
+    q.awaitTermination(180)
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    got = sorted(map(tuple, idx.query(queries, k=5).collect()))
+    want = sorted(map(tuple, ref.query(queries, k=5).collect()))
+    assert got == want
+    n_before = spark.read.parquet(str(tmp_path / "ann_ing") + "/cells").count()
+    # replay: fresh stream over the same files, new checkpoint — adds
+    # nothing (add() anti-joins existing ids)
+    q2 = (
+        stream_ops.ingest_ann_foreach_batch(idx, vstream)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ann2"))
+        .start()
+    )
+    q2.awaitTermination(180)
+    n_after = spark.read.parquet(str(tmp_path / "ann_ing") + "/cells").count()
+    assert n_after == n_before
+
+
+def test_ingest_bm25_foreach_batch_matches_full_build(spark, tmp_path):
+    """r9 streaming BM25 ingestion: base index + 2 streamed segment
+    merges must rank identically to a one-shot build over all docs
+    (merge(build(A), build(B)) == build(A ∪ B), batch-composed)."""
+    from mrgo_spark.operators import retrieval
+    from mrgo_spark.operators.retrieval import BM25Index
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+    idx = BM25Index.build(base, str(tmp_path / "bm_base"))
+
+    d = tmp_path / "doc_stream"
+    d.mkdir()
+    b1.coalesce(1).write.parquet(str(tmp_path / "t1"))
+    b2.coalesce(1).write.parquet(str(tmp_path / "t2"))
+    os.rename(next((tmp_path / "t1").glob("part-*.parquet")), d / "b1.parquet")
+    os.rename(next((tmp_path / "t2").glob("part-*.parquet")), d / "b2.parquet")
+
+    dstream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(d)
+    )
+    builder, holder = stream_ops.ingest_bm25_foreach_batch(
+        idx, dstream, str(tmp_path / "bm_work")
+    )
+    q = (
+        builder.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_bm"))
+        .start()
+    )
+    q.awaitTermination(180)
+    assert holder["gen"] >= 1  # at least one merge happened
+
+    full = BM25Index.build(docs, str(tmp_path / "bm_full"))
+    qterms = retrieval.query_terms_from_docs(
+        docs, F.col("doc_id") % 100 == 0
+    )
+    got = sorted(map(tuple, holder["index"].query(qterms, k=10).collect()))
+    want = sorted(map(tuple, full.query(qterms, k=10).collect()))
+    assert got == want
