@@ -2328,18 +2328,48 @@ def _dead_index_path(e: Exception, path: str | None = None) -> bool:
     # EMPTY index dir (ADVICE r8). Spark 4's UNABLE_TO_INFER_SCHEMA
     # message carries NO path (r9 review finding — a substring check
     # on the message can never match), so callers pass the path they
-    # attempted and we probe the filesystem: missing dir or a dir
-    # with no parquet files = reaped (rebuild); parquet files present
-    # = a genuine read bug, propagate.
+    # attempted and we probe the filesystem. Granularity matters (r9
+    # review #2): a served index is a ROOT of component subdirs
+    # (cells/ postings/ df/ dl/ ...), and a reaper can empty one
+    # component while another keeps files — so the probe is
+    # per-component: dead iff the root is missing/empty or ANY
+    # component subdir holds no parquet file. A successful parquet
+    # write — even of a 0-row frame — always leaves a schema-bearing
+    # part file, so "no parquet anywhere in a component" is a reaper
+    # artifact, not a reachable bug state; any other read failure
+    # propagates.
     if "Unable to infer schema" in msg and path is not None:
         import os
 
         if not os.path.isdir(path):
             return True
-        for _root, _dirs, files in os.walk(path):
-            if any(f.endswith(".parquet") for f in files):
+        entries = sorted(os.listdir(path))
+        if not entries:
+            return True
+
+        def has_parquet(d: str) -> bool:
+            for _root, _dirs, files in os.walk(d):
+                if any(f.endswith(".parquet") for f in files):
+                    return True
+            return False
+
+        subdirs = [
+            os.path.join(path, e)
+            for e in entries
+            if os.path.isdir(os.path.join(path, e))
+        ]
+        files_here = any(
+            e.endswith(".parquet")
+            for e in entries
+            if os.path.isfile(os.path.join(path, e))
+        )
+        if subdirs:
+            # component root: every component must be healthy
+            if all(has_parquet(d) for d in subdirs):
                 return False
-        return True
+            return True
+        # leaf dir (part files live directly here, e.g. eval_truth)
+        return not files_here
     return False
 
 

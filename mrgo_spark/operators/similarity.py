@@ -1127,12 +1127,18 @@ class IVFIndex:
         ALSO deduped on id (r8 review finding: a batch that is itself
         a union of retry attempts would otherwise append both
         copies). Only EXACT retry duplicates are safe to collapse —
-        the same id arriving with two DIFFERENT vectors is a caller
-        bug (two writers disagree about the vector), so dedupe raises
-        ValueError instead of silently keeping an arbitrary copy
-        (ADVICE r8). Set ``dedupe=False`` only when the caller
-        guarantees disjointness upstream (e.g. an exactly-once
-        writer), skipping the scan and the conflict check."""
+        the same id arriving with two DIFFERENT vectors WITHIN the
+        batch is a caller bug (two writers disagree about the
+        vector), so dedupe raises ValueError instead of silently
+        keeping an arbitrary copy (ADVICE r8). ACROSS calls the index
+        wins: an id already at rest is anti-joined out BEFORE the
+        conflict check, so a changed vector for an existing id is
+        dropped, not detected — re-embedding requires a rebuild (the
+        existing-beats-batch priority; detecting it would mean
+        scanning the at-rest vectors per add). Set ``dedupe=False``
+        only when the caller guarantees disjointness upstream (e.g.
+        an exactly-once writer), skipping the scan and the conflict
+        check."""
         batch = embeddings.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cvec_"),

@@ -814,9 +814,15 @@ def ingest_ann_foreach_batch(index, vec_stream: DataFrame, dedupe: bool = True):
     (``IVFIndex.add``): one broadcast-assign pass per batch, appends
     only the batch's cell partitions, idempotent under batch replay
     (the anti-join + within-batch dedupe), and loud on the same id
-    arriving with different vectors (the r9 conflict guard). Grown
-    index == same-centroid assignment of the union corpus
-    (add's parity pin). Returns the writeStream builder."""
+    arriving with different vectors WITHIN a batch (the r9 conflict
+    guard). ACROSS batches the index wins: an id already at rest is
+    anti-joined out even if its vector changed — re-embedding an
+    existing id requires a rebuild, by the same existing-beats-batch
+    priority incremental_dedup_audit uses (r9 review: the guard
+    cannot see cross-batch conflicts because the anti-join removes
+    them first). Grown index == same-centroid assignment of the
+    union corpus (add's parity pin). Returns the writeStream
+    builder."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -827,32 +833,61 @@ def ingest_ann_foreach_batch(index, vec_stream: DataFrame, dedupe: bool = True):
 
 
 def ingest_bm25_foreach_batch(index, doc_stream: DataFrame, workdir: str):
-    """Streaming BM25 INGESTION (r9, the Lucene segment story): each
-    micro-batch of NEW documents builds a per-batch segment index
-    (the only pass over that batch's text) and merges it with the
-    current index — ``BM25Index.merge`` unions postings/dl as-is and
-    adds df/scalars, so merges rewrite only metadata-sized stats
-    tables, never re-tokenize the corpus. Disjointness is CHECKED by
-    merge per batch: a replayed batch fails loudly instead of
-    double-counting tf/df.
+    """Streaming BM25 INGESTION (r9): each micro-batch of NEW
+    documents builds a per-batch segment index (the only pass over
+    that batch's TEXT — tokenize happens once per document, ever) and
+    merges it with the current index. Honest cost model (r9 review):
+    a merge reads and rewrites the accumulated postings/df/dl tables
+    — INDEX-sized, much smaller than the corpus text but not
+    metadata-sized — so per-batch 2-way merging is O(index) I/O per
+    batch; a high-batch-count deployment batches coarser or layers a
+    tiered (geometric) merge policy over the same ``BM25Index.merge``
+    primitive. Disjointness is CHECKED by merge per batch.
+
+    RESTART-SAFE: each merge writes ``workdir/gen_<batch_id>`` and
+    then atomically points ``workdir/LATEST`` at it, so on query
+    restart (same checkpointLocation — Spark skips committed batches)
+    the builder resumes from the last recorded generation instead of
+    the stale base ``index``; without this, pre-restart batches would
+    silently vanish from the served index (r9 review finding). A
+    batch redelivered after a crash between the LATEST write and
+    Spark's offset commit is detected via the dl table (all of its
+    doc_ids already present) and skipped — exactly-once ingestion; a
+    PARTIAL overlap still fails loudly inside merge (genuine
+    duplication upstream).
 
     Returns (writeStream builder, holder); ``holder["index"]`` always
-    points at the latest merged index (merge writes a fresh
-    generation dir under ``workdir``, so a crash mid-merge leaves the
-    previous generation intact — the segment-hygiene story)."""
+    points at the latest merged generation."""
+    import os
+
     from ..operators.retrieval import BM25Index
 
-    holder = {"index": index, "gen": 0}
+    marker = os.path.join(workdir, "LATEST")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            index = BM25Index(index.spark, fh.read().strip())
+    holder = {"index": index}
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        seg = BM25Index.build(batch_df, f"{workdir}/seg_{batch_id}")
-        gen = holder["gen"] + 1
-        merged = BM25Index.merge(
-            holder["index"], seg, f"{workdir}/gen_{gen}"
+        cur = holder["index"]
+        # replay guard: a batch whose doc_ids are ALL already in the
+        # index was applied before the crash — skip it; a partial
+        # overlap falls through to merge's loud disjointness failure.
+        ids = batch_df.select("doc_id")
+        existing = cur.spark.read.parquet(f"{cur.path}/dl").select(
+            "doc_id"
         )
-        holder["index"], holder["gen"] = merged, gen
+        if ids.join(existing, "doc_id", "left_anti").isEmpty():
+            return
+        seg = BM25Index.build(batch_df, f"{workdir}/seg_{batch_id}")
+        merged = BM25Index.merge(cur, seg, f"{workdir}/gen_{batch_id}")
+        tmp = f"{marker}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(merged.path)
+        os.replace(tmp, marker)
+        holder["index"] = merged
 
     return doc_stream.writeStream.foreachBatch(_process), holder
 

@@ -274,11 +274,12 @@ def main() -> None:
         # r9: graded eval — the dcg tail is queries×k, but its LEX
         # LEG is _bm25_served over the %100 query set, so the row
         # inherits bm25_topk_docs' K²-BY-FIXTURE law (queries ×K over
-        # K×-duplicated candidates; measured 2.3 s → 59 s warm at
-        # 10×, the lex leg profiled as the whole cost); the truth
-        # build is one-time and cached. IMI-served k-NN eval = fixed
-        # 8-query LUT set (the hard_negatives_imi corpus-linear law);
-        # per-file scan stats = pure partial-agg scan growth.
+        # K×-duplicated candidates; canonical row in SCALE.md r9:
+        # 4.6 s → 36.5 s at 10×, ratio 7.85, the lex leg profiled as
+        # the whole cost); the truth build is one-time and cached.
+        # IMI-served k-NN eval = fixed 8-query LUT set (the
+        # hard_negatives_imi corpus-linear law); per-file scan stats
+        # = pure partial-agg scan growth.
         "dcg_eval_bm25_vs_cosine",
         "knn_label_eval_imi",
         "file_scan_stats",

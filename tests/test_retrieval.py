@@ -307,9 +307,19 @@ def test_dead_index_path_schema_probe(tmp_path):
     d = tmp_path / "idx"
     d.mkdir()
     assert _dead_index_path(e, str(d))
-    # parquet data present -> a real read bug, propagate
+    # parquet data present (leaf dir) -> a real read bug, propagate
     (d / "part-0000.parquet").write_bytes(b"PAR1")
     assert not _dead_index_path(e, str(d))
+    # component root: one healthy + one reaped component -> dead
+    # (r9 review: the failing read is a SUBDIR; probing the root must
+    # not let a surviving sibling mask the dead component)
+    root = tmp_path / "idx2"
+    (root / "postings").mkdir(parents=True)
+    (root / "dl").mkdir()
+    (root / "postings" / "part-0000.parquet").write_bytes(b"PAR1")
+    assert _dead_index_path(e, str(root))  # dl/ is parquet-less
+    (root / "dl" / "part-0000.parquet").write_bytes(b"PAR1")
+    assert not _dead_index_path(e, str(root))  # all components healthy
 
 
 def test_eval_truth_cache_parity_and_at_rest(spark):
@@ -477,3 +487,30 @@ def test_dcg_eval_monotone_and_perfect(spark):
         row = dcg_eval(rot, truth, k=10).collect()[0]
         assert row.dcg_fp <= perfect.idcg_fp
         assert row.ndcg_milli < 1000
+
+
+def test_dcg_eval_rejects_contract_violations(spark):
+    """r9 review: the assert_true riders must actually fire (and keep
+    firing across Spark upgrades) — a 0-based rank or negative rel is
+    an error at the source, not a silent miscount or an ANSI div-0
+    deep in the aggregate."""
+    import pytest
+
+    from mrgo_spark.operators.retrieval import dcg_eval
+
+    truth = spark.createDataFrame(
+        [(1, 10, 3)], "query_id long, doc_id long, rel long"
+    )
+    zero_based = spark.createDataFrame(
+        [(1, 10, 0)], "query_id long, doc_id long, rank long"
+    )
+    with pytest.raises(Exception, match="rank must be >= 1"):
+        dcg_eval(zero_based, truth, k=10).collect()
+    neg_rel = spark.createDataFrame(
+        [(1, 10, -2)], "query_id long, doc_id long, rel long"
+    )
+    ok_run = spark.createDataFrame(
+        [(1, 10, 1)], "query_id long, doc_id long, rank long"
+    )
+    with pytest.raises(Exception, match="rel must be non-negative"):
+        dcg_eval(ok_run, neg_rel, k=10).collect()

@@ -1050,7 +1050,7 @@ def test_ingest_bm25_foreach_batch_matches_full_build(spark, tmp_path):
         .start()
     )
     q.awaitTermination(180)
-    assert holder["gen"] >= 1  # at least one merge happened
+    assert holder["index"].path != idx.path  # at least one merge
 
     full = BM25Index.build(docs, str(tmp_path / "bm_full"))
     qterms = retrieval.query_terms_from_docs(
@@ -1059,3 +1059,25 @@ def test_ingest_bm25_foreach_batch_matches_full_build(spark, tmp_path):
     got = sorted(map(tuple, holder["index"].query(qterms, k=10).collect()))
     want = sorted(map(tuple, full.query(qterms, k=10).collect()))
     assert got == want
+
+    # RESTART semantics (r9 review finding): a new builder handed the
+    # STALE base index + the same workdir must resume from the LATEST
+    # marker, not the base — pre-restart batches stay served.
+    _, holder2 = stream_ops.ingest_bm25_foreach_batch(
+        idx, dstream, str(tmp_path / "bm_work")
+    )
+    assert holder2["index"].path == holder["index"].path
+    # replay guard: re-delivering an already-applied batch is a no-op
+    # (all its doc_ids are in the index), not a merge failure
+    before = holder2["index"].path
+    q3 = (
+        stream_ops.ingest_bm25_foreach_batch(
+            idx, dstream, str(tmp_path / "bm_work")
+        )[0]
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_bm_replay"))
+        .start()
+    )
+    q3.awaitTermination(180)
+    with open(str(tmp_path / "bm_work" / "LATEST")) as fh:
+        assert fh.read().strip() == before
