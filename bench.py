@@ -324,6 +324,9 @@ def main() -> None:
         # agg)
         "ngram_diversity_by_lang",
         "classifier_calibration_bins",
+        # easy-first curriculum schedule (compound-key distributed
+        # ranking; classifier fold is the map cost)
+        "curriculum_order_by_quality",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there

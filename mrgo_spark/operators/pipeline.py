@@ -1271,3 +1271,54 @@ def span_corruption(
         .otherwise(closing)
         .alias("targets_text"),
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    level_col,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic CURRICULUM schedule (r9): global training-order
+    positions ordered by (level asc, md5(salt‖id)) — easy examples
+    first, an md5 shuffle WITHIN each difficulty level, and the whole
+    order a pure function of (ids, levels, salt) so resumed or re-run
+    jobs replay the identical schedule (the corpus_shuffle stability
+    contract, with a difficulty key prepended).
+
+    ``level_col`` is an integer Column with a SMALL domain (a score
+    bin, a perplexity tercile, a length bucket — anything
+    domain-bounded); the offsets aggregate is |levels|×4096 rows and
+    must stay broadcastable.
+
+    Scale shape: the corpus_shuffle distributed-ranking decomposition
+    with a compound key — rows shuffle once into (level, md5-prefix)
+    buckets, rank with a window PARTITIONED by bucket, and add each
+    bucket's global offset from a broadcast prefix-sum over the tiny
+    counts aggregate. No global window ever touches the corpus;
+    positions equal the naive ``row_number() OVER (ORDER BY level,
+    md5, id)`` exactly (the oracle). Columns: original columns +
+    level (int) + curriculum_pos (0-based bigint)."""
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    keyed = (
+        df.withColumn("_lv", level_col.cast("int"))
+        .withColumn("_sk", key)
+        .withColumn(
+            "_bkt", F.conv(F.substring("_sk", 1, 3), 16, 10).cast("int")
+        )
+    )
+    counts = keyed.groupBy("_lv", "_bkt").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_lv", "_bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        "_lv", "_bkt", (F.sum("_n").over(w_off) - F.col("_n")).alias("_off")
+    )
+    w_in = Window.partitionBy("_lv", "_bkt").orderBy("_sk", F.col(id_col))
+    return (
+        keyed.withColumn("_rk", F.row_number().over(w_in).cast("bigint") - 1)
+        .join(F.broadcast(offsets), ["_lv", "_bkt"])
+        .withColumn("curriculum_pos", F.col("_off") + F.col("_rk"))
+        .withColumnRenamed("_lv", "level")
+        .drop("_sk", "_bkt", "_rk", "_off")
+    )

@@ -5158,3 +5158,45 @@ def q_classifier_calibration(spark, sf_dir):
     interpreted classifier fold (the PQ lesson)."""
     docs = widen_scan(load_table(spark, sf_dir, "documents"))
     return textstats.classifier_calibration_bins(docs)
+
+
+@declare(
+    "curriculum_order_by_quality",
+    f"""
+    WITH {_clf_sql_fragments()},
+    lv AS (
+        SELECT doc_id,
+               CAST(15 - ((greatest(least(score, 2047), -2048) + 2048)
+                          // 256) AS INT) AS level,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM sc
+    )
+    SELECT doc_id, level,
+           CAST(row_number() OVER (ORDER BY level, h, doc_id) - 1
+                AS BIGINT) AS curriculum_pos
+    FROM lv
+    """,
+)
+def q_curriculum_order(spark, sf_dir):
+    """Deterministic curriculum schedule (r9,
+    pipeline.curriculum_order): training-order positions sorted by
+    (difficulty level asc, md5 shuffle within level) — easy-first
+    curriculum with the classifier score as the difficulty signal
+    (level = 15 − calibration bin, so the highest-scoring docs train
+    first). The order is a pure function of (ids, scores), replaying
+    bit-for-bit on reruns. Plan = the corpus_shuffle distributed
+    ranking with a compound (level, md5-prefix) bucket key: no global
+    window touches the corpus, the offsets prefix-sum runs over a
+    ≤16×4096-row aggregate; the oracle is the naive global
+    row_number. widen_scan for the classifier HOF fold."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id", textstats.classifier_score_col("text").alias("_s")
+    )
+    level = F.expr(
+        "cast(15 - ((greatest(least(_s, 2047), -2048) + 2048) div 256)"
+        " as int)"
+    )
+    return pipeline.curriculum_order(scored, level).select(
+        "doc_id", "level", "curriculum_pos"
+    )

@@ -287,6 +287,9 @@ def main() -> None:
         # calibration: map-only scoring + a 16-row agg (scan growth).
         "ngram_diversity_by_lang",
         "classifier_calibration_bins",
+        # curriculum: corpus_shuffle's law with a compound bucket key
+        # (offsets agg is |levels|x4096 rows at any scale)
+        "curriculum_order_by_quality",
     ]
     only = set(sys.argv[3:])
     if only:

@@ -1005,3 +1005,58 @@ def test_span_corruption_rejects_bad_params(spark):
         pipeline.span_corruption(df, block=8, span=9)
     with pytest.raises(ValueError, match="span"):
         pipeline.span_corruption(df, span=0)
+
+
+def test_curriculum_order_python_replay(spark):
+    """curriculum_order (r9): positions are 0..n-1 exactly and equal
+    the naive (level, md5(salt||id), id) global sort; levels are
+    non-decreasing along the schedule."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(i, i % 4) for i in range(257)], "doc_id long, lvl int"
+    )
+    rows = pipeline.curriculum_order(
+        docs, F.col("lvl"), salt="e0"
+    ).collect()
+    got = {r.doc_id: (r.level, r.curriculum_pos) for r in rows}
+    order = sorted(
+        range(257),
+        key=lambda i: (
+            i % 4,
+            hashlib.md5(f"e0{i}".encode()).hexdigest(),
+            i,
+        ),
+    )
+    assert got == {d: (d % 4, p) for p, d in enumerate(order)}
+    # level-monotone: the schedule never goes back to an easier level
+    by_pos = [r.level for r in sorted(rows, key=lambda r: r.curriculum_pos)]
+    assert by_pos == sorted(by_pos)
+
+
+def test_curriculum_order_partitioning_invariant_and_plan(spark):
+    """Same order under a different input partitioning, and the
+    corpus-side row_number window is partitioned by (level, bucket) —
+    no global window touches the corpus."""
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    lv = (F.col("doc_id") % 3).cast("int")
+    a = {
+        (r.doc_id, r.level, r.curriculum_pos)
+        for r in pipeline.curriculum_order(docs, lv).collect()
+    }
+    b = {
+        (r.doc_id, r.level, r.curriculum_pos)
+        for r in pipeline.curriculum_order(
+            docs.repartition(7, "doc_id"), lv
+        ).collect()
+    }
+    assert a == b
+    plan = (
+        pipeline.curriculum_order(docs, lv)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for w in (ln for ln in plan.splitlines() if "row_number" in ln):
+        assert "windowspecdefinition(_lv" in w
+    assert plan.count("Exchange SinglePartition") <= 1
