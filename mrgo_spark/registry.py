@@ -57,9 +57,18 @@ _LOADED = False
 DRIVER_WINDOW = 50
 
 PRIORITY = [
-    # mrapps (O12-O16)
+    # mrapps (O1, O12-O16)
+    # r10 swap (VERDICT_r9 #3): file_scan_stats takes
+    # dup_cluster_components' slot — O1 (whole-file text scan) was the
+    # longest-standing SURVEY §2.1 gap and its r9 oracle row sat
+    # outside the window, so the driver's CORRECTNESS gate never
+    # exercised it; dup_cluster_components' connected-components math
+    # is subsumed in-window by dedup_pipeline_canonical (whose
+    # recursive-CTE oracle runs the SAME dup-graph CC end-to-end).
+    # dup_cluster_components was driver-green r2-r9 and stays declared
+    # + receipt-checked just past the window.
     "wordcount", "wordcount_unicode", "inverted_index", "sorted_concat",
-    "file_metadata",
+    "file_metadata", "file_scan_stats",
     # kv / shardkv (O18-O24)
     # kv_rebalance_history takes events_tumbling_hour's old slot
     # (VERDICT_r3 item 4): the events family keeps 3 in-window reps,
@@ -75,7 +84,6 @@ PRIORITY = [
     # than a second time-window agg row; hypertable_rollup stays
     # declared + driver_sim-checked just past the window).
     "dedup_exact", "dedup_fingerprint", "semantic_dedup",
-    "dup_cluster_components",
     # r9 swap (VERDICT_r8 #5): ngram_precision_eval takes
     # edit_distance_pairs' slot — the EVAL table (retrieval / kNN /
     # generation quality) held ZERO in-window reps while X2 near-dup
@@ -217,7 +225,7 @@ PRIORITY = [
     # TPC-H representative (the remaining 21 variants follow after)
     "q1_pricing_summary",
     # first entries past the driver window, in checked order
-    "edit_distance_pairs", "sequence_chunks",
+    "dup_cluster_components", "edit_distance_pairs", "sequence_chunks",
     "rrf_hybrid_retrieval", "dsir_importance_scores",
     "embedding_centroids", "quality_score",
     "minhash_lsh_pairs", "embedding_quantize", "char_quality_stats",

@@ -235,7 +235,12 @@ def main() -> None:
         # thing to check.
         "dsir_importance_scores",
         "leakage_safe_split",
-        "bm25_topk_docs",
+        # r10 (VERDICT_r9 #2): the bm25 probe row moved onto the FIXED
+        # 8-query twin (corpus-linear by construction — the
+        # hard_negatives_imi law); bm25_topk_docs' %100 row was the
+        # canonical K²-by-fixture artifact and is retired from the
+        # probe (its oracle row remains the corpus-sized-query pin).
+        "bm25_topk_fixed",
         "rrf_hybrid_retrieval",
         "hard_negatives_topk",
         "epoch_allocation_sources",
@@ -271,16 +276,16 @@ def main() -> None:
         "rrf_hybrid_served",
         "ngram_precision_eval",
         "span_corruption_docs",
-        # r9: graded eval — the dcg tail is queries×k, but its LEX
-        # LEG is _bm25_served over the %100 query set, so the row
-        # inherits bm25_topk_docs' K²-BY-FIXTURE law (queries ×K over
-        # K×-duplicated candidates; canonical row in SCALE.md r9:
-        # 4.6 s → 36.5 s at 10×, ratio 7.85, the lex leg profiled as
-        # the whole cost); the truth build is one-time and cached.
+        # r9: graded eval. r10 (VERDICT_r9 #2): the dcg probe row
+        # moved onto dcg_eval_fixed — the %100 form's lex leg
+        # inherited the K²-by-fixture law (SCALE.md r9: 4.6 s →
+        # 36.5 s at 10×, ratio 7.85, the lex leg profiled as the
+        # whole cost) while the fixed 8-query serve is corpus-linear;
+        # dcg_eval_bm25_vs_cosine's oracle row remains declared.
         # IMI-served k-NN eval = fixed 8-query LUT set (the
         # hard_negatives_imi corpus-linear law); per-file scan stats
         # = pure partial-agg scan growth.
-        "dcg_eval_bm25_vs_cosine",
+        "dcg_eval_fixed",
         "knn_label_eval_imi",
         "file_scan_stats",
         # distinct-n diversity: gram-hash shuffle (the wordcount law);
@@ -290,6 +295,14 @@ def main() -> None:
         # curriculum: corpus_shuffle's law with a compound bucket key
         # (offsets agg is |levels|x4096 rows at any scale)
         "curriculum_order_by_quality",
+        # r10: ANN maintenance audits — the skew audit is one map-only
+        # scan (16 literal-centroid folds) + a ≤16-row agg (scan
+        # growth); the conflict audit is a broadcast batch join over
+        # one column-pruned cells read (batch fixed at corpus/50 BY
+        # FIXTURE — its row grows with the synthetic batch, the
+        # per-row compare is the thing to check).
+        "imi_cell_skew_audit",
+        "ann_ingest_conflict_audit",
     ]
     only = set(sys.argv[3:])
     if only:

@@ -1060,3 +1060,20 @@ def test_curriculum_order_partitioning_invariant_and_plan(spark):
     for w in (ln for ln in plan.splitlines() if "row_number" in ln):
         assert "windowspecdefinition(_lv" in w
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_curriculum_order_rejects_null_levels(spark):
+    """ADVICE r9: a NULL level (or one that casts to NULL) must fail
+    loudly — null _lv/_bkt keys silently vanish through the offsets
+    equi-join otherwise."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, 0), (2, None)], "doc_id long, lv int"
+    )
+    with pytest.raises(Exception, match="non-null"):
+        pipeline.curriculum_order(docs, F.col("lv")).collect()
+    # valid rows still schedule fine
+    ok = spark.createDataFrame([(1, 0), (2, 1)], "doc_id long, lv int")
+    got = pipeline.curriculum_order(ok, F.col("lv")).collect()
+    assert sorted(r.curriculum_pos for r in got) == [0, 1]

@@ -11,6 +11,11 @@ from mrgo_spark.registry import DRIVER_WINDOW, PRIORITY, load
 # that MUST sit inside the driver's gate window.
 MUST_BE_GATED = [
     "wordcount",                    # O1-O13 map/reduce surface
+    # dup_cluster_components demoted just past the window in r10 — its
+    # CC math is subsumed in-window by dedup_pipeline_canonical (same
+    # recursive-CTE dup-graph oracle); the slot funds O1's first
+    # driver-gated row (VERDICT_r9 #3)
+    "file_scan_stats",              # O1 whole-file scan (r10)
     "kv_fold_state",                # O18-O21 kv fold
     "kv_shard_stats",               # O22 shard routing
     "kv_rebalance_history",         # O23 rebalance fold
@@ -20,8 +25,8 @@ MUST_BE_GATED = [
     "minhash_md5_pairs",            # X2 MinHash LSH (r6: md5-portable
     #                                 oracle twin replaces the
     #                                 rows-only seeded form in-gate)
-    "dup_cluster_components",       # X2 connected components
-    "dedup_pipeline_canonical",     # X2 end-to-end pipeline
+    "dedup_pipeline_canonical",     # X2 end-to-end pipeline (also the
+    #                                 in-window CC rep since r10)
     # edit_distance_pairs demoted just past the window in r9 — its
     # slot funds ngram_precision_eval (the EVAL table's first gate
     # rep; X2 keeps 7 in-window reps and edit-distance similarity is

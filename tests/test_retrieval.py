@@ -238,6 +238,33 @@ def test_bm25_index_merge_equals_union_build(spark, tmp_path):
     assert merged.n_buckets == ia.n_buckets
 
 
+def test_bm25_segment_set_serves_like_merged_index(spark, tmp_path):
+    """r10 (VERDICT_r9 #1): a BM25SegmentSet over disjoint segments
+    must serve rankings IDENTICAL to the fully merged index — the
+    query-time union of pruned postings/dl with summed df/scalars is
+    exactly what merge materializes. Segments with DIFFERENT bucket
+    counts prune independently and still agree."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    parts = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    segs = [
+        retrieval.BM25Index.build(
+            p, str(tmp_path / f"s{i}"), n_buckets=(64 if i != 1 else 16)
+        )
+        for i, p in enumerate(parts)
+    ]
+    sset = retrieval.BM25SegmentSet(segs)
+    full = retrieval.BM25Index.build(docs, str(tmp_path / "sfull"))
+    qterms = retrieval.query_terms_from_docs(docs, F.col("doc_id") % 20 == 0)
+    got = sorted(map(tuple, sset.query(qterms, k=10).collect()))
+    want = sorted(map(tuple, full.query(qterms, k=10).collect()))
+    assert got == want
+    # a singleton set degenerates to the plain index
+    one = retrieval.BM25SegmentSet([full])
+    assert sorted(map(tuple, one.query(qterms, k=10).collect())) == want
+    assert sset.n_docs() == full.n_docs()
+    assert sset.doc_ids().distinct().count() == full.n_docs()
+
+
 def test_bm25_index_merge_rejects_overlapping_doc_sets(spark, tmp_path):
     """ADVICE r7: merging indexes whose doc sets overlap would
     double-count tf/df/n/tt — the disjointness contract must fail
@@ -312,14 +339,29 @@ def test_dead_index_path_schema_probe(tmp_path):
     assert not _dead_index_path(e, str(d))
     # component root: one healthy + one reaped component -> dead
     # (r9 review: the failing read is a SUBDIR; probing the root must
-    # not let a surviving sibling mask the dead component)
-    root = tmp_path / "idx2"
-    (root / "postings").mkdir(parents=True)
-    (root / "dl").mkdir()
-    (root / "postings" / "part-0000.parquet").write_bytes(b"PAR1")
-    assert _dead_index_path(e, str(root))  # dl/ is parquet-less
-    (root / "dl" / "part-0000.parquet").write_bytes(b"PAR1")
+    # not let a surviving sibling mask the dead component). r10
+    # (ADVICE r9): the probe covers only the KNOWN components for the
+    # index type named by the tmpdir prefix.
+    root = tmp_path / "mrgo_bm25_idx_test"
+    for comp in ("postings", "df", "dl", "scalars", "meta"):
+        (root / comp).mkdir(parents=True)
+        (root / comp / "part-0000.parquet").write_bytes(b"PAR1")
     assert not _dead_index_path(e, str(root))  # all components healthy
+    # a parquet-less SIBLING artifact (e.g. a crashed eval_truth
+    # write) must NOT classify the healthy index as dead (ADVICE r9)
+    (root / "eval_truth").mkdir()
+    assert not _dead_index_path(e, str(root))
+    # ...but a reaped KNOWN component still does
+    (root / "dl" / "part-0000.parquet").unlink()
+    assert _dead_index_path(e, str(root))
+    # IVF index type has its own component list
+    ivf = tmp_path / "mrgo_ivf_idx_test"
+    (ivf / "cells").mkdir(parents=True)
+    (ivf / "cells" / "part-0000.parquet").write_bytes(b"PAR1")
+    assert _dead_index_path(e, str(ivf))  # centroids/ missing
+    (ivf / "centroids").mkdir()
+    (ivf / "centroids" / "part-0000.parquet").write_bytes(b"PAR1")
+    assert not _dead_index_path(e, str(ivf))
 
 
 def test_eval_truth_cache_parity_and_at_rest(spark):
@@ -514,3 +556,11 @@ def test_dcg_eval_rejects_contract_violations(spark):
     )
     with pytest.raises(Exception, match="rel must be non-negative"):
         dcg_eval(ok_run, neg_rel, k=10).collect()
+    # ADVICE r9: duplicate (query_id, doc_id) truth rows double-count
+    # dcg through the run join and inflate n_truth/idcg — loud, like
+    # the other per-row contracts, instead of a silent skew
+    dup_truth = spark.createDataFrame(
+        [(1, 10, 3), (1, 10, 2)], "query_id long, doc_id long, rel long"
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        dcg_eval(ok_run, dup_truth, k=10).collect()

@@ -1019,9 +1019,10 @@ def test_ingest_ann_foreach_batch_matches_batch_add(spark, tmp_path):
 
 
 def test_ingest_bm25_foreach_batch_matches_full_build(spark, tmp_path):
-    """r9 streaming BM25 ingestion: base index + 2 streamed segment
-    merges must rank identically to a one-shot build over all docs
-    (merge(build(A), build(B)) == build(A ∪ B), batch-composed)."""
+    """r9 streaming BM25 ingestion, r10 tiered: base index + streamed
+    segments served as a BM25SegmentSet must rank identically to a
+    one-shot build over all docs (merge/union-stats equivalence,
+    batch-composed through the tier structure)."""
     from mrgo_spark.operators import retrieval
     from mrgo_spark.operators.retrieval import BM25Index
 
@@ -1050,7 +1051,7 @@ def test_ingest_bm25_foreach_batch_matches_full_build(spark, tmp_path):
         .start()
     )
     q.awaitTermination(180)
-    assert holder["index"].path != idx.path  # at least one merge
+    assert holder["index"].paths != [idx.path]  # segments ingested
 
     full = BM25Index.build(docs, str(tmp_path / "bm_full"))
     qterms = retrieval.query_terms_from_docs(
@@ -1062,22 +1063,193 @@ def test_ingest_bm25_foreach_batch_matches_full_build(spark, tmp_path):
 
     # RESTART semantics (r9 review finding): a new builder handed the
     # STALE base index + the same workdir must resume from the LATEST
-    # marker, not the base — pre-restart batches stay served.
+    # manifest, not the base — pre-restart batches stay served.
     _, holder2 = stream_ops.ingest_bm25_foreach_batch(
         idx, dstream, str(tmp_path / "bm_work")
     )
-    assert holder2["index"].path == holder["index"].path
+    assert sorted(holder2["index"].paths) == sorted(holder["index"].paths)
     # replay guard: re-delivering an already-applied batch is a no-op
-    # (all its doc_ids are in the index), not a merge failure
-    before = holder2["index"].path
+    # (all its doc_ids are at rest), not a merge failure — and the
+    # skip is OBSERVABLE (ADVICE r9)
+    with open(str(tmp_path / "bm_work" / "LATEST")) as fh:
+        before = fh.read()
+    rb, rholder = stream_ops.ingest_bm25_foreach_batch(
+        idx, dstream, str(tmp_path / "bm_work")
+    )
     q3 = (
-        stream_ops.ingest_bm25_foreach_batch(
-            idx, dstream, str(tmp_path / "bm_work")
-        )[0]
-        .trigger(availableNow=True)
+        rb.trigger(availableNow=True)
         .option("checkpointLocation", str(tmp_path / "ckpt_bm_replay"))
         .start()
     )
     q3.awaitTermination(180)
     with open(str(tmp_path / "bm_work" / "LATEST")) as fh:
-        assert fh.read().strip() == before
+        assert fh.read() == before
+    assert rholder["skipped"], "full-duplicate delivery must be recorded"
+    assert all(n > 0 for _b, n in rholder["skipped"])
+
+
+def _write_doc_files(spark, tmp_path, docs_rows, dirname="doc_stream"):
+    """One parquet file per (doc_id, text) row — one micro-batch each
+    under maxFilesPerTrigger=1."""
+    d = tmp_path / dirname
+    d.mkdir(exist_ok=True)
+    for i, (doc_id, text) in enumerate(docs_rows):
+        df = spark.createDataFrame([(doc_id, text)], "doc_id long, text string")
+        t = tmp_path / f"_t{dirname}{i}"
+        df.coalesce(1).write.parquet(str(t))
+        os.rename(next(t.glob("part-*.parquet")), d / f"b{i:04d}.parquet")
+    return d
+
+
+def test_ingest_bm25_tiered_write_amplification(spark, tmp_path):
+    """VERDICT_r9 #1: merge I/O must be O(index·log B), not
+    O(index·B). 8 single-doc batches over a 1-doc base follow the
+    binary-counter schedule exactly: 8 build rows + 24 merge rows =
+    32, vs the r9 2-way chain's 44 (2+3+...+9) — and the live set
+    collapses to the popcount of 9 segments. Equal-size batches make
+    the total order-independent, so the assertion is exact."""
+    from mrgo_spark.operators.retrieval import BM25Index
+
+    base = spark.createDataFrame(
+        [(1000, "base doc words")], "doc_id long, text string"
+    )
+    idx = BM25Index.build(base, str(tmp_path / "bm_base"))
+    rows = [(i, f"alpha beta doc{'x' * (i % 3 + 1)}") for i in range(8)]
+    d = _write_doc_files(spark, tmp_path, rows)
+    dstream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    builder, holder = stream_ops.ingest_bm25_foreach_batch(
+        idx, dstream, str(tmp_path / "bm_work")
+    )
+    q = (
+        builder.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    st = holder["stats"]
+    assert st["rows_written"] == 32, st  # 8 builds + 2+2+4+2+2+4+8 merges
+    assert st["rows_written"] < 44  # the O(index·B) chain cost
+    # live segments = binary representation of 9 docs: 8 + 1
+    sizes = sorted(s.n_docs() for s in holder["index"].segments)
+    assert sizes == [1, 8]
+    # generation GC: after the final flip, workdir holds ONLY the live
+    # segments plus at most the one deferred-GC generation
+    live_names = {os.path.basename(p) for p in holder["index"].paths}
+    pending = {os.path.basename(p) for p in holder["_pending_gc"]}
+    on_disk = {
+        e
+        for e in os.listdir(str(tmp_path / "bm_work"))
+        if e.startswith(("seg_", "gen_"))
+    }
+    assert on_disk == live_names | pending, (on_disk, live_names, pending)
+    # disk growth is bounded: far fewer dirs than batches
+    assert len(on_disk) <= 4
+
+
+def test_ingest_bm25_partial_overlap_fails_loudly(spark, tmp_path):
+    """r10 review: the r9 chain's merge(cur, seg) implicitly checked
+    every batch against the WHOLE accumulated index; tiered merges
+    only check the pair being merged, so the ingest guard itself must
+    reject a partial overlap — silently double-counting df/tt against
+    a live segment the new one never merges with was the hole."""
+    import pytest
+
+    from mrgo_spark.operators.retrieval import BM25Index
+
+    base = spark.createDataFrame(
+        [(1, "one words"), (2, "two words")], "doc_id long, text string"
+    )
+    idx = BM25Index.build(base, str(tmp_path / "bm_base"))
+    # doc 2 already at rest, doc 3 new -> partial overlap
+    d = _write_doc_files(
+        spark, tmp_path, [(2, "two words"), (3, "three words")], "po"
+    )
+    # both rows in ONE file = one micro-batch
+    dstream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(d)
+    )
+    builder, _h = stream_ops.ingest_bm25_foreach_batch(
+        idx, dstream, str(tmp_path / "bm_work")
+    )
+    q = (
+        builder.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_po"))
+        .start()
+    )
+    with pytest.raises(Exception, match="partially overlaps"):
+        q.awaitTermination(120)
+        q.processAllAvailable()
+
+
+def test_ingest_bm25_restart_across_tier_boundary(spark, tmp_path):
+    """VERDICT_r9 #1 restart leg: resume from the LATEST manifest,
+    ingest one more batch that triggers a cross-tier merge cascade,
+    and still match the one-shot full build. The startup sweep must
+    also remove unreferenced crash leftovers."""
+    from mrgo_spark.operators import retrieval
+    from mrgo_spark.operators.retrieval import BM25Index
+
+    base = spark.createDataFrame(
+        [(1000, "base doc words")], "doc_id long, text string"
+    )
+    idx = BM25Index.build(base, str(tmp_path / "bm_base"))
+    rows = [(i, f"gamma delta doc{'y' * (i % 3 + 1)}") for i in range(2)]
+    d = _write_doc_files(spark, tmp_path, rows)
+    dstream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    b1, h1 = stream_ops.ingest_bm25_foreach_batch(
+        idx, dstream, str(tmp_path / "bm_work")
+    )
+    q = (
+        b1.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    # base 1 + 2 single-doc batches: [1,1]->[2], then [2,1]
+    assert sorted(s.n_docs() for s in h1["index"].segments) == [1, 2]
+
+    # plant a crash leftover: an orphaned segment dir not in LATEST
+    orphan = tmp_path / "bm_work" / "seg_9999"
+    BM25Index.build(
+        spark.createDataFrame([(9999, "orphan")], "doc_id long, text string"),
+        str(orphan),
+    )
+    assert orphan.exists()
+
+    # one more single-doc file, then restart the builder (same
+    # checkpoint): only the new batch processes; its 1-doc segment
+    # triggers the cross-tier cascade [2,1,1] -> [2,2] -> [4]
+    df = spark.createDataFrame([(50, "epsilon zeta")], "doc_id long, text string")
+    t = tmp_path / "_tmore"
+    df.coalesce(1).write.parquet(str(t))
+    os.rename(next(t.glob("part-*.parquet")), d / "b9998.parquet")
+    b2, h2 = stream_ops.ingest_bm25_foreach_batch(
+        idx, dstream, str(tmp_path / "bm_work")
+    )
+    assert not orphan.exists(), "startup sweep must remove orphans"
+    q2 = (
+        b2.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q2.awaitTermination(300)
+    assert sorted(s.n_docs() for s in h2["index"].segments) == [4]
+
+    all_docs = base.unionByName(
+        spark.createDataFrame(
+            rows + [(50, "epsilon zeta")], "doc_id long, text string"
+        )
+    )
+    full = BM25Index.build(all_docs, str(tmp_path / "bm_full"))
+    qterms = retrieval.query_terms_from_docs(all_docs, F.lit(True), n_terms=3)
+    got = sorted(map(tuple, h2["index"].query(qterms, k=5).collect()))
+    want = sorted(map(tuple, full.query(qterms, k=5).collect()))
+    assert got == want
