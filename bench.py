@@ -93,24 +93,52 @@ def _load_prev_warm(here: Path) -> dict[str, float]:
             best, best_n = p, int(m.group(1))
     if best is None:
         return {}
+
+    def _warm_of(d: dict) -> dict[str, float] | None:
+        if isinstance(d, dict) and "queries_warm" in d:
+            return {k: float(v) for k, v in d["queries_warm"].items()}
+        return None
+
     try:
-        with open(best) as fh:
-            # driver tail-captures may leave >1 line; the big dict is
-            # the first parseable line holding queries_warm
-            for ln in fh:
-                ln = ln.strip()
-                if not ln.startswith("{"):
-                    continue
-                try:
-                    d = json.loads(ln)
-                except ValueError:
-                    continue
-                if "queries_warm" in d:
-                    return {
-                        k: float(v) for k, v in d["queries_warm"].items()
-                    }
+        text = open(best).read()
     except OSError:
-        pass
+        return {}
+    # the committed BENCH_r{N}.json is usually the DRIVER's wrapper:
+    # a pretty-printed dict whose "tail" field holds the last ~8KB of
+    # bench stdout (which, by the r6 key-order contract, includes the
+    # whole queries_warm dict before the headline scalars)
+    try:
+        whole = json.loads(text)
+    except ValueError:
+        whole = None
+    if whole is not None:
+        got = _warm_of(whole)
+        if got is not None:
+            return got
+        tail = whole.get("tail") if isinstance(whole, dict) else None
+        if isinstance(tail, str):
+            m = re.search(r'"queries_warm":\s*(\{[^{}]*\})', tail)
+            if m:
+                try:
+                    return {
+                        k: float(v) for k, v in json.loads(m.group(1)).items()
+                    }
+                except ValueError:
+                    pass
+        return {}
+    # raw bench stdout: >1 line; the big dict is the first parseable
+    # line holding queries_warm
+    for ln in text.splitlines():
+        ln = ln.strip()
+        if not ln.startswith("{"):
+            continue
+        try:
+            d = json.loads(ln)
+        except ValueError:
+            continue
+        got = _warm_of(d)
+        if got is not None:
+            return got
     return {}
 
 
@@ -398,6 +426,17 @@ def main() -> None:
         # easy-first curriculum schedule (compound-key distributed
         # ranking; classifier fold is the map cost)
         "curriculum_order_by_quality",
+        # r10: the skew audit is one map-only scan + a ≤16-row agg
+        # (serves from the PQ cache, order-semantic after pq_codes);
+        # its IVF-cache sibling ann_ingest_conflict_audit is timed in
+        # the IVF block below so topk_cosine_ivf@cold keeps absorbing
+        # the one-time index build.
+        "imi_cell_skew_audit",
+        # r10 RL-data assembly: classifier fold + ONE group shuffle
+        # (compare preference_pairs_by_quality, the same reward over
+        # a pairing window)
+        "grpo_group_advantages",
+        "rejection_sample_bestofn",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there
@@ -495,6 +534,12 @@ def main() -> None:
             lambda: queries["topk_cosine_ivf"](spark, SF_DIR),
         )
         timed("topk_cosine_ivf", lambda: queries["topk_cosine_ivf"](spark, SF_DIR))
+        # r10: re-embed conflict audit serves from the same session
+        # IVF cache (@cold above already absorbed the build)
+        timed(
+            "ann_ingest_conflict_audit",
+            lambda: queries["ann_ingest_conflict_audit"](spark, SF_DIR),
+        )
         from mrgo_spark.operators.similarity import topk_cosine_numpy
 
         timed("topk_cosine@numpy", lambda: topk_cosine_numpy(emb, qs, k=5))

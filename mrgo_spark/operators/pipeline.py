@@ -319,6 +319,92 @@ def preference_pairs(
     )
 
 
+def group_relative_advantage(
+    df: DataFrame,
+    reward,
+    group_col: str = "group_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GRPO-style group-RELATIVE advantage (Shao et al. 2024,
+    DeepSeekMath §4.1, minus the std normalizer): for each sample in
+    a prompt group, the advantage is its reward relative to the group
+    mean. The mean is a division, so the EXACT surface is the scaled
+    numerator — adv_num = n·r − Σr = n·(r − mean) — which preserves
+    ordering and zero-crossing exactly and sums to 0 within every
+    group (the invariant tests pin). The σ-normalized form needs a
+    sqrt and stays a consumer-side float step; the per-group RANKING
+    (rank_in_group, reward desc then id) is the other
+    division-free signal and is emitted alongside.
+
+    ``reward`` is any integer Column over df (the declared entry
+    passes the hashed-classifier score — the reward-model surrogate
+    already on the oracle surface). NULL rewards fail loudly (a NULL
+    silently skews Σr vs n otherwise — the curriculum_order
+    convention). Overflow bound: |adv_num| < n·max|r| — fine for
+    int64 up to ~2^40 samples per group at 2^20-scale rewards.
+
+    Columns: (group_col, id_col, reward_fp, grp_n, adv_num,
+    rank_in_group).
+
+    Scale shape: ONE shuffle by group; both window specs share the
+    partition key (count/sum unordered + row_number ordered), and no
+    global window exists anywhere."""
+    base = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        reward.cast("long").alias("_r"),
+    ).filter(
+        F.assert_true(
+            F.col("_r").isNotNull(),
+            F.lit(
+                "group_relative_advantage: reward must be non-null"
+                " (and cast to long)"
+            ),
+        ).isNull()
+    )
+    w = Window.partitionBy(group_col)
+    wr = Window.partitionBy(group_col).orderBy(
+        F.desc("_r"), F.asc(id_col)
+    )
+    return base.select(
+        group_col,
+        id_col,
+        F.col("_r").alias("reward_fp"),
+        F.count("*").over(w).cast("long").alias("grp_n"),
+        (F.count("*").over(w) * F.col("_r") - F.sum("_r").over(w))
+        .cast("long")
+        .alias("adv_num"),
+        F.row_number().over(wr).cast("int").alias("rank_in_group"),
+    )
+
+
+def rejection_sample_best_of_n(
+    df: DataFrame,
+    reward,
+    group_col: str = "group_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Best-of-n rejection sampling (the RFT/RLHF data-assembly
+    step): keep each prompt group's argmax-reward sample (ties to the
+    smaller id — the deterministic convention everywhere), recording
+    how many candidates it beat. Built on group_relative_advantage's
+    ranking (rank 1 = argmax), so the winner's adv_num doubles as the
+    margin-sum signal: adv_num = Σ_others (r_win − r_other).
+
+    Columns: (group_col, id_col, reward_fp, n_candidates, adv_num).
+    One shuffle by group; output is |groups|-sized."""
+    adv = group_relative_advantage(
+        df, reward, group_col=group_col, id_col=id_col
+    )
+    return adv.filter(F.col("rank_in_group") == 1).select(
+        group_col,
+        id_col,
+        "reward_fp",
+        F.col("grp_n").alias("n_candidates"),
+        "adv_num",
+    )
+
+
 DSIR_RESAMPLE_CLAMP = 8  # score-stratum clamp: weights ∈ [2^0, 2^16]
 
 

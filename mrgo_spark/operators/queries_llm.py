@@ -4064,6 +4064,83 @@ def q_preference_pairs(spark, sf_dir):
     )
 
 
+_GRPO_BASE_SQL = f"""
+    gbase AS MATERIALIZED (
+        SELECT CAST(doc_id % 64 AS BIGINT) AS group_id, doc_id,
+               CAST({_CLF_BIAS} + coalesce(list_sum([list_extract(
+                   {_CLF_W_LIST_SQL},
+                   CAST((CAST(concat('0x', substr(md5(x), 1, 4)) AS BIGINT)
+                         % {_CLF_DIM}) + 1 AS INT))
+                   for x in list_filter(
+                       string_split_regex(lower(text), '[^a-z]+'),
+                       x -> x <> '')]), 0) AS BIGINT) AS r
+        FROM documents)"""
+
+
+@declare(
+    "grpo_group_advantages",
+    f"""
+    WITH {_GRPO_BASE_SQL}
+    SELECT group_id, doc_id, r AS reward_fp,
+           CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS grp_n,
+           CAST(count(*) OVER (PARTITION BY group_id) * r
+                - sum(r) OVER (PARTITION BY group_id) AS BIGINT) AS adv_num,
+           CAST(row_number() OVER (PARTITION BY group_id
+                                   ORDER BY r DESC, doc_id) AS INT)
+             AS rank_in_group
+    FROM gbase
+    """,
+)
+def q_grpo_group_advantages(spark, sf_dir):
+    """RL-data assembly (r10, pipeline.group_relative_advantage):
+    GRPO-style group-relative advantages — per prompt group
+    (doc_id % 64 as the group surrogate), each sample's reward
+    relative to the group mean as the EXACT scaled numerator
+    n·r − Σr (sums to 0 within every group), plus the division-free
+    per-group ranking. Reward = the hashed-classifier score (the
+    reward-model surrogate already on the oracle surface). One
+    shuffle by group; no global window. widen_scan: the classifier
+    fold is the interpreted-HOF class (the PQ lesson)."""
+    docs = widen_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).withColumn("group_id", (F.col("doc_id") % 64).cast("long"))
+    return pipeline.group_relative_advantage(
+        docs, textstats.classifier_score_col("text")
+    )
+
+
+@declare(
+    "rejection_sample_bestofn",
+    f"""
+    WITH {_GRPO_BASE_SQL}
+    SELECT group_id, doc_id, reward_fp, n_candidates, adv_num FROM (
+        SELECT group_id, doc_id, r AS reward_fp,
+               CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT)
+                 AS n_candidates,
+               CAST(count(*) OVER (PARTITION BY group_id) * r
+                    - sum(r) OVER (PARTITION BY group_id) AS BIGINT)
+                 AS adv_num,
+               row_number() OVER (PARTITION BY group_id
+                                  ORDER BY r DESC, doc_id) AS rn
+        FROM gbase) WHERE rn = 1
+    """,
+)
+def q_rejection_sample_bestofn(spark, sf_dir):
+    """RL-data assembly (r10, pipeline.rejection_sample_best_of_n):
+    best-of-n rejection sampling — each prompt group's argmax-reward
+    sample survives (ties to the smaller id), with the candidate
+    count and the winner's advantage numerator (= Σ of its margins
+    over the losers) recorded. The RFT/rejection-sampling step next
+    to preference_pairs (DPO) and grpo_group_advantages (GRPO) in the
+    alignment-data family. Output is |groups|-sized."""
+    docs = widen_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).withColumn("group_id", (F.col("doc_id") % 64).cast("long"))
+    return pipeline.rejection_sample_best_of_n(
+        docs, textstats.classifier_score_col("text")
+    )
+
+
 @declare(
     "canonical_dedup_by_quality",
     _DUP_GRAPH_SQL

@@ -1299,6 +1299,9 @@ class IVFIndex:
         ).select(
             "cell_id", (-F.col("_b.negcid")).cast("int").alias("best_cid")
         )
+        # pin the ≤n_cells frame: three consumers with different
+        # projections would re-run the cells scan + affinity folds
+        # per consumer otherwise (the r3 no-exchange-reuse class)
         per = b.groupBy("cell_id").agg(
             F.count("*").cast("long").alias("n_vecs"),
             F.sum(
@@ -1306,7 +1309,7 @@ class IVFIndex:
                 .otherwise(0)
                 .cast("long")
             ).alias("n_drifted"),
-        )
+        ).localCheckpoint(eager=False)
         ranked = per.select("n_vecs").withColumn(
             "rn", F.row_number().over(Window.orderBy("n_vecs"))
         )
@@ -1733,13 +1736,17 @@ def imi_cell_skew_audit(
             F.filter("_ds", lambda s: s["cid"] != F.col("_b.cid"))
         )["dist2"].alias("sec_d"),
     )
+    # per feeds THREE consumers (output rows, the median window, the
+    # max/count agg) with different projections — without the pin the
+    # whole corpus map-scan re-runs per consumer (the r3 no-exchange-
+    # reuse class; PLANS.md showed 3 scans). ≤k rows — pin is free.
     per = rows.groupBy("cell0").agg(
         F.count("*").cast("long").alias("n_vecs"),
         F.sum("own_d").cast("long").alias("sum_dist2"),
         F.sum(F.col("sec_d") - F.col("own_d")).cast("long").alias(
             "sum_margin"
         ),
-    )
+    ).localCheckpoint(eager=False)
     ranked = per.select("n_vecs").withColumn(
         "rn", F.row_number().over(Window.orderBy("n_vecs"))
     )

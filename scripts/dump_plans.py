@@ -193,6 +193,23 @@ PICKS = [
     ("span_corruption_docs", "r8 T5 denoising transform: pure "
      "array-local projection — NO Generate anywhere (nothing for the "
      "r4 pushdown hazard to push into), zero exchanges"),
+    ("bm25_topk_fixed", "r10 fixed-query BM25 serve: same bucket-"
+     "pruned postings scan as bm25_topk_docs (PartitionFilters on "
+     "term_bucket) but the query side is the FIXED 8-smallest-vec_id "
+     "set — the bench/probe row measures the corpus-linear serve, "
+     "not a corpus-sized query-set construction"),
+    ("dcg_eval_fixed", "r10 fixed-query graded eval: served-BM25 run "
+     "over the fixed 8-query set + the at-rest eval_truth_fixed "
+     "parquet; every join/agg queries×k-sized; duplicate-truth guard "
+     "(assert_true window) survives in the plan"),
+    ("imi_cell_skew_audit", "r10 ANN staleness audit: ONE map-only "
+     "scan carries all 16 literal-centroid distance folds; per-cell "
+     "agg is ≤16 rows; the skew window + median pick run over that "
+     "tiny frame (broadcast back) — no corpus-sized window"),
+    ("ann_ingest_conflict_audit", "r10 re-embed conflict audit: the "
+     "synthesized batch BROADCASTS into one column-pruned cells scan; "
+     "the fixed-point per-dim compare rides the join projection — no "
+     "shuffle, no corpus×corpus"),
 ]
 
 

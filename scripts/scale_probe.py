@@ -303,6 +303,12 @@ def main() -> None:
         # per-row compare is the thing to check).
         "imi_cell_skew_audit",
         "ann_ingest_conflict_audit",
+        # r10 RL-data assembly: classifier fold rides the scan; ONE
+        # shuffle by group (64 groups at any scale — group count is a
+        # modulus, so per-group size grows K×; the windows stay
+        # partitioned). Expect ~scan growth.
+        "grpo_group_advantages",
+        "rejection_sample_bestofn",
     ]
     only = set(sys.argv[3:])
     if only:

@@ -55,6 +55,26 @@ def test_load_prev_warm_reads_newest_round(tmp_path):
     assert bench._load_prev_warm(tmp_path / "nowhere") == {}
 
 
+def test_load_prev_warm_reads_driver_wrapper(tmp_path):
+    """The committed BENCH_r{N}.json is usually the DRIVER's capture:
+    a pretty-printed wrapper whose "tail" string holds the end of
+    bench stdout — queries_warm must be recovered from it."""
+    tail = (
+        '"queries": {"a": 9.9}, '
+        '"queries_warm": {"bm25": 1.08, "dcg": 2.3}, '
+        '"value": 22.8, "failed": []}'
+    )
+    (tmp_path / "BENCH_r09.json").write_text(
+        json.dumps({"n": 9, "rc": 0, "tail": tail}, indent=2) + "\n"
+    )
+    assert bench._load_prev_warm(tmp_path) == {"bm25": 1.08, "dcg": 2.3}
+    # wrapper without a recoverable queries_warm -> empty baseline
+    (tmp_path / "BENCH_r10.json").write_text(
+        json.dumps({"n": 10, "rc": 0, "tail": "truncated junk"}) + "\n"
+    )
+    assert bench._load_prev_warm(tmp_path) == {}
+
+
 def test_load_prev_warm_synthetic_load_scenario(tmp_path):
     """End-to-end selection under a synthetic loaded-box round: the
     previous round's warm numbers are calm; this round's are uniformly

@@ -1062,6 +1062,80 @@ def test_curriculum_order_partitioning_invariant_and_plan(spark):
     assert plan.count("Exchange SinglePartition") <= 1
 
 
+def test_group_relative_advantage_python_differential(spark):
+    """GRPO advantages replayed in pure Python: adv_num = n·r − Σr
+    per group, ranking by (reward desc, id asc)."""
+    rows = [
+        (1, 10, 5),
+        (1, 11, 9),
+        (1, 12, 5),
+        (2, 20, -3),
+        (2, 21, 7),
+        (3, 30, 4),  # singleton group: adv 0, rank 1
+    ]
+    df = spark.createDataFrame(rows, "group_id long, doc_id long, r long")
+    got = {
+        r.doc_id: (r.reward_fp, r.grp_n, r.adv_num, r.rank_in_group)
+        for r in pipeline.group_relative_advantage(
+            df, F.col("r")
+        ).collect()
+    }
+    groups: dict[int, list[tuple[int, int]]] = {}
+    for g, d, r in rows:
+        groups.setdefault(g, []).append((d, r))
+    want = {}
+    for g, members in groups.items():
+        n, s = len(members), sum(r for _d, r in members)
+        ranked = sorted(members, key=lambda t: (-t[1], t[0]))
+        for rank, (d, r) in enumerate(ranked, start=1):
+            want[d] = (r, n, n * r - s, rank)
+    assert got == want
+    # the defining invariant: advantages sum to 0 within every group
+    per_group: dict[int, int] = {}
+    for g, d, _r in rows:
+        per_group[g] = per_group.get(g, 0) + got[d][2]
+    assert all(v == 0 for v in per_group.values())
+
+
+def test_group_relative_advantage_rejects_null_reward(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 10, 5), (1, 11, None)], "group_id long, doc_id long, r long"
+    )
+    with pytest.raises(Exception, match="non-null"):
+        pipeline.group_relative_advantage(df, F.col("r")).collect()
+
+
+def test_rejection_sample_best_of_n(spark):
+    """Argmax per group, ties to the smaller id; adv_num of the
+    winner equals the sum of its margins over the losers."""
+    rows = [(1, 10, 5), (1, 11, 9), (1, 12, 9), (2, 20, 1)]
+    df = spark.createDataFrame(rows, "group_id long, doc_id long, r long")
+    got = {
+        r.group_id: (r.doc_id, r.reward_fp, r.n_candidates, r.adv_num)
+        for r in pipeline.rejection_sample_best_of_n(
+            df, F.col("r")
+        ).collect()
+    }
+    # group 1: tie 9 vs 9 -> id 11 wins; margins (9-5)+(9-9) = 4
+    assert got == {1: (11, 9, 3, 4), 2: (20, 1, 1, 0)}
+
+
+def test_group_advantage_no_global_window(spark):
+    """Scale shape: every window partitions by group — a missing
+    partition key would move the corpus to one task."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    from mrgo_spark.operators import textstats
+
+    df = pipeline.group_relative_advantage(
+        docs.withColumn("group_id", (F.col("doc_id") % 64).cast("long")),
+        textstats.classifier_score_col("text"),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_curriculum_order_rejects_null_levels(spark):
     """ADVICE r9: a NULL level (or one that casts to NULL) must fail
     loudly — null _lv/_bkt keys silently vanish through the offsets
