@@ -437,6 +437,20 @@ def main() -> None:
         # a pairing window)
         "grpo_group_advantages",
         "rejection_sample_bestofn",
+        # r10 session 3: bitext mining (two exact kNN legs over a
+        # bounded query set — compare topk_cosine, the one-leg form),
+        # judge agreement + reward winsorize + Copeland leaderboard
+        # (all classifier-fold map cost + small aggs; winsorize adds
+        # a second corpus pass for the sketch cutoffs), ROUGE/F1
+        # (pair-bounded, compare ngram_precision_eval), snapshot diff
+        # (two folds + key join), k-anonymity (wordcount-shaped).
+        "margin_bitext_mine",
+        "judge_agreement_kappa",
+        "copeland_system_ranking",
+        "reward_winsorize_docs",
+        "rouge_f_eval",
+        "kv_state_diff",
+        "k_anonymity_customer",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there

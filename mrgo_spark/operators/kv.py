@@ -502,3 +502,35 @@ def put_history_scd2(oplog: DataFrame) -> DataFrame:
         .alias("valid_to_seq"),
         F.row_number().over(w).alias("version"),
     )
+
+
+def state_diff(before: DataFrame, after: DataFrame) -> DataFrame:
+    """Snapshot diff between two (key, state) frames — the
+    dataset-versioning audit: per key a verdict
+    added/removed/changed/unchanged plus the value LENGTHS on both
+    sides (lengths, not values — the report stays row-bounded when
+    values grow unbounded; callers wanting the payload join back on
+    the key). 'removed' is unreachable when both frames fold the
+    same delete-free op-log but belongs to the diff contract.
+
+    Shape: one FULL OUTER key join between two O(live keys) frames.
+
+    Reference anchor: the reconfiguration tests diff shard contents
+    across config changes (reference src/shardkv/test_test.go
+    check()); this is that check as a declarative table→table op."""
+    b = before.select(
+        F.col("key").alias("_kb"), F.col("state").alias("_sb")
+    )
+    a = after.select(
+        F.col("key").alias("_ka"), F.col("state").alias("_sa")
+    )
+    return b.join(a, b["_kb"] == a["_ka"], "full").select(
+        F.coalesce("_kb", "_ka").alias("key"),
+        F.when(F.col("_kb").isNull(), F.lit("added"))
+        .when(F.col("_ka").isNull(), F.lit("removed"))
+        .when(F.col("_sb") == F.col("_sa"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("verdict"),
+        F.length("_sb").cast("long").alias("len_before"),
+        F.length("_sa").cast("long").alias("len_after"),
+    )

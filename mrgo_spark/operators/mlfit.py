@@ -340,3 +340,98 @@ def class_balance_exact(
         "gini_micro",
         F.expr("(1000000L * gini_num) div gini_den").cast("long"),
     )
+
+
+def cohen_kappa_agreement(
+    df: DataFrame, group_col: str, judge1, judge2
+) -> DataFrame:
+    """Per-group Cohen's kappa between two BINARY judges (Cohen 1960)
+    as exact integers — the chance-corrected agreement metric the raw
+    keep-rate comparison (classifier_calibration_bins) cannot give:
+    two judges that both keep 95% of docs agree 90%+ by chance alone,
+    and kappa is what is left after that chance floor is subtracted.
+    The inter-annotator-agreement audit of a labeling/filtering
+    pipeline (learned filter vs heuristic rule, two model versions,
+    model vs human sample).
+
+    kappa = (p_o − p_e) / (1 − p_e) with p_o = agree/n and
+    p_e = (r₁c₁ + r₀c₀)/n² — every term rational, so the exact
+    surface is
+
+        kappa_milli = 1000·(n·agree − pe_num) div (n² − pe_num)
+
+    with pe_num = r₁c₁ + r₀c₀ (r = judge1 marginals, c = judge2).
+    When n² == pe_num — which happens exactly when BOTH judges are
+    constant with the same verdict (2r₁c₁ = n(r₁+c₁) forces
+    r₁ = c₁ ∈ {0, n}) — kappa is undefined and emitted as NULL,
+    never a fake 0 (unanimous trivial agreement must not look like
+    chance-level). One constant judge against a varying one yields
+    kappa = 0 exactly (p_o == p_e), the honest value. The
+    numerator can be negative (worse-than-chance agreement); both
+    engines' integer division truncates toward zero, so the value
+    still replays exactly.
+
+    ``judge1``/``judge2`` are boolean Columns; NULLs fail loudly per
+    row (a NULL verdict silently shrinking a marginal is the
+    curriculum_order class of bug). Columns: (grp, n, n_both_pos,
+    n_both_neg, n_j1_only, n_j2_only, po_milli, pe_milli,
+    kappa_milli). Bound: n ≤ 3·10⁹ per group keeps n² in int64 (the
+    class_balance_exact contract).
+
+    Shape: map-only flag projection + ONE partial-agg shuffle to
+    |groups| rows; the kappa arithmetic runs on the tiny agg frame."""
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        judge1.cast("boolean").alias("_j1"),
+        judge2.cast("boolean").alias("_j2"),
+    ).filter(
+        F.assert_true(
+            F.col("_j1").isNotNull() & F.col("_j2").isNotNull(),
+            F.lit("cohen_kappa_agreement: judge verdicts must be non-null"),
+        ).isNull()
+    )
+    g = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("_j1") & F.col("_j2")).cast("long"))
+        .cast("long")
+        .alias("n_both_pos"),
+        F.sum((~F.col("_j1") & ~F.col("_j2")).cast("long"))
+        .cast("long")
+        .alias("n_both_neg"),
+        F.sum((F.col("_j1") & ~F.col("_j2")).cast("long"))
+        .cast("long")
+        .alias("n_j1_only"),
+        F.sum((~F.col("_j1") & F.col("_j2")).cast("long"))
+        .cast("long")
+        .alias("n_j2_only"),
+    )
+    r1 = F.col("n_both_pos") + F.col("n_j1_only")
+    c1 = F.col("n_both_pos") + F.col("n_j2_only")
+    agree = F.col("n_both_pos") + F.col("n_both_neg")
+    pe_num = (r1 * c1 + (F.col("n") - r1) * (F.col("n") - c1)).cast("long")
+    return (
+        g.withColumn("_pe", pe_num)
+        .withColumn("_agree", agree.cast("long"))
+        .select(
+            "grp",
+            "n",
+            "n_both_pos",
+            "n_both_neg",
+            "n_j1_only",
+            "n_j2_only",
+            F.expr("(1000L * _agree) div n").cast("long").alias("po_milli"),
+            F.expr("(1000L * _pe) div (n * n)")
+            .cast("long")
+            .alias("pe_milli"),
+            F.when(
+                F.col("n") * F.col("n") == F.col("_pe"),
+                F.lit(None).cast("long"),
+            )
+            .otherwise(
+                F.expr(
+                    "(1000L * (n * _agree - _pe)) div (n * n - _pe)"
+                ).cast("long")
+            )
+            .alias("kappa_milli"),
+        )
+    )

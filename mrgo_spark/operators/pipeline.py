@@ -1423,3 +1423,205 @@ def curriculum_order(
         .withColumnRenamed("_lv", "level")
         .drop("_sk", "_bkt", "_rk", "_off")
     )
+
+
+def copeland_system_ranking(
+    df: DataFrame,
+    reward,
+    group_col: str = "group_id",
+    system_col: str = "system_id",
+) -> DataFrame:
+    """Arena-style pairwise SYSTEM ranking from grouped rewards
+    (Copeland's method): per prompt group, each system's entry is its
+    best-reward sample (the best-of-n convention); systems are then
+    compared pairwise WITHIN each prompt, and a system's Copeland
+    score is wins − losses summed over all prompts and opponents.
+    The model-leaderboard step downstream of the RL-data family
+    (preference_pairs orders two samples; this orders the SYSTEMS
+    that produced them) — chosen over Elo/Bradley-Terry because
+    Copeland is the exact-integer member of the ranking family (Elo
+    needs exp; BT's MM iteration needs float division per round).
+
+    Ties in reward are counted as ties (neither a win nor a loss),
+    never broken by id — two systems scoring identically on a prompt
+    carry no ordering signal. NULL rewards fail loudly (the
+    group_relative_advantage convention).
+
+    Columns: (system_col, n_prompts, n_comparisons, wins, losses,
+    ties, copeland). copeland = wins − losses; rank by
+    (copeland DESC, system ASC) downstream.
+
+    Scale shape: one partial-agg shuffle to the |groups|×|systems|
+    best-reward frame, a self-join ON the group key (each group fans
+    to |systems|² /2 pair rows — systems are a few dozen, groups are
+    millions: the fan-out is a constant factor), one explode to
+    per-system credits (the explode-once rule: a wins-UNION-losses
+    re-join would rescan the pair frame per branch), and a final agg
+    to |systems| rows. No global window anywhere."""
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(system_col).alias("_s"),
+        reward.cast("long").alias("_r"),
+    ).filter(
+        F.assert_true(
+            F.col("_r").isNotNull(),
+            F.lit("copeland_system_ranking: reward must be non-null"),
+        ).isNull()
+    )
+    # best feeds three consumers (both self-join sides + presence)
+    # with different projections — without the lineage cut the
+    # corpus-sized groupBy (and the reward fold above it) re-runs per
+    # consumer (the no-exchange-reuse-across-projections class). The
+    # frame is |groups|×|systems| rows: checkpoint is free.
+    best = (
+        base.groupBy("_g", "_s")
+        .agg(F.max("_r").alias("_b"))
+        .localCheckpoint(eager=False)
+    )
+    a = best.select(
+        F.col("_g"),
+        F.col("_s").alias("_sa"),
+        F.col("_b").alias("_ba"),
+    )
+    b = best.select(
+        F.col("_g"),
+        F.col("_s").alias("_sb"),
+        F.col("_b").alias("_bb"),
+    )
+    pairs = a.join(b, "_g").filter(F.col("_sa") < F.col("_sb"))
+    # explode-once: each pair row credits BOTH endpoints
+    credits = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_sa").alias("sys"),
+                    (F.col("_ba") > F.col("_bb"))
+                    .cast("long")
+                    .alias("win"),
+                    (F.col("_ba") < F.col("_bb"))
+                    .cast("long")
+                    .alias("loss"),
+                    (F.col("_ba") == F.col("_bb"))
+                    .cast("long")
+                    .alias("tie"),
+                ),
+                F.struct(
+                    F.col("_sb").alias("sys"),
+                    (F.col("_bb") > F.col("_ba"))
+                    .cast("long")
+                    .alias("win"),
+                    (F.col("_bb") < F.col("_ba"))
+                    .cast("long")
+                    .alias("loss"),
+                    (F.col("_ba") == F.col("_bb"))
+                    .cast("long")
+                    .alias("tie"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.sys", "c.win", "c.loss", "c.tie")
+    presence = best.groupBy("_s").agg(
+        F.count("*").cast("long").alias("n_prompts")
+    )
+    scored = credits.groupBy("sys").agg(
+        F.count("*").cast("long").alias("n_comparisons"),
+        F.sum("win").cast("long").alias("wins"),
+        F.sum("loss").cast("long").alias("losses"),
+        F.sum("tie").cast("long").alias("ties"),
+    )
+    return (
+        presence.join(scored, presence["_s"] == scored["sys"], "left")
+        .select(
+            F.col("_s").alias(system_col),
+            "n_prompts",
+            F.coalesce("n_comparisons", F.lit(0))
+            .cast("long")
+            .alias("n_comparisons"),
+            F.coalesce("wins", F.lit(0)).cast("long").alias("wins"),
+            F.coalesce("losses", F.lit(0)).cast("long").alias("losses"),
+            F.coalesce("ties", F.lit(0)).cast("long").alias("ties"),
+            (F.coalesce("wins", F.lit(0)) - F.coalesce("losses", F.lit(0)))
+            .cast("long")
+            .alias("copeland"),
+        )
+    )
+
+
+def reward_winsorize(
+    df: DataFrame,
+    reward,
+    id_col: str = "doc_id",
+    lo_q: int = 5,
+    hi_q: int = 95,
+    lo: int = -2048,
+    hi: int = 2047,
+    width: int = 64,
+) -> DataFrame:
+    """Quantile winsorization of a reward column — the RL-data
+    preprocessing step between reward scoring and GRPO/DPO assembly:
+    a mis-calibrated reward model's outlier scores dominate group
+    advantages, so rewards are clipped to the corpus [p_lo, p_hi]
+    BEFORE assembly. The cutoffs come from the mergeable bucket
+    quantile sketch (sketch.bucket_quantile_sketch): deterministic,
+    engine-portable, error < one bucket width by construction —
+    approx_percentile would be neither.
+
+    Rewards are first clamped to [lo, hi] (the classifier-score
+    clamp convention) and shifted non-negative for the sketch's
+    bucket contract; cutoffs are the sketch's bucket lower edges,
+    mapped back to reward units. Columns: (id_col, reward_fp,
+    lo_cut, hi_cut, reward_winsor, clip ∈ {'lo','hi','none'}).
+
+    Scale shape: the sketch is one partial-agg shuffle to a
+    domain/width-sized cell table; the two cutoffs cross-join back
+    broadcast (a 1-row frame); the clip itself is map-only. Two
+    corpus passes total (sketch + clip) — fundamental, the cutoffs
+    are corpus statistics."""
+    from . import sketch as _sketch
+
+    base = df.select(
+        F.col(id_col),
+        F.greatest(
+            F.least(reward.cast("long"), F.lit(hi)), F.lit(lo)
+        ).alias("reward_fp"),
+    )
+    shifted = base.select(
+        id_col, (F.col("reward_fp") - F.lit(lo)).alias("_v")
+    )
+    sk = _sketch.bucket_quantile_sketch(
+        shifted.withColumn("_one", F.lit(1)),
+        "_one",
+        F.col("_v"),
+        width=width,
+        qs=(lo_q, hi_q),
+    )
+    cuts = sk.groupBy().agg(
+        (
+            F.max(F.when(F.col("q") == lo_q, F.col("est_lo")))
+            + F.lit(lo)
+        )
+        .cast("long")
+        .alias("lo_cut"),
+        (
+            F.max(F.when(F.col("q") == hi_q, F.col("est_lo")))
+            + F.lit(lo)
+        )
+        .cast("long")
+        .alias("hi_cut"),
+    )
+    clipped = base.crossJoin(F.broadcast(cuts))
+    return clipped.select(
+        id_col,
+        "reward_fp",
+        "lo_cut",
+        "hi_cut",
+        F.greatest(
+            F.least(F.col("reward_fp"), F.col("hi_cut")), F.col("lo_cut")
+        )
+        .cast("long")
+        .alias("reward_winsor"),
+        F.when(F.col("reward_fp") < F.col("lo_cut"), F.lit("lo"))
+        .when(F.col("reward_fp") > F.col("hi_cut"), F.lit("hi"))
+        .otherwise(F.lit("none"))
+        .alias("clip"),
+    )

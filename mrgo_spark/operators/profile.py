@@ -114,3 +114,43 @@ def corpus_datacard(
         "dup_docs",
         (F.col("n_docs") - F.col("distinct_fingerprints")).cast("long"),
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame, qid_cols: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier column set (Sweeney
+    2002) — the privacy gate a training-data pipeline runs next to
+    pii_scrub: scrubbing removes DIRECT identifiers; this measures
+    re-identification risk from the columns that remain. A row is
+    k-anonymous when at least k−1 other rows share its full
+    quasi-identifier combination; any group smaller than k is a
+    re-identification risk and is flagged (the remediation —
+    generalize a column, suppress the group — is the caller's
+    policy decision, so the audit reports, never drops).
+
+    Per equivalence class: its quasi-identifier values, size,
+    ``at_risk`` (size < k), and ``risk_milli`` = 1000 div size — the
+    standard 1/|class| prosecutor-model re-identification
+    probability, exact. NULL is a legitimate quasi-identifier value
+    (groupBy treats it as its own class — suppressed cells still
+    form a linkable group, so hiding them would understate risk).
+
+    Columns: (*qid_cols, n, at_risk, risk_milli). Shape: ONE
+    partial-agg shuffle to the |classes|-sized frame; everything
+    after is arithmetic on that frame. At 100 TB this is exactly a
+    wordcount over the QI tuple."""
+    if not qid_cols:
+        raise ValueError("k_anonymity_audit: qid_cols must be non-empty")
+    if k < 2:
+        raise ValueError(f"k_anonymity_audit: k must be >= 2, got {k}")
+    return (
+        df.groupBy(*qid_cols)
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            *qid_cols,
+            "n",
+            (F.col("n") < k).alias("at_risk"),
+            F.expr("1000 div n").cast("long").alias("risk_milli"),
+        )
+    )

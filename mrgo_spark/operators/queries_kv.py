@@ -313,3 +313,67 @@ def q_kv_put_history_scd2(spark, sf_dir):
             kv.synth_oplog(load_table(spark, sf_dir, "events"))
         )
     )
+
+
+@declare(
+    "kv_state_diff",
+    _OPLOG
+    + """
+    , cut AS (SELECT (min(seq) + max(seq)) // 2 AS s FROM oplog),
+    ops1 AS (
+        SELECT o.* FROM oplog o, cut
+        WHERE o.op IN ('put','append') AND o.seq <= cut.s),
+    lp1 AS (SELECT key, max(seq) FILTER (WHERE op = 'put') AS last_put
+            FROM ops1 GROUP BY key),
+    s1 AS (SELECT key, string_agg(value, '' ORDER BY seq) AS state
+           FROM ops1 JOIN lp1 USING (key)
+           WHERE seq >= coalesce(last_put, -1)
+           GROUP BY key),
+    ops2 AS (SELECT o.* FROM oplog o WHERE o.op IN ('put','append')),
+    lp2 AS (SELECT key, max(seq) FILTER (WHERE op = 'put') AS last_put
+            FROM ops2 GROUP BY key),
+    s2 AS (SELECT key, string_agg(value, '' ORDER BY seq) AS state
+           FROM ops2 JOIN lp2 USING (key)
+           WHERE seq >= coalesce(last_put, -1)
+           GROUP BY key)
+    SELECT coalesce(s1.key, s2.key) AS key,
+           CASE WHEN s1.key IS NULL THEN 'added'
+                WHEN s2.key IS NULL THEN 'removed'
+                WHEN s1.state = s2.state THEN 'unchanged'
+                ELSE 'changed' END AS verdict,
+           CAST(length(s1.state) AS BIGINT) AS len_before,
+           CAST(length(s2.state) AS BIGINT) AS len_after
+    FROM s1 FULL OUTER JOIN s2 ON s1.key = s2.key
+    """,
+)
+def q_kv_state_diff(spark, sf_dir):
+    """Snapshot diff (r10): the dataset-versioning audit between two
+    point-in-time reads of the same store — state at the log midpoint
+    (the kv_state_at_seq snapshot) vs state at the head — with a
+    per-key verdict added/removed/changed/unchanged and the value
+    lengths on both sides (lengths, not values: a diff report must
+    stay row-bounded even when values grow unbounded). 'removed'
+    is structurally unreachable in this op-log model (no delete op)
+    but belongs to the diff contract — a store with deletes reports
+    it through the same column. Shape: two last-put-prefix folds
+    (each O(live keys)) + one FULL OUTER join on the key — at 100 TB
+    this is two snapshot reads and a key-partitioned join, never a
+    log replay per key.
+
+    Reference anchor: the reconfiguration tests diff shard contents
+    across config changes (reference src/shardkv/test_test.go
+    check()); this is that check as a declarative table→table op."""
+    from pyspark.sql import functions as F
+
+    oplog = kv.dedup_at_most_once(
+        kv.synth_oplog(load_table(spark, sf_dir, "events"))
+    )
+    cut = oplog.agg(
+        F.floor((F.min("seq") + F.max("seq")) / 2).cast("long").alias("_s")
+    )
+    snap = (
+        oplog.crossJoin(F.broadcast(cut))
+        .filter(F.col("seq") <= F.col("_s"))
+        .drop("_s")
+    )
+    return kv.state_diff(kv.fold_state(snap), kv.fold_state(oplog))

@@ -16,7 +16,15 @@ from pyspark.sql import functions as F
 from ..functions.text import ascii_tokens
 from ..registry import declare
 from ..sources.tables import load_table, widen_scan
-from . import dedup, pipeline, retrieval, similarity, sketch, textstats
+from . import (
+    dedup,
+    mlfit,
+    pipeline,
+    retrieval,
+    similarity,
+    sketch,
+    textstats,
+)
 
 # ---------------------------------------------------------------- dedup
 
@@ -5465,11 +5473,12 @@ def q_ngram_diversity(spark, sf_dir):
     return textstats.ngram_diversity(docs)
 
 
-@declare(
-    "classifier_calibration_bins",
-    f"""
-    WITH {_clf_sql_fragments()},
-    km AS (
+# The quality_keep rule as an oracle fragment (one-source rule): the
+# exact km/k CTE pair the calibration entry proved green — kappa and
+# any future judge-vs-judge entry interpolate THIS, never a retyped
+# copy. Text extracted verbatim from the calibration oracle (the
+# refactor was md5-verified byte-identical).
+_QKEEP_SQL = f"""km AS (
         SELECT doc_id,
                len(t) AS n_tokens,
                CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
@@ -5493,7 +5502,14 @@ def q_ngram_diversity(spark, sf_dir):
                 AND mean_word_len BETWEEN 2.0 AND 12.0
                 AND stopword_ratio > 0.0) AS keep
         FROM km
-    ),
+    )"""
+
+
+@declare(
+    "classifier_calibration_bins",
+    f"""
+    WITH {_clf_sql_fragments()},
+    {_QKEEP_SQL},
     b AS (
         SELECT (greatest(least(sc.score, 2047), -2048) + 2048) // 256
                    AS bin_id,
@@ -5564,3 +5580,365 @@ def q_curriculum_order(spark, sf_dir):
     return pipeline.curriculum_order(scored, level).select(
         "doc_id", "level", "curriculum_pos"
     )
+
+
+# ------------------------------------------------- r10 session-3 ops
+
+
+@declare(
+    "judge_agreement_kappa",
+    f"""
+    WITH {_clf_sql_fragments()},
+    {_QKEEP_SQL},
+    j AS (
+        SELECT CAST(sc.doc_id % 8 AS BIGINT) AS grp,
+               sc.score >= 0 AS j1, k.keep AS j2
+        FROM sc JOIN k USING (doc_id)),
+    g AS (
+        SELECT grp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN j1 AND j2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_both_pos,
+               CAST(sum(CASE WHEN NOT j1 AND NOT j2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_both_neg,
+               CAST(sum(CASE WHEN j1 AND NOT j2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_j1_only,
+               CAST(sum(CASE WHEN NOT j1 AND j2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_j2_only
+        FROM j GROUP BY grp),
+    e AS (
+        SELECT *,
+               (n_both_pos + n_j1_only) * (n_both_pos + n_j2_only)
+               + (n - (n_both_pos + n_j1_only))
+                 * (n - (n_both_pos + n_j2_only)) AS pe_num,
+               n_both_pos + n_both_neg AS agree
+        FROM g)
+    SELECT grp, n, n_both_pos, n_both_neg, n_j1_only, n_j2_only,
+           CAST((1000 * agree) // n AS BIGINT) AS po_milli,
+           CAST((1000 * pe_num) // (n * n) AS BIGINT) AS pe_milli,
+           CAST(CASE WHEN n * n = pe_num THEN NULL
+                     ELSE (1000 * (n * agree - pe_num))
+                          // (n * n - pe_num) END AS BIGINT)
+             AS kappa_milli
+    FROM e
+    """,
+)
+def q_judge_agreement_kappa(spark, sf_dir):
+    """Judge-agreement audit (r10, mlfit.cohen_kappa_agreement):
+    Cohen's kappa between the LEARNED keep-judge (classifier score
+    ≥ 0) and the HEURISTIC keep-judge (the corpus quality rule), per
+    doc_id%8 cohort — the chance-corrected complement of
+    classifier_calibration_bins (keep rates say the judges keep
+    similar fractions; kappa says whether they keep the SAME docs).
+    Every term is rational so kappa_milli replays exactly; a cohort
+    where both judges are constant and unanimous (pe = 1) reports
+    NULL, never a fake 0; one constant judge reports an exact 0.
+    Map-only flags + one shuffle to 8 rows. widen_scan: the
+    classifier fold + keep fold are the interpreted-HOF class (the
+    PQ lesson)."""
+    docs = widen_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).withColumn("grp", (F.col("doc_id") % 8).cast("long"))
+    return mlfit.cohen_kappa_agreement(
+        docs,
+        "grp",
+        textstats.classifier_score_col("text") >= 0,
+        textstats.quality_keep("text"),
+    )
+
+
+@declare(
+    "rouge_f_eval",
+    f"""
+    WITH tl AS MATERIALIZED (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t
+        FROM documents),
+    pr AS MATERIALIZED (
+        SELECT a.doc_id AS pair_id, a.t AS ct, b.t AS rt
+        FROM tl a JOIN tl b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 10 = 0),
+    cg AS (
+        SELECT pair_id, 1 AS n, unnest(ct) AS g FROM pr
+        UNION ALL
+        SELECT pair_id, 2 AS n,
+               unnest([ct[i] || ' ' || ct[i + 1]
+                       for i in generate_series(1, len(ct) - 1)]) AS g
+        FROM pr WHERE len(ct) >= 2),
+    rg AS (
+        SELECT pair_id, 1 AS n, unnest(rt) AS g FROM pr
+        UNION ALL
+        SELECT pair_id, 2 AS n,
+               unnest([rt[i] || ' ' || rt[i + 1]
+                       for i in generate_series(1, len(rt) - 1)]) AS g
+        FROM pr WHERE len(rt) >= 2),
+    cc AS (SELECT pair_id, n, g, CAST(count(*) AS BIGINT) AS c
+           FROM cg GROUP BY 1, 2, 3),
+    rc AS MATERIALIZED (
+        SELECT pair_id, n, g, CAST(count(*) AS BIGINT) AS r
+        FROM rg GROUP BY 1, 2, 3),
+    rt_tot AS (SELECT pair_id, n, CAST(sum(r) AS BIGINT) AS total_ref
+               FROM rc GROUP BY 1, 2),
+    m AS (
+        SELECT cc.pair_id, cc.n,
+               CAST(sum(least(cc.c, coalesce(rc.r, 0))) AS BIGINT)
+                 AS matched,
+               CAST(sum(cc.c) AS BIGINT) AS total_cand
+        FROM cc LEFT JOIN rc
+          ON cc.pair_id = rc.pair_id AND cc.n = rc.n AND cc.g = rc.g
+        GROUP BY 1, 2),
+    base AS (SELECT pair_id, unnest([1, 2]) AS n FROM pr)
+    SELECT b.pair_id, CAST(b.n AS INT) AS n,
+           CAST(coalesce(m.matched, 0) AS BIGINT) AS matched,
+           CAST(coalesce(m.total_cand, 0) AS BIGINT) AS total_cand,
+           CAST(coalesce(rt.total_ref, 0) AS BIGINT) AS total_ref,
+           CAST(CASE WHEN coalesce(m.total_cand, 0) = 0 THEN 0
+                     ELSE ({textstats.NGRAM_PREC_SCALE}
+                           * coalesce(m.matched, 0))
+                          // m.total_cand END AS BIGINT) AS precision_fp,
+           CAST(CASE WHEN coalesce(rt.total_ref, 0) = 0 THEN 0
+                     ELSE ({textstats.NGRAM_PREC_SCALE}
+                           * coalesce(m.matched, 0))
+                          // rt.total_ref END AS BIGINT) AS recall_fp,
+           CAST(CASE WHEN coalesce(m.total_cand, 0)
+                          + coalesce(rt.total_ref, 0) = 0 THEN 0
+                     ELSE (2 * {textstats.NGRAM_PREC_SCALE}
+                           * coalesce(m.matched, 0))
+                          // (coalesce(m.total_cand, 0)
+                              + coalesce(rt.total_ref, 0))
+                END AS BIGINT) AS f1_fp
+    FROM base b
+    LEFT JOIN m ON b.pair_id = m.pair_id AND b.n = m.n
+    LEFT JOIN rt_tot rt ON b.pair_id = rt.pair_id AND b.n = rt.n
+    """,
+)
+def q_rouge_f_eval(spark, sf_dir):
+    """Generation-eval, recall side (r10, textstats.ngram_f_eval):
+    ROUGE-N-style clipped recall (Lin 2004) + the exact-rational F1
+    over the SAME fixture pair set as ngram_precision_eval (every
+    doc_id%10==0 doc against its successor). The clipped match count
+    is symmetric, so precision/recall/F1 share one count table; F1 =
+    2m/(tc+tr) algebraically, so no float P/R intermediate exists to
+    diverge. Completes the generation-eval family: precision (BLEU
+    core, gate-windowed), recall + F1 (this entry), diversity
+    (distinct-n)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("pair_id"), F.col("text").alias("cand_text")
+    )
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("pair_id"),
+        F.col("text").alias("ref_text"),
+    )
+    pairs = a.join(b, "pair_id")
+    return textstats.ngram_f_eval(pairs, max_n=2)
+
+
+_COPELAND_BASE_SQL = f"""
+    cbase AS MATERIALIZED (
+        SELECT CAST(doc_id % 64 AS BIGINT) AS g,
+               CAST((doc_id // 64) % 4 AS BIGINT) AS s,
+               CAST({_CLF_BIAS} + coalesce(list_sum([list_extract(
+                   {_CLF_W_LIST_SQL},
+                   CAST((CAST(concat('0x', substr(md5(x), 1, 4)) AS BIGINT)
+                         % {_CLF_DIM}) + 1 AS INT))
+                   for x in list_filter(
+                       string_split_regex(lower(text), '[^a-z]+'),
+                       x -> x <> '')]), 0) AS BIGINT) AS r
+        FROM documents)"""
+
+
+@declare(
+    "copeland_system_ranking",
+    f"""
+    WITH {_COPELAND_BASE_SQL},
+    best AS MATERIALIZED (
+        SELECT g, s, max(r) AS b FROM cbase GROUP BY 1, 2),
+    pr AS MATERIALIZED (
+        SELECT a.s AS sa, b.s AS sb, a.b AS ba, b.b AS bb
+        FROM best a JOIN best b ON a.g = b.g AND a.s < b.s),
+    credits AS (
+        SELECT sa AS sys,
+               CASE WHEN ba > bb THEN 1 ELSE 0 END AS win,
+               CASE WHEN ba < bb THEN 1 ELSE 0 END AS loss,
+               CASE WHEN ba = bb THEN 1 ELSE 0 END AS tie
+        FROM pr
+        UNION ALL
+        SELECT sb,
+               CASE WHEN bb > ba THEN 1 ELSE 0 END,
+               CASE WHEN bb < ba THEN 1 ELSE 0 END,
+               CASE WHEN ba = bb THEN 1 ELSE 0 END
+        FROM pr),
+    pres AS (SELECT s AS sys, CAST(count(*) AS BIGINT) AS n_prompts
+             FROM best GROUP BY 1),
+    agg AS (SELECT sys, CAST(count(*) AS BIGINT) AS n_comparisons,
+                   CAST(sum(win) AS BIGINT) AS wins,
+                   CAST(sum(loss) AS BIGINT) AS losses,
+                   CAST(sum(tie) AS BIGINT) AS ties
+            FROM credits GROUP BY 1)
+    SELECT p.sys AS system_id, p.n_prompts,
+           CAST(coalesce(a.n_comparisons, 0) AS BIGINT) AS n_comparisons,
+           CAST(coalesce(a.wins, 0) AS BIGINT) AS wins,
+           CAST(coalesce(a.losses, 0) AS BIGINT) AS losses,
+           CAST(coalesce(a.ties, 0) AS BIGINT) AS ties,
+           CAST(coalesce(a.wins, 0) - coalesce(a.losses, 0) AS BIGINT)
+             AS copeland
+    FROM pres p LEFT JOIN agg a ON p.sys = a.sys
+    """,
+)
+def q_copeland_system_ranking(spark, sf_dir):
+    """Arena-style system leaderboard (r10,
+    pipeline.copeland_system_ranking): prompt groups = doc_id%64,
+    systems = (doc_id div 64)%4, reward = the hashed-classifier
+    score; each system enters its best-of-n sample per prompt and
+    Copeland score = pairwise wins − losses over all prompts. The
+    ranking step downstream of the RL-data family (GRPO ranks
+    samples within a prompt; this ranks the SYSTEMS across prompts)
+    — Copeland because it is the exact-integer member of the
+    pairwise-ranking family (Elo needs exp, Bradley-Terry iterates
+    float divisions). widen_scan for the classifier HOF fold."""
+    docs = widen_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select(
+        "text",
+        (F.col("doc_id") % 64).cast("long").alias("group_id"),
+        F.expr("cast((doc_id div 64) % 4 as long)").alias("system_id"),
+    )
+    return pipeline.copeland_system_ranking(
+        docs, textstats.classifier_score_col("text")
+    )
+
+
+@declare(
+    "reward_winsorize_docs",
+    f"""
+    WITH {_clf_sql_fragments()},
+    rb AS MATERIALIZED (
+        SELECT doc_id, greatest(least(score, 2047), -2048) AS rf
+        FROM sc),
+    cells AS (
+        SELECT (rf + 2048) // 64 AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM rb GROUP BY 1),
+    cum AS (
+        SELECT bucket, cnt,
+               sum(cnt) OVER (ORDER BY bucket
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+        FROM cells),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cells),
+    tgt AS (SELECT q, CAST((q * n + 99) // 100 AS BIGINT) AS rank_target
+            FROM tot, (SELECT unnest([5, 95]) AS q) qs),
+    hit AS (SELECT t.q, min(c.bucket) AS bucket
+            FROM tgt t JOIN cum c ON c.cum >= t.rank_target
+            GROUP BY 1),
+    cuts AS (SELECT
+        CAST(max(CASE WHEN q = 5 THEN bucket * 64 END) - 2048
+             AS BIGINT) AS lo_cut,
+        CAST(max(CASE WHEN q = 95 THEN bucket * 64 END) - 2048
+             AS BIGINT) AS hi_cut
+      FROM hit)
+    SELECT rb.doc_id, CAST(rb.rf AS BIGINT) AS reward_fp,
+           c.lo_cut, c.hi_cut,
+           CAST(greatest(least(rb.rf, c.hi_cut), c.lo_cut) AS BIGINT)
+             AS reward_winsor,
+           CASE WHEN rb.rf < c.lo_cut THEN 'lo'
+                WHEN rb.rf > c.hi_cut THEN 'hi'
+                ELSE 'none' END AS clip
+    FROM rb, cuts c
+    """,
+)
+def q_reward_winsorize(spark, sf_dir):
+    """Reward winsorization (r10, pipeline.reward_winsorize): the
+    classifier reward clipped to the corpus [p5, p95] from the
+    mergeable bucket-quantile sketch (width 64 over the clamped
+    [-2048, 2047] domain) — the outlier-taming step between reward
+    scoring and GRPO/DPO assembly. Cutoffs are sketch bucket edges
+    (error < one width, deterministic); the clip is map-only under a
+    broadcast 1-row cutoff frame. widen_scan for the classifier HOF
+    fold; shift-non-negative makes truncating division floor
+    division (the calibration-bins dodge)."""
+    docs = widen_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return pipeline.reward_winsorize(
+        docs,
+        textstats.classifier_score_col("text"),
+        id_col="doc_id",
+        lo_q=5,
+        hi_q=95,
+        lo=-2048,
+        hi=2047,
+        width=64,
+    )
+
+
+@declare(
+    "margin_bitext_mine",
+    f"""
+    WITH {_FX_NORMS_SQL_MAT},
+    fwd AS MATERIALIZED (
+        SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+               CAST(floor(({_FX_DOT_SQL}
+                           / (sqrt(a.norm_fx) * sqrt(b.norm_fx)))
+                          * 1000000) AS BIGINT) AS cos_fx,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_FX_DOT_SQL}
+                            / (sqrt(a.norm_fx) * sqrt(b.norm_fx)) DESC,
+                            b.vec_id) AS rnk
+        FROM norms a JOIN norms b ON b.vec_id % 2 = 1
+        WHERE a.vec_id % 20 = 0),
+    fk AS MATERIALIZED (SELECT * FROM fwd WHERE rnk <= 4),
+    fsum AS (SELECT src_id, CAST(sum(cos_fx) AS BIGINT) AS sum_fwd_fx
+             FROM fk GROUP BY 1),
+    best AS MATERIALIZED (
+        SELECT src_id, tgt_id, cos_fx FROM fk WHERE rnk = 1),
+    cand AS (SELECT DISTINCT tgt_id FROM best),
+    bq AS MATERIALIZED (
+        SELECT n.vec_id, n.embedding, n.norm_fx
+        FROM norms n JOIN cand c ON n.vec_id = c.tgt_id),
+    bwd AS MATERIALIZED (
+        SELECT a.vec_id AS tgt_id, b.vec_id AS nb,
+               CAST(floor(({_FX_DOT_SQL}
+                           / (sqrt(a.norm_fx) * sqrt(b.norm_fx)))
+                          * 1000000) AS BIGINT) AS cos_fx,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_FX_DOT_SQL}
+                            / (sqrt(a.norm_fx) * sqrt(b.norm_fx)) DESC,
+                            b.vec_id) AS rnk
+        FROM bq a JOIN norms b ON b.vec_id % 2 = 0),
+    bstats AS (
+        SELECT tgt_id, CAST(sum(cos_fx) AS BIGINT) AS sum_bwd_fx,
+               CAST(min(CASE WHEN rnk = 1 THEN nb END) AS BIGINT)
+                 AS bwd_best
+        FROM bwd WHERE rnk <= 4 GROUP BY 1)
+    SELECT best.src_id, best.tgt_id, best.cos_fx,
+           f.sum_fwd_fx, s.sum_bwd_fx,
+           CAST(CASE WHEN f.sum_fwd_fx + s.sum_bwd_fx = 0 THEN NULL
+                     ELSE (1000 * 8 * best.cos_fx)
+                          // (f.sum_fwd_fx + s.sum_bwd_fx)
+                END AS BIGINT) AS margin_milli,
+           s.bwd_best = best.src_id AS mutual_best
+    FROM best
+    JOIN fsum f USING (src_id)
+    JOIN bstats s USING (tgt_id)
+    """,
+)
+def q_margin_bitext_mine(spark, sf_dir):
+    """Margin-based bitext mining (r10, similarity.margin_bitext_mine;
+    Artetxe & Schwenk 2019 / CCMatrix): even vec_ids play the source
+    language, odd the target; every 20th source vector queries its
+    best target candidate, scored by the ratio margin over both
+    endpoints' 4-NN neighborhoods plus the mutual-best flag — the
+    parallel-corpus mining step of a multilingual pipeline. Exact
+    legs (two bounded-query kNN passes, corpus-linear each); the
+    100 TB path swaps them for the IMI-pruned kernel exactly as
+    rrf_hybrid_served's semantic leg does."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = src.filter(F.col("vec_id") % 20 == 0)
+    return similarity.margin_bitext_mine(queries, src, tgt, k=4)

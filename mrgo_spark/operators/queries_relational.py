@@ -2174,3 +2174,42 @@ def q_degree_assortativity_copurchase(spark, sf_dir):
     return mlfit.corr_pairs_exact(
         pts, "g", {"dx": "dx", "dy": "dy"}
     )
+
+
+@declare(
+    "k_anonymity_customer",
+    """
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           c_mktsegment,
+           CAST(CAST(round(c_acctbal * 100) AS BIGINT) // 200000
+                AS BIGINT) AS acct_band,
+           CAST(count(*) AS BIGINT) AS n,
+           count(*) < 5 AS at_risk,
+           CAST(1000 // count(*) AS BIGINT) AS risk_milli
+    FROM customer
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_k_anonymity_customer(spark, sf_dir):
+    """Privacy audit (r10, profile.k_anonymity_audit): k-anonymity
+    over the customer quasi-identifier set (nation, market segment,
+    $2000 account-balance band) at k=5 — the re-identification-risk
+    gate next to pii_scrub in a compliance pipeline (scrubbing kills
+    direct identifiers; this measures what the REMAINING columns
+    leak). risk_milli = the exact 1/|class| prosecutor-model
+    probability. Balance cents are integers so the band's truncating
+    division replays exactly on the few negative-balance rows (both
+    engines truncate toward zero). One wordcount-shaped shuffle."""
+    from . import profile as profile_ops
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "c_mktsegment",
+        F.expr(
+            "cast(cast(round(c_acctbal * 100) as bigint) div 200000"
+            " as bigint)"
+        ).alias("acct_band"),
+    )
+    return profile_ops.k_anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment", "acct_band"], k=5
+    )

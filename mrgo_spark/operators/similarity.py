@@ -2117,3 +2117,119 @@ def pq_topk_adc_join(
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
     return _pq_topk_window(scored, topk)
+
+
+def margin_bitext_mine(
+    src_queries: DataFrame,
+    src_corpus: DataFrame,
+    tgt_corpus: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019; the
+    CCMatrix/LASER alignment-mining step): for each source query x,
+    its best target candidate y = argmax cos(x, ·), scored by the
+    RATIO margin
+
+        margin(x, y) = 2k·cos(x, y) / (Σ_{z∈NNk(x)} cos(x, z)
+                                       + Σ_{w∈NNk(y)} cos(y, w))
+
+    — raw cosine over-selects hub vectors whose neighborhood is
+    uniformly close; dividing by the average neighborhood similarity
+    of BOTH endpoints (forward kNN in target space, backward kNN in
+    source space) is what makes mined pairs precision-usable. The
+    mutual-best flag (y's nearest source is x) is the other standard
+    filter and is emitted alongside.
+
+    Exact surface: per-neighbor cosines are floor-scaled to integers
+    (floor(cos·10⁶) — floor, not round: banker's-vs-half-up rounding
+    is the one nondeterminism in the chain), so the kNN sums are
+    exact integer sums of deterministic values and
+
+        margin_milli = (1000·2k·cos_fx(x,y)) div (sum_fwd + sum_bwd)
+
+    replays bit-for-bit (both engines' integer division truncates).
+    A zero denominator (pathological all-orthogonal neighborhoods)
+    emits NULL margin, never a division error.
+
+    ``src_queries`` is the bounded query set (the contract every
+    serving-shaped entry follows); ``src_corpus``/``tgt_corpus`` are
+    the full sides. Id spaces of the two sides must be disjoint (the
+    kNN legs exclude same-id pairs, which must never fire across
+    sides). Columns: (src_id, tgt_id, cos_fx, sum_fwd_fx, sum_bwd_fx,
+    margin_milli, mutual_best).
+
+    Scale shape: two exact-kNN legs (queries×|tgt| and
+    candidates×|src| — candidates ≤ queries, so both are
+    corpus-LINEAR for a fixed query budget), one broadcast join to
+    stitch them. At 100 TB both legs swap for the IMI-pruned kernel
+    (topk_cosine_imi, n_probe=K parity-pinned) exactly as
+    rrf_hybrid_served does for its semantic leg; the exact legs here
+    are the oracle-checkable spec."""
+    # The fwd top-k frame feeds THREE consumers with different
+    # projections (per-query sums, the rank-1 best, the candidate
+    # list) — without the lineage cut Catalyst re-runs the
+    # corpus-sized scoring join per consumer (the
+    # no-exchange-reuse-across-projections class, the retrieval.py
+    # tf/dl lesson). The frame is queries×k rows: checkpoint is free.
+    fwd = (
+        topk_cosine_exact(
+            tgt_corpus, src_queries, k=k, id_col=id_col, vec_col=vec_col
+        )
+        .withColumn("cos_fx", F.floor(F.col("score") * FX).cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    fwd_sum = fwd.groupBy("query_id").agg(
+        F.sum("cos_fx").cast("long").alias("sum_fwd_fx")
+    )
+    best = (
+        fwd.filter(F.col("rank") == 1)
+        .select(
+            F.col("query_id").alias("src_id"),
+            F.col("neighbor_id").alias("tgt_id"),
+            F.col("cos_fx"),
+        )
+        .join(
+            fwd_sum.withColumnRenamed("query_id", "src_id"), "src_id"
+        )
+    )
+    cand = (
+        best.select(F.col("tgt_id").alias(id_col))
+        .distinct()
+        .join(tgt_corpus.select(id_col, vec_col), id_col)
+    )
+    bwd = topk_cosine_exact(
+        src_corpus, cand, k=k, id_col=id_col, vec_col=vec_col
+    ).withColumn(
+        "cos_fx", F.floor(F.col("score") * FX).cast("long")
+    )
+    bwd_stats = bwd.groupBy("query_id").agg(
+        F.sum("cos_fx").cast("long").alias("sum_bwd_fx"),
+        F.min(
+            F.when(F.col("rank") == 1, F.col("neighbor_id"))
+        ).alias("_bwd_best"),
+    )
+    joined = best.join(
+        F.broadcast(
+            bwd_stats.withColumnRenamed("query_id", "tgt_id")
+        ),
+        "tgt_id",
+    )
+    den = F.col("sum_fwd_fx") + F.col("sum_bwd_fx")
+    return joined.select(
+        "src_id",
+        "tgt_id",
+        "cos_fx",
+        "sum_fwd_fx",
+        "sum_bwd_fx",
+        F.when(den == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.expr(
+                f"cast((1000 * {2 * k} * cos_fx)"
+                " div (sum_fwd_fx + sum_bwd_fx) as bigint)"
+            )
+        )
+        .alias("margin_milli"),
+        (F.col("_bwd_best") == F.col("src_id")).alias("mutual_best"),
+    )

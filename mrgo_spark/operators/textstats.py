@@ -1106,6 +1106,54 @@ def ngram_precision_eval(
     over the token frame, one gram-keyed LEFT join, one pair-keyed
     agg — everything pairs×length-sized, nothing corpus².
     Columns: (pair_id, n, matched, total, precision_fp)."""
+    full = ngram_f_eval(
+        pairs,
+        max_n=max_n,
+        id_col=id_col,
+        cand_col=cand_col,
+        ref_col=ref_col,
+    )
+    return full.select(
+        "pair_id",
+        "n",
+        "matched",
+        F.col("total_cand").alias("total"),
+        "precision_fp",
+    )
+
+
+def ngram_f_eval(
+    pairs: DataFrame,
+    max_n: int = 2,
+    id_col: str = "pair_id",
+    cand_col: str = "cand_text",
+    ref_col: str = "ref_text",
+) -> DataFrame:
+    """Full clipped n-gram overlap eval: BLEU-style precision, plus
+    ROUGE-N-style recall (Lin 2004) and the exact-rational F1 — the
+    recall side ngram_precision_eval deliberately deferred.
+
+    The clipped match count m = Σ_gram min(count_cand, count_ref) is
+    SYMMETRIC, so one count table serves all three metrics:
+
+    - ``precision_fp`` = SCALE·m div total_cand (BLEU-N core),
+    - ``recall_fp``    = SCALE·m div total_ref  (ROUGE-N core),
+    - ``f1_fp``        = SCALE·2·m div (total_cand + total_ref) —
+      exact because F1 = 2PR/(P+R) algebraically reduces to
+      2m/(tc+tr); no float P/R intermediate is ever formed.
+
+    Each metric emits 0 when its denominator is 0. Identical texts
+    score exactly SCALE on all three at every n (pinned in tests).
+
+    Shape: identical to ngram_precision_eval (which is now a
+    projection of this) — the pair tokenization is checkpointed ONCE
+    for the 2-sides × max_n gram consumers, everything downstream is
+    pairs×length-sized. The only additions are a per-(pair, n)
+    reference-total agg (total_ref must come from the ref side alone:
+    the clipped LEFT join never sees reference grams absent from the
+    candidate) and two more integer divisions in the projection.
+    Columns: (pair_id, n, matched, total_cand, total_ref,
+    precision_fp, recall_fp, f1_fp)."""
     pt = pairs.select(
         F.col(id_col).alias("pair_id"),
         ascii_tokens(cand_col, lowercase=True).alias("_ct"),
@@ -1133,6 +1181,9 @@ def ngram_precision_eval(
             .groupBy("pair_id", "g")
             .agg(F.count("*").cast("long").alias("r"))
         )
+        rtot = rg.groupBy("pair_id").agg(
+            F.sum("r").cast("long").alias("total_ref")
+        )
         agg = (
             cg.join(rg, ["pair_id", "g"], "left")
             .groupBy("pair_id")
@@ -1142,25 +1193,57 @@ def ngram_precision_eval(
                 )
                 .cast("long")
                 .alias("matched"),
-                F.sum("c").cast("long").alias("total"),
+                F.sum("c").cast("long").alias("total_cand"),
             )
+            .join(rtot, "pair_id", "full")
             .withColumn("n", F.lit(n))
         )
-        parts.append(agg.select("pair_id", "n", "matched", "total"))
+        parts.append(
+            agg.select("pair_id", "n", "matched", "total_cand", "total_ref")
+        )
     allp = parts[0]
     for p in parts[1:]:
         allp = allp.unionAll(p)
+    s = NGRAM_PREC_SCALE
     return base.join(allp, ["pair_id", "n"], "left").select(
         "pair_id",
         F.col("n").cast("int").alias("n"),
         F.coalesce("matched", F.lit(0)).cast("long").alias("matched"),
-        F.coalesce("total", F.lit(0)).cast("long").alias("total"),
-        F.when(F.coalesce("total", F.lit(0)) == 0, F.lit(0))
+        F.coalesce("total_cand", F.lit(0)).cast("long").alias("total_cand"),
+        F.coalesce("total_ref", F.lit(0)).cast("long").alias("total_ref"),
+        F.when(F.coalesce("total_cand", F.lit(0)) == 0, F.lit(0))
         .otherwise(
-            F.expr(f"cast(({NGRAM_PREC_SCALE} * matched) div total as bigint)")
+            F.expr(
+                f"cast(({s} * coalesce(matched, 0))"
+                " div total_cand as bigint)"
+            )
         )
         .cast("long")
         .alias("precision_fp"),
+        F.when(F.coalesce("total_ref", F.lit(0)) == 0, F.lit(0))
+        .otherwise(
+            F.expr(
+                f"cast(({s} * coalesce(matched, 0))"
+                " div total_ref as bigint)"
+            )
+        )
+        .cast("long")
+        .alias("recall_fp"),
+        F.when(
+            F.coalesce("total_cand", F.lit(0))
+            + F.coalesce("total_ref", F.lit(0))
+            == 0,
+            F.lit(0),
+        )
+        .otherwise(
+            F.expr(
+                f"cast((2 * {s} * coalesce(matched, 0)) div"
+                " (coalesce(total_cand, 0) + coalesce(total_ref, 0))"
+                " as bigint)"
+            )
+        )
+        .cast("long")
+        .alias("f1_fp"),
     )
 
 

@@ -122,7 +122,16 @@ PRIORITY = [
     # topk_cosine/pq_codes already exercise in-window.
     # embedding_normalize was driver-green r1-r6 and stays declared +
     # checked just past the window.
-    "topk_cosine", "embedding_near_pairs", "hard_negatives_imi",
+    # r10 session-3 swap: margin_bitext_mine takes
+    # embedding_near_pairs's slot — bitext/alignment mining (ratio
+    # margin over both endpoints' kNN neighborhoods + mutual-best,
+    # Artetxe & Schwenk 2019) is a NEW operator class in the
+    # LLM-pipeline table, while near_pairs' math is subsumed
+    # in-window: topk_cosine runs the same fixed-point cosine kernel
+    # and semantic_dedup's gate form IS the bounded exact near-pair
+    # verify at threshold 0.4. embedding_near_pairs was driver-green
+    # r1-r9 and stays declared + checked just past the window.
+    "topk_cosine", "margin_bitext_mine", "hard_negatives_imi",
     # r6 session-2 swap: bm25_topk_docs takes embedding_centroids's
     # slot — the RETRIEVAL family (BM25 exact-integer ranking, RRF
     # hybrid fusion, hard-negative mining; new this session) had zero

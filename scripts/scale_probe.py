@@ -309,6 +309,23 @@ def main() -> None:
         # partitioned). Expect ~scan growth.
         "grpo_group_advantages",
         "rejection_sample_bestofn",
+        # r10 session 3. margin_bitext_mine's %20 query set grows
+        # with the corpus, so its fwd leg is K²-BY-FIXTURE (the
+        # topk_cosine class — a production run fixes the query
+        # budget); per-pair cost flat is the thing to check. kappa /
+        # copeland / winsorize are classifier-fold scans + tiny aggs
+        # (copeland's best frame is 64×4 at any scale — group count
+        # is a modulus); rouge pairs grow ~K with pair-local work;
+        # the snapshot diff is two kv folds + a key join; k-anonymity
+        # is wordcount-shaped (class count is bounded by the QI
+        # domain — nation×segment×band — so per-class size grows K×).
+        "margin_bitext_mine",
+        "judge_agreement_kappa",
+        "copeland_system_ranking",
+        "reward_winsorize_docs",
+        "rouge_f_eval",
+        "kv_state_diff",
+        "k_anonymity_customer",
     ]
     only = set(sys.argv[3:])
     if only:

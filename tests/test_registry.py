@@ -42,6 +42,11 @@ MUST_BE_GATED = [
     # X2 held 9; the demoted entry stays declared + driver_sim-run)
     "exact_substring_audit",        # X2 exact-substring dedup (r4c)
     "topk_cosine",                  # X3 similarity search
+    # embedding_near_pairs demoted just past the window in r10s3 —
+    # its slot funds margin_bitext_mine (bitext/alignment mining, a
+    # new class; the near-pair kernel stays in-window via topk_cosine
+    # + semantic_dedup's bounded exact verify)
+    "margin_bitext_mine",           # X3 bitext mining (r10s3)
     "pq_codes",                     # X3 quantization (r6: pq_codes is
     #                                 the in-gate quantization rep;
     #                                 embedding_quantize demoted for
