@@ -451,6 +451,12 @@ def main() -> None:
         "rouge_f_eval",
         "kv_state_diff",
         "k_anonymity_customer",
+        # containment verify (bounded candidate join over the shingle
+        # frame — compare ngram_jaccard's shape) + tokenizer fertility
+        # (BPE cache application — order-semantic after
+        # bpe_train_merges, like bpe_doc_token_counts).
+        "ngram_containment_pairs",
+        "bpe_fertility_by_lang",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there

@@ -1369,3 +1369,49 @@ def canonical_by_score(
         "score",
         (F.col(id_col) == rep).alias("keep"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact asymmetric n-gram CONTAINMENT for candidate pairs
+    (Broder 1997's containment, next to ngram_jaccard_pairs's
+    symmetric resemblance): containment_a = |sh_a ∩ sh_b| / |sh_a|.
+    Jaccard misses partial-document duplication — a doc quoted whole
+    inside a larger page scores jaccard ≈ |A|/|B| (small) but
+    containment_a = 1.0 — and partial dups are the common case in
+    scraped corpora (boilerplate wrappers, quote-reply chains,
+    truncated mirrors). Both directions are emitted: max tells you
+    THAT one side is contained, the argmax tells you WHICH side is
+    the fragment (the side to drop).
+
+    Like the jaccard verifier this joins shingle sets onto a small
+    candidate list (LSH/fingerprint survivors at scale, never the
+    corpus square); the set sizes and intersection are exact integers
+    and ride along. Columns: (id_a, id_b, inter_size, size_a, size_b,
+    containment_a, containment_b)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
+    )
+    out = (
+        candidates.join(
+            sh.withColumnRenamed("sh", "sh_a"), F.col("id_a") == F.col("id")
+        )
+        .drop("id")
+        .join(sh.withColumnRenamed("sh", "sh_b"), F.col("id_b") == F.col("id"))
+        .drop("id")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    return out.select(
+        "id_a",
+        "id_b",
+        inter.alias("inter_size"),
+        F.size("sh_a").cast("long").alias("size_a"),
+        F.size("sh_b").cast("long").alias("size_b"),
+        (inter.cast("double") / F.size("sh_a")).alias("containment_a"),
+        (inter.cast("double") / F.size("sh_b")).alias("containment_b"),
+    )

@@ -5936,9 +5936,118 @@ def q_margin_bitext_mine(spark, sf_dir):
     parallel-corpus mining step of a multilingual pipeline. Exact
     legs (two bounded-query kNN passes, corpus-linear each); the
     100 TB path swaps them for the IMI-pruned kernel exactly as
-    rrf_hybrid_served's semantic leg does."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    rrf_hybrid_served's semantic leg does. widen_scan: the per-pair
+    64-dim fixed-point folds are the interpreted-HOF class (the PQ
+    lesson — the single-row-group fixture serialized the fwd leg
+    onto one task, measured 6.98 s vs ~1 s widened at sf0.1)."""
+    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
     src = emb.filter(F.col("vec_id") % 2 == 0)
     tgt = emb.filter(F.col("vec_id") % 2 == 1)
     queries = src.filter(F.col("vec_id") % 20 == 0)
     return similarity.margin_bitext_mine(queries, src, tgt, k=4)
+
+
+@declare(
+    "ngram_containment_pairs",
+    """
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t
+        FROM documents),
+    tk AS MATERIALIZED (
+        SELECT doc_id, t FROM tok
+        UNION ALL
+        SELECT doc_id + 300000, t[1:(len(t)+1)//2]
+        FROM tok WHERE doc_id % 10 = 0),
+    sh AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                        for i in generate_series(1, len(t)-2)])
+                    ELSE [array_to_string(t, ' ')] END AS s
+        FROM tk),
+    pairs AS (
+        SELECT doc_id + 300000 AS id_a, doc_id AS id_b
+        FROM documents WHERE doc_id % 10 = 0)
+    SELECT p.id_a, p.id_b,
+           CAST(len(list_filter(a.s, x -> list_contains(b.s, x)))
+                AS BIGINT) AS inter_size,
+           CAST(len(a.s) AS BIGINT) AS size_a,
+           CAST(len(b.s) AS BIGINT) AS size_b,
+           CAST(len(list_filter(a.s, x -> list_contains(b.s, x)))
+                AS DOUBLE) / len(a.s) AS containment_a,
+           CAST(len(list_filter(a.s, x -> list_contains(b.s, x)))
+                AS DOUBLE) / len(b.s) AS containment_b
+    FROM pairs p JOIN sh a ON a.doc_id = p.id_a
+                 JOIN sh b ON b.doc_id = p.id_b
+    """,
+)
+def q_ngram_containment(spark, sf_dir):
+    """Asymmetric containment verification (r10,
+    dedup.containment_pairs; Broder 1997): each doc_id%10==0 doc is
+    paired with a synthesized HALF-TRUNCATED copy (id+300000, first
+    ⌈n/2⌉ tokens) — the partial-duplication case symmetric Jaccard
+    under-scores (the fragment's containment is ~1.0 while jaccard
+    sits near |A|/|B|). The fragment side is id_a, so containment_a
+    ≈ 1.0 identifies the side to drop. Same serving shape as the
+    jaccard verifier: shingle sets joined onto a bounded candidate
+    list (LSH survivors at scale, never the corpus square)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = ascii_tokens("text", lowercase=True)
+    half = F.slice(t, F.lit(1), ((F.size(t) + 1) / 2).cast("int"))
+    trunc = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.array_join(half, " ").alias("text"),
+    )
+    corpus = docs.unionAll(trunc)
+    cands = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 300000).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+    )
+    return dedup.containment_pairs(corpus, cands)
+
+
+@declare(
+    "bpe_fertility_by_lang",
+    _bpe_cte(_BPE_ROUNDS)
+    + f""",
+    dt AS (
+        SELECT lang,
+               unnest(list_filter(string_split_regex(lower(text),
+                   '[^a-z]+'), x -> x <> '')) AS w
+        FROM documents),
+    vols AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+             FROM documents GROUP BY 1),
+    agg AS (
+        SELECT d.lang,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(len(string_split(wr.sym, '  '))) AS BIGINT)
+                 AS n_tokens
+        FROM dt d JOIN w{_BPE_ROUNDS} wr ON d.w = wr.w
+        GROUP BY 1)
+    SELECT v.lang, v.n_docs,
+           CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN coalesce(a.n_words, 0) = 0 THEN NULL
+                     ELSE (1000 * a.n_tokens) // a.n_words END AS BIGINT)
+             AS fertility_milli
+    FROM vols v LEFT JOIN agg a ON v.lang = a.lang
+    """,
+)
+def q_bpe_fertility_by_lang(spark, sf_dir):
+    """Tokenizer-equity audit (r10, textstats.bpe_fertility_by_lang):
+    tokens per word by language under the trained BPE merges —
+    fertility is THE multilingual tokenizer metric (a vocab trained
+    on one language fragments the rest; 2-3x fertility on a language
+    inflates its compute cost and starves its effective context).
+    Serves from the session BPE cache (one 6-round training feeds
+    all four bpe_* entries); the oracle replays training +
+    application + the language rollup in one unrolled statement.
+    Zero-word languages report NULL fertility (the kappa
+    convention), with their doc volume still visible."""
+    _, words = _bpe_learned(spark, sf_dir, _BPE_ROUNDS)
+    docs = widen_scan(
+        load_table(spark, sf_dir, "documents").select("lang", "text")
+    )
+    return textstats.bpe_fertility_by_lang(docs, words)

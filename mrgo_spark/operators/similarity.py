@@ -2194,10 +2194,13 @@ def margin_bitext_mine(
             fwd_sum.withColumnRenamed("query_id", "src_id"), "src_id"
         )
     )
-    cand = (
-        best.select(F.col("tgt_id").alias(id_col))
-        .distinct()
-        .join(tgt_corpus.select(id_col, vec_col), id_col)
+    # broadcast the ≤|queries| candidate list into the corpus scan —
+    # the static plan otherwise picks SMJ and shuffles the corpus side
+    cand = tgt_corpus.select(id_col, vec_col).join(
+        F.broadcast(
+            best.select(F.col("tgt_id").alias(id_col)).distinct()
+        ),
+        id_col,
     )
     bwd = topk_cosine_exact(
         src_corpus, cand, k=k, id_col=id_col, vec_col=vec_col

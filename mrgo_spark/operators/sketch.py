@@ -340,7 +340,15 @@ def bucket_quantile_sketch(
     Caller contract: value must be a non-negative integer column
     (div floors; negative values would straddle bucket 0 — pre-shift
     them)."""
-    cells = quantile_cells(df, group_col, value, width)
+    # cells feeds two consumers (cumsum + totals) with different
+    # projections — without the lineage cut the corpus-sized agg
+    # upstream re-runs per consumer (the
+    # no-exchange-reuse-across-projections class; found by the r10
+    # winsorize plan audit, where each re-run carried the interpreted
+    # classifier fold). The frame is domain/width cells: free to cut.
+    cells = quantile_cells(df, group_col, value, width).localCheckpoint(
+        eager=False
+    )
     w = (
         Window.partitionBy("grp")
         .orderBy("bucket")

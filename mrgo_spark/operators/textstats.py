@@ -1384,3 +1384,55 @@ def classifier_calibration_bins(
             ),
         )
     )
+
+
+def bpe_fertility_by_lang(
+    documents: DataFrame,
+    words: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language tokenizer FERTILITY under the trained merges —
+    tokens emitted per input word, the standard tokenizer-equity
+    audit (a tokenizer trained on one language fragments the others;
+    fertility 2-3× on a language is a cost AND quality signal a
+    multilingual pipeline checks before committing a vocab). Exact
+    surface: fertility_milli = (1000·n_tokens) div n_words, NULL for
+    a language with zero tokenizable words (never a fake 0 — the
+    kappa convention).
+
+    ``words`` is bpe_learn's final (w, freq, sym) frame. n_docs
+    counts ALL documents of the language (wordless ones included:
+    they are real volume the datacard must not hide) from a separate
+    |langs|-sized agg; the token sums ride the same word-explode +
+    vocab-join shape as bpe_doc_token_counts, re-aggregated at the
+    language grain. Columns: (lang, n_docs, n_words, n_tokens,
+    fertility_milli)."""
+    per_word = words.select(
+        "w", F.size(F.split("sym", "  ")).cast("long").alias("_ntok")
+    )
+    ex = documents.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(ascii_tokens(text_col, lowercase=True)).alias("w"),
+    )
+    agg = (
+        ex.join(F.broadcast(per_word), "w")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("_ntok").cast("long").alias("n_tokens"),
+        )
+    )
+    vols = documents.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    return vols.join(agg, "lang", "left").select(
+        "lang",
+        "n_docs",
+        F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.when(F.coalesce("n_words", F.lit(0)) == 0, F.lit(None))
+        .otherwise(F.expr("cast((1000 * n_tokens) div n_words as bigint)"))
+        .cast("long")
+        .alias("fertility_milli"),
+    )

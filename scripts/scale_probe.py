@@ -326,6 +326,11 @@ def main() -> None:
         "rouge_f_eval",
         "kv_state_diff",
         "k_anonymity_customer",
+        # containment pairs grow ~K (one per %10 doc) with pair-local
+        # set math; fertility rides the bpe-cache application join
+        # (the bpe_doc_token_counts law) re-aggregated to |langs|.
+        "ngram_containment_pairs",
+        "bpe_fertility_by_lang",
     ]
     only = set(sys.argv[3:])
     if only:

@@ -524,3 +524,107 @@ def test_declared_copeland_totals(spark):
     assert {r.system_id for r in rows} <= {0, 1, 2, 3}
     for r in rows:
         assert r.wins + r.losses + r.ties == r.n_comparisons
+
+
+# --------------------------------------------------------- containment
+
+
+def test_containment_pairs_replay(spark):
+    """Planted fragment: a doc's first-half copy has containment_a =
+    1.0 while jaccard is ~0.5 — the case symmetric resemblance
+    under-scores. Full python replay of the shingle-set math."""
+    full = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    frag = " ".join(full.split()[:5])
+    other = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [(1, full), (2, frag), (3, other)], "doc_id long, text string"
+    )
+    cands = spark.createDataFrame(
+        [(2, 1), (3, 1)], "id_a long, id_b long"
+    )
+    from mrgo_spark.operators import dedup
+
+    got = {
+        (r.id_a, r.id_b): (
+            r.inter_size,
+            r.size_a,
+            r.size_b,
+            r.containment_a,
+            r.containment_b,
+        )
+        for r in dedup.containment_pairs(docs, cands).collect()
+    }
+
+    def sh3(s):
+        ts = s.lower().split()
+        if len(ts) >= 3:
+            return {" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)}
+        return {" ".join(ts)}
+
+    texts = {1: full, 2: frag, 3: other}
+    for (a, b), row in got.items():
+        sa, sb = sh3(texts[a]), sh3(texts[b])
+        inter = len(sa & sb)
+        assert row == (
+            inter,
+            len(sa),
+            len(sb),
+            inter / len(sa),
+            inter / len(sb),
+        ), (a, b)
+    # fragment fully contained; jaccard would be inter/union < 1
+    assert got[(2, 1)][3] == 1.0
+    assert got[(2, 1)][4] < 1.0
+    # unrelated doc: zero overlap
+    assert got[(3, 1)][0] == 0
+
+
+def test_declared_containment_pins(spark):
+    """Every declared pair's fragment side is fully contained (the
+    fixture constructs it as a prefix slice), and the full side is
+    never smaller than the fragment."""
+    from mrgo_spark.operators.queries_llm import q_ngram_containment
+
+    rows = q_ngram_containment(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.containment_a == 1.0, r
+        assert r.size_b >= r.size_a, r
+
+
+# ----------------------------------------------------------- fertility
+
+
+def test_bpe_fertility_replay(spark):
+    """Handcrafted vocab + corpus: fertility is the exact integer
+    ratio; a language with no tokenizable words reports NULL with its
+    volume still counted."""
+    from mrgo_spark.operators.textstats import bpe_fertility_by_lang
+
+    words = spark.createDataFrame(
+        [
+            ("hello", 3, "hel  lo"),      # 2 tokens
+            ("world", 2, "w  or  ld"),    # 3 tokens
+            ("hi", 1, "hi"),              # 1 token
+        ],
+        "w string, freq long, sym string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "hello world hello"),
+            (2, "en", "hi"),
+            (3, "fr", "world"),
+            (4, "zz", "1234 !!!"),       # no letters -> no words
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r.lang: (r.n_docs, r.n_words, r.n_tokens, r.fertility_milli)
+        for r in bpe_fertility_by_lang(docs, words).collect()
+    }
+    # en: words hello,world,hello,hi -> tokens 2+3+2+1=8, 4 words
+    assert got["en"] == (2, 4, 8, (1000 * 8) // 4)
+    # fr: world -> 3 tokens / 1 word
+    assert got["fr"] == (1, 1, 3, 3000)
+    # zz: volume visible, fertility NULL
+    assert got["zz"] == (1, 0, 0, None)
