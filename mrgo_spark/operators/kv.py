@@ -528,7 +528,11 @@ def state_diff(before: DataFrame, after: DataFrame) -> DataFrame:
         F.coalesce("_kb", "_ka").alias("key"),
         F.when(F.col("_kb").isNull(), F.lit("added"))
         .when(F.col("_ka").isNull(), F.lit("removed"))
-        .when(F.col("_sb") == F.col("_sa"), F.lit("unchanged"))
+        # eqNullSafe: a key whose state is NULL on BOTH sides is
+        # unchanged — plain == is NULL for NULL==NULL and would fall
+        # through to 'changed' (fold_state never emits NULL state,
+        # but the generic contract accepts arbitrary caller frames)
+        .when(F.col("_sb").eqNullSafe(F.col("_sa")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
         .alias("verdict"),
         F.length("_sb").cast("long").alias("len_before"),

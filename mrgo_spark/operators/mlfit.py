@@ -375,8 +375,12 @@ def cohen_kappa_agreement(
     row (a NULL verdict silently shrinking a marginal is the
     curriculum_order class of bug). Columns: (grp, n, n_both_pos,
     n_both_neg, n_j1_only, n_j2_only, po_milli, pe_milli,
-    kappa_milli). Bound: n ≤ 3·10⁹ per group keeps n² in int64 (the
-    class_balance_exact contract).
+    kappa_milli). The 1000-scaled milli intermediates (1000·pe_num ~
+    1000·n²) go through decimal(38,0) — the r6 overflow rule for
+    products of int64 aggregates; int64 alone would crash under ANSI
+    at n ≈ 10⁸ per group. Outputs are small (milli values in
+    [−1000, 1000]); the decimal intermediates are exact to n ≈ 10¹⁷
+    per group.
 
     Shape: map-only flag projection + ONE partial-agg shuffle to
     |groups| rows; the kappa arithmetic runs on the tiny agg frame."""
@@ -405,13 +409,17 @@ def cohen_kappa_agreement(
         .cast("long")
         .alias("n_j2_only"),
     )
-    r1 = F.col("n_both_pos") + F.col("n_j1_only")
-    c1 = F.col("n_both_pos") + F.col("n_j2_only")
-    agree = F.col("n_both_pos") + F.col("n_both_neg")
-    pe_num = (r1 * c1 + (F.col("n") - r1) * (F.col("n") - c1)).cast("long")
+    # decimal(38,0) throughout the products: r1·c1 ~ n² and the
+    # 1000-scaled numerators overflow int64 at n ≈ 10⁸ per group
+    # (ANSI crash) — the r6 rule, applied before the subtraction
+    r1 = _dec(F.col("n_both_pos") + F.col("n_j1_only"))
+    c1 = _dec(F.col("n_both_pos") + F.col("n_j2_only"))
+    nn = _dec(F.col("n"))
+    agree = _dec(F.col("n_both_pos") + F.col("n_both_neg"))
+    pe_num = r1 * c1 + (nn - r1) * (nn - c1)
     return (
-        g.withColumn("_pe", pe_num)
-        .withColumn("_agree", agree.cast("long"))
+        g.withColumn("_pe", pe_num.cast(_DEC))
+        .withColumn("_agree", agree.cast(_DEC))
         .select(
             "grp",
             "n",
@@ -419,17 +427,23 @@ def cohen_kappa_agreement(
             "n_both_neg",
             "n_j1_only",
             "n_j2_only",
-            F.expr("(1000L * _agree) div n").cast("long").alias("po_milli"),
-            F.expr("(1000L * _pe) div (n * n)")
+            F.expr(f"(1000 * _agree) div cast(n as {_DEC})")
+            .cast("long")
+            .alias("po_milli"),
+            F.expr(
+                f"(1000 * _pe) div (cast(n as {_DEC}) * cast(n as {_DEC}))"
+            )
             .cast("long")
             .alias("pe_milli"),
             F.when(
-                F.col("n") * F.col("n") == F.col("_pe"),
+                F.expr(f"cast(n as {_DEC}) * cast(n as {_DEC})")
+                == F.col("_pe"),
                 F.lit(None).cast("long"),
             )
             .otherwise(
                 F.expr(
-                    "(1000L * (n * _agree - _pe)) div (n * n - _pe)"
+                    f"(1000 * (cast(n as {_DEC}) * _agree - _pe))"
+                    f" div (cast(n as {_DEC}) * cast(n as {_DEC}) - _pe)"
                 ).cast("long")
             )
             .alias("kappa_milli"),

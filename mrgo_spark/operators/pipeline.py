@@ -1572,19 +1572,27 @@ def reward_winsorize(
     mapped back to reward units. Columns: (id_col, reward_fp,
     lo_cut, hi_cut, reward_winsor, clip ∈ {'lo','hi','none'}).
 
-    Scale shape: the sketch is one partial-agg shuffle to a
-    domain/width-sized cell table; the two cutoffs cross-join back
-    broadcast (a 1-row frame); the clip itself is map-only. Two
-    corpus passes total (sketch + clip) — fundamental, the cutoffs
-    are corpus statistics."""
+    Scale shape: the reward expression evaluates ONCE into a
+    checkpointed two-longs-per-row frame; the sketch is one
+    partial-agg shuffle over it to a domain/width-sized cell table;
+    the two cutoffs cross-join back broadcast (a 1-row frame); the
+    clip itself is map-only over the same checkpointed frame. Two
+    reads of the cheap frame, one evaluation of the expensive
+    reward — the cutoffs being corpus statistics is what forces the
+    second read."""
     from . import sketch as _sketch
 
+    # base feeds two consumers (the sketch pass and the clip pass) —
+    # without the lineage cut each re-evaluates the reward expression
+    # from scratch, and in the declared entry that is the interpreted
+    # classifier fold (10x+ of scan cost — the widen_scan op class).
+    # The frame is two longs per row: the ccnet_ppl_buckets idiom.
     base = df.select(
         F.col(id_col),
         F.greatest(
             F.least(reward.cast("long"), F.lit(hi)), F.lit(lo)
         ).alias("reward_fp"),
-    )
+    ).localCheckpoint(eager=False)
     shifted = base.select(
         id_col, (F.col("reward_fp") - F.lit(lo)).alias("_v")
     )

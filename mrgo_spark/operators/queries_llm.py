@@ -678,7 +678,7 @@ def q_quality(spark, sf_dir):
                CASE WHEN len(t) >= 3
                     THEN list_distinct([array_to_string(t[i:i+2], ' ')
                                         for i in generate_series(1, len(t)-2)])
-                    ELSE [array_to_string(t, ' ')] END AS s
+                    ELSE [coalesce(array_to_string(t, ' '), '')] END AS s
         FROM tok
     ),
     pairs AS (
@@ -1477,7 +1477,7 @@ def _mh_mins_sql(src: str) -> str:
                CASE WHEN len(t) >= 3
                     THEN list_distinct([array_to_string(t[i:i+2], ' ')
                                         for i in generate_series(1, len(t)-2)])
-                    ELSE [array_to_string(t, ' ')] END AS s
+                    ELSE [coalesce(array_to_string(t, ' '), '')] END AS s
         FROM mtok
     ),
     mhb AS (
@@ -5735,24 +5735,22 @@ def q_rouge_f_eval(spark, sf_dir):
     return textstats.ngram_f_eval(pairs, max_n=2)
 
 
-_COPELAND_BASE_SQL = f"""
+# cbase derives from _clf_sql_fragments()'s proven sc CTE (one-source
+# rule — a fourth hand-expanded copy of the classifier formula was a
+# review finding this round)
+_COPELAND_BASE_SQL = """
     cbase AS MATERIALIZED (
         SELECT CAST(doc_id % 64 AS BIGINT) AS g,
                CAST((doc_id // 64) % 4 AS BIGINT) AS s,
-               CAST({_CLF_BIAS} + coalesce(list_sum([list_extract(
-                   {_CLF_W_LIST_SQL},
-                   CAST((CAST(concat('0x', substr(md5(x), 1, 4)) AS BIGINT)
-                         % {_CLF_DIM}) + 1 AS INT))
-                   for x in list_filter(
-                       string_split_regex(lower(text), '[^a-z]+'),
-                       x -> x <> '')]), 0) AS BIGINT) AS r
-        FROM documents)"""
+               score AS r
+        FROM sc)"""
 
 
 @declare(
     "copeland_system_ranking",
     f"""
-    WITH {_COPELAND_BASE_SQL},
+    WITH {_clf_sql_fragments()},
+    {_COPELAND_BASE_SQL},
     best AS MATERIALIZED (
         SELECT g, s, max(r) AS b FROM cbase GROUP BY 1, 2),
     pr AS MATERIALIZED (
@@ -5965,7 +5963,7 @@ def q_margin_bitext_mine(spark, sf_dir):
                CASE WHEN len(t) >= 3
                     THEN list_distinct([array_to_string(t[i:i+2], ' ')
                                         for i in generate_series(1, len(t)-2)])
-                    ELSE [array_to_string(t, ' ')] END AS s
+                    ELSE [coalesce(array_to_string(t, ' '), '')] END AS s
         FROM tk),
     pairs AS (
         SELECT doc_id + 300000 AS id_a, doc_id AS id_b

@@ -690,21 +690,33 @@ def bpe_doc_token_counts(
     hash-join on w, same semantics) → one partial-agg sum per doc.
     Zero-word documents drop out (no tokens to count) — mirrored by
     the oracle's inner join."""
-    per_word = words.select(
-        "w", F.size(F.split("sym", "  ")).cast("long").alias("_ntok")
-    )
-    ex = documents.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(ascii_tokens(text_col, lowercase=True)).alias("w"),
-    )
     return (
-        ex.join(F.broadcast(per_word), "w")
+        _bpe_word_tokens(documents, words, text_col, F.col(id_col), "doc_id")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_words"),
             F.sum("_ntok").cast("long").alias("n_tokens"),
         )
     )
+
+
+def _bpe_word_tokens(
+    documents: DataFrame, words: DataFrame, text_col: str, key, key_name: str
+) -> DataFrame:
+    """Shared tokenizer-APPLICATION kernel (the ONE place the
+    double-space sym encoding is decoded into per-word token counts):
+    word-occurrence explode joined — broadcast while the Zipf-
+    compressed vocab fits; at true web scale swap the hint for a
+    plain hash join, same semantics — against the trained (w, sym)
+    frame. One row per word occurrence: (key_name, w, _ntok)."""
+    per_word = words.select(
+        "w", F.size(F.split("sym", "  ")).cast("long").alias("_ntok")
+    )
+    ex = documents.select(
+        key.alias(key_name),
+        F.explode(ascii_tokens(text_col, lowercase=True)).alias("w"),
+    )
+    return ex.join(F.broadcast(per_word), "w")
 
 
 def bigram_novelty_stats(
@@ -1404,19 +1416,14 @@ def bpe_fertility_by_lang(
     ``words`` is bpe_learn's final (w, freq, sym) frame. n_docs
     counts ALL documents of the language (wordless ones included:
     they are real volume the datacard must not hide) from a separate
-    |langs|-sized agg; the token sums ride the same word-explode +
-    vocab-join shape as bpe_doc_token_counts, re-aggregated at the
-    language grain. Columns: (lang, n_docs, n_words, n_tokens,
-    fertility_milli)."""
-    per_word = words.select(
-        "w", F.size(F.split("sym", "  ")).cast("long").alias("_ntok")
-    )
-    ex = documents.select(
-        F.col(lang_col).alias("lang"),
-        F.explode(ascii_tokens(text_col, lowercase=True)).alias("w"),
-    )
+    |langs|-sized agg; the token sums ride _bpe_word_tokens — the
+    same application kernel as bpe_doc_token_counts — re-aggregated
+    at the language grain. Columns: (lang, n_docs, n_words,
+    n_tokens, fertility_milli)."""
     agg = (
-        ex.join(F.broadcast(per_word), "w")
+        _bpe_word_tokens(
+            documents, words, text_col, F.col(lang_col), "lang"
+        )
         .groupBy("lang")
         .agg(
             F.count("*").cast("long").alias("n_words"),

@@ -628,3 +628,18 @@ def test_bpe_fertility_replay(spark):
     assert got["fr"] == (1, 1, 3, 3000)
     # zz: volume visible, fertility NULL
     assert got["zz"] == (1, 0, 0, None)
+
+
+def test_kv_state_diff_null_states(spark):
+    """NULL-vs-NULL state is 'unchanged' (eqNullSafe — plain ==
+    would fall through to 'changed'); NULL-vs-value is 'changed'."""
+    before = spark.createDataFrame(
+        [("a", None), ("b", None)], "key string, state string"
+    )
+    after = spark.createDataFrame(
+        [("a", None), ("b", "now-set")], "key string, state string"
+    )
+    got = {
+        r.key: r.verdict for r in kv.state_diff(before, after).collect()
+    }
+    assert got == {"a": "unchanged", "b": "changed"}
