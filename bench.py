@@ -457,6 +457,9 @@ def main() -> None:
         # bpe_train_merges, like bpe_doc_token_counts).
         "ngram_containment_pairs",
         "bpe_fertility_by_lang",
+        # pruned bitext mining (PQ session cache — order-semantic
+        # after pq_codes; compare margin_bitext_mine, the exact legs)
+        "margin_bitext_mine_imi",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there

@@ -6049,3 +6049,122 @@ def q_bpe_fertility_by_lang(spark, sf_dir):
         load_table(spark, sf_dir, "documents").select("lang", "text")
     )
     return textstats.bpe_fertility_by_lang(docs, words)
+
+
+def _pq_lut_sql(qid_where: str) -> str:
+    """_PQ_LUT_SQL with a query-id predicate (the bitext twin's
+    side-filtered query set). qid_where='' reproduces the original
+    fragment's semantics (the smallest 8 overall)."""
+    return f"""
+    qids AS (SELECT vec_id FROM (SELECT DISTINCT vec_id FROM qv{qid_where}
+                                 ORDER BY vec_id LIMIT 8)),
+    lut AS MATERIALIZED (
+        SELECT q.vec_id AS query_id, c.sub, c.cid,
+               CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS d
+        FROM qv q JOIN qids t ON q.vec_id = t.vec_id
+        JOIN c1 c ON q.sub = c.sub AND q.spos = c.spos
+        GROUP BY 1, 2, 3),"""
+
+
+_MARGIN_IMI_COS = (
+    f"{_FX_DOT_SQL} / (sqrt(a.norm_fx) * sqrt(b.norm_fx))"
+)
+
+
+@declare(
+    "margin_bitext_mine_imi",
+    _pq_cte()
+    + ","
+    + _pq_lut_sql(" WHERE vec_id % 2 = 0")
+    + f"""
+    probed AS (
+        SELECT query_id, cid AS cell0 FROM (
+            SELECT query_id, cid,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d, cid) AS rn
+            FROM lut WHERE sub = 0) WHERE rn <= 4),
+    cell0 AS (SELECT vec_id, cid AS cell0 FROM a2 WHERE sub = 0),
+    nl AS MATERIALIZED (
+        SELECT vec_id, embedding,
+               CAST(list_sum([CAST(round(CAST(embedding[i] AS DOUBLE)
+                                         * CAST(embedding[i] AS DOUBLE)
+                                         * 1000000.0) AS BIGINT)
+                              for i in generate_series(1, len(embedding))])
+                    AS BIGINT) AS norm_fx
+        FROM embeddings),
+    fsc AS MATERIALIZED (
+        SELECT p.query_id AS src_id, b.vec_id AS tgt_id,
+               CAST(floor(({_MARGIN_IMI_COS}) * 1000000) AS BIGINT)
+                 AS cos_fx,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY {_MARGIN_IMI_COS} DESC, b.vec_id) AS rnk
+        FROM probed p
+        JOIN cell0 c ON c.cell0 = p.cell0
+        JOIN nl b ON b.vec_id = c.vec_id AND b.vec_id % 2 = 1
+        JOIN nl a ON a.vec_id = p.query_id),
+    fk AS MATERIALIZED (SELECT * FROM fsc WHERE rnk <= 4),
+    fsum AS (SELECT src_id, CAST(sum(cos_fx) AS BIGINT) AS sum_fwd_fx
+             FROM fk GROUP BY 1),
+    fbest AS MATERIALIZED (
+        SELECT src_id, tgt_id, cos_fx FROM fk WHERE rnk = 1),
+    bqids AS (SELECT DISTINCT tgt_id AS vec_id FROM fbest),
+    blut AS MATERIALIZED (
+        SELECT q.vec_id AS query_id, c.sub, c.cid,
+               CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS d
+        FROM qv q JOIN bqids t ON q.vec_id = t.vec_id
+        JOIN c1 c ON q.sub = c.sub AND q.spos = c.spos
+        GROUP BY 1, 2, 3),
+    bprobed AS (
+        SELECT query_id, cid AS cell0 FROM (
+            SELECT query_id, cid,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d, cid) AS rn
+            FROM blut WHERE sub = 0) WHERE rn <= 4),
+    bsc AS MATERIALIZED (
+        SELECT p.query_id AS tgt_id, b.vec_id AS nb,
+               CAST(floor(({_MARGIN_IMI_COS}) * 1000000) AS BIGINT)
+                 AS cos_fx,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY {_MARGIN_IMI_COS} DESC, b.vec_id) AS rnk
+        FROM bprobed p
+        JOIN cell0 c ON c.cell0 = p.cell0
+        JOIN nl b ON b.vec_id = c.vec_id AND b.vec_id % 2 = 0
+        JOIN nl a ON a.vec_id = p.query_id),
+    bstats AS (
+        SELECT tgt_id, CAST(sum(cos_fx) AS BIGINT) AS sum_bwd_fx,
+               CAST(min(CASE WHEN rnk = 1 THEN nb END) AS BIGINT)
+                 AS bwd_best
+        FROM bsc WHERE rnk <= 4 GROUP BY 1)
+    SELECT fbest.src_id, fbest.tgt_id, fbest.cos_fx,
+           f.sum_fwd_fx, s.sum_bwd_fx,
+           CAST(CASE WHEN f.sum_fwd_fx + s.sum_bwd_fx = 0 THEN NULL
+                     ELSE (1000 * 8 * fbest.cos_fx)
+                          // (f.sum_fwd_fx + s.sum_bwd_fx)
+                END AS BIGINT) AS margin_milli,
+           s.bwd_best = fbest.src_id AS mutual_best
+    FROM fbest
+    JOIN fsum f USING (src_id)
+    JOIN bstats s USING (tgt_id)
+    """,
+)
+def q_margin_bitext_imi(spark, sf_dir):
+    """IMI-PRUNED bitext mining (r10, similarity.margin_bitext_mine_imi)
+    — margin_bitext_mine's serving form, closing the 100 TB path its
+    docstring names: both kNN legs draw candidates from 4/16 coarse
+    cells (subspace-0 PQ codes) before any dot product, exact
+    fixed-point cosines verify survivors only, margins and
+    mutual-best computed from the pruned neighborhoods. Query set =
+    the 8 smallest EVEN vec_ids (fixed — the probe row is
+    corpus-linear, unlike the exact form's %20 set); backward LUTs
+    built for the fwd winners (driver-tiny collect, the IVF-seeds
+    precedent). The WHOLE pruned mining pipeline oracle-checks
+    through the PQ CTE chain. n_probe=K degenerates to the exact
+    form on the same query set (pinned in tests). Serves from the
+    session PQ cache."""
+    emb = widen_scan(load_table(spark, sf_dir, "embeddings"))
+    cents, a, _ = _pq_artifacts(spark, sf_dir)
+    return similarity.margin_bitext_mine_imi(
+        emb, a, cents, k=4, n_probe=4, n_queries=8
+    )

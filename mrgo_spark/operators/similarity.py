@@ -1772,13 +1772,31 @@ def _pq_luts(q: DataFrame, cents, n_queries: int, m: int, subdim: int):
     """qid -> [sub][cid] exact integer query-to-centroid
     subdistances for the n_queries smallest-id vectors (driver-side
     integer math over a driver-tiny collect)."""
+    return _pq_luts_rows(
+        q.orderBy("vec_id").limit(n_queries).collect(),
+        cents,
+        m,
+        subdim,
+    )
+
+
+def _pq_luts_for_ids(q: DataFrame, cents, ids, m: int, subdim: int):
+    """_pq_luts for an EXPLICIT query-id list (the bitext twin's
+    side-filtered / data-dependent query sets) — same driver-tiny
+    collect and integer math, just a different pick rule."""
+    return _pq_luts_rows(
+        q.filter(F.col("vec_id").isin([int(i) for i in ids])).collect(),
+        cents,
+        m,
+        subdim,
+    )
+
+
+def _pq_luts_rows(qrows, cents, m: int, subdim: int):
     k = len(cents[0])
-    qrows = [
-        (r.vec_id, list(r.qv))
-        for r in q.orderBy("vec_id").limit(n_queries).collect()
-    ]
     luts = {}
-    for qid, qv in qrows:
+    for r in qrows:
+        qid, qv = r.vec_id, list(r.qv)
         luts[qid] = [
             [
                 sum(
@@ -2219,6 +2237,13 @@ def margin_bitext_mine(
         ),
         "tgt_id",
     )
+    return _margin_select(joined, k)
+
+
+def _margin_select(joined: DataFrame, k: int) -> DataFrame:
+    """The ONE place the margin formula lives (exact + IMI-pruned
+    forms both end here): joined carries (src_id, tgt_id, cos_fx,
+    sum_fwd_fx, sum_bwd_fx, _bwd_best)."""
     den = F.col("sum_fwd_fx") + F.col("sum_bwd_fx")
     return joined.select(
         "src_id",
@@ -2236,3 +2261,95 @@ def margin_bitext_mine(
         .alias("margin_milli"),
         (F.col("_bwd_best") == F.col("src_id")).alias("mutual_best"),
     )
+
+
+def margin_bitext_mine_imi(
+    embeddings: DataFrame,
+    assigned: DataFrame,
+    cents,
+    k: int = 4,
+    n_probe: int = 4,
+    n_queries: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    src_mod: int = 0,
+    tgt_mod: int = 1,
+) -> DataFrame:
+    """IMI-PRUNED margin-based bitext mining — margin_bitext_mine's
+    100 TB serving form, the rrf_hybrid_served pattern applied to the
+    alignment-mining legs: both kNN passes draw candidates from each
+    query's ``n_probe`` best coarse cells (subspace-0 PQ codes, the
+    hard_negatives_imi kernel), exact fixed-point cosines verify
+    survivors only, and the shared margin tail scores the winners.
+    Candidates outside the query's own LANGUAGE side are filtered
+    AFTER the prune (the shared kernel stays untouched; the
+    discarded half of each probed cell is bounded by the prune).
+
+    Query set: the ``n_queries`` smallest src-side ids (the PQ-LUT
+    fixed-query idiom — corpus-linear probe rows, unlike the exact
+    form's %20 set). The backward LUTs are built for the fwd winners
+    (≤ n_queries ids, a driver-tiny collect — the IVF-seeds
+    precedent). n_probe = K (all cells) degenerates to the exact
+    margin_bitext_mine on the same query set — pinned in tests.
+    Columns: identical to margin_bitext_mine."""
+    q = _pq_quantized(embeddings, id_col, vec_col)
+    qids = [
+        r[0]
+        for r in embeddings.filter(F.col(id_col) % 2 == src_mod)
+        .select(id_col)
+        .orderBy(id_col)
+        .limit(n_queries)
+        .collect()
+    ]
+    fluts = _pq_luts_for_ids(q, cents, qids, PQ_M, PQ_SUBDIM)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    fwd = (
+        _imi_pruned_cosine(
+            embeddings, assigned, fluts, n_probe, n_queries,
+            id_col, vec_col, label_col=None,
+        )
+        .filter(F.col("neighbor_id") % 2 == tgt_mod)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("cos_fx", F.floor(F.col("score") * FX).cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    fwd_sum = fwd.groupBy("query_id").agg(
+        F.sum("cos_fx").cast("long").alias("sum_fwd_fx")
+    )
+    best = (
+        fwd.filter(F.col("rank") == 1)
+        .select(
+            F.col("query_id").alias("src_id"),
+            F.col("neighbor_id").alias("tgt_id"),
+            F.col("cos_fx"),
+        )
+        .join(fwd_sum.withColumnRenamed("query_id", "src_id"), "src_id")
+    )
+    cand_ids = [r[0] for r in best.select("tgt_id").distinct().collect()]
+    bluts = _pq_luts_for_ids(q, cents, cand_ids, PQ_M, PQ_SUBDIM)
+    bwd = (
+        _imi_pruned_cosine(
+            embeddings, assigned, bluts, n_probe, len(cand_ids),
+            id_col, vec_col, label_col=None,
+        )
+        .filter(F.col("neighbor_id") % 2 == src_mod)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("cos_fx", F.floor(F.col("score") * FX).cast("long"))
+    )
+    bwd_stats = bwd.groupBy("query_id").agg(
+        F.sum("cos_fx").cast("long").alias("sum_bwd_fx"),
+        F.min(
+            F.when(F.col("rank") == 1, F.col("neighbor_id"))
+        ).alias("_bwd_best"),
+    )
+    joined = best.join(
+        F.broadcast(
+            bwd_stats.withColumnRenamed("query_id", "tgt_id")
+        ),
+        "tgt_id",
+    )
+    return _margin_select(joined, k)

@@ -331,6 +331,9 @@ def main() -> None:
         # (the bpe_doc_token_counts law) re-aggregated to |langs|.
         "ngram_containment_pairs",
         "bpe_fertility_by_lang",
+        # pruned bitext twin: fixed 8-query set -> corpus-linear (the
+        # hard_negatives_imi law), unlike the exact form's %20 row
+        "margin_bitext_mine_imi",
     ]
     only = set(sys.argv[3:])
     if only:

@@ -643,3 +643,62 @@ def test_kv_state_diff_null_states(spark):
         r.key: r.verdict for r in kv.state_diff(before, after).collect()
     }
     assert got == {"a": "unchanged", "b": "changed"}
+
+
+# ------------------------------------------------- pruned bitext twin
+
+
+def test_margin_bitext_imi_degenerates_to_exact(spark):
+    """n_probe = K (all 16 coarse cells probed) must reproduce the
+    EXACT margin miner bit-for-bit on the same fixed query set — the
+    n_probe=K parity pin every pruned twin carries."""
+    from mrgo_spark.operators.queries_llm import _pq_artifacts
+    from mrgo_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    cents, a, _ = _pq_artifacts(spark, sf)
+    pruned = {
+        r.src_id: tuple(r)
+        for r in similarity.margin_bitext_mine_imi(
+            emb, a, cents, k=4, n_probe=16, n_queries=8
+        ).collect()
+    }
+    qids = [
+        r[0]
+        for r in emb.filter(F.col("vec_id") % 2 == 0)
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(8)
+        .collect()
+    ]
+    exact = {
+        r.src_id: tuple(r)
+        for r in similarity.margin_bitext_mine(
+            emb.filter(F.col("vec_id").isin(qids)),
+            emb.filter(F.col("vec_id") % 2 == 0),
+            emb.filter(F.col("vec_id") % 2 == 1),
+            k=4,
+        ).collect()
+    }
+    assert pruned == exact
+    assert len(pruned) == 8
+
+
+def test_margin_bitext_imi_prunes(spark):
+    """At n_probe=4 the pruned miner still returns one row per query
+    with sums over at most k pruned neighbors (<= the exact sums'
+    neighbor count by construction)."""
+    from mrgo_spark.operators.queries_llm import _pq_artifacts
+    from mrgo_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    cents, a, _ = _pq_artifacts(spark, sf)
+    rows = similarity.margin_bitext_mine_imi(
+        emb, a, cents, k=4, n_probe=4, n_queries=8
+    ).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r.tgt_id % 2 == 1 and r.src_id % 2 == 0
+        assert r.margin_milli is not None
