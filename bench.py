@@ -460,6 +460,9 @@ def main() -> None:
         # pruned bitext mining (PQ session cache — order-semantic
         # after pq_codes; compare margin_bitext_mine, the exact legs)
         "margin_bitext_mine_imi",
+        # RL trajectory assembly: one user shuffle, episode/step/
+        # suffix windows sub-partition it
+        "trajectory_returns_events",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there

@@ -1633,3 +1633,67 @@ def reward_winsorize(
         .otherwise(F.lit("none"))
         .alias("clip"),
     )
+
+
+def trajectory_returns(
+    df: DataFrame,
+    reward,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_us: int = 1_800_000_000,
+) -> DataFrame:
+    """RL trajectory assembly from interaction logs: gap-based
+    episodes (the sessionize rule — a >gap_us silence starts a new
+    episode) with per-step RETURN-TO-GO, the suffix sum of rewards
+    from each step to the episode's end. Return-to-go is the
+    conditioning signal of decision-transformer-style training data
+    and the regression target of offline value estimation — the step
+    that turns raw logs into (state, action, return) trajectories.
+
+    ``reward`` is an integer Column over df (NULLs fail loudly — the
+    group_relative_advantage convention). Columns: (user_col,
+    episode, step, id_col, reward_fp, return_to_go). episode numbers
+    from 1 per user in time order; step from 1 per episode;
+    return_to_go at step 1 is the episode return.
+
+    Shape: ONE shuffle by user — the gap lag, the episode running
+    sum, the step row_number and the suffix sum all share the
+    user-hash partitioning (the finer (user, episode) windows are
+    sub-partitions of it, no second exchange). Episode length is
+    bounded by user activity, never corpus size."""
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+    base = df.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(id_col),
+        reward.cast("long").alias("reward_fp"),
+    ).filter(
+        F.assert_true(
+            F.col("reward_fp").isNotNull(),
+            F.lit("trajectory_returns: reward must be non-null"),
+        ).isNull()
+    )
+    ep = base.withColumn(
+        "episode",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    wep = Window.partitionBy(user_col, "episode").orderBy(ts_col, id_col)
+    return ep.select(
+        user_col,
+        "episode",
+        F.row_number().over(wep).cast("long").alias("step"),
+        id_col,
+        "reward_fp",
+        F.sum("reward_fp")
+        .over(
+            wep.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        .cast("long")
+        .alias("return_to_go"),
+    )

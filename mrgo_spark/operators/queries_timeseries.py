@@ -397,3 +397,65 @@ def q_event_transition_matrix(spark, sf_dir):
         .cast("long")
         .alias("prob_micro"),
     )
+
+
+@declare(
+    "trajectory_returns_events",
+    """
+    WITH g AS (
+        SELECT user_id, event_id, ts,
+               CASE event_type WHEN 'purchase' THEN 10
+                               WHEN 'signup' THEN 5
+                               WHEN 'error' THEN -3
+                               ELSE 1 END AS r,
+               CASE WHEN epoch_us(ts) - epoch_us(
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))
+                         > 1800000000
+                    OR lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+    ep AS (
+        SELECT user_id, event_id, ts, r,
+               CAST(SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS episode
+        FROM g)
+    SELECT user_id, episode,
+           CAST(row_number() OVER (PARTITION BY user_id, episode
+                                   ORDER BY ts, event_id) AS BIGINT)
+             AS step,
+           event_id,
+           CAST(r AS BIGINT) AS reward_fp,
+           CAST(sum(r) OVER (PARTITION BY user_id, episode
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING) AS BIGINT)
+             AS return_to_go
+    FROM ep
+    """,
+)
+def q_trajectory_returns(spark, sf_dir):
+    """RL trajectory assembly (r10, pipeline.trajectory_returns):
+    events sessionized into episodes (the 30-min gap rule shared
+    with events_sessionize) with per-step RETURN-TO-GO — the suffix
+    sum of a deterministic event-type reward (purchase 10, signup 5,
+    error −3, else 1) to the episode end. The decision-transformer /
+    offline-RL data step over interaction logs: (user, episode,
+    step, reward, return-to-go) rows, exact integers. One shuffle by
+    user; the episode/step/suffix windows all sub-partition it.
+    Gap math at microsecond precision (the sessionize lesson)."""
+    from pyspark.sql import functions as F
+
+    from . import pipeline
+
+    e = load_table(spark, sf_dir, "events")
+    reward = (
+        F.when(F.col("event_type") == "purchase", 10)
+        .when(F.col("event_type") == "signup", 5)
+        .when(F.col("event_type") == "error", -3)
+        .otherwise(1)
+    )
+    return pipeline.trajectory_returns(e, reward)

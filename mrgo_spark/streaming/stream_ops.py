@@ -1069,3 +1069,51 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "update"):
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def streaming_reward_clip(
+    doc_stream: DataFrame,
+    lo_cut: int,
+    hi_cut: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lo: int = -2048,
+    hi: int = 2047,
+) -> DataFrame:
+    """Streaming twin of reward_winsorize's CLIP half (the
+    frozen-stats pattern of streaming_bm25_scores): the quantile
+    cutoffs are corpus statistics a batch sketch froze (a second
+    streaming agg over them would be illegal anyway — the
+    streaming_bm25 lesson), and the clip itself is a stateless
+    map-only projection that streams unchanged in append mode. A
+    pipeline re-freezes cutoffs per model/corpus generation, exactly
+    like the BM25 scalars. Columns match the batch op: (id_col,
+    reward_fp, lo_cut, hi_cut, reward_winsor, clip)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.textstats import classifier_score_col
+
+    if lo_cut > hi_cut:
+        raise ValueError(
+            f"streaming_reward_clip: lo_cut {lo_cut} > hi_cut {hi_cut}"
+        )
+    score = classifier_score_col(text_col)
+    clamped = F.greatest(
+        F.least(score.cast("long"), F.lit(hi)), F.lit(lo)
+    ).alias("reward_fp")
+    out = doc_stream.select(F.col(id_col), clamped)
+    return out.select(
+        id_col,
+        "reward_fp",
+        F.lit(lo_cut).cast("long").alias("lo_cut"),
+        F.lit(hi_cut).cast("long").alias("hi_cut"),
+        F.greatest(
+            F.least(F.col("reward_fp"), F.lit(hi_cut)), F.lit(lo_cut)
+        )
+        .cast("long")
+        .alias("reward_winsor"),
+        F.when(F.col("reward_fp") < lo_cut, F.lit("lo"))
+        .when(F.col("reward_fp") > hi_cut, F.lit("hi"))
+        .otherwise(F.lit("none"))
+        .alias("clip"),
+    )

@@ -334,6 +334,8 @@ def main() -> None:
         # pruned bitext twin: fixed 8-query set -> corpus-linear (the
         # hard_negatives_imi law), unlike the exact form's %20 row
         "margin_bitext_mine_imi",
+        # RL trajectories: per-user windows, user count grows K×
+        "trajectory_returns_events",
     ]
     only = set(sys.argv[3:])
     if only:

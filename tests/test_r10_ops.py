@@ -702,3 +702,90 @@ def test_margin_bitext_imi_prunes(spark):
     for r in rows:
         assert r.tgt_id % 2 == 1 and r.src_id % 2 == 0
         assert r.margin_milli is not None
+
+
+# --------------------------------------------------------- trajectories
+
+
+def test_trajectory_returns_replay(spark):
+    """Python replay on handcrafted logs: gap splits episodes,
+    return-to-go suffix-sums within them, step-1 carries the episode
+    return; NULL reward fails loudly."""
+    from datetime import datetime, timezone
+
+    def t(s):
+        return datetime.fromtimestamp(s, tz=timezone.utc)
+
+    rows = [
+        # user 1, episode 1: 3 events inside 30 min
+        (1, 101, t(1000), 10),
+        (1, 102, t(1100), -3),
+        (1, 103, t(1200), 1),
+        # user 1, episode 2: after a 2h silence
+        (1, 104, t(9000), 5),
+        # user 2: single-event episode
+        (2, 201, t(500), 1),
+        # user 2, same-ts tie broken by event_id (gap > 30min later)
+        (2, 202, t(4000), 1),
+        (2, 203, t(4000), 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, r long"
+    )
+    got = {
+        r.event_id: (r.episode, r.step, r.reward_fp, r.return_to_go)
+        for r in pipeline.trajectory_returns(df, F.col("r")).collect()
+    }
+    assert got[101] == (1, 1, 10, 8)    # 10-3+1
+    assert got[102] == (1, 2, -3, -2)
+    assert got[103] == (1, 3, 1, 1)
+    assert got[104] == (2, 1, 5, 5)
+    assert got[201] == (1, 1, 1, 1)
+    assert got[202] == (2, 1, 1, 11)    # tie: event_id orders steps
+    assert got[203] == (2, 2, 10, 10)
+
+    bad = spark.createDataFrame(
+        [(1, 1, t(0), None)], "user_id long, event_id long, ts timestamp, r long"
+    )
+    with pytest.raises(Exception, match="non-null"):
+        pipeline.trajectory_returns(bad, F.col("r")).collect()
+
+
+def test_streaming_reward_clip_matches_batch(spark, tmp_path):
+    """The frozen-cutoff clip streams bit-identically (stateless
+    map-only, the streaming_classifier pattern); cutoffs come from
+    the batch sketch."""
+    from mrgo_spark.operators.textstats import classifier_score_col
+    from mrgo_spark.sources.tables import load_table
+    from mrgo_spark.streaming import stream_ops
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    cut_rows = (
+        pipeline.reward_winsorize(docs, classifier_score_col("text"))
+        .select("lo_cut", "hi_cut")
+        .first()
+    )
+    lo_cut, hi_cut = cut_rows.lo_cut, cut_rows.hi_cut
+    expected = {
+        r.doc_id: (r.reward_fp, r.reward_winsor, r.clip)
+        for r in pipeline.reward_winsorize(
+            docs, classifier_score_col("text")
+        ).collect()
+    }
+    d = tmp_path / "clip_stream"
+    docs.coalesce(2).write.parquet(str(d))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(d)
+    )
+    out = stream_ops.streaming_reward_clip(stream, lo_cut, hi_cut)
+    stream_ops.run_to_memory(out, "clip_out", output_mode="append")
+    got = {
+        r.doc_id: (r.reward_fp, r.reward_winsor, r.clip)
+        for r in spark.sql("SELECT * FROM clip_out").collect()
+    }
+    assert got == expected and len(got) == len(expected)
+
+    with pytest.raises(ValueError, match="lo_cut"):
+        stream_ops.streaming_reward_clip(stream, 5, -5)
