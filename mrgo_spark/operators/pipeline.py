@@ -1617,8 +1617,15 @@ def reward_winsorize(
         .cast("long")
         .alias("hi_cut"),
     )
-    clipped = base.crossJoin(F.broadcast(cuts))
-    return clipped.select(
+    return clip_columns(base.crossJoin(F.broadcast(cuts)), id_col)
+
+
+def clip_columns(frame: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The ONE place the winsor clip formulas live (batch +
+    streaming twin both end here): ``frame`` carries (id_col,
+    reward_fp, lo_cut, hi_cut); output adds reward_winsor and the
+    clip verdict ∈ {'lo', 'hi', 'none'}."""
+    return frame.select(
         id_col,
         "reward_fp",
         "lo_cut",

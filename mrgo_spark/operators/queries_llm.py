@@ -3150,8 +3150,17 @@ def q_pq_codes(spark, sf_dir):
 # Shared ADC lookup-table CTE fragment (8 smallest-id queries, exact
 # integer subdistances to the FINAL codebooks c1) — used verbatim by
 # both the unpruned (pq_topk_adc) and pruned (pq_topk_imi) declares.
-_PQ_LUT_SQL = """
-    qids AS (SELECT vec_id FROM (SELECT DISTINCT vec_id FROM qv
+# The ONE source of the fragment is _pq_lut_sql (a qid predicate
+# parameterizes the bitext twin's side-filtered query set); the bare
+# constant is the qid_where='' instance.
+
+
+def _pq_lut_sql(qid_where: str) -> str:
+    """_PQ_LUT_SQL with a query-id predicate (the bitext twin's
+    side-filtered query set). qid_where='' reproduces the original
+    fragment byte-for-byte (_PQ_LUT_SQL IS this with '')."""
+    return f"""
+    qids AS (SELECT vec_id FROM (SELECT DISTINCT vec_id FROM qv{qid_where}
                                  ORDER BY vec_id LIMIT 8)),
     lut AS MATERIALIZED (
         SELECT q.vec_id AS query_id, c.sub, c.cid,
@@ -3159,6 +3168,9 @@ _PQ_LUT_SQL = """
         FROM qv q JOIN qids t ON q.vec_id = t.vec_id
         JOIN c1 c ON q.sub = c.sub AND q.spos = c.spos
         GROUP BY 1, 2, 3),"""
+
+
+_PQ_LUT_SQL = _pq_lut_sql("")
 
 
 @declare(
@@ -6049,21 +6061,6 @@ def q_bpe_fertility_by_lang(spark, sf_dir):
         load_table(spark, sf_dir, "documents").select("lang", "text")
     )
     return textstats.bpe_fertility_by_lang(docs, words)
-
-
-def _pq_lut_sql(qid_where: str) -> str:
-    """_PQ_LUT_SQL with a query-id predicate (the bitext twin's
-    side-filtered query set). qid_where='' reproduces the original
-    fragment's semantics (the smallest 8 overall)."""
-    return f"""
-    qids AS (SELECT vec_id FROM (SELECT DISTINCT vec_id FROM qv{qid_where}
-                                 ORDER BY vec_id LIMIT 8)),
-    lut AS MATERIALIZED (
-        SELECT q.vec_id AS query_id, c.sub, c.cid,
-               CAST(sum((q.v - c.cv) * (q.v - c.cv)) AS BIGINT) AS d
-        FROM qv q JOIN qids t ON q.vec_id = t.vec_id
-        JOIN c1 c ON q.sub = c.sub AND q.spos = c.spos
-        GROUP BY 1, 2, 3),"""
 
 
 _MARGIN_IMI_COS = (

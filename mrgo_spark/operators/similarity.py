@@ -2198,6 +2198,33 @@ def margin_bitext_mine(
         .withColumn("cos_fx", F.floor(F.col("score") * FX).cast("long"))
         .localCheckpoint(eager=False)
     )
+    def make_bwd(best):
+        # broadcast the ≤|queries| candidate list into the corpus
+        # scan — the static plan otherwise picks SMJ and shuffles the
+        # corpus side
+        cand = tgt_corpus.select(id_col, vec_col).join(
+            F.broadcast(
+                best.select(F.col("tgt_id").alias(id_col)).distinct()
+            ),
+            id_col,
+        )
+        return topk_cosine_exact(
+            src_corpus, cand, k=k, id_col=id_col, vec_col=vec_col
+        ).withColumn(
+            "cos_fx", F.floor(F.col("score") * FX).cast("long")
+        )
+
+    return _margin_stitch(fwd, make_bwd, k)
+
+
+def _margin_stitch(fwd: DataFrame, make_bwd, k: int) -> DataFrame:
+    """The ONE leg-stitch for both margin forms (exact + IMI-pruned):
+    per-query forward sums, the rank-1 best pair, the backward frame
+    built FROM the best pairs (``make_bwd(best)`` — the bwd queries
+    are the fwd winners, so the dependency is a callback), backward
+    sums + mutual-best, and the broadcast join into the margin
+    formula. ``fwd``/``make_bwd``'s frames carry topk_cosine columns
+    plus cos_fx."""
     fwd_sum = fwd.groupBy("query_id").agg(
         F.sum("cos_fx").cast("long").alias("sum_fwd_fx")
     )
@@ -2212,20 +2239,7 @@ def margin_bitext_mine(
             fwd_sum.withColumnRenamed("query_id", "src_id"), "src_id"
         )
     )
-    # broadcast the ≤|queries| candidate list into the corpus scan —
-    # the static plan otherwise picks SMJ and shuffles the corpus side
-    cand = tgt_corpus.select(id_col, vec_col).join(
-        F.broadcast(
-            best.select(F.col("tgt_id").alias(id_col)).distinct()
-        ),
-        id_col,
-    )
-    bwd = topk_cosine_exact(
-        src_corpus, cand, k=k, id_col=id_col, vec_col=vec_col
-    ).withColumn(
-        "cos_fx", F.floor(F.col("score") * FX).cast("long")
-    )
-    bwd_stats = bwd.groupBy("query_id").agg(
+    bwd_stats = make_bwd(best).groupBy("query_id").agg(
         F.sum("cos_fx").cast("long").alias("sum_bwd_fx"),
         F.min(
             F.when(F.col("rank") == 1, F.col("neighbor_id"))
@@ -2316,40 +2330,22 @@ def margin_bitext_mine_imi(
         .withColumn("cos_fx", F.floor(F.col("score") * FX).cast("long"))
         .localCheckpoint(eager=False)
     )
-    fwd_sum = fwd.groupBy("query_id").agg(
-        F.sum("cos_fx").cast("long").alias("sum_fwd_fx")
-    )
-    best = (
-        fwd.filter(F.col("rank") == 1)
-        .select(
-            F.col("query_id").alias("src_id"),
-            F.col("neighbor_id").alias("tgt_id"),
-            F.col("cos_fx"),
+    def make_bwd(best):
+        cand_ids = [
+            r[0] for r in best.select("tgt_id").distinct().collect()
+        ]
+        bluts = _pq_luts_for_ids(q, cents, cand_ids, PQ_M, PQ_SUBDIM)
+        return (
+            _imi_pruned_cosine(
+                embeddings, assigned, bluts, n_probe, len(cand_ids),
+                id_col, vec_col, label_col=None,
+            )
+            .filter(F.col("neighbor_id") % 2 == src_mod)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .withColumn(
+                "cos_fx", F.floor(F.col("score") * FX).cast("long")
+            )
         )
-        .join(fwd_sum.withColumnRenamed("query_id", "src_id"), "src_id")
-    )
-    cand_ids = [r[0] for r in best.select("tgt_id").distinct().collect()]
-    bluts = _pq_luts_for_ids(q, cents, cand_ids, PQ_M, PQ_SUBDIM)
-    bwd = (
-        _imi_pruned_cosine(
-            embeddings, assigned, bluts, n_probe, len(cand_ids),
-            id_col, vec_col, label_col=None,
-        )
-        .filter(F.col("neighbor_id") % 2 == src_mod)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .withColumn("cos_fx", F.floor(F.col("score") * FX).cast("long"))
-    )
-    bwd_stats = bwd.groupBy("query_id").agg(
-        F.sum("cos_fx").cast("long").alias("sum_bwd_fx"),
-        F.min(
-            F.when(F.col("rank") == 1, F.col("neighbor_id"))
-        ).alias("_bwd_best"),
-    )
-    joined = best.join(
-        F.broadcast(
-            bwd_stats.withColumnRenamed("query_id", "tgt_id")
-        ),
-        "tgt_id",
-    )
-    return _margin_select(joined, k)
+
+    return _margin_stitch(fwd, make_bwd, k)

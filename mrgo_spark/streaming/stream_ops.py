@@ -1075,6 +1075,7 @@ def streaming_reward_clip(
     doc_stream: DataFrame,
     lo_cut: int,
     hi_cut: int,
+    reward=None,
     text_col: str = "text",
     id_col: str = "doc_id",
     lo: int = -2048,
@@ -1087,33 +1088,32 @@ def streaming_reward_clip(
     streaming_bm25 lesson), and the clip itself is a stateless
     map-only projection that streams unchanged in append mode. A
     pipeline re-freezes cutoffs per model/corpus generation, exactly
-    like the BM25 scalars. Columns match the batch op: (id_col,
-    reward_fp, lo_cut, hi_cut, reward_winsor, clip)."""
+    like the BM25 scalars. ``reward`` is any integer Column over the
+    stream (default: the classifier score over text_col — the
+    declared batch entry's reward); the clip formulas are the shared
+    pipeline.clip_columns, so the twins cannot drift. Columns match
+    the batch op: (id_col, reward_fp, lo_cut, hi_cut, reward_winsor,
+    clip)."""
     from pyspark.sql import functions as F
 
+    from ..operators.pipeline import clip_columns
     from ..operators.textstats import classifier_score_col
 
     if lo_cut > hi_cut:
         raise ValueError(
             f"streaming_reward_clip: lo_cut {lo_cut} > hi_cut {hi_cut}"
         )
-    score = classifier_score_col(text_col)
+    if reward is None:
+        reward = classifier_score_col(text_col)
     clamped = F.greatest(
-        F.least(score.cast("long"), F.lit(hi)), F.lit(lo)
+        F.least(reward.cast("long"), F.lit(hi)), F.lit(lo)
     ).alias("reward_fp")
-    out = doc_stream.select(F.col(id_col), clamped)
-    return out.select(
+    return clip_columns(
+        doc_stream.select(
+            F.col(id_col),
+            clamped,
+            F.lit(lo_cut).cast("long").alias("lo_cut"),
+            F.lit(hi_cut).cast("long").alias("hi_cut"),
+        ),
         id_col,
-        "reward_fp",
-        F.lit(lo_cut).cast("long").alias("lo_cut"),
-        F.lit(hi_cut).cast("long").alias("hi_cut"),
-        F.greatest(
-            F.least(F.col("reward_fp"), F.lit(hi_cut)), F.lit(lo_cut)
-        )
-        .cast("long")
-        .alias("reward_winsor"),
-        F.when(F.col("reward_fp") < lo_cut, F.lit("lo"))
-        .when(F.col("reward_fp") > hi_cut, F.lit("hi"))
-        .otherwise(F.lit("none"))
-        .alias("clip"),
     )
