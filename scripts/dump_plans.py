@@ -226,6 +226,14 @@ PICKS = [
     ("ngram_containment_pairs", "r10s3 containment verify: shingle "
      "sets join onto the bounded candidate list (the jaccard "
      "verifier's shape) — never the corpus square"),
+    ("margin_bitext_mine_imi", "r10s3 pruned bitext serving twin: "
+     "broadcast probe rows join cell-assigned vectors BEFORE any dot "
+     "product on BOTH legs (the hard_negatives_imi kernel); exact "
+     "cosine only on survivors; shared _margin_stitch tail"),
+    ("trajectory_returns_events", "r10s3 RL trajectories: ONE user "
+     "shuffle — gap lag, episode running sum, step row_number and "
+     "the return-to-go suffix sum all share the user hash partition "
+     "(the finer (user, episode) windows need no second exchange)"),
 ]
 
 
