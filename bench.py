@@ -463,6 +463,11 @@ def main() -> None:
         # RL trajectory assembly: one user shuffle, episode/step/
         # suffix windows sub-partition it
         "trajectory_returns_events",
+        # allpairs_jaccard_prefix stays OUT (the semantic_dedup
+        # policy): 18 s warm at sf0.1 — 281k true J>=0.95 pairs on
+        # the template-dense fixture, real output-driven verify work,
+        # not JIT. Gate-cheap at sf0.01 (3075 pairs); the brute-force
+        # -equality property test is its correctness evidence.
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there

@@ -1415,3 +1415,124 @@ def containment_pairs(
         (inter.cast("double") / F.size("sh_a")).alias("containment_a"),
         (inter.cast("double") / F.size("sh_b")).alias("containment_b"),
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT all-pairs Jaccard join via prefix filtering (Bayardo et
+    al. WWW 2007 / Chaudhuri et al. ICDE 2006) — the similarity join
+    with NO false negatives, the deterministic complement of the LSH
+    families: order every document's distinct-token set by the
+    canonical global rarity order (ascending corpus frequency, ties
+    by token), keep only each document's PREFIX of length
+    |d| − ⌈t·|d|⌉ + 1, and generate candidates from prefix-token
+    collisions. The prefix-filter theorem guarantees two sets with
+    Jaccard ≥ t share at least one prefix token under ANY shared
+    total order, so the candidate set provably covers every true
+    pair; survivors get the exact integer |∩|/|∪| verify
+    (den·inter ≥ num·union — no float threshold compare).
+
+    The rarity order is what makes it scale: a document's prefix is
+    its RAREST tokens, so candidate volume is driven by low-frequency
+    token collisions, not stopword fan-out (the same reason the
+    inverted-index literature processes terms rarest-first). Tokens
+    ride as lpad(freq,10,'0')||'|'||token sort keys — string order ==
+    (freq, token) order in both engines, and the key joins as the
+    token identity (freq is a function of the token).
+
+    Threshold is the exact rational num/den (default 4/5): prefix
+    length uses ⌈num·|d|/den⌉ = (num·|d|+den−1) div den, all integer.
+
+    Shape: one token explode + frequency count (wordcount law), one
+    join back for keys, a per-doc sort into the checkpointed
+    (doc_id, keys) frame (the exsub_tokens idiom — the frame feeds
+    the prefix explode AND both verify joins), the prefix-collision
+    self-join (candidates, distinct), and the bounded exact verify.
+    Never the corpus square. Columns: (id_a, id_b, inter_size,
+    union_size, jaccard)."""
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError(
+            "prefix_filter_jaccard_pairs: threshold must be in (0, 1]"
+        )
+    tk = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(ascii_tokens(text_col, lowercase=True))
+        ).alias("t"),
+    )
+    fr = tk.groupBy("t").agg(F.count("*").cast("long").alias("c"))
+    keyed = tk.join(fr, "t").select(
+        "id",
+        F.concat(
+            F.lpad(F.col("c").cast("string"), 10, "0"),
+            F.lit("|"),
+            F.col("t"),
+        ).alias("k"),
+    )
+    arrs = (
+        keyed.groupBy("id")
+        .agg(F.array_sort(F.collect_list("k")).alias("ks"))
+        .localCheckpoint(eager=False)
+    )
+    n, d = threshold_num, threshold_den
+    prefix = arrs.select(
+        "id",
+        F.explode(
+            F.slice(
+                F.col("ks"),
+                F.lit(1),
+                (
+                    F.size("ks")
+                    - F.expr(
+                        f"cast(({n} * size(ks) + {d} - 1) div {d} as int)"
+                    )
+                    + 1
+                ),
+            )
+        ).alias("k"),
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "k")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            arrs.select(F.col("id").alias("id_a"), F.col("ks").alias("ka")),
+            "id_a",
+        )
+        .join(
+            arrs.select(F.col("id").alias("id_b"), F.col("ks").alias("kb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("ka", "kb"))
+            .cast("long")
+            .alias("inter_size"),
+            F.size(F.array_union("ka", "kb"))
+            .cast("long")
+            .alias("union_size"),
+        )
+    )
+    return scored.filter(
+        F.lit(d) * F.col("inter_size") >= F.lit(n) * F.col("union_size")
+    ).select(
+        "id_a",
+        "id_b",
+        "inter_size",
+        "union_size",
+        (F.col("inter_size").cast("double") / F.col("union_size")).alias(
+            "jaccard"
+        ),
+    )

@@ -6165,3 +6165,62 @@ def q_margin_bitext_imi(spark, sf_dir):
     return similarity.margin_bitext_mine_imi(
         emb, a, cents, k=4, n_probe=4, n_queries=8
     )
+
+
+@declare(
+    "allpairs_jaccard_prefix",
+    f"""
+    WITH {_DUP_CORPUS_SQL},
+    tk AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct(list_filter(
+                   string_split_regex(lower(text), '[^a-z]+'),
+                   x -> x <> ''))) AS t
+        FROM corpus),
+    fr AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+    keyed AS (
+        SELECT id, lpad(CAST(fr.c AS VARCHAR), 10, '0') || '|' || tk.t
+                 AS k
+        FROM tk JOIN fr USING (t)),
+    arrs AS MATERIALIZED (
+        SELECT id, list_sort(list(k)) AS ks FROM keyed GROUP BY 1),
+    pref AS MATERIALIZED (
+        SELECT id,
+               unnest(ks[1:(len(ks) - ((19 * len(ks) + 19) // 20) + 1)])
+                 AS k
+        FROM arrs),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM pref a JOIN pref b ON a.k = b.k AND a.id < b.id),
+    sc AS (
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_filter(x.ks, v -> list_contains(y.ks, v)))
+                    AS BIGINT) AS inter_size,
+               CAST(len(list_distinct(list_concat(x.ks, y.ks)))
+                    AS BIGINT) AS union_size
+        FROM cand c
+        JOIN arrs x ON x.id = c.id_a
+        JOIN arrs y ON y.id = c.id_b)
+    SELECT id_a, id_b, inter_size, union_size,
+           CAST(inter_size AS DOUBLE) / union_size AS jaccard
+    FROM sc WHERE 20 * inter_size >= 19 * union_size
+    """,
+)
+def q_allpairs_jaccard_prefix(spark, sf_dir):
+    """EXACT all-pairs similarity join (r10,
+    dedup.prefix_filter_jaccard_pairs; Bayardo et al. WWW 2007):
+    every pair of the dup corpus with token-set Jaccard ≥ 19/20, found
+    by rarity-ordered prefix filtering — provably NO false negatives
+    (the guarantee every LSH family in this repo trades away),
+    candidates from rare-token prefix collisions only, exact integer
+    |∩|/|∪| verify (20·inter ≥ 19·union). 19/20 is the near-dup
+    regime AND the honest fixture choice: the template-generated
+    corpus is so token-dense that t=0.8 admits ~44k pairs at sf0.01
+    (output-driven cost, the edit_distance class) while 0.95 keeps
+    ~3k with every planted copy still J=1.0. Exact copies AND
+    token-reversed copies surface (token SETS are order-blind).
+    widen_scan: the tokenize explode is the interpreted-map class."""
+    corpus = _dup_corpus(spark, sf_dir)
+    return dedup.prefix_filter_jaccard_pairs(
+        corpus, threshold_num=19, threshold_den=20
+    )

@@ -336,6 +336,13 @@ def main() -> None:
         "margin_bitext_mine_imi",
         # RL trajectories: per-user windows, user count grows K×
         "trajectory_returns_events",
+        # allpairs_jaccard_prefix is NOT probed (the bm25_topk_docs
+        # precedent): verbatim copies collide in every prefix, so the
+        # 10x pair OUTPUT grows ~K^2 BY FIXTURE (~30M pairs, each an
+        # array-intersect verify) — hours measuring the synthetic
+        # blowup, not the operator (the r10s3 attempt was killed
+        # mid-probe; 1x sf0.1 measured separately: 61.5s cold /
+        # 17.95s warm for 281k true pairs, SCALE.md).
     ]
     only = set(sys.argv[3:])
     if only:

@@ -789,3 +789,93 @@ def test_streaming_reward_clip_matches_batch(spark, tmp_path):
 
     with pytest.raises(ValueError, match="lo_cut"):
         stream_ops.streaming_reward_clip(stream, 5, -5)
+
+
+# -------------------------------------------------- all-pairs jaccard
+
+
+def test_prefix_filter_jaccard_no_false_negatives(spark):
+    """The prefix-filter theorem check: against brute force over a
+    handcrafted corpus, every pair with token-set Jaccard >= t is
+    found (exactly — no false negatives AND the verify kills false
+    positives), at two thresholds."""
+    from mrgo_spark.operators import dedup
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),        # J=1 with 1
+        (3, "alpha beta gamma delta zeta"),            # J=4/6 with 1
+        (4, "epsilon delta gamma beta alpha"),         # reorder, J=1
+        (5, "totally different words here now"),
+        (6, "alpha beta gamma delta epsilon eta"),     # J=5/6 with 1
+        (7, "x"),
+        (8, "x"),                                      # J=1 with 7
+        (9, ""),                                       # empty: no rows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def toks(s):
+        return {w for w in s.lower().split() if w}
+
+    def brute(tn, td):
+        out = {}
+        for i, (ia, ta) in enumerate(rows):
+            for ib, tb in rows[i + 1 :]:
+                sa, sb = toks(ta), toks(tb)
+                if not sa or not sb:
+                    continue
+                inter, union = len(sa & sb), len(sa | sb)
+                if td * inter >= tn * union:
+                    out[(ia, ib)] = (inter, union)
+        return out
+
+    for tn, td in [(4, 5), (1, 2)]:
+        got = {
+            (r.id_a, r.id_b): (r.inter_size, r.union_size)
+            for r in dedup.prefix_filter_jaccard_pairs(
+                df, threshold_num=tn, threshold_den=td
+            ).collect()
+        }
+        assert got == brute(tn, td), (tn, td)
+    # the J=1 pairs specifically (identity, reorder, single-token)
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.prefix_filter_jaccard_pairs(df, 4, 5).collect()
+    }
+    assert {(1, 2), (1, 4), (2, 4), (7, 8)} <= got
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.prefix_filter_jaccard_pairs(df, 0, 5)
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.prefix_filter_jaccard_pairs(df, 6, 5)
+
+
+def test_prefix_length_math():
+    """p = |d| - ceil(t|d|) + 1 replay for the integer form."""
+    import math
+
+    for n, d in [(4, 5), (19, 20), (1, 2), (1, 1)]:
+        for size in range(1, 60):
+            want = size - math.ceil(n * size / d) + 1
+            got = size - ((n * size + d - 1) // d) + 1
+            assert got == want and got >= 1, (n, d, size)
+
+
+def test_declared_allpairs_recall(spark):
+    """Every planted copy pair (exact AND token-reversed — token
+    sets are order-blind) surfaces at J=1 in the declared entry."""
+    from mrgo_spark.operators.queries_llm import q_allpairs_jaccard_prefix
+    from mrgo_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in q_allpairs_jaccard_prefix(spark, sf).collect()
+    }
+    docs = load_table(spark, sf, "documents")
+    planted = [
+        r.doc_id for r in docs.filter(F.col("doc_id") % 10 == 0).collect()
+    ]
+    for i in planted:
+        assert got.get((i, i + 100000)) == 1.0, i        # exact copy
+        assert got.get((i, i + 200000)) == 1.0, i        # reversed copy
+        assert got.get((i + 100000, i + 200000)) == 1.0, i
