@@ -1441,9 +1441,11 @@ def prefix_filter_jaccard_pairs(
     its RAREST tokens, so candidate volume is driven by low-frequency
     token collisions, not stopword fan-out (the same reason the
     inverted-index literature processes terms rarest-first). Tokens
-    ride as lpad(freq,10,'0')||'|'||token sort keys — string order ==
-    (freq, token) order in both engines, and the key joins as the
-    token identity (freq is a function of the token).
+    ride as lpad(freq,19,'0')||'|'||token sort keys — string order ==
+    (freq, token) order in both engines for ANY int64 frequency (19
+    digits covers 2^63; ADVICE_r10 — a 10-digit pad silently degraded
+    the rarity order above 10^10 occurrences), and the key joins as
+    the token identity (freq is a function of the token).
 
     Threshold is the exact rational num/den (default 4/5): prefix
     length uses ⌈num·|d|/den⌉ = (num·|d|+den−1) div den, all integer.
@@ -1469,7 +1471,7 @@ def prefix_filter_jaccard_pairs(
     keyed = tk.join(fr, "t").select(
         "id",
         F.concat(
-            F.lpad(F.col("c").cast("string"), 10, "0"),
+            F.lpad(F.col("c").cast("string"), 19, "0"),
             F.lit("|"),
             F.col("t"),
         ).alias("k"),

@@ -278,7 +278,10 @@ def q_kv_state_at_seq(spark, sf_dir):
         kv.synth_oplog(load_table(spark, sf_dir, "events"))
     )
     cut = oplog.agg(
-        F.floor((F.min("seq") + F.max("seq")) / 2).cast("long").alias("_s")
+        # integer `div` matches the oracle's truncating `//` for ANY
+        # int64 seq range; the old float-floor form was exact only
+        # below 2^53 (ADVICE_r10)
+        F.expr("(min(seq) + max(seq)) div 2").alias("_s")
     )
     snap = (
         oplog.crossJoin(F.broadcast(cut))
@@ -369,7 +372,8 @@ def q_kv_state_diff(spark, sf_dir):
         kv.synth_oplog(load_table(spark, sf_dir, "events"))
     )
     cut = oplog.agg(
-        F.floor((F.min("seq") + F.max("seq")) / 2).cast("long").alias("_s")
+        # integer `div` == oracle `//` unconditionally (ADVICE_r10)
+        F.expr("(min(seq) + max(seq)) div 2").alias("_s")
     )
     snap = (
         oplog.crossJoin(F.broadcast(cut))

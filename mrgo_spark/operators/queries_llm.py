@@ -6179,7 +6179,7 @@ def q_margin_bitext_imi(spark, sf_dir):
         FROM corpus),
     fr AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
     keyed AS (
-        SELECT id, lpad(CAST(fr.c AS VARCHAR), 10, '0') || '|' || tk.t
+        SELECT id, lpad(CAST(fr.c AS VARCHAR), 19, '0') || '|' || tk.t
                  AS k
         FROM tk JOIN fr USING (t)),
     arrs AS MATERIALIZED (

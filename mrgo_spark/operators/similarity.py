@@ -2303,7 +2303,12 @@ def margin_bitext_mine_imi(
     fixed-query idiom — corpus-linear probe rows, unlike the exact
     form's %20 set). The backward LUTs are built for the fwd winners
     (≤ n_queries ids, a driver-tiny collect — the IVF-seeds
-    precedent). n_probe = K (all cells) degenerates to the exact
+    precedent; NOTE this means DataFrame CONSTRUCTION triggers Spark
+    jobs, so bench/probe timing must keep construction inside the
+    clock, the r2/r8 lesson). An empty fwd leg (probed cells hold no
+    opposite-side vectors) short-circuits the backward pass to an
+    empty frame instead of building LUTs from an empty id list
+    (ADVICE_r10). n_probe = K (all cells) degenerates to the exact
     margin_bitext_mine on the same query set — pinned in tests.
     Columns: identical to margin_bitext_mine."""
     q = _pq_quantized(embeddings, id_col, vec_col)
@@ -2334,6 +2339,11 @@ def margin_bitext_mine_imi(
         cand_ids = [
             r[0] for r in best.select("tgt_id").distinct().collect()
         ]
+        if not cand_ids:
+            # empty fwd leg: no winners to probe backward from —
+            # return the (empty) fwd-shaped frame rather than
+            # building LUT/probe frames off an empty list
+            return fwd.limit(0)
         bluts = _pq_luts_for_ids(q, cents, cand_ids, PQ_M, PQ_SUBDIM)
         return (
             _imi_pruned_cosine(
