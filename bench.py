@@ -463,6 +463,11 @@ def main() -> None:
         # RL trajectory assembly: one user shuffle, episode/step/
         # suffix windows sub-partition it
         "trajectory_returns_events",
+        # r11 shardkv observables: dedup fold + row-local schedule
+        # columns + one groupBy (epoch_serving's law); the handoff
+        # audit adds the domain-grid interval-cumsum window
+        "kv_handoff_gc_audit",
+        "kv_transfer_serving",
         # allpairs_jaccard_prefix stays OUT (the semantic_dedup
         # policy): 18 s warm at sf0.1 — 281k true J>=0.95 pairs on
         # the template-dense fixture, real output-driven verify work,

@@ -159,3 +159,107 @@ def check_history(history: DataFrame) -> DataFrame:
     return history.groupBy("key").applyInPandas(
         lambda pdf: _check_group(pdf), schema=_RESULT_SCHEMA
     )
+
+
+# --- witness rendering (porcupine src/porcupine/visualization.go) ----------
+
+_VIS_WIDTH = 56  # timeline columns
+
+
+def render_key_witness(ops: Iterable[Op], order: list[int] | None) -> str:
+    """Human-readable timeline of one key's history + its witness —
+    the text analog of porcupine's HTML visualization: one row per op
+    (in the checker's (call_ns, return_ns, pending-last) sort order,
+    so row numbers ARE the witness indices), a scaled ``|====|``
+    interval bar (``~~~>`` for a pending op's open interval), the
+    op's linearization position from the witness (``lin k``), ``not
+    applied`` for a pending op absent from it — and, when ``order``
+    is None, ``VIOLATION`` with every returned op unmarked."""
+    ops = sorted(ops, key=lambda o: (o.call_ns, _ret(o)))
+    if not ops:
+        return "(empty history)\n"
+    t0 = min(o.call_ns for o in ops)
+    t1 = max([o.call_ns for o in ops] + [
+        o.return_ns for o in ops if o.return_ns is not None
+    ])
+    span = max(t1 - t0, 1)
+    pos = {i: k + 1 for k, i in enumerate(order)} if order else {}
+
+    def col(t: int) -> int:
+        return min(_VIS_WIDTH - 1, (t - t0) * (_VIS_WIDTH - 1) // span)
+
+    lines = []
+    for i, o in enumerate(ops):
+        a = col(o.call_ns)
+        bar = [" "] * _VIS_WIDTH
+        if o.return_ns is None:
+            a = min(a, _VIS_WIDTH - 3)  # keep the ~> tail visible
+            bar[a] = "|"
+            for c in range(a + 1, _VIS_WIDTH - 1):
+                bar[c] = "~"
+            bar[_VIS_WIDTH - 1] = ">"
+        else:
+            b = max(col(o.return_ns), a)
+            bar[a] = bar[b] = "|"
+            for c in range(a + 1, b):
+                bar[c] = "="
+        desc = o.op
+        if o.value is not None:
+            desc += f"({o.value})"
+        if o.op == "get":
+            desc += f"->{o.output or ''}"
+        if order is None:
+            mark = "?" if o.return_ns is not None else "pending"
+        elif i in pos:
+            mark = f"lin {pos[i]}"
+        else:
+            mark = "not applied (pending)"
+        lines.append(
+            f" #{i:<3d} c{o.client:<4d} {desc:<22.22s} "
+            f"{''.join(bar)}  {mark}"
+        )
+    return "\n".join(lines) + "\n"
+
+
+def write_witness_report(history: DataFrame, path: str) -> str:
+    """Render the whole history's per-key witnesses to one HTML file
+    (minimal porcupine-visualization analog: a <pre> timeline per
+    key, OK/VIOLATION status up front). DEBUGGING affordance — the
+    history is collected to the driver, which a checker run already
+    affords (linearizability histories are test-scale per key; the
+    distributed axis is ``check_history``, not this renderer).
+    Returns the HTML string it wrote."""
+    verdicts = {
+        r.key: r.order
+        for r in check_history(history).collect()
+    }
+    by_key: dict[str, list[Op]] = {}
+    for r in history.collect():
+        by_key.setdefault(r.key, []).append(
+            Op(
+                client=int(r.client),
+                op=str(r.op),
+                value=r.value,
+                output=r.output,
+                call_ns=int(r.call_ns),
+                return_ns=None if r.return_ns is None else int(r.return_ns),
+            )
+        )
+    parts = [
+        "<!doctype html><meta charset='utf-8'>"
+        "<title>linearizability witness</title>"
+        "<body style='font-family:monospace'>"
+    ]
+    for key in sorted(by_key):
+        order = verdicts.get(key)
+        status = "OK" if order is not None else "VIOLATION"
+        parts.append(
+            f"<h3>key={key} — {status}</h3><pre>"
+            + render_key_witness(by_key[key], order)
+            + "</pre>"
+        )
+    parts.append("</body>")
+    html = "".join(parts)
+    with open(path, "w") as fh:
+        fh.write(html)
+    return html

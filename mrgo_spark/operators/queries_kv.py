@@ -159,6 +159,115 @@ def q_kv_epoch_serving(spark, sf_dir):
     return kv.epoch_serving(kv.synth_oplog(load_table(spark, sf_dir, "events")))
 
 
+@declare(
+    "kv_transfer_serving",
+    _OPLOG
+    + """
+    , t AS (
+        SELECT seq // 1000 AS epoch,
+               ascii(substr(key,1,1)) % 10 AS shard,
+               client % 3 + 1 AS gid,
+               seq % 1000 AS off
+        FROM oplog),
+    m AS (
+        SELECT epoch, gid, shard, off,
+               (shard + (epoch + (3 - shard % 3) % 3) // 3) % 3 + 1
+                   AS owner,
+               (epoch >= 1 AND epoch % 3 = shard % 3) AS moving,
+               off < (shard + 1) * 80 AS in_window
+        FROM t),
+    c AS (
+        SELECT epoch, gid,
+               count(*) FILTER (WHERE gid = owner
+                   AND (NOT moving OR NOT in_window)) AS n_served,
+               count(*) FILTER (WHERE gid <> owner) AS n_wrong_group,
+               count(*) FILTER (WHERE gid = owner AND moving
+                   AND in_window) AS n_in_transfer,
+               count(*) FILTER (WHERE gid = owner AND NOT moving)
+                   AS n_unaffected_req,
+               count(*) FILTER (WHERE gid = owner AND NOT moving
+                   AND (NOT moving OR NOT in_window))
+                   AS n_unaffected_served
+        FROM m GROUP BY 1, 2)
+    SELECT epoch, gid, n_served, n_wrong_group, n_in_transfer,
+           n_unaffected_req, n_unaffected_served,
+           CAST(CASE WHEN n_served + n_in_transfer > 0
+                     THEN (1000 * n_served) // (n_served + n_in_transfer)
+                     ELSE 1000 END AS BIGINT) AS avail_milli
+    FROM c
+    """,
+)
+def q_kv_transfer_serving(spark, sf_dir):
+    """In-flight reconfiguration serving (r11, kv.transfer_serving;
+    reference shardkv/test_test.go:817/:887 Challenge 2): per
+    (epoch, contacted gid) — served / wrong-group / in-transfer
+    counts under the partial-move schedule (one shard class moves
+    per epoch, staggered arrivals), plus the unaffected-shard
+    observables whose equality IS the Challenge2Unaffected
+    invariant, and the availability fraction the transfer gap
+    costs. Pure row-local schedule columns + one groupBy."""
+    return kv.transfer_serving(
+        kv.synth_oplog(load_table(spark, sf_dir, "events"))
+    )
+
+
+@declare(
+    "kv_handoff_gc_audit",
+    _OPLOG
+    + """
+    , wr AS (
+        SELECT ascii(substr(key,1,1)) % 10 AS shard, key,
+               min(seq // 1000) AS minw
+        FROM oplog
+        WHERE op IN ('put','append')
+          AND (ascii(substr(key,1,1)) % 10 + seq // 1000) % 3 + 1
+              = client % 3 + 1
+        GROUP BY 1, 2),
+    cnt AS (SELECT shard, minw, count(*) AS c FROM wr GROUP BY 1, 2),
+    mx AS (SELECT max(seq) // 1000 AS e FROM oplog),
+    grid AS (
+        SELECT e.epoch, s.shard
+        FROM (SELECT unnest(generate_series(1, (SELECT e FROM mx)))
+                  AS epoch) e,
+             (SELECT unnest(generate_series(0, 9)) AS shard) s),
+    cum AS (
+        SELECT g.epoch, g.shard,
+               coalesce(sum(c.c) FILTER (WHERE c.minw <= g.epoch - 1), 0)
+                   AS cumk
+        FROM grid g LEFT JOIN cnt c ON c.shard = g.shard
+        GROUP BY 1, 2),
+    tag AS (
+        SELECT epoch, (shard + epoch) % 3 + 1 AS gid, 'own' AS role,
+               cumk
+        FROM cum
+        UNION ALL
+        SELECT epoch, (shard + epoch - 1) % 3 + 1 AS gid,
+               'handoff' AS role, cumk
+        FROM cum)
+    SELECT epoch, gid,
+           CAST(count(*) FILTER (WHERE role = 'own') AS BIGINT)
+               AS n_shards_owned,
+           CAST(count(*) FILTER (WHERE role = 'handoff' AND cumk > 0)
+               AS BIGINT) AS n_shards_handed_off,
+           CAST(coalesce(sum(cumk) FILTER (WHERE role = 'handoff'), 0)
+               AS BIGINT) AS n_reap_keys
+    FROM tag
+    GROUP BY 1, 2
+    """,
+)
+def q_kv_handoff_gc_audit(spark, sf_dir):
+    """Shard-handoff GC obligations (r11, kv.handoff_gc_obligations;
+    reference shardkv/test_test.go:663 TestChallenge1Delete): per
+    (epoch, gid), shards owned vs shards handed off still carrying
+    data, and the distinct keys an unreaped copy would hold — the
+    storage the reference's snapshot-size budget charges a group
+    that never deletes. One write-scan aggregate + a domain-grid
+    fold; never a per-epoch log replay."""
+    return kv.handoff_gc_obligations(
+        kv.synth_oplog(load_table(spark, sf_dir, "events"))
+    )
+
+
 def _rebalance_oracle_sql() -> str:
     """Unrolled-CTE SQL implementation of the rebalance fold — an
     independent second implementation (window functions + list

@@ -83,7 +83,20 @@ PRIORITY = [
     # in r3 (an oracle row for embedding-cosine dedup is worth more
     # than a second time-window agg row; hypertable_rollup stays
     # declared + driver_sim-checked just past the window).
-    "dedup_exact", "dedup_fingerprint", "semantic_dedup",
+    # r11 swap (VERDICT_r10 #4): copeland_system_ranking takes
+    # dedup_fingerprint's slot — the RL-data family (GRPO advantages,
+    # best-of-n, Copeland pairwise ranking, winsorize, kappa,
+    # trajectory returns; new in r10) held ZERO in-window rows while
+    # X2 held seven, and fingerprint-dedup math is subsumed in-window
+    # by dedup_pipeline_canonical (whose dup graph is BUILT from the
+    # same fingerprint edges — the dup_cluster_components precedent).
+    # Copeland chosen over grpo_group_advantages as the family rep:
+    # it is the division-free exact-integer preference RANKING (the
+    # family's distinctive math), where GRPO advantages are a
+    # groupBy-normalize re-demonstration of the aggregate family.
+    # dedup_fingerprint was driver-green r1-r10 and stays declared +
+    # receipt-checked just past the window.
+    "dedup_exact", "semantic_dedup",
     # r9 swap (VERDICT_r8 #5): ngram_precision_eval takes
     # edit_distance_pairs' slot — the EVAL table (retrieval / kNN /
     # generation quality) held ZERO in-window reps while X2 near-dup
@@ -225,6 +238,9 @@ PRIORITY = [
     "corpus_quality_filter", "decontaminate_stats", "dataset_split",
     "mixture_sample", "span_corruption_docs", "sequence_packing",
     "pii_scrub_audit", "corpus_shuffle_order", "corpus_prep",
+    # RL-data assembly (r11 swap, see dedup section): the family's
+    # first gate rep — Copeland pairwise win-loss system ranking
+    "copeland_system_ranking",
     # multimodal (X5) — media_phash_pairs gives the perceptual-hash
     # media-dedup class a driver-checked row (r5 swap, see above)
     "multimodal_blob_stats", "media_phash_pairs",
@@ -234,6 +250,7 @@ PRIORITY = [
     # TPC-H representative (the remaining 21 variants follow after)
     "q1_pricing_summary",
     # first entries past the driver window, in checked order
+    "dedup_fingerprint",
     "dup_cluster_components", "edit_distance_pairs", "sequence_chunks",
     "rrf_hybrid_retrieval", "dsir_importance_scores",
     "embedding_centroids", "quality_score",

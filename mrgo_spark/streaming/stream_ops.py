@@ -811,27 +811,50 @@ def serve_bm25_foreach_batch(index, query_stream: DataFrame, sink, k: int = 10):
     return query_stream.writeStream.foreachBatch(_process)
 
 
-def ingest_ann_foreach_batch(index, vec_stream: DataFrame, dedupe: bool = True):
+def ingest_ann_foreach_batch(
+    index,
+    vec_stream: DataFrame,
+    dedupe: bool = True,
+    compact_max_files: int | None = 8,
+    holder: dict | None = None,
+):
     """Streaming ANN INGESTION (r9): the maintenance twin of the
     serve paths — each micro-batch of new (vec_id, embedding) rows is
     appended to the at-rest ``IVFIndex`` against its frozen centroids
     (``IVFIndex.add``): one broadcast-assign pass per batch, appends
     only the batch's cell partitions, idempotent under batch replay
-    (the anti-join + within-batch dedupe), and loud on the same id
-    arriving with different vectors WITHIN a batch (the r9 conflict
-    guard). ACROSS batches the index wins: an id already at rest is
-    anti-joined out even if its vector changed — re-embedding an
-    existing id requires a rebuild, by the same existing-beats-batch
-    priority incremental_dedup_audit uses (r9 review: the guard
-    cannot see cross-batch conflicts because the anti-join removes
-    them first). Grown index == same-centroid assignment of the
-    union corpus (add's parity pin). Returns the writeStream
-    builder."""
+    (the bloom-BOUNDED anti-join + within-batch dedupe — a batch of
+    genuinely new ids skips the at-rest id scan entirely, VERDICT_r10
+    #1), and loud on the same id arriving with different vectors
+    WITHIN a batch (the r9 conflict guard). ACROSS batches the index
+    wins: an id already at rest is anti-joined out even if its vector
+    changed — re-embedding an existing id requires a rebuild, by the
+    same existing-beats-batch priority incremental_dedup_audit uses
+    (r9 review: the guard cannot see cross-batch conflicts because
+    the anti-join removes them first). Grown index == same-centroid
+    assignment of the union corpus (add's parity pin).
+
+    Cell-file hygiene (VERDICT_r10 #1, the tiered-BM25 lesson on the
+    ANN side): after every add, cells whose parquet file count
+    exceeds ``compact_max_files`` are rewritten to one file
+    (``IVFIndex.compact_cells`` — threshold-triggered, self-nooping,
+    query-parity-pinned), so live file count per cell stays bounded
+    at any batch count instead of growing one file per touched cell
+    per micro-batch. ``compact_max_files=None`` disables (the
+    append-only r9 behavior). Each performed compaction is recorded
+    in ``holder["compactions"]`` as (batch_id, stats) when a holder
+    dict is passed. Returns the writeStream builder."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         index.add(batch_df, dedupe=dedupe)
+        if compact_max_files is not None:
+            stats = index.compact_cells(compact_max_files)
+            if holder is not None and stats["compacted_cells"]:
+                holder.setdefault("compactions", []).append(
+                    (batch_id, stats)
+                )
 
     return vec_stream.writeStream.foreachBatch(_process)
 
@@ -1008,6 +1031,11 @@ def ingest_bm25_foreach_batch(index, doc_stream: DataFrame, workdir: str):
                 sizes.pop(p, None)
         holder["_pending_gc"] = [p for p in consumed if _gc_ok(p)]
 
+    # direct per-batch entry (holder["_ingest"](df, batch_id)): lets a
+    # non-streaming caller — or the tier-schedule sweep test — drive
+    # the SAME tier/GC/replay logic without the streaming engine's
+    # per-micro-batch overhead
+    holder["_ingest"] = _process
     return doc_stream.writeStream.foreachBatch(_process), holder
 
 

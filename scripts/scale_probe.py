@@ -336,6 +336,16 @@ def main() -> None:
         "margin_bitext_mine_imi",
         # RL trajectories: per-user windows, user count grows K×
         "trajectory_returns_events",
+        # r11 shardkv observables: both are dedup-fold + row-local
+        # schedule columns (epoch_serving's law). NOTE the probe's
+        # seq offsets inflate the EPOCH DOMAIN ~Kx1000 (epoch =
+        # seq div 1000 over offset keys), so the handoff grid/window
+        # and both outputs grow with that domain — linear by design
+        # (the interval-cumsum shape; the join-per-grid-row form
+        # would be O(E²) exactly here), which is what the ratio
+        # checks.
+        "kv_handoff_gc_audit",
+        "kv_transfer_serving",
         # allpairs_jaccard_prefix is NOT probed (the bm25_topk_docs
         # precedent): verbatim copies collide in every prefix, so the
         # 10x pair OUTPUT grows ~K^2 BY FIXTURE (~30M pairs, each an

@@ -1,0 +1,233 @@
+"""IVF segment hygiene (VERDICT_r10 #1): cell-file compaction +
+bloom-bounded idempotency probe for incremental/streaming ANN
+ingestion — the tiered-BM25 lesson applied to the ANN side.
+
+Contracts pinned here:
+- compact_cells bounds parquet files per cell and never changes query
+  results (parity vs the pre-compaction index);
+- add()'s anti-join is bounded: a batch of genuinely new ids probes
+  ZERO cells (no at-rest scan at all), a replayed batch probes only
+  the colliding cells and stays idempotent;
+- the lake-wins drop of a re-embedded id still works when the new
+  vector assigns to a DIFFERENT cell than the at-rest copy (the
+  cell-agnostic membership check);
+- a missing sidecar rebuilds from the at-rest ids (exact superset) —
+  recovery path for a crashed sidecar write;
+- the streaming ingestion loop keeps file counts bounded over many
+  micro-batches while matching the batch-built reference index.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mrgo_spark.operators import similarity
+from mrgo_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _cell_file_counts(path: str) -> dict[int, int]:
+    root = os.path.join(path, "cells")
+    out = {}
+    for d in os.listdir(root):
+        if d.startswith("cell_id="):
+            out[int(d.split("=", 1)[1])] = sum(
+                1
+                for f in os.listdir(os.path.join(root, d))
+                if f.endswith(".parquet")
+            )
+    return out
+
+
+def _query_snapshot(idx, queries, k=5):
+    return sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in idx.query(queries, k=k).collect()
+    )
+
+
+def test_compact_cells_bounds_files_and_preserves_queries(spark, tmp_path):
+    """Many small adds accrue one file per touched cell per add;
+    compact_cells rewrites over-threshold cells to ONE file each and
+    the pruned query results are bit-identical before/after."""
+    emb = load_table(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 8 == 0)
+    idx = similarity.IVFIndex.build(base, str(tmp_path / "cmp"), n_cells=4)
+    for m in range(1, 8):
+        idx.add(emb.filter(F.col("vec_id") % 8 == m))
+    before_files = _cell_file_counts(str(tmp_path / "cmp"))
+    assert max(before_files.values()) > 2  # accrual actually happened
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    before = _query_snapshot(idx, queries)
+    stats = idx.compact_cells(max_files_per_cell=2)
+    assert stats["compacted_cells"]
+    assert stats["files_after"] == len(stats["compacted_cells"])
+    after_files = _cell_file_counts(str(tmp_path / "cmp"))
+    assert max(after_files.values()) <= 2
+    assert _query_snapshot(idx, queries) == before
+    # row counts intact per cell (no data dropped by the swap)
+    n = spark.read.parquet(str(tmp_path / "cmp") + "/cells").count()
+    assert n == emb.count()
+    # below-threshold call self-noops
+    assert idx.compact_cells(max_files_per_cell=2)["compacted_cells"] == []
+
+
+def test_compact_then_readd_stays_idempotent(spark, tmp_path):
+    """The sidecar survives compaction (the id set is invariant), so
+    a replayed batch after compaction still collapses to a no-op."""
+    emb = load_table(spark, SF, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = similarity.IVFIndex.build(a, str(tmp_path / "ci"), n_cells=4)
+    idx.add(b)
+    idx.compact_cells(max_files_per_cell=1)
+    idx.add(b)  # replay after compaction
+    cells = spark.read.parquet(str(tmp_path / "ci") + "/cells")
+    assert cells.count() == emb.count()
+
+
+def test_add_new_ids_probes_zero_cells(spark, tmp_path):
+    """The VERDICT_r10 read-amplification fix: a batch of genuinely
+    new ids must not scan the at-rest id column at all — the bloom
+    sidecar proves absence and last_probe_cells stays empty."""
+    emb = load_table(spark, SF, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = similarity.IVFIndex.build(a, str(tmp_path / "zp"), n_cells=4)
+    idx.add(b)
+    assert idx.last_probe_cells == []
+    cells = spark.read.parquet(str(tmp_path / "zp") + "/cells")
+    assert cells.count() == emb.count()
+
+
+def test_add_replay_probes_only_colliding_cells(spark, tmp_path):
+    """A replayed batch bloom-collides (its ids ARE at rest), probes a
+    bounded cell set, and appends nothing."""
+    emb = load_table(spark, SF, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = similarity.IVFIndex.build(a, str(tmp_path / "rp"), n_cells=4)
+    idx.add(b)
+    idx.add(b)  # replay: every id already at rest
+    assert idx.last_probe_cells  # collided → probed
+    cells = spark.read.parquet(str(tmp_path / "rp") + "/cells")
+    assert cells.count() == emb.count()
+
+
+def test_lake_wins_drop_across_cells(spark, tmp_path):
+    """A re-embedded id whose new vector assigns to a DIFFERENT cell
+    must still be dropped lake-wins: membership is cell-agnostic
+    (the bug the per-assigned-cell bloom lookup would have had)."""
+    emb = load_table(spark, SF, "embeddings")
+    idx = similarity.IVFIndex.build(emb, str(tmp_path / "lw"), n_cells=4)
+    moved = emb.limit(5).withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: -x),  # flips the cell
+    )
+    idx.add(moved)
+    cells = spark.read.parquet(str(tmp_path / "lw") + "/cells")
+    assert cells.count() == emb.count()  # nothing appended
+    # the probe actually ran (ids collided in their at-rest cells)
+    assert idx.last_probe_cells
+
+
+def test_sidecar_rebuild_on_missing(spark, tmp_path):
+    """Crash-recovery: a deleted/corrupt sidecar rebuilds from the
+    at-rest id scan — idempotency holds through the rebuild."""
+    import shutil
+
+    emb = load_table(spark, SF, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    idx = similarity.IVFIndex.build(a, str(tmp_path / "rb"), n_cells=4)
+    shutil.rmtree(str(tmp_path / "rb" / "idstats"))
+    idx.add(a)  # replay with no sidecar: rebuild must catch the dups
+    cells = spark.read.parquet(str(tmp_path / "rb") + "/cells")
+    assert cells.count() == a.count()
+    # sidecar was re-materialized
+    assert os.path.isdir(str(tmp_path / "rb" / "idstats"))
+
+
+def test_recover_compaction_restores_stranded_cell(spark, tmp_path):
+    """A crash between the two swap renames leaves the cell dir in
+    _compact_trash; the next construction restores it."""
+    import shutil
+
+    emb = load_table(spark, SF, "embeddings")
+    idx = similarity.IVFIndex.build(emb, str(tmp_path / "rc"), n_cells=4)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    before = _query_snapshot(idx, queries)
+    root = str(tmp_path / "rc")
+    cells_root = os.path.join(root, "cells")
+    victim = sorted(
+        d for d in os.listdir(cells_root) if d.startswith("cell_id=")
+    )[0]
+    trash = os.path.join(root, "_compact_trash")
+    os.makedirs(trash)
+    os.rename(
+        os.path.join(cells_root, victim), os.path.join(trash, victim)
+    )
+    idx2 = similarity.IVFIndex(spark, root)  # recovery runs here
+    assert os.path.isdir(os.path.join(cells_root, victim))
+    assert not os.path.isdir(trash)
+    assert _query_snapshot(idx2, queries) == before
+
+
+def test_streaming_ingest_compaction_bounds_files(spark, tmp_path):
+    """N micro-batches through ingest_ann_foreach_batch with the
+    default compaction cadence: file counts stay bounded, the grown
+    index matches a batch-built reference, and performed compactions
+    are recorded in the holder."""
+    from mrgo_spark.streaming import stream_ops
+
+    emb = load_table(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id") % 8 == 0)
+    rest = emb.filter(F.col("vec_id") % 8 != 0)
+    idx = similarity.IVFIndex.build(base, str(tmp_path / "st"), n_cells=4)
+
+    src_dir = tmp_path / "vec_src"
+    src_dir.mkdir()
+    schema_df = rest.limit(0)
+    stream = (
+        spark.readStream.schema(schema_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    for m in range(1, 8):
+        rest.filter(F.col("vec_id") % 8 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src_dir))
+    holder: dict = {}
+    q = (
+        stream_ops.ingest_ann_foreach_batch(
+            idx, stream, compact_max_files=2, holder=holder
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    files = _cell_file_counts(str(tmp_path / "st"))
+    assert max(files.values()) <= 2
+    assert holder.get("compactions")  # at least one compaction ran
+    # parity: grown index == same-centroid fresh assignment
+    ref_path = str(tmp_path / "ref")
+    idx.centroids.write.mode("overwrite").parquet(f"{ref_path}/centroids")
+    cells = similarity._assign_cells(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cvec_"),
+        ),
+        idx.centroids,
+        "neighbor_id",
+        "cvec_",
+        n_probe=1,
+    )
+    cells.repartition("cell_id").write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(f"{ref_path}/cells")
+    ref = similarity.IVFIndex(spark, ref_path)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    assert _query_snapshot(idx, queries) == _query_snapshot(ref, queries)

@@ -287,3 +287,150 @@ def test_put_history_scd2_point_query_matches_last_put(spark, sf_dir):
         if seq <= s:
             want[key] = value
     assert got == set(want.items())
+
+
+def test_handoff_gc_matches_python_replay(spark):
+    """Three-way leg: handoff_gc_obligations over a hand-built oplog
+    must equal a pure-Python replay of the ownership rotation and
+    key-population model (leg 2 is the DuckDB oracle)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    # keys '0'..'9' map to shards ascii('0'..'9') % 10 = 8,9,0..7
+    rows = [
+        # epoch 0: served writes (owner(s,0) = s%3+1, gid=client%3+1)
+        (10, 0, 10, "put", "2", "a"),   # shard 0, owner 1, gid 1 → served
+        (20, 1, 20, "put", "3", "b"),   # shard 1, owner 2, gid 2 → served
+        (30, 0, 30, "put", "4", "c"),   # shard 2, owner 3, gid 1 → REJECTED
+        # epoch 1: shard 0 now owner 2
+        (1010, 1, 40, "put", "20", "d"),  # shard 0, owner 2, gid 2 → served
+        (1020, 1, 41, "put", "2", "e"),   # shard 0 same key again
+        # epoch 2 exists so the audit covers epochs 1..2
+        (2010, 0, 50, "get", "2", None),
+    ]
+    out = {
+        (r.epoch, r.gid): (
+            r.n_shards_owned,
+            r.n_shards_handed_off,
+            r.n_reap_keys,
+        )
+        for r in kv.handoff_gc_obligations(_oplog_df(spark, rows)).collect()
+    }
+
+    # python replay
+    def owner(s, e):
+        return (s + e) % 3 + 1
+
+    writes = {}  # (shard, key) -> min epoch, served writes only
+    for seq, client, _r, op, key, _v in rows:
+        if op not in ("put", "append"):
+            continue
+        e, s = seq // 1000, ord(key[0]) % 10
+        if owner(s, e) != client % 3 + 1:
+            continue
+        writes[(s, key)] = min(writes.get((s, key), e), e)
+    want = {}
+    for e in (1, 2):
+        for g in (1, 2, 3):
+            owned = sum(1 for s in range(10) if owner(s, e) == g)
+            ho = [s for s in range(10) if owner(s, e - 1) == g]
+            pop = {
+                s: sum(
+                    1
+                    for (ss, _k), mw in writes.items()
+                    if ss == s and mw <= e - 1
+                )
+                for s in ho
+            }
+            want[(e, g)] = (
+                owned,
+                sum(1 for s in ho if pop[s] > 0),
+                sum(pop.values()),
+            )
+    assert out == want
+    # spot-check the story: at epoch 1, group 1 (owner of shard 0 at
+    # epoch 0) must reap key '2'; at epoch 2, group 2 holds shard 0's
+    # two keys from its epoch-1 tenure
+    assert out[(1, 1)][1] == 1 and out[(1, 1)][2] >= 1
+    assert out[(2, 2)][2] >= 2
+
+
+def test_storage_leak_audit_flags_planted_shard(spark):
+    """VERDICT_r10 #2 'done' criterion: plant one unreaped shard in
+    an otherwise-correct storage table and see exactly it reported."""
+    epoch = 5
+    correct = [
+        (int((s + epoch) % kv.NGROUPS + 1), s, 3) for s in range(kv.NSHARDS)
+    ]
+    planted = correct + [(1, 7, 4)] if (7 + epoch) % kv.NGROUPS + 1 != 1 else (
+        correct + [(2, 7, 4)]
+    )
+    storage = spark.createDataFrame(
+        planted, "gid int, shard int, n_keys int"
+    )
+    out = kv.storage_leak_audit(storage, epoch).collect()
+    leaked = [(r.gid, r.shard, r.n_keys) for r in out if r.verdict == "leaked"]
+    assert len(leaked) == 1 and leaked[0][1] == 7 and leaked[0][2] == 4
+    assert sum(1 for r in out if r.verdict == "owned") == kv.NSHARDS
+
+
+def test_transfer_serving_unaffected_always_served(spark):
+    """Challenge2Unaffected pin: in EVERY (epoch, gid) row, every
+    correctly-routed request to a non-moving shard is served —
+    n_unaffected_served == n_unaffected_req — and outcome counts
+    conserve the deduped op total per epoch."""
+    from pyspark.sql import functions as F
+
+    from mrgo_spark.sources.tables import load_table
+
+    oplog = kv.synth_oplog(
+        load_table(spark, "/root/testdata/sf0.001", "events")
+    )
+    out = kv.transfer_serving(oplog).collect()
+    assert out
+    for r in out:
+        assert r.n_unaffected_served == r.n_unaffected_req, r
+        assert 0 <= r.avail_milli <= 1000
+    per_epoch = {}
+    for r in out:
+        per_epoch[r.epoch] = per_epoch.get(r.epoch, 0) + (
+            r.n_served + r.n_wrong_group + r.n_in_transfer
+        )
+    want = {
+        r.epoch: r.n
+        for r in kv.dedup_at_most_once(oplog)
+        .withColumn("epoch", F.expr(f"seq div {kv.EPOCH_WIDTH}"))
+        .groupBy("epoch")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per_epoch == want
+
+
+def test_transfer_serving_partial_arrival(spark):
+    """Challenge2Partial pin: a moving shard serves at its new owner
+    AS SOON as it arrives (its staggered offset), not at epoch end —
+    and before arrival the correctly-routed request is in_transfer,
+    not wrong_group."""
+    # shard 0 (key '2') moves at epoch 3 (e%3 == s%3 == 0);
+    # owner(0, 3) = (0 + 1) % 3 + 1 = 2 → clients with gid 2 route
+    # correctly. Arrival offset = (0+1)*80 = 80.
+    rows = [
+        (3010, 1, 1, "put", "2", "a"),   # off 10 < 80 → in_transfer
+        (3200, 1, 2, "put", "2", "b"),   # off 200 ≥ 80 → served
+        (3020, 0, 3, "put", "2", "c"),   # gid 1 ≠ owner → wrong_group
+        # shard 1 (key '3') does NOT move at epoch 3; owner(1, 3) =
+        # (1 + moves(1,3)) % 3 + 1 = (1 + 1) % 3 + 1 = 3 → gid 3
+        (3015, 2, 4, "put", "3", "d"),   # unaffected, served at off 15
+    ]
+    out = {
+        (r.epoch, r.gid): r
+        for r in kv.transfer_serving(_oplog_df(spark, rows)).collect()
+    }
+    g2 = out[(3, 2)]
+    assert g2.n_in_transfer == 1 and g2.n_served == 1
+    assert g2.avail_milli == 500
+    g1 = out[(3, 1)]
+    assert g1.n_wrong_group == 1 and g1.n_served == 0
+    g3 = out[(3, 3)]
+    assert g3.n_unaffected_req == 1 == g3.n_unaffected_served
+    assert g3.n_served == 1 and g3.avail_milli == 1000

@@ -20,7 +20,11 @@ MUST_BE_GATED = [
     "kv_shard_stats",               # O22 shard routing
     "kv_rebalance_history",         # O23 rebalance fold
     "dedup_exact",                  # X1
-    "dedup_fingerprint",            # X2 near-dup
+    # dedup_fingerprint demoted just past the window in r11 — its
+    # fingerprint edges are the input of dedup_pipeline_canonical's
+    # in-window dup-graph oracle; the slot funds the RL-data family's
+    # first gate rep (VERDICT_r10 #4)
+    "copeland_system_ranking",      # RL-data pairwise ranking (r11)
     "semantic_dedup",               # X2 embedding-cosine dedup
     "minhash_md5_pairs",            # X2 MinHash LSH (r6: md5-portable
     #                                 oracle twin replaces the

@@ -1253,3 +1253,75 @@ def test_ingest_bm25_restart_across_tier_boundary(spark, tmp_path):
     got = sorted(map(tuple, h2["index"].query(qterms, k=5).collect()))
     want = sorted(map(tuple, full.query(qterms, k=5).collect()))
     assert got == want
+
+
+def test_ingest_bm25_tier_schedule_sweep(spark, tmp_path):
+    """VERDICT_r10 #6: the r9 scale-killer stays dead at realistic
+    batch counts. 32 single-doc batches over a 1-doc base, driven
+    through the SAME _process the stream runs: after EVERY batch the
+    live-segment count equals the popcount of the total doc count
+    (the binary-counter invariant, ≤ log2(B)+1), and cumulative
+    doc-rows rewritten exactly matches a pure-Python replay of the
+    tier cascade — the analytic O(index·log B) curve, checked at
+    every power-of-two waypoint."""
+    from mrgo_spark.operators.retrieval import BM25Index
+    from mrgo_spark.streaming import stream_ops
+
+    n_batches = 32
+    base = spark.createDataFrame(
+        [(1000, "base doc words")], "doc_id long, text string"
+    )
+    idx = BM25Index.build(base, str(tmp_path / "bm_base"))
+    dummy = spark.readStream.format("rate").load()  # builder unused
+    _builder, holder = stream_ops.ingest_bm25_foreach_batch(
+        idx, dummy, str(tmp_path / "bm_work")
+    )
+
+    # pure-Python replay of the tier cascade (tier = bit_length,
+    # smallest-first pair merge, cascade until no tier holds 2)
+    def model_rows_written(b):
+        sizes = [1]  # the base index
+        written = 0
+        for _ in range(b):
+            sizes.append(1)
+            written += 1
+            while True:
+                tiers = {}
+                for s in sizes:
+                    tiers.setdefault(s.bit_length(), []).append(s)
+                t = next(
+                    (t for t in sorted(tiers) if len(tiers[t]) >= 2),
+                    None,
+                )
+                if t is None:
+                    break
+                pair = sorted(tiers[t])[:2]
+                sizes.remove(pair[0])
+                sizes.remove(pair[1])
+                sizes.append(pair[0] + pair[1])
+                written += pair[0] + pair[1]
+        return written, sorted(sizes)
+
+    waypoints = {}
+    for i in range(n_batches):
+        batch = spark.createDataFrame(
+            [(i, f"alpha beta doc{'x' * (i % 3 + 1)}")],
+            "doc_id long, text string",
+        )
+        holder["_ingest"](batch, i)
+        total = i + 2  # base + i+1 batches
+        n_live = len(holder["index"].segments)
+        assert n_live == bin(total).count("1"), (i, n_live)
+        assert n_live <= total.bit_length()  # ≤ log2(B)+1
+        if (i + 1) in (8, 16, 32):
+            waypoints[i + 1] = holder["stats"]["rows_written"]
+    for b, got in waypoints.items():
+        want, _ = model_rows_written(b)
+        assert got == want, (b, got, want)
+    _, want_sizes = model_rows_written(n_batches)
+    assert sorted(s.n_docs() for s in holder["index"].segments) == want_sizes
+    # the curve is genuinely logarithmic: 192 rewritten rows at B=32
+    # vs the r9 chain's 560 (sum of prefix sizes ≈ B²/2) — the ratio
+    # shrinks as log(B)/B, so the /2 margin only widens with B
+    chain_cost = sum(range(2, n_batches + 2))
+    assert holder["stats"]["rows_written"] < chain_cost / 2
