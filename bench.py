@@ -468,6 +468,15 @@ def main() -> None:
         # audit adds the domain-grid interval-cumsum window
         "kv_handoff_gc_audit",
         "kv_transfer_serving",
+        # r11: positional phrase search (postings broadcast-join the
+        # tiny phrase-term table — corpus never shuffles) and the
+        # corpus snapshot diff (two canon scans + one key join).
+        # lsh_recall_eval stays OUT (the allpairs/semantic_dedup
+        # policy): its truth leg IS the prefix join on shingle sets —
+        # output-driven on the template-dense fixture; gate-cheap at
+        # sf0.01 where the oracle checks it.
+        "phrase_search_docs",
+        "corpus_snapshot_diff",
         # allpairs_jaccard_prefix stays OUT (the semantic_dedup
         # policy): 18 s warm at sf0.1 — 281k true J>=0.95 pairs on
         # the template-dense fixture, real output-driven verify work,

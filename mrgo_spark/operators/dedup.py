@@ -313,24 +313,20 @@ def minhash_md5_signatures(
     )
 
 
-def minhash_md5_pairs(
+def _mh_band_cand(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 32,
-    bands: int = 8,
-    shingle_n: int = 3,
-    max_bucket: int = 1000,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    max_bucket: int,
 ) -> DataFrame:
-    """Banded-LSH candidate pairs with exact set-overlap verify, all
-    integers: (id_a, id_b, n_bands, inter_size, union_size).
-
-    Band key = the band's rows_per_band mins joined with ',' (string
-    equality is engine-portable, unlike F.hash). Same scale shape as
-    minhash_lsh_pairs — equi-join on (band, bkey), window-count
-    bucket cap, then the shingle sets join back onto the (small)
-    candidate list for the exact |∩|/|∪| counts (at 100 TB this
-    touches LSH survivors only, never the corpus square)."""
+    """Banded-LSH candidate pairs (id_a, id_b, n_bands) — the ONE
+    copy of the band-key build + bucket cap + band self-join (r11
+    refactor: minhash_md5_pairs' candidate stage, now also consumed
+    by lsh_recall_eval which must measure the candidate set BEFORE
+    the verify)."""
     rows_per_band = num_hashes // bands
     # localCheckpoint: the band self-join duplicates the signature
     # subtree (no exchange reuse across the a/b aliases) and the md5
@@ -368,7 +364,7 @@ def minhash_md5_pairs(
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -377,6 +373,29 @@ def minhash_md5_pairs(
         )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").cast("long").alias("n_bands"))
+    )
+
+
+def minhash_md5_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Banded-LSH candidate pairs with exact set-overlap verify, all
+    integers: (id_a, id_b, n_bands, inter_size, union_size).
+
+    Band key = the band's rows_per_band mins joined with ',' (string
+    equality is engine-portable, unlike F.hash). Same scale shape as
+    minhash_lsh_pairs — equi-join on (band, bkey), window-count
+    bucket cap, then the shingle sets join back onto the (small)
+    candidate list for the exact |∩|/|∪| counts (at 100 TB this
+    touches LSH survivors only, never the corpus square)."""
+    cand = _mh_band_cand(
+        df, text_col, id_col, num_hashes, bands, shingle_n, max_bucket
     )
     sh = df.select(
         F.col(id_col).alias("id"), shingles(text_col, shingle_n).alias("sh")
@@ -1417,12 +1436,60 @@ def containment_pairs(
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus snapshot diff — dataset versioning at the document
+    level (the kv.state_diff contract lifted from keyed state to a
+    corpus): per doc_id across two snapshots, verdict ∈ {added,
+    removed, changed, unchanged} plus the raw text lengths on both
+    sides (NULL on the absent side). Content identity is the
+    token-multiset canon (``fingerprint``'s pre-hash string:
+    lowercase tokens, sorted, joined), so re-cased / token-reordered
+    edits read as unchanged while real edits (truncation, rewording)
+    read as changed — the identity every dedup family in this module
+    already uses.
+
+    Scale shape: two map-only canon projections + ONE full-outer
+    join on doc_id — at 100 TB this is two snapshot scans and a
+    key-partitioned join, never a content re-read per version; the
+    diff report stays row-bounded (lengths, not texts)."""
+    canon = lambda: F.array_join(  # noqa: E731
+        F.array_sort(ascii_tokens(text_col, lowercase=True)), " "
+    )
+    o = old.select(
+        F.col(id_col).alias("doc_id"),
+        canon().alias("_co"),
+        F.length(text_col).cast("long").alias("len_before"),
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"),
+        canon().alias("_cn"),
+        F.length(text_col).cast("long").alias("len_after"),
+    )
+    j = o.join(n, "doc_id", "full_outer")
+    return j.select(
+        "doc_id",
+        F.when(F.col("_cn").isNull(), F.lit("removed"))
+        .when(F.col("_co").isNull(), F.lit("added"))
+        .when(F.col("_co") == F.col("_cn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("verdict"),
+        "len_before",
+        "len_after",
+    )
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     threshold_num: int = 4,
     threshold_den: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    items=None,
 ) -> DataFrame:
     """EXACT all-pairs Jaccard join via prefix filtering (Bayardo et
     al. WWW 2007 / Chaudhuri et al. ICDE 2006) — the similarity join
@@ -1450,6 +1517,13 @@ def prefix_filter_jaccard_pairs(
     Threshold is the exact rational num/den (default 4/5): prefix
     length uses ⌈num·|d|/den⌉ = (num·|d|+den−1) div den, all integer.
 
+    ``items`` (optional Column of array<string>) generalizes the
+    item universe beyond lowercase tokens — pass ``shingles(text, 3)``
+    and the join computes exact SHINGLE-set Jaccard (the identity the
+    MinHash families estimate; lsh_recall_eval measures them against
+    exactly this truth). The key construction is injective in the
+    item, so Jaccard over keys == Jaccard over items.
+
     Shape: one token explode + frequency count (wordcount law), one
     join back for keys, a per-doc sort into the checkpointed
     (doc_id, keys) frame (the exsub_tokens idiom — the frame feeds
@@ -1461,11 +1535,14 @@ def prefix_filter_jaccard_pairs(
         raise ValueError(
             "prefix_filter_jaccard_pairs: threshold must be in (0, 1]"
         )
+    item_sets = (
+        F.array_distinct(ascii_tokens(text_col, lowercase=True))
+        if items is None
+        else F.array_distinct(items)
+    )
     tk = df.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(ascii_tokens(text_col, lowercase=True))
-        ).alias("t"),
+        F.explode(item_sets).alias("t"),
     )
     fr = tk.groupBy("t").agg(F.count("*").cast("long").alias("c"))
     keyed = tk.join(fr, "t").select(
@@ -1537,4 +1614,68 @@ def prefix_filter_jaccard_pairs(
         (F.col("inter_size").cast("double") / F.col("union_size")).alias(
             "jaccard"
         ),
+    )
+
+
+def lsh_recall_eval(
+    df: DataFrame,
+    threshold_num: int = 19,
+    threshold_den: int = 20,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Recall of the banded MinHash candidate generator against
+    PROVABLE ground truth — the eval of the dedup pipeline ITSELF
+    (the question every LSH deployment must answer and almost none
+    measure exactly): truth = the exact all-pairs shingle-Jaccard
+    join via prefix filtering (no false negatives by theorem), run =
+    the band-collision candidate set (BEFORE the verify — the verify
+    only removes false positives, so candidate recall IS pipeline
+    recall). One summary row:
+
+        (n_truth, n_candidates, n_caught, recall_milli)
+
+    recall_milli = 1000·caught div truth (1000 when no true pairs —
+    vacuous recall). n_candidates quantifies the precision side: the
+    exact-verify work the banding buys.
+
+    Both legs measure the SAME similarity: prefix-filter truth runs
+    over ``shingles(text, n)`` item sets (the ``items`` hook), which
+    is exactly what the MinHash signatures sketch. Scale shape: the
+    truth leg is the Bayardo prefix join (output-driven — run this
+    eval on an audit SAMPLE at 100 TB, the standard recall-audit
+    practice); the run leg is the production candidate cost."""
+    truth = prefix_filter_jaccard_pairs(
+        df,
+        threshold_num,
+        threshold_den,
+        text_col,
+        id_col,
+        items=shingles(text_col, shingle_n),
+    ).select("id_a", "id_b", F.lit(1).alias("_t"))
+    cand = _mh_band_cand(
+        df, text_col, id_col, num_hashes, bands, shingle_n, max_bucket
+    ).select("id_a", "id_b", F.lit(1).alias("_c"))
+    j = truth.join(cand, ["id_a", "id_b"], "full_outer")
+    agg = j.agg(
+        F.count("_t").cast("long").alias("n_truth"),
+        F.count("_c").cast("long").alias("n_candidates"),
+        F.count(F.when(F.col("_t").isNotNull(), F.col("_c")))
+        .cast("long")
+        .alias("n_caught"),
+    )
+    return agg.select(
+        "n_truth",
+        "n_candidates",
+        "n_caught",
+        F.when(
+            F.col("n_truth") > 0,
+            F.expr("(1000 * n_caught) div n_truth"),
+        )
+        .otherwise(F.lit(1000).cast("long"))
+        .alias("recall_milli"),
     )

@@ -296,8 +296,17 @@ def transfer_serving(oplog: DataFrame) -> DataFrame:
     Scale shape: identical to ``epoch_serving`` — every schedule
     column is a pure row-local expression, so the whole audit is the
     dedup window + one groupBy, no config table join."""
+    return transfer_serving_counts(dedup_at_most_once(oplog))
+
+
+def transfer_serving_counts(deduped: DataFrame) -> DataFrame:
+    """The post-dedup body of :func:`transfer_serving` — row-local
+    schedule columns + one groupBy, so it streams as-is (the
+    cms_counters one-copy rule): the streaming twin feeds an
+    exactly-once op stream here directly (the at-most-once window is
+    a batch construct)."""
     d = (
-        dedup_at_most_once(oplog)
+        deduped
         .withColumn("epoch", F.expr(f"seq div {EPOCH_WIDTH}"))
         .withColumn("shard", key2shard("key"))
         .withColumn("gid", F.col("client") % NGROUPS + 1)
@@ -386,10 +395,17 @@ def handoff_gc_obligations(oplog: DataFrame) -> DataFrame:
         .groupBy("shard", "minw")
         .agg(F.count("*").cast("long").alias("c"))
     )
+    # guard the sequence: Spark's sequence(1, 0) DESCENDS instead of
+    # being empty (the rebalance_step_df gotcha) — a tiny fixture
+    # whose whole log fits in epoch 0 must yield zero audit rows,
+    # matching generate_series(1, 0) in the oracle
     epochs = d.agg(F.max("epoch").alias("_e")).select(
-        F.explode(F.sequence(F.lit(1).cast("long"), F.col("_e"))).alias(
-            "epoch"
-        )
+        F.explode(
+            F.when(
+                F.col("_e") >= 1,
+                F.sequence(F.lit(1).cast("long"), F.col("_e")),
+            ).otherwise(F.array())
+        ).alias("epoch")
     )
     grid = epochs.crossJoin(
         d.sparkSession.range(NSHARDS).select(

@@ -6224,3 +6224,193 @@ def q_allpairs_jaccard_prefix(spark, sf_dir):
     return dedup.prefix_filter_jaccard_pairs(
         corpus, threshold_num=19, threshold_den=20
     )
+
+
+@declare(
+    "phrase_search_docs",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS ts
+        FROM documents),
+    post AS (
+        SELECT doc_id, unnest(ts) AS tok,
+               generate_subscripts(ts, 1) AS pos
+        FROM tok),
+    ph AS (
+        SELECT doc_id AS phrase_id, ts
+        FROM tok WHERE doc_id % 50 = 0 AND len(ts) >= 3),
+    pt AS (
+        SELECT phrase_id, 1 AS role, ts[1] AS tok FROM ph
+        UNION ALL
+        SELECT phrase_id, 2 AS role, ts[2] AS tok FROM ph
+        UNION ALL
+        SELECT phrase_id, 3 AS role, ts[3] AS tok FROM ph),
+    cand AS (
+        SELECT p.phrase_id, po.doc_id, po.pos - p.role AS anchor
+        FROM post po JOIN pt p ON po.tok = p.tok),
+    m AS (
+        SELECT phrase_id, doc_id, anchor, count(*) AS c
+        FROM cand GROUP BY 1, 2, 3)
+    SELECT phrase_id, doc_id, CAST(count(*) AS BIGINT) AS n_matches
+    FROM m WHERE c = 3
+    GROUP BY 1, 2
+    """,
+)
+def q_phrase_search_docs(spark, sf_dir):
+    """EXACT positional phrase search (r11,
+    retrieval.phrase_search): every document containing each
+    fixture-derived 3-token phrase (first three tokens of every
+    50th doc — the query_terms_from_docs idiom) at consecutive
+    positions, with occurrence counts — the retrieval sub-class
+    BM25's bag-of-words ranking cannot express. Anchor-alignment
+    join: postings broadcast-join the phrase terms (the corpus
+    never shuffles), each hit votes for anchor pos−role, an anchor
+    with all 3 roles present is an occurrence. Self-pin: every
+    phrase matches its own source document ≥ once. widen_scan: the
+    tokenize explode is the interpreted-map class."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    phrases = retrieval.phrase_terms_from_docs(
+        docs, F.col("doc_id") % 50 == 0, phrase_len=3
+    )
+    return retrieval.phrase_search(docs, phrases, phrase_len=3)
+
+
+@declare(
+    "corpus_snapshot_diff",
+    """
+    WITH oldsnap AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0 THEN substr(text, 1, 80)
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 17 <> 3
+        UNION ALL
+        SELECT doc_id + 1000000000 AS doc_id, text
+        FROM documents WHERE doc_id % 23 = 0),
+    o AS (
+        SELECT doc_id,
+               array_to_string(list_sort(list_filter(
+                   string_split_regex(lower(text), '[^a-z]+'),
+                   x -> x <> '')), ' ') AS co,
+               CAST(length(text) AS BIGINT) AS len_before
+        FROM oldsnap),
+    n AS (
+        SELECT doc_id,
+               array_to_string(list_sort(list_filter(
+                   string_split_regex(lower(text), '[^a-z]+'),
+                   x -> x <> '')), ' ') AS cn,
+               CAST(length(text) AS BIGINT) AS len_after
+        FROM documents)
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.doc_id IS NULL THEN 'added'
+                WHEN co = cn THEN 'unchanged'
+                ELSE 'changed' END AS verdict,
+           o.len_before, n.len_after
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """,
+)
+def q_corpus_snapshot_diff(spark, sf_dir):
+    """Dataset-versioning diff (r11, dedup.snapshot_diff — the
+    kv_state_diff contract lifted to the corpus): the current
+    documents table vs a simulated previous snapshot (every
+    doc_id % 17 == 3 doc absent → added; % 13 == 0 docs truncated to
+    80 chars → changed unless the doc was already that short;
+    synthetic old-only ids (+1e9, % 23 == 0) → removed; the rest
+    unchanged). Content identity = the token-multiset canon shared
+    with dedup_fingerprint, so re-cased/reordered edits read as
+    unchanged. Two map-only canon projections + one full-outer
+    doc_id join; the report carries lengths, never texts."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 17 != 3).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.substring("text", 1, 80)
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 23 == 0).select(
+            (F.col("doc_id") + 1000000000).alias("doc_id"), "text"
+        )
+    )
+    return dedup.snapshot_diff(old, docs)
+
+
+@declare(
+    "lsh_recall_eval",
+    f"""
+    WITH {_DUP_CORPUS_SQL},
+    {_mh_mins_sql("corpus").lstrip()},
+    bnd AS MATERIALIZED (
+        SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+               string_agg(CAST(h AS VARCHAR), ',' ORDER BY i) AS bkey
+        FROM mins GROUP BY 1, 2
+    ),
+    capped AS (
+        SELECT doc_id, band, bkey FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bsz
+            FROM bnd) WHERE bsz <= 1000
+    ),
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM capped a JOIN capped b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    su AS (SELECT doc_id, unnest(s) AS sh FROM mshg),
+    sfr AS (SELECT sh, CAST(count(*) AS BIGINT) AS c FROM su GROUP BY 1),
+    skeyed AS (
+        SELECT su.doc_id AS id,
+               lpad(CAST(sfr.c AS VARCHAR), 19, '0') || '|' || su.sh AS k
+        FROM su JOIN sfr USING (sh)
+    ),
+    arrs AS MATERIALIZED (
+        SELECT id, list_sort(list(k)) AS ks FROM skeyed GROUP BY 1),
+    pref AS MATERIALIZED (
+        SELECT id,
+               unnest(ks[1:(len(ks) - ((19 * len(ks) + 19) // 20) + 1)])
+                 AS k
+        FROM arrs),
+    tcand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM pref a JOIN pref b ON a.k = b.k AND a.id < b.id),
+    truth AS (
+        SELECT c.id_a, c.id_b
+        FROM tcand c
+        JOIN arrs x ON x.id = c.id_a
+        JOIN arrs y ON y.id = c.id_b
+        WHERE 20 * len(list_filter(x.ks, v -> list_contains(y.ks, v)))
+              >= 19 * len(list_distinct(list_concat(x.ks, y.ks)))),
+    j AS (
+        SELECT t.id_a AS ta, c.id_a AS ca
+        FROM truth t FULL OUTER JOIN cand c
+          ON t.id_a = c.id_a AND t.id_b = c.id_b)
+    SELECT CAST(count(ta) AS BIGINT) AS n_truth,
+           CAST(count(ca) AS BIGINT) AS n_candidates,
+           CAST(count(*) FILTER (WHERE ta IS NOT NULL
+                                 AND ca IS NOT NULL) AS BIGINT)
+               AS n_caught,
+           CAST(CASE WHEN count(ta) > 0
+                THEN (1000 * count(*) FILTER (WHERE ta IS NOT NULL
+                                              AND ca IS NOT NULL))
+                     // count(ta)
+                ELSE 1000 END AS BIGINT) AS recall_milli
+    FROM j
+    """,
+)
+def q_lsh_recall_eval(spark, sf_dir):
+    """LSH recall audit (r11, dedup.lsh_recall_eval): the banded
+    MinHash candidate generator measured against PROVABLE ground
+    truth — exact all-pairs shingle-Jaccard ≥ 19/20 via prefix
+    filtering (no false negatives by theorem) vs the 8×4 band
+    collisions on the planted-dup corpus. Both engines replay BOTH
+    legs bit-for-bit (the md5 affine mins + the rarity-ordered
+    prefix join), so the recall number itself is oracle-checked —
+    the eval of the dedup pipeline, not just its pieces. At 100 TB
+    the truth leg runs on an audit sample; the candidate leg is the
+    production cost. widen_scan: md5-per-shingle is the map-heavy
+    class."""
+    corpus = _dup_corpus(spark, sf_dir)
+    return dedup.lsh_recall_eval(corpus)

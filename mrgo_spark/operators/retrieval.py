@@ -433,6 +433,81 @@ def query_terms_from_docs(
     )
 
 
+def phrase_terms_from_docs(
+    documents: DataFrame,
+    phrase_filter,
+    phrase_len: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Derive a (phrase_id, role, tok) phrase table from the corpus
+    itself: each selected document's first ``phrase_len`` lowercase
+    tokens become one phrase (roles 1..L in order) — the
+    query_terms_from_docs idiom for EXACT phrase retrieval. Documents
+    shorter than the phrase length are skipped."""
+    toks = ascii_tokens(text_col, lowercase=True)
+    return (
+        documents.filter(phrase_filter)
+        .select(F.col(id_col).alias("phrase_id"), toks.alias("ts"))
+        .filter(F.size("ts") >= phrase_len)
+        .select(
+            "phrase_id",
+            F.posexplode(F.slice("ts", 1, phrase_len)).alias(
+                "role0", "tok"
+            ),
+        )
+        .select("phrase_id", (F.col("role0") + 1).alias("role"), "tok")
+    )
+
+
+def phrase_search(
+    documents: DataFrame,
+    phrase_terms: DataFrame,
+    phrase_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT phrase search over a positional inverted index — the
+    retrieval sub-class BM25's bag-of-words ranking cannot express
+    (reference anchor: grep-style whole-phrase match over the O1
+    text-scan surface, lifted to an indexed form): a document matches
+    when the phrase's tokens occur at CONSECUTIVE positions.
+
+    Anchor-alignment join, one corpus pass: positional postings
+    (doc, pos, tok) broadcast-join the phrase-term table (only
+    phrase tokens survive the join — the corpus never shuffles), each
+    hit votes for the anchor position ``pos − role``, and an anchor
+    with all ``phrase_len`` roles present IS an occurrence (one
+    domain-bounded aggregate; repeated tokens inside a phrase work
+    because each role's position is determined by the anchor).
+    Returns (phrase_id, doc_id, n_matches ≥ 1).
+
+    Scale shape: candidates are bounded by the phrase tokens'
+    corpus frequency (rare-token phrases cost ~nothing; an all-
+    stopword phrase degrades to those stopwords' postings — the
+    standard positional-index tradeoff). At rest this would ride
+    BM25Index's bucketed postings extended with a position column;
+    the one-pass form here is the spec twin."""
+    post = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(ascii_tokens(text_col, lowercase=True)).alias(
+            "pos", "tok"
+        ),
+    )
+    cand = post.join(F.broadcast(phrase_terms), "tok").select(
+        "phrase_id",
+        "doc_id",
+        (F.col("pos") - F.col("role")).alias("anchor"),
+    )
+    return (
+        cand.groupBy("phrase_id", "doc_id", "anchor")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") == phrase_len)
+        .groupBy("phrase_id", "doc_id")
+        .agg(F.count("*").cast("long").alias("n_matches"))
+    )
+
+
 def retrieval_eval(
     run: DataFrame,
     truth: DataFrame,

@@ -1444,6 +1444,11 @@ class IVFIndex:
         for c in sorted(over):
             src = os.path.join(tmp, f"cell_id={c}")
             dst = os.path.join(cells_root, f"cell_id={c}")
+            if not os.path.isdir(src):
+                # all of this cell's files held zero rows — the
+                # compacted write produced no dir; leave the live dir
+                # alone rather than stranding it in trash
+                continue
             os.rename(dst, os.path.join(trash, f"cell_id={c}"))
             os.rename(src, dst)
             files_after += sum(

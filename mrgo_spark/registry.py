@@ -249,6 +249,15 @@ PRIORITY = [
     "asof_last_purchase",
     # TPC-H representative (the remaining 21 variants follow after)
     "q1_pricing_summary",
+    # r11 new ops (phrase_search_docs, corpus_snapshot_diff,
+    # lsh_recall_eval, kv_handoff_gc_audit, kv_transfer_serving) all
+    # stay OUTSIDE the window by the zero-sum rule — the round's one
+    # swap (copeland, above) already spent X2's slack, and each new
+    # class is receipt-checked by the full-registry driver_sim every
+    # round. Considered and DEFERRED: lsh_recall_eval for
+    # ngram_precision_eval (both eval-family; the BLEU-style row
+    # pins text-generation eval, a class the window would otherwise
+    # lose entirely).
     # first entries past the driver window, in checked order
     "dedup_fingerprint",
     "dup_cluster_components", "edit_distance_pairs", "sequence_chunks",

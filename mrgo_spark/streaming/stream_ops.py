@@ -1099,6 +1099,21 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "update"):
     return q
 
 
+def streaming_transfer_serving(oplog_stream: DataFrame) -> DataFrame:
+    """O24 streaming twin (r11): live per-(epoch, gid) transfer-
+    window serving counters — the dashboard a reconfiguring
+    deployment watches for the Challenge2 invariants (unaffected
+    availability 100%, in-transfer gap bounded by arrival offsets).
+    The batch body streams as-is (the cms_counters one-copy rule):
+    row-local schedule columns + one streaming groupBy; state is
+    domain-bounded at |epochs seen| × NGROUPS rows. Update mode.
+    Assumes an exactly-once upstream (the at-most-once dedup window
+    is a batch construct — the streaming_fold caveat)."""
+    from ..operators import kv
+
+    return kv.transfer_serving_counts(oplog_stream)
+
+
 def streaming_reward_clip(
     doc_stream: DataFrame,
     lo_cut: int,

@@ -346,6 +346,14 @@ def main() -> None:
         # checks.
         "kv_handoff_gc_audit",
         "kv_transfer_serving",
+        # r11: phrase search = postings vs broadcast phrase terms
+        # (phrase count grows ~K by the %50 fixture rule, candidates
+        # bounded by phrase-token frequency); snapshot diff = two
+        # map-only canon scans + one doc_id join. lsh_recall_eval is
+        # NOT probed (the allpairs_jaccard_prefix precedent): its
+        # truth leg inherits the verbatim-copy K² pair-output law.
+        "phrase_search_docs",
+        "corpus_snapshot_diff",
         # allpairs_jaccard_prefix is NOT probed (the bm25_topk_docs
         # precedent): verbatim copies collide in every prefix, so the
         # 10x pair OUTPUT grows ~K^2 BY FIXTURE (~30M pairs, each an

@@ -1325,3 +1325,30 @@ def test_ingest_bm25_tier_schedule_sweep(spark, tmp_path):
     # shrinks as log(B)/B, so the /2 margin only widens with B
     chain_cost = sum(range(2, n_batches + 2))
     assert holder["stats"]["rows_written"] < chain_cost / 2
+
+
+def test_streaming_transfer_serving_matches_batch(spark, tmp_path):
+    """O24 streaming twin: the live transfer-window counters over an
+    exactly-once op stream must equal the batch transfer_serving over
+    the same (pre-deduped) oplog — including the unaffected-equality
+    invariant in every emitted row."""
+    from mrgo_spark.operators import kv
+    from mrgo_spark.sources.tables import load_table
+
+    oplog = kv.dedup_at_most_once(
+        kv.synth_oplog(load_table(spark, SF, "events"))
+    )
+    expected = {
+        (r.epoch, r.gid): tuple(r)[2:]
+        for r in kv.transfer_serving_counts(oplog).collect()
+    }
+    d = tmp_path / "tso"
+    oplog.coalesce(2).write.parquet(str(d))
+    stream = spark.readStream.schema(oplog.schema).parquet(str(d))
+    out = stream_ops.streaming_transfer_serving(stream)
+    stream_ops.run_to_memory(out, "transfer_out")
+    rows = spark.sql("SELECT * FROM transfer_out").collect()
+    got = {(r.epoch, r.gid): tuple(r)[2:] for r in rows}
+    assert got == expected and len(got) > 0
+    for r in rows:
+        assert r.n_unaffected_served == r.n_unaffected_req
