@@ -6414,3 +6414,52 @@ def q_lsh_recall_eval(spark, sf_dir):
     class."""
     corpus = _dup_corpus(spark, sf_dir)
     return dedup.lsh_recall_eval(corpus)
+
+
+@declare(
+    "phrase_search_fixed",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS ts
+        FROM documents),
+    post AS (
+        SELECT doc_id, unnest(ts) AS tok,
+               generate_subscripts(ts, 1) AS pos
+        FROM tok),
+    ph AS (
+        SELECT doc_id AS phrase_id, ts
+        FROM tok
+        WHERE doc_id % 50 = 0 AND doc_id < 500 AND len(ts) >= 3),
+    pt AS (
+        SELECT phrase_id, 1 AS role, ts[1] AS tok FROM ph
+        UNION ALL
+        SELECT phrase_id, 2 AS role, ts[2] AS tok FROM ph
+        UNION ALL
+        SELECT phrase_id, 3 AS role, ts[3] AS tok FROM ph),
+    cand AS (
+        SELECT p.phrase_id, po.doc_id, po.pos - p.role AS anchor
+        FROM post po JOIN pt p ON po.tok = p.tok),
+    m AS (
+        SELECT phrase_id, doc_id, anchor, count(*) AS c
+        FROM cand GROUP BY 1, 2, 3)
+    SELECT phrase_id, doc_id, CAST(count(*) AS BIGINT) AS n_matches
+    FROM m WHERE c = 3
+    GROUP BY 1, 2
+    """,
+)
+def q_phrase_search_fixed(spark, sf_dir):
+    """phrase_search_docs' FIXED-query-set twin (the bm25_topk_fixed
+    idiom): phrases only from doc_id < 500 (% 50 == 0) — a constant
+    ≤10-phrase set at any corpus scale, so the probe row measures the
+    SERVE (postings growth, candidates linear in corpus) instead of
+    the %50 set's phrases×copies K² fixture law. Same kernel, same
+    oracle shape."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    phrases = retrieval.phrase_terms_from_docs(
+        docs,
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 500),
+        phrase_len=3,
+    )
+    return retrieval.phrase_search(docs, phrases, phrase_len=3)

@@ -234,6 +234,25 @@ PICKS = [
      "shuffle — gap lag, episode running sum, step row_number and "
      "the return-to-go suffix sum all share the user hash partition "
      "(the finer (user, episode) windows need no second exchange)"),
+    ("allpairs_jaccard_prefix", "r10s3 exact all-pairs join "
+     "(VERDICT_r10 #5): NO CartesianProduct; the checkpointed "
+     "(doc_id, keys) frame (ExistingRDD) feeds the prefix explode "
+     "AND both verify joins — zero FileScans in the final plan"),
+    ("phrase_search_fixed", "r11 positional phrase search: postings "
+     "never shuffle — the phrase-term table broadcasts into the "
+     "corpus scan, the anchor aggregate is candidate-sized"),
+    ("kv_handoff_gc_audit", "r11 handoff GC: one write-scan "
+     "aggregate to (shard,key) min-epoch, then the interval-cumsum "
+     "window over the domain grid (linear in epoch count)"),
+    ("kv_transfer_serving", "r11 transfer-window serving: dedup "
+     "window + row-local schedule columns + ONE groupBy (no config "
+     "table join)"),
+    ("corpus_snapshot_diff", "r11 dataset versioning: two map-only "
+     "canon projections + one full-outer doc_id join"),
+    ("lsh_recall_eval", "r11 dedup-pipeline eval: truth leg = the "
+     "prefix join on shingle sets (checkpointed keys frame), run "
+     "leg = the banded candidates (checkpointed signature frame); "
+     "full-outer pair join, one summary row"),
 ]
 
 

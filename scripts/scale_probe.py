@@ -346,13 +346,16 @@ def main() -> None:
         # checks.
         "kv_handoff_gc_audit",
         "kv_transfer_serving",
-        # r11: phrase search = postings vs broadcast phrase terms
-        # (phrase count grows ~K by the %50 fixture rule, candidates
-        # bounded by phrase-token frequency); snapshot diff = two
-        # map-only canon scans + one doc_id join. lsh_recall_eval is
-        # NOT probed (the allpairs_jaccard_prefix precedent): its
+        # r11: phrase search probes its FIXED-phrase twin (the
+        # bm25_topk_fixed precedent) — the %50 form measured 29× at
+        # 10× because phrases×verbatim-copies is the K²-by-fixture
+        # law (phrase set grows with the corpus AND each phrase's
+        # tokens recur in every copy); the fixed ≤10-phrase set makes
+        # the row corpus-linear, which is the serve shape. Snapshot
+        # diff = two map-only canon scans + one doc_id join.
+        # lsh_recall_eval is NOT probed (the allpairs precedent): its
         # truth leg inherits the verbatim-copy K² pair-output law.
-        "phrase_search_docs",
+        "phrase_search_fixed",
         "corpus_snapshot_diff",
         # allpairs_jaccard_prefix is NOT probed (the bm25_topk_docs
         # precedent): verbatim copies collide in every prefix, so the
