@@ -477,6 +477,9 @@ def main() -> None:
         # sf0.01 where the oracle checks it.
         "phrase_search_docs",
         "corpus_snapshot_diff",
+        # r11b: memorization audit — gram explode + one agg +
+        # TakeOrdered top-k (the wordcount law)
+        "frequent_span_audit",
         # allpairs_jaccard_prefix stays OUT (the semantic_dedup
         # policy): 18 s warm at sf0.1 — 281k true J>=0.95 pairs on
         # the template-dense fixture, real output-driven verify work,

@@ -6463,3 +6463,42 @@ def q_phrase_search_fixed(spark, sf_dir):
         phrase_len=3,
     )
     return retrieval.phrase_search(docs, phrases, phrase_len=3)
+
+
+@declare(
+    "frequent_span_audit",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS t
+        FROM documents),
+    g AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= 5
+                           THEN [array_to_string(t[i:i+4], ' ')
+                                 for i in generate_series(1, len(t)-4)]
+                           ELSE CAST([] AS VARCHAR[]) END) AS gram
+        FROM tok),
+    a AS (
+        SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM g GROUP BY 1),
+    t20 AS (
+        SELECT * FROM a ORDER BY n_occurrences DESC, gram LIMIT 20)
+    SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, gram)
+                AS INTEGER) AS rnk,
+           gram, n_occurrences, n_docs
+    FROM t20
+    """,
+)
+def q_frequent_span_audit(spark, sf_dir):
+    """Memorization-risk audit (r11, textstats.frequent_span_audit):
+    the 20 most frequent 5-grams corpus-wide with occurrence and
+    doc-coverage counts — the table a data audit reads to pick the
+    exact-substring dedup threshold. Gram explode + one aggregate
+    (the wordcount law) + TakeOrdered top-k; rank order is total
+    (count desc, gram asc) so the cut is deterministic. widen_scan:
+    the gram explode is the interpreted-map class."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    return textstats.frequent_span_audit(docs)

@@ -508,6 +508,72 @@ def phrase_search(
     )
 
 
+def phrase_arrays_from_docs(
+    documents: DataFrame,
+    phrase_filter,
+    phrase_len: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(phrase_id, ptoks array<string>) — the array form of
+    phrase_terms_from_docs for the array-local matcher."""
+    toks = ascii_tokens(text_col, lowercase=True)
+    return (
+        documents.filter(phrase_filter)
+        .select(F.col(id_col).alias("phrase_id"), toks.alias("ts"))
+        .filter(F.size("ts") >= phrase_len)
+        .select(
+            "phrase_id", F.slice("ts", 1, phrase_len).alias("ptoks")
+        )
+    )
+
+
+def phrase_match_counts_local(
+    documents: DataFrame,
+    phrase_arrays: DataFrame,
+    phrase_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """phrase_search's ARRAY-LOCAL twin: each (doc × broadcast
+    phrase) pair counts occurrences by scanning the token array in
+    place (slice-equality over every start offset) — no postings
+    explode, no aggregation, fully STATELESS. Same output contract
+    as phrase_search (parity-pinned in tests).
+
+    This is the streaming shape: a document row is self-contained,
+    so a doc stream joins the tiny phrase table and appends matches
+    per micro-batch with zero state (streaming_phrase_matches).
+    Batch-side tradeoff vs phrase_search: per-doc work is
+    O(|doc|·L·|phrases|) instead of candidate-bounded — right for
+    few phrases / streaming, wrong for a large phrase dictionary
+    (use the postings join there)."""
+    toks = ascii_tokens(text_col, lowercase=True)
+    starts = F.when(
+        F.size("_ts") >= phrase_len,
+        F.sequence(F.lit(1), F.size("_ts") - phrase_len + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    n = F.size(
+        F.filter(
+            starts,
+            lambda i: F.slice(F.col("_ts"), i, phrase_len)
+            == F.col("ptoks"),
+        )
+    )
+    return (
+        documents.select(
+            F.col(id_col).alias("doc_id"), toks.alias("_ts")
+        )
+        .crossJoin(F.broadcast(phrase_arrays))
+        .select(
+            "phrase_id",
+            "doc_id",
+            n.cast("long").alias("n_matches"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )
+
+
 def retrieval_eval(
     run: DataFrame,
     truth: DataFrame,

@@ -1276,7 +1276,14 @@ class IVFIndex:
         batch bloom-collides, anti-joins against at-rest (absent), and
         appends exactly once. A missing/corrupt sidecar rebuilds from
         one at-rest id scan (exact superset). ``dedupe=False`` appends
-        still fold their ids in, keeping later probed adds sound."""
+        still fold their ids in, keeping later probed adds sound.
+
+        SINGLE-WRITER contract (like the BM25 ingestion workdir):
+        concurrent add() calls can interleave sidecar writes and lose
+        claims (a lost claim = a possible duplicate append), and
+        compact_cells must not run concurrently with add() on the
+        same path — the streaming wiring serializes both inside one
+        foreachBatch loop, which is the supported shape."""
         batch = embeddings.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cvec_"),

@@ -1443,3 +1443,45 @@ def bpe_fertility_by_lang(
         .cast("long")
         .alias("fertility_milli"),
     )
+
+
+def frequent_span_audit(
+    df: DataFrame,
+    n: int = 5,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Memorization-risk audit (r11): the corpus's ``top_k`` most
+    frequent word ``n``-grams with occurrence AND document-coverage
+    counts — the reporting surface behind exact-substring dedup
+    (Lee et al. 2021 motivate substring dedup exactly because models
+    memorize the most-repeated spans first; this table is what a
+    data audit actually reads to decide the dedup threshold).
+
+    (rank, gram, n_occurrences, n_docs) — rank by (occurrences desc,
+    gram asc): a TOTAL order, so ties at the cut are deterministic
+    in both engines.
+
+    Scale shape: one gram explode + one hash aggregate (the
+    wordcount law), then TakeOrdered top-k (per-partition bounded
+    heaps — never a global sort of the gram domain); the rank window
+    runs over the ≤ top_k survivors only."""
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(text_col, n)).alias("gram"),
+    )
+    agg = grams.groupBy("gram").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    top = agg.orderBy(
+        F.desc("n_occurrences"), F.asc("gram")
+    ).limit(top_k)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("gram"))
+    return top.select(
+        F.row_number().over(w).alias("rnk"),
+        "gram",
+        "n_occurrences",
+        "n_docs",
+    )

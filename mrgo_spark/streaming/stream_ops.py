@@ -1114,6 +1114,27 @@ def streaming_transfer_serving(oplog_stream: DataFrame) -> DataFrame:
     return kv.transfer_serving_counts(oplog_stream)
 
 
+def streaming_phrase_matches(
+    doc_stream: DataFrame,
+    phrase_arrays: DataFrame,
+    phrase_len: int = 3,
+) -> DataFrame:
+    """Live phrase monitor (r11): exact consecutive-token phrase
+    matches over a document stream — the compliance/blocklist watch
+    (which incoming docs contain any watched phrase, how often).
+    Stateless append: the array-local matcher scans each self-
+    contained document row against the broadcast phrase table
+    (retrieval.phrase_match_counts_local — the one-copy rule), so
+    there is NO state store at any stream length. Batch-agreement
+    pinned in tests; the postings-join phrase_search is the batch
+    form for large phrase dictionaries."""
+    from ..operators import retrieval
+
+    return retrieval.phrase_match_counts_local(
+        doc_stream, phrase_arrays, phrase_len
+    )
+
+
 def streaming_reward_clip(
     doc_stream: DataFrame,
     lo_cut: int,

@@ -357,6 +357,9 @@ def main() -> None:
         # truth leg inherits the verbatim-copy K² pair-output law.
         "phrase_search_fixed",
         "corpus_snapshot_diff",
+        # r11b: memorization audit — the wordcount law (gram hash
+        # agg) + TakeOrdered over the gram domain
+        "frequent_span_audit",
         # allpairs_jaccard_prefix is NOT probed (the bm25_topk_docs
         # precedent): verbatim copies collide in every prefix, so the
         # 10x pair OUTPUT grows ~K^2 BY FIXTURE (~30M pairs, each an

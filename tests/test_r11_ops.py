@@ -158,3 +158,102 @@ def test_lsh_recall_eval_vacuous_when_no_truth(spark):
     )
     row = dedup.lsh_recall_eval(docs).collect()[0]
     assert row.n_truth == 0 and row.recall_milli == 1000
+
+
+def test_phrase_local_twin_matches_postings_form(spark):
+    """The array-local matcher must agree with the postings-join
+    phrase_search exactly on the fixture (same derived phrases)."""
+    from mrgo_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    flt = F.col("doc_id") % 50 == 0
+    terms = retrieval.phrase_terms_from_docs(docs, flt, phrase_len=3)
+    arrays = retrieval.phrase_arrays_from_docs(docs, flt, phrase_len=3)
+    a = sorted(
+        map(tuple, retrieval.phrase_search(docs, terms, 3).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            retrieval.phrase_match_counts_local(docs, arrays, 3).collect(),
+        )
+    )
+    assert a == b and a
+
+
+def test_phrase_local_short_doc_edge(spark):
+    """Docs shorter than the phrase scan nothing (the sequence(1,0)
+    descent guard)."""
+    docs = _docs(spark, [(1, "a b"), (2, "a b c")])
+    arrays = spark.createDataFrame(
+        [(9, ["a", "b", "c"])], "phrase_id long, ptoks array<string>"
+    )
+    got = {
+        (r.phrase_id, r.doc_id): r.n_matches
+        for r in retrieval.phrase_match_counts_local(
+            docs, arrays, 3
+        ).collect()
+    }
+    assert got == {(9, 2): 1}
+
+
+def test_streaming_phrase_matches_agrees_with_batch(spark, tmp_path):
+    """Stateless stream-static phrase monitor == the batch local
+    matcher over the same docs."""
+    from mrgo_spark.sources.tables import load_table
+    from mrgo_spark.streaming import stream_ops
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    arrays = retrieval.phrase_arrays_from_docs(
+        docs, F.col("doc_id") % 50 == 0, phrase_len=3
+    ).localCheckpoint()
+    want = sorted(
+        map(
+            tuple,
+            retrieval.phrase_match_counts_local(docs, arrays, 3).collect(),
+        )
+    )
+    d = tmp_path / "phrase_docs"
+    docs.select("doc_id", "text").coalesce(2).write.parquet(str(d))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(d)
+    )
+    out = stream_ops.streaming_phrase_matches(stream, arrays, 3)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("phrase_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM phrase_out").collect())
+    )
+    assert got == want and got
+
+
+def test_frequent_span_audit_rank_and_coverage(spark):
+    """Top-k most frequent n-grams: rank order total, coverage ≤
+    occurrences, planted repeated span surfaces first."""
+    from mrgo_spark.operators import textstats
+
+    rows = [(i, "the quick brown fox jumps over it") for i in range(5)]
+    rows += [(100 + i, f"unique text body number {i} with filler words")
+             for i in range(3)]
+    docs = _docs(spark, rows)
+    out = textstats.frequent_span_audit(docs, n=5, top_k=10).collect()
+    by_rank = sorted(out, key=lambda r: r.rnk)
+    # all 3 grams of the repeated span tie at 5 occurrences; the
+    # tie-break is gram ASC, so the alphabetically-first wins rank 1
+    assert by_rank[0].gram == "brown fox jumps over it"
+    assert {r.gram for r in by_rank[:3]} == {
+        "the quick brown fox jumps",
+        "quick brown fox jumps over",
+        "brown fox jumps over it",
+    }
+    assert by_rank[0].n_occurrences == 5 and by_rank[0].n_docs == 5
+    for r in out:
+        assert r.n_docs <= r.n_occurrences
+    # total order: ranks are 1..k without gaps
+    assert [r.rnk for r in by_rank] == list(range(1, len(out) + 1))
