@@ -288,8 +288,15 @@ def transfer_serving(oplog: DataFrame) -> DataFrame:
     Output per (epoch, contacted gid): the three counts plus the
     unaffected-shard observables n_unaffected_req /
     n_unaffected_served (correctly-routed requests to non-moving
-    shards, and how many served — EQUAL in every row: the
-    Challenge2Unaffected pin) and avail_milli = 1000·served div
+    shards, and how many served). NOTE (ADVICE_r11): in THIS model
+    the two are equal BY CONSTRUCTION, not by measurement —
+    unaffected = routed & ~moving implies served = routed &
+    (~moving | ~in_window), so the equality is the model stating
+    the Challenge2Unaffected contract, not an invariant that could
+    independently fail here. A deployment would derive served-ness
+    from observed responses (data that CAN diverge); the chaos
+    tests exercise exactly that by re-deriving both sides from
+    reordered/replayed streams. Also avail_milli = 1000·served div
     (served + in_transfer), the fraction of correctly-routed
     requests actually served (1000 when no correctly-routed traffic).
 
@@ -343,6 +350,107 @@ def transfer_serving_counts(deduped: DataFrame) -> DataFrame:
                 " div (n_served + n_in_transfer) as bigint)"
             ),
         ).otherwise(F.lit(1000).cast("long")),
+    )
+
+
+CATCHUP_STRIDE = 100  # log entries to apply ONE missed config in order
+
+
+def config_catchup_serving(oplog: DataFrame) -> DataFrame:
+    """Missed-config catch-up audit (VERDICT_r11 #2; reference
+    shardkv/test_test.go:211 ``TestMissChange``): a group that is
+    offline across several config changes must, on return, apply the
+    missed configs STRICTLY IN ORDER and only serve once caught up —
+    it may neither skip ahead to the newest config nor serve stale.
+
+    Deterministic outage schedule over the ``epoch_serving`` rotation
+    (owner(s, e) = (s + e) % NGROUPS + 1; clients contact
+    client % NGROUPS + 1): group g is offline for epochs
+    [2g, 3g − 1] (so group g misses exactly g epochs — a 1/2/3-epoch
+    backlog at NGROUPS = 3) and returns at epoch 3g with
+    ret − start + 1 = g + 1 configs unapplied (the missed ones plus
+    the return epoch's own). Catch-up applies them one per
+    ``CATCHUP_STRIDE`` log entries, so the group serves nothing for
+    the first (g + 1)·CATCHUP_STRIDE entries of its return epoch —
+    requests landing in that window are rejected as stale (the
+    client-visible ErrWrongGroup retry storm TestMissChange
+    provokes), exactly as a group mid-replay of shardmaster configs
+    would answer. Requests to an offline group are dropped.
+
+    Output per (epoch, contacted gid), all bigint:
+
+        configs_behind     — unapplied configs at the epoch's start
+                             (grows 1, 2, … while offline; g + 1 at
+                             the return epoch; 0 when current)
+        n_dropped_offline  — requests that got no response
+        n_rejected_stale   — requests answered during catch-up
+        n_served           — correctly-routed requests served
+        n_wrong_group      — mis-routed requests (stale client cache)
+        n_applied          — configs applied during this epoch: 1
+                             when current, 0 while offline, g + 1 in
+                             the return epoch. Because application is
+                             in order with no skips, the running sum
+                             of n_applied over epochs equals
+                             epoch + 1 at every up-to-date epoch —
+                             the in-order pin the tests check.
+        serve_milli        — 1000·served div (all contacts); the
+                             denominator is ≥ 1 by construction (a
+                             (epoch, gid) row exists only when the
+                             group was contacted)
+
+    Scale shape: identical to ``transfer_serving`` — the outage
+    schedule is a pure function of (gid, epoch, offset), so the
+    whole audit is the at-most-once window + one groupBy; no config
+    table is materialized or joined."""
+    d = (
+        dedup_at_most_once(oplog)
+        .withColumn("epoch", F.expr(f"seq div {EPOCH_WIDTH}"))
+        .withColumn("off", F.col("seq") % EPOCH_WIDTH)
+        .withColumn("shard", key2shard("key"))
+        .withColumn("gid", F.col("client") % NGROUPS + 1)
+    )
+    d = (
+        d.withColumn("owner", (F.col("shard") + F.col("epoch")) % NGROUPS + 1)
+        .withColumn("start_e", F.lit(2) * F.col("gid"))
+        .withColumn("end_e", F.lit(3) * F.col("gid") - 1)
+        .withColumn("ret_e", F.lit(3) * F.col("gid"))
+    )
+    offline = (F.col("epoch") >= F.col("start_e")) & (
+        F.col("epoch") <= F.col("end_e")
+    )
+    behind_at_ret = F.col("ret_e") - F.col("start_e") + 1
+    catchup = (F.col("epoch") == F.col("ret_e")) & (
+        F.col("off") < behind_at_ret * CATCHUP_STRIDE
+    )
+    routed = F.col("gid") == F.col("owner")
+    served = ~offline & ~catchup & routed
+    wrong = ~offline & ~catchup & ~routed
+    behind = (
+        F.when(offline, F.col("epoch") - F.col("start_e") + 1)
+        .when(F.col("epoch") == F.col("ret_e"), behind_at_ret)
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    applied = (
+        F.when(offline, F.lit(0))
+        .when(F.col("epoch") == F.col("ret_e"), behind_at_ret)
+        .otherwise(F.lit(1))
+        .cast("long")
+    )
+    agg = d.groupBy("epoch", "gid").agg(
+        F.max(behind).alias("configs_behind"),
+        F.count(F.when(offline, 1)).alias("n_dropped_offline"),
+        F.count(F.when(catchup, 1)).alias("n_rejected_stale"),
+        F.count(F.when(served, 1)).alias("n_served"),
+        F.count(F.when(wrong, 1)).alias("n_wrong_group"),
+        F.max(applied).alias("n_applied"),
+    )
+    return agg.withColumn(
+        "serve_milli",
+        F.expr(
+            "cast((1000 * n_served) div (n_served + n_wrong_group"
+            " + n_rejected_stale + n_dropped_offline) as bigint)"
+        ),
     )
 
 

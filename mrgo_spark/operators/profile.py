@@ -154,3 +154,150 @@ def k_anonymity_audit(
             F.expr("1000 div n").cast("long").alias("risk_milli"),
         )
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    qid_cols: list[str],
+    sensitive_col: str,
+    l: int = 3,  # noqa: E741 — the literature's own name
+    c: int = 2,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the privacy
+    gate k-anonymity misses: a class of 1000 rows is perfectly
+    k-anonymous yet leaks everything if all 1000 share one sensitive
+    value (the homogeneity attack). Per QI equivalence class:
+
+        n                  — class size
+        n_distinct_sv      — distinct sensitive values
+        distinct_l_ok      — n_distinct_sv ≥ l (distinct l-diversity)
+        top_freq           — the most frequent sensitive value's count
+        tail_from_l        — Σ of the l-th..m-th most frequent counts
+                             (frequency-DESC order, ties broken by
+                             value ASC so the cut is deterministic)
+        recursive_cl_ok    — top_freq < c · tail_from_l, the
+                             recursive (c, l)-diversity test (entropy
+                             l-diversity needs log — not hash-
+                             portable, the bigram_lm_bits lesson —
+                             and recursive (c, l) is the stronger
+                             test the paper itself recommends)
+
+    Shape: one (QI × sensitive) partial-agg shuffle to a domain-
+    bounded frame, a per-class rank window over that frame (each
+    partition ≤ |sensitive domain| rows — never corpus-sized), one
+    final per-class aggregate. All counts exact integers."""
+    if l < 2:
+        raise ValueError(f"l_diversity_audit: l must be >= 2, got {l}")
+    if c < 1:
+        raise ValueError(f"l_diversity_audit: c must be >= 1, got {c}")
+    from pyspark.sql import Window
+
+    sv = (
+        df.groupBy(*qid_cols, F.col(sensitive_col).alias("_sv"))
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    w = Window.partitionBy(*qid_cols).orderBy(
+        F.desc("_c"), F.asc("_sv")
+    )
+    ranked = sv.withColumn("_r", F.row_number().over(w))
+    return (
+        ranked.groupBy(*qid_cols)
+        .agg(
+            F.sum("_c").cast("long").alias("n"),
+            F.count("*").cast("long").alias("n_distinct_sv"),
+            F.max(F.when(F.col("_r") == 1, F.col("_c")))
+            .cast("long")
+            .alias("top_freq"),
+            F.coalesce(
+                F.sum(F.when(F.col("_r") >= l, F.col("_c"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("tail_from_l"),
+        )
+        .select(
+            *qid_cols,
+            "n",
+            "n_distinct_sv",
+            (F.col("n_distinct_sv") >= l).alias("distinct_l_ok"),
+            "top_freq",
+            "tail_from_l",
+            (F.col("top_freq") < c * F.col("tail_from_l")).alias(
+                "recursive_cl_ok"
+            ),
+        )
+    )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    qid_cols: list[str],
+    sensitive_col: str,
+    t_milli: int = 300,
+) -> DataFrame:
+    """t-closeness audit (Li et al. 2007) — the third privacy gate:
+    a class can be l-diverse yet still leak by SKEW (its sensitive
+    distribution differing sharply from the corpus's). For a
+    CATEGORICAL sensitive attribute the variational distance is the
+    exact EMD: d(class, global) = ½ Σ_v |p_v − q_v|. Computed as an
+    exact rational in fixed point:
+
+        emd_milli = (1000 · Σ_v |cnt_v·N − g_v·n|) div (2·n·N)
+
+    with per-class counts cnt_v, class size n, global counts g_v,
+    corpus size N — the cross products go through decimal(38,0)
+    (the r6 overflow rule: cnt·N alone passes 2^63 near ~10^10
+    rows on both factors). Ordered attributes would use the
+    cumulative-difference EMD (Σ|running diff| / (m−1)) — same
+    fixed-point recipe, not needed for the declared categorical
+    surface.
+
+    Columns: (*qid_cols, n, emd_milli, t_violated). Shape: one
+    (QI × sensitive) shuffle, a broadcast join against the
+    |sensitive-domain| global frame, one per-class aggregate —
+    wordcount-shaped at any scale."""
+    if not (0 < t_milli < 1000):
+        raise ValueError(
+            f"t_closeness_audit: t_milli must be in (0, 1000), got {t_milli}"
+        )
+    sv = (
+        df.groupBy(*qid_cols, F.col(sensitive_col).alias("_sv"))
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    glob = (
+        df.groupBy(F.col(sensitive_col).alias("_sv"))
+        .agg(F.count("*").cast("long").alias("_g"))
+        .crossJoin(
+            df.groupBy().agg(F.count("*").cast("long").alias("_n_tot"))
+        )
+    )
+    # every class misses some global values ⇒ |0·N − g·n| terms:
+    # join the full global domain per class (broadcast, domain-sized)
+    classes = sv.groupBy(*qid_cols).agg(
+        F.sum("_c").cast("long").alias("n")
+    )
+    full = classes.crossJoin(F.broadcast(glob)).join(
+        sv, [*qid_cols, "_sv"], "left"
+    )
+    term = F.abs(
+        F.coalesce(F.col("_c"), F.lit(0)).cast("decimal(38,0)")
+        * F.col("_n_tot").cast("decimal(38,0)")
+        - F.col("_g").cast("decimal(38,0)")
+        * F.col("n").cast("decimal(38,0)")
+    )
+    return (
+        full.groupBy(*qid_cols)
+        .agg(
+            F.max("n").alias("n"),
+            F.max("_n_tot").alias("_nt"),
+            F.sum(term).alias("_sabs"),
+        )
+        .select(
+            *qid_cols,
+            "n",
+            F.expr(
+                "cast((1000 * _sabs) div (2 * cast(n as decimal(38,0))"
+                " * cast(_nt as decimal(38,0))) as bigint)"
+            ).alias("emd_milli"),
+        )
+        .withColumn("t_violated", F.col("emd_milli") > t_milli)
+    )

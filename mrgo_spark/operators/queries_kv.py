@@ -212,6 +212,67 @@ def q_kv_transfer_serving(spark, sf_dir):
 
 
 @declare(
+    "kv_config_catchup_serving",
+    _OPLOG
+    + """
+    , t AS (
+        SELECT seq // 1000 AS epoch,
+               seq % 1000 AS off,
+               ascii(substr(key,1,1)) % 10 AS shard,
+               client % 3 + 1 AS gid
+        FROM oplog),
+    m AS (
+        SELECT epoch, off, gid,
+               (shard + epoch) % 3 + 1 AS owner,
+               2 * gid AS st, 3 * gid - 1 AS en, 3 * gid AS ret
+        FROM t),
+    f AS (
+        SELECT epoch, gid, st, ret,
+               (epoch >= st AND epoch <= en) AS offline,
+               (epoch = ret AND off < (ret - st + 1) * 100) AS catchup,
+               (gid = owner) AS routed
+        FROM m),
+    c AS (
+        SELECT epoch, gid,
+               max(CASE WHEN offline THEN epoch - st + 1
+                        WHEN epoch = ret THEN ret - st + 1
+                        ELSE 0 END) AS configs_behind,
+               count(*) FILTER (WHERE offline) AS n_dropped_offline,
+               count(*) FILTER (WHERE catchup) AS n_rejected_stale,
+               count(*) FILTER (WHERE NOT offline AND NOT catchup
+                                  AND routed) AS n_served,
+               count(*) FILTER (WHERE NOT offline AND NOT catchup
+                                  AND NOT routed) AS n_wrong_group,
+               max(CASE WHEN offline THEN 0
+                        WHEN epoch = ret THEN ret - st + 1
+                        ELSE 1 END) AS n_applied
+        FROM f GROUP BY 1, 2)
+    SELECT epoch, gid,
+           CAST(configs_behind AS BIGINT) AS configs_behind,
+           n_dropped_offline, n_rejected_stale, n_served,
+           n_wrong_group, CAST(n_applied AS BIGINT) AS n_applied,
+           CAST((1000 * n_served) // (n_served + n_wrong_group
+                + n_rejected_stale + n_dropped_offline) AS BIGINT)
+               AS serve_milli
+    FROM c
+    """,
+)
+def q_kv_config_catchup_serving(spark, sf_dir):
+    """Missed-config catch-up (r12, kv.config_catchup_serving;
+    reference shardkv/test_test.go:211 TestMissChange): a group
+    offline across g config changes returns with a g+1 backlog,
+    applies the configs strictly in order (one per CATCHUP_STRIDE
+    entries — requests in the window reject as stale), and serves
+    only once caught up. Per (epoch, contacted gid): configs_behind,
+    dropped/stale/served/wrong-group counts, configs applied (whose
+    running sum pins no-skip in-order application), serve_milli.
+    Pure row-local schedule columns + one groupBy."""
+    return kv.config_catchup_serving(
+        kv.synth_oplog(load_table(spark, sf_dir, "events"))
+    )
+
+
+@declare(
     "kv_handoff_gc_audit",
     _OPLOG
     + """

@@ -1324,6 +1324,67 @@ def q_cms_token_heavy_hitters(spark, sf_dir):
     return sketch.cms_heavy_hitters(toks, "tok")
 
 
+@declare(
+    "kmv_jaccard_langs",
+    # constants interpolate from operators.sketch (the Bloom-tuple
+    # rule): k = KMV_K = 64
+    f"""
+    WITH tk AS (
+        SELECT lang AS grp,
+               unnest(list_filter(string_split_regex(lower(text),
+                      '[^a-z]+'), x -> x <> '')) AS tok
+        FROM documents),
+    dh AS (
+        SELECT DISTINCT grp,
+               CAST(concat('0x', substr(md5(tok), 1, 12)) AS BIGINT) AS h
+        FROM tk),
+    kept AS MATERIALIZED (
+        SELECT grp, h FROM (
+            SELECT grp, h,
+                   row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+            FROM dh) WHERE rn <= {sketch.KMV_K}),
+    g AS (SELECT DISTINCT grp FROM kept),
+    pairs AS (SELECT a.grp AS lang_a, b.grp AS lang_b
+              FROM g a JOIN g b ON a.grp < b.grp),
+    pk AS (
+        SELECT p.lang_a, p.lang_b, k.h, 1 AS ia, 0 AS ib
+        FROM pairs p JOIN kept k ON k.grp = p.lang_a
+        UNION ALL
+        SELECT p.lang_a, p.lang_b, k.h, 0 AS ia, 1 AS ib
+        FROM pairs p JOIN kept k ON k.grp = p.lang_b),
+    m AS (
+        SELECT lang_a, lang_b, h, max(ia) AS ia, max(ib) AS ib
+        FROM pk GROUP BY 1, 2, 3),
+    rk AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY lang_a, lang_b ORDER BY h) AS rn
+        FROM m)
+    SELECT lang_a, lang_b,
+           CAST(count(*) AS BIGINT) AS k_used,
+           CAST(count(*) FILTER (WHERE ia = 1 AND ib = 1) AS BIGINT)
+               AS n_common,
+           CAST((1000 * count(*) FILTER (WHERE ia = 1 AND ib = 1))
+                // count(*) AS BIGINT) AS jaccard_milli
+    FROM rk WHERE rn <= {sketch.KMV_K} GROUP BY 1, 2
+    """,
+)
+def q_kmv_jaccard_langs(spark, sf_dir):
+    """Sketch-algebra corpus overlap (r12, sketch.kmv_jaccard_pairs):
+    estimated vocabulary Jaccard between every language pair from
+    their KMV token sketches alone — the mixing/contamination
+    question ("how much do two sources share?") answered with ONE
+    corpus pass and |langs|·k sketch rows, no pairwise corpus join.
+    The estimator (merged-min-k membership ratio) is deterministic
+    integers end-to-end, so the ESTIMATE itself oracle-checks; the
+    tests compare it against exact Jaccard on planted overlaps.
+    widen_scan: the tokenize explode is the interpreted-map class."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "lang", F.explode(ascii_tokens("text", lowercase=True)).alias("tok")
+    )
+    return sketch.kmv_jaccard_pairs(toks, "lang", "tok")
+
+
 _FP_CANON_SQL = (
     "array_to_string(list_sort(list_filter("
     "string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')), ' ')"
@@ -6290,16 +6351,16 @@ def q_phrase_search_docs(spark, sf_dir):
         FROM documents WHERE doc_id % 23 = 0),
     o AS (
         SELECT doc_id,
-               array_to_string(list_sort(list_filter(
+               coalesce(array_to_string(list_sort(list_filter(
                    string_split_regex(lower(text), '[^a-z]+'),
-                   x -> x <> '')), ' ') AS co,
+                   x -> x <> '')), ' '), '') AS co,
                CAST(length(text) AS BIGINT) AS len_before
         FROM oldsnap),
     n AS (
         SELECT doc_id,
-               array_to_string(list_sort(list_filter(
+               coalesce(array_to_string(list_sort(list_filter(
                    string_split_regex(lower(text), '[^a-z]+'),
-                   x -> x <> '')), ' ') AS cn,
+                   x -> x <> '')), ' '), '') AS cn,
                CAST(length(text) AS BIGINT) AS len_after
         FROM documents)
     SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
@@ -6463,6 +6524,72 @@ def q_phrase_search_fixed(spark, sf_dir):
         phrase_len=3,
     )
     return retrieval.phrase_search(docs, phrases, phrase_len=3)
+
+
+@declare(
+    "proximity_search_fixed",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS ts
+        FROM documents),
+    post AS (
+        SELECT doc_id, unnest(ts) AS tok,
+               generate_subscripts(ts, 1) AS pos
+        FROM tok),
+    ph AS (
+        SELECT doc_id AS phrase_id, ts
+        FROM tok
+        WHERE doc_id % 50 = 0 AND doc_id < 500 AND len(ts) >= 3),
+    pt0 AS (
+        SELECT phrase_id, 1 AS role, ts[1] AS tok FROM ph
+        UNION ALL
+        SELECT phrase_id, 2 AS role, ts[2] AS tok FROM ph
+        UNION ALL
+        SELECT phrase_id, 3 AS role, ts[3] AS tok FROM ph),
+    ok3 AS (
+        SELECT phrase_id FROM pt0
+        GROUP BY 1 HAVING count(DISTINCT tok) = 3),
+    pt AS (SELECT pt0.* FROM pt0 JOIN ok3 USING (phrase_id)),
+    hits AS MATERIALIZED (
+        SELECT p.phrase_id, po.doc_id, p.role, po.pos
+        FROM post po JOIN pt p ON po.tok = p.tok),
+    sp AS (
+        SELECT a.phrase_id, a.doc_id,
+               min(greatest(a.pos, b.pos, c.pos)
+                   - least(a.pos, b.pos, c.pos) + 1) AS min_span
+        FROM hits a
+        JOIN hits b ON b.phrase_id = a.phrase_id
+                   AND b.doc_id = a.doc_id AND b.role = 2
+        JOIN hits c ON c.phrase_id = a.phrase_id
+                   AND c.doc_id = a.doc_id AND c.role = 3
+        WHERE a.role = 1
+        GROUP BY 1, 2)
+    SELECT phrase_id, doc_id,
+           CAST(min_span AS BIGINT) AS min_span,
+           CAST(3000 // min_span AS BIGINT) AS prox_milli
+    FROM sp
+    """,
+)
+def q_proximity_search_fixed(spark, sf_dir):
+    """Proximity retrieval (r12, retrieval.proximity_min_span): the
+    minimal window containing all three query terms per (query,
+    doc) — the sloppy-phrase ranking signal between BM25's bag of
+    words and phrase_search's exact adjacency. Fixed ≤10-query set
+    (the bm25_topk_fixed idiom) so the serve is corpus-linear; the
+    min-over-cross-product window math is exact integers, so the
+    whole proximity RANKING oracle-checks. Self-pin: each phrase's
+    source doc appears with min_span == 3 / prox_milli == 1000
+    (its own first three tokens are adjacent). widen_scan: the
+    tokenize explode is the interpreted-map class."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    phrases = retrieval.phrase_terms_from_docs(
+        docs,
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 500),
+        phrase_len=3,
+    )
+    return retrieval.proximity_min_span(docs, phrases)
 
 
 @declare(

@@ -2213,3 +2213,123 @@ def q_k_anonymity_customer(spark, sf_dir):
     return profile_ops.k_anonymity_audit(
         cust, ["c_nationkey", "c_mktsegment", "acct_band"], k=5
     )
+
+
+# Shared QI projection for the privacy trio: (nation, $2000 balance
+# band) as quasi-identifiers, market segment as the SENSITIVE
+# attribute (k_anonymity_customer keeps segment in ITS QI set — the
+# trio audits different threat models over the same table).
+_PRIV_BASE = """
+    WITH base AS MATERIALIZED (
+        SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               CAST(CAST(round(c_acctbal * 100) AS BIGINT) // 200000
+                    AS BIGINT) AS acct_band,
+               c_mktsegment AS sv
+        FROM customer),
+    svc AS MATERIALIZED (
+        SELECT c_nationkey, acct_band, sv, count(*) AS c
+        FROM base GROUP BY 1, 2, 3)
+"""
+
+
+def _priv_qi(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.expr(
+            "cast(cast(round(c_acctbal * 100) as bigint) div 200000"
+            " as bigint)"
+        ).alias("acct_band"),
+        "c_mktsegment",
+    )
+
+
+@declare(
+    "l_diversity_customer",
+    _PRIV_BASE
+    + """
+    , rk AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY c_nationkey, acct_band
+            ORDER BY c DESC, sv ASC) AS r
+        FROM svc)
+    SELECT c_nationkey, acct_band,
+           CAST(sum(c) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_distinct_sv,
+           count(*) >= 3 AS distinct_l_ok,
+           CAST(max(CASE WHEN r = 1 THEN c END) AS BIGINT) AS top_freq,
+           CAST(coalesce(sum(c) FILTER (WHERE r >= 3), 0) AS BIGINT)
+               AS tail_from_l,
+           max(CASE WHEN r = 1 THEN c END)
+               < 2 * coalesce(sum(c) FILTER (WHERE r >= 3), 0)
+               AS recursive_cl_ok
+    FROM rk GROUP BY 1, 2
+    """,
+)
+def q_l_diversity_customer(spark, sf_dir):
+    """Privacy audit #2 (r12, profile.l_diversity_audit —
+    Machanavajjhala et al. 2007): distinct l-diversity (l=3) and
+    recursive (c,l)-diversity (c=2) of the market segment within
+    each (nation, balance-band) class — the homogeneity-attack gate
+    k-anonymity misses. Frequency ranking is (count desc, value asc)
+    — a total order, so the l-th cut is deterministic in both
+    engines. One domain-bounded shuffle + a per-class window over
+    ≤|segment| rows."""
+    from . import profile as profile_ops
+
+    return profile_ops.l_diversity_audit(
+        _priv_qi(spark, sf_dir),
+        ["c_nationkey", "acct_band"],
+        "c_mktsegment",
+        l=3,
+        c=2,
+    )
+
+
+@declare(
+    "t_closeness_customer",
+    _PRIV_BASE
+    + """
+    , cls AS (SELECT c_nationkey, acct_band, sum(c) AS n
+              FROM svc GROUP BY 1, 2),
+    g AS (SELECT sv, count(*) AS gc FROM base GROUP BY 1),
+    tot AS (SELECT count(*) AS nt FROM base),
+    x AS (
+        SELECT cls.c_nationkey, cls.acct_band, cls.n, t.nt,
+               abs(CAST(coalesce(svc.c, 0) AS HUGEINT) * t.nt
+                   - CAST(g.gc AS HUGEINT) * cls.n) AS term
+        FROM cls CROSS JOIN g CROSS JOIN tot t
+        LEFT JOIN svc ON svc.c_nationkey = cls.c_nationkey
+                     AND svc.acct_band = cls.acct_band
+                     AND svc.sv = g.sv),
+    e AS (
+        SELECT c_nationkey, acct_band,
+               CAST(max(n) AS BIGINT) AS n,
+               CAST((1000 * sum(term))
+                    // (2 * CAST(max(n) AS HUGEINT)
+                          * CAST(max(nt) AS HUGEINT)) AS BIGINT)
+                   AS emd_milli
+        FROM x GROUP BY 1, 2)
+    SELECT c_nationkey, acct_band, n, emd_milli,
+           emd_milli > 300 AS t_violated
+    FROM e
+    """,
+)
+def q_t_closeness_customer(spark, sf_dir):
+    """Privacy audit #3 (r12, profile.t_closeness_audit — Li et al.
+    2007): exact variational-distance EMD between each class's
+    segment distribution and the corpus's, in fixed point —
+    emd_milli = (1000·Σ|cnt·N − g·n|) div (2·n·N) with the cross
+    products in decimal(38,0)/HUGEINT (the r6 overflow rule).
+    Completes the privacy trio: k-anonymity (size), l-diversity
+    (variety), t-closeness (skew). Wordcount-shaped: one
+    (QI × segment) shuffle + a broadcast of the 5-row global
+    distribution."""
+    from . import profile as profile_ops
+
+    return profile_ops.t_closeness_audit(
+        _priv_qi(spark, sf_dir),
+        ["c_nationkey", "acct_band"],
+        "c_mktsegment",
+        t_milli=300,
+    )

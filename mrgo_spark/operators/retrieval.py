@@ -220,9 +220,13 @@ class BM25Index:
         """Segment merge for incremental ingestion (the Lucene story):
         given indexes over two DISJOINT document sets, produce the
         index of the union WITHOUT touching any document text —
-        postings and dl union as-is, df adds per term, scalars add.
-        merge(build(A), build(B)) == build(A ∪ B) exactly (parity-
-        pinned in tests/test_retrieval.py), so a 100 TB corpus
+        postings and dl union (minus each side's tombstones — merge
+        is where deletes get APPLIED, r12), df re-counted from the
+        retained postings, scalars re-summed from the retained dl.
+        merge(build(A), build(B)) == build(A ∪ B) exactly, and
+        merge(delete(build(A), X), build(B)) == build((A−X) ∪ B)
+        (both parity-pinned in tests/test_retrieval.py), so a 100 TB
+        corpus
         ingests as per-batch builds + metadata-sized merges; only the
         bucketed stats tables are ever rewritten, never the corpus.
 
@@ -239,11 +243,29 @@ class BM25Index:
         job). Bucket counts may differ — terms are re-bucketed to
         ``a``'s n_buckets."""
         spark, nb = a.spark, a.n_buckets
+
+        def side(idx: "BM25Index"):
+            # merge is the moment deletes are APPLIED (the Lucene
+            # story, r12): each side's postings/dl drop its own
+            # tombstoned docs here, so the merged segment is born
+            # expunged with exact stats and no tombstones table
+            post = spark.read.parquet(f"{idx.path}/postings")
+            dl = spark.read.parquet(f"{idx.path}/dl")
+            tomb = idx._tombstones()
+            if tomb is not None:
+                tomb = F.broadcast(tomb)
+                post = post.join(tomb, "doc_id", "left_anti").select(
+                    "term", "doc_id", "tf", "term_bucket"
+                )
+                dl = dl.join(tomb, "doc_id", "left_anti").select(
+                    "doc_id", "dl"
+                )
+            return post, dl
+
+        post_a, dl_a = side(a)
+        post_b, dl_b = side(b)
         overlap = (
-            spark.read.parquet(f"{a.path}/dl")
-            .select("doc_id")
-            .join(spark.read.parquet(f"{b.path}/dl").select("doc_id"), "doc_id")
-            .count()
+            dl_a.select("doc_id").join(dl_b.select("doc_id"), "doc_id").count()
         )
         if overlap:
             raise ValueError(
@@ -253,9 +275,9 @@ class BM25Index:
             )
         rebucket = F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int")
         post = (
-            spark.read.parquet(f"{a.path}/postings")
-            .unionByName(spark.read.parquet(f"{b.path}/postings"))
+            post_a.unionByName(post_b)
             .withColumn("term_bucket", rebucket)
+            .localCheckpoint(eager=False)
         )
         (
             post.repartition("term_bucket")
@@ -263,32 +285,24 @@ class BM25Index:
             .partitionBy("term_bucket")
             .parquet(f"{path}/postings")
         )
-        dfm = (
-            spark.read.parquet(f"{a.path}/df")
-            .unionByName(spark.read.parquet(f"{b.path}/df"))
-            .groupBy("term")
-            .agg(F.sum("df").cast("long").alias("df"))
-            .withColumn("term_bucket", rebucket)
-        )
+        # df re-counted from the retained postings (NOT summed from
+        # the stored df tables): with tombstones applied the stored
+        # df is stale by design, and the recount is exactly build()'s
+        # derivation, preserving merge == build parity
         (
-            dfm.repartition("term_bucket")
+            post.groupBy("term_bucket", "term")
+            .agg(F.count("*").cast("long").alias("df"))
+            .repartition("term_bucket")
             .write.mode("overwrite")
             .partitionBy("term_bucket")
             .parquet(f"{path}/df")
         )
-        spark.read.parquet(f"{a.path}/dl").unionByName(
-            spark.read.parquet(f"{b.path}/dl")
-        ).write.mode("overwrite").parquet(f"{path}/dl")
-        (
-            spark.read.parquet(f"{a.path}/scalars")
-            .unionByName(spark.read.parquet(f"{b.path}/scalars"))
-            .agg(
-                F.sum("n").cast("long").alias("n"),
-                F.sum("tt").cast("long").alias("tt"),
-            )
-            .write.mode("overwrite")
-            .parquet(f"{path}/scalars")
-        )
+        dl = dl_a.unionByName(dl_b).localCheckpoint(eager=False)
+        dl.write.mode("overwrite").parquet(f"{path}/dl")
+        dl.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("dl").cast("long").alias("tt"),
+        ).fillna(0).write.mode("overwrite").parquet(f"{path}/scalars")
         spark.createDataFrame([(int(nb),)], "n_buckets int").write.mode(
             "overwrite"
         ).parquet(f"{path}/meta")
@@ -338,6 +352,14 @@ class BM25Index:
         tf = post.join(F.broadcast(qt), "term").select(
             "query_id", "doc_id", "term", "tf"
         )
+        tomb = self._tombstones()
+        if tomb is not None:
+            # delete() contract: tombstoned docs vanish from results
+            # now; df/scalars stay stale until expunge_deletes. The
+            # anti-join runs on the PRUNED candidate rows only, and a
+            # tombstone set big enough to strain a broadcast is the
+            # signal to expunge.
+            tf = tf.join(F.broadcast(tomb), "doc_id", "left_anti")
         dfreq = (
             self.spark.read.parquet(f"{self.path}/df")
             .filter(prune)
@@ -348,9 +370,95 @@ class BM25Index:
         scalars = self.spark.read.parquet(f"{self.path}/scalars")
         return tf, dfreq, dl, scalars
 
+    # ---- deletes (r12): the third CRUD leg next to merge/tiering ----
+
+    def delete(self, doc_ids) -> "BM25Index":
+        """Tombstone deletion — the Lucene semantics, stated plainly:
+        a deleted doc disappears from every subsequent query's
+        RESULTS immediately (tf rows anti-joined out at serve time),
+        but the corpus STATISTICS (df, n, tt → idf, avgdl) keep
+        counting it until ``expunge_deletes`` rewrites the segment.
+        Survivor scores therefore drift by the deleted fraction —
+        bounded, monotone, and exactly what every Lucene deployment
+        serves between merges; callers needing fresh stats expunge.
+        Accepts a list of ids or a 1-column DataFrame; duplicate and
+        unknown ids are harmless (the filter is an anti-join).
+        Single-writer, like merge/ingestion (the workdir contract)."""
+        if not isinstance(doc_ids, DataFrame):
+            doc_ids = self.spark.createDataFrame(
+                [(int(d),) for d in doc_ids], "doc_id long"
+            )
+        (
+            doc_ids.select(F.col("doc_id").cast("long"))
+            .distinct()
+            .write.mode("append")
+            .parquet(f"{self.path}/tombstones")
+        )
+        return self
+
+    def _tombstones(self) -> DataFrame | None:
+        try:
+            t = self.spark.read.parquet(f"{self.path}/tombstones")
+            return t.select("doc_id").distinct()
+        except Exception:
+            return None  # no deletes yet
+
+    def expunge_deletes(self, path: str) -> "BM25Index":
+        """Rewrite the index WITHOUT the tombstoned docs, with exact
+        recomputed stats: postings/dl drop the tombstoned rows, df is
+        re-counted from the retained postings and scalars re-summed
+        from the retained dl — so expunge(delete(build(A∪B), B))
+        equals build(A) bit-for-bit (parity-pinned in tests). Writes
+        a fresh segment at ``path`` (never in place — the IVF
+        compaction crash-window lesson; callers flip their manifest
+        the way tiered ingestion does) with NO tombstones table."""
+        spark = self.spark
+        tomb = self._tombstones()
+        if tomb is None:
+            tomb = spark.createDataFrame([], "doc_id long")
+        tomb = F.broadcast(tomb)
+        post = (
+            spark.read.parquet(f"{self.path}/postings")
+            .join(tomb, "doc_id", "left_anti")
+            # the join reorders columns (doc_id first); restore the
+            # build layout so expunge == build is bit-identical
+            .select("term", "doc_id", "tf", "term_bucket")
+            .localCheckpoint(eager=False)
+        )
+        (
+            post.repartition("term_bucket")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(f"{path}/postings")
+        )
+        (
+            post.groupBy("term_bucket", "term")
+            .agg(F.count("*").cast("long").alias("df"))
+            .repartition("term_bucket")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(f"{path}/df")
+        )
+        dl = (
+            spark.read.parquet(f"{self.path}/dl")
+            .join(tomb, "doc_id", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        dl.write.mode("overwrite").parquet(f"{path}/dl")
+        dl.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("dl").cast("long").alias("tt"),
+        ).fillna(0).write.mode("overwrite").parquet(f"{path}/scalars")
+        spark.createDataFrame(
+            [(int(self.n_buckets),)], "n_buckets int"
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+        return BM25Index(spark, path)
+
     def n_docs(self) -> int:
         """Corpus size at rest (one 1-row scalars read) — the tier key
-        for tiered segment merging."""
+        for tiered segment merging. Deliberately INCLUDES tombstoned
+        docs (stats-at-rest, the delete() contract): tier sizes track
+        bytes on disk, which deletes don't shrink until expunge."""
         return int(
             self.spark.read.parquet(f"{self.path}/scalars").collect()[0].n
         )
@@ -398,6 +506,31 @@ class BM25SegmentSet:
             d = s.spark.read.parquet(f"{s.path}/dl").select("doc_id")
             out = d if out is None else out.unionByName(d)
         return out
+
+    def delete(self, doc_ids) -> "BM25SegmentSet":
+        """Route tombstones to the segment that HOLDS each doc (the
+        Lucene liveness story lifted to the segment set): each
+        segment tombstones only the requested ids present in its own
+        dl table — one metadata-sized join per live segment — so a
+        later pairwise merge of two segments carries no foreign
+        tombstones, and ``query`` (which already unions per-segment
+        filtered reads) excludes the docs immediately. Unknown ids
+        are dropped silently, matching BM25Index.delete."""
+        if not isinstance(doc_ids, DataFrame):
+            doc_ids = self.spark.createDataFrame(
+                [(int(d),) for d in doc_ids], "doc_id long"
+            )
+        doc_ids = doc_ids.select(
+            F.col("doc_id").cast("long")
+        ).distinct().localCheckpoint(eager=False)
+        for s in self.segments:
+            mine = doc_ids.join(
+                s.spark.read.parquet(f"{s.path}/dl").select("doc_id"),
+                "doc_id",
+            )
+            if mine.limit(1).count():
+                s.delete(mine)
+        return self
 
     def query(self, query_terms: DataFrame, k: int = 10) -> DataFrame:
         parts = [s._query_parts(query_terms) for s in self.segments]
@@ -457,6 +590,88 @@ def phrase_terms_from_docs(
             ),
         )
         .select("phrase_id", (F.col("role0") + 1).alias("role"), "tok")
+    )
+
+
+def proximity_min_span(
+    documents: DataFrame,
+    phrase_terms: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Proximity retrieval (r12): the minimal window containing ALL
+    of a query's terms — the ranking signal between BM25's bag of
+    words (any positions) and phrase_search's exact adjacency
+    (consecutive positions). Classic sloppy-phrase/proximity scoring:
+    a doc where the terms sit in a 4-token window beats one scattered
+    across a page.
+
+    Semantics: queries are the DISTINCT-token term sets of
+    ``phrase_terms`` rows; phrases whose 3 roles are not 3 distinct
+    tokens are dropped (set semantics — a repeated token would let
+    one position serve two roles and undercount the window; the
+    fixed 3-term arity keeps the window math a pure column
+    expression both engines replay). min_span = min over
+    (p1, p2, p3) ∈ P1×P2×P3 of max−min+1 — the exact definition,
+    evaluated array-locally per (query, doc) after ONE postings
+    broadcast-join and ONE groupBy; distinct tokens can't share a
+    position, so min_span ≥ 3 and prox_milli = 3000 div min_span
+    ∈ [1, 1000] (1000 = adjacent). Only docs containing all three
+    terms appear.
+
+    Scale shape: candidates are bounded by the query terms' corpus
+    frequency (the phrase_search law); the per-doc cross product is
+    |P1|·|P2|·|P3| over ONE document's occurrences of three specific
+    terms — bounded small for content terms, the all-stopword query
+    being the standard positional-index tradeoff. A sweep over the
+    merged position list is the O(n log k) generalization for
+    arbitrary k; the k=3 closed form is chosen because it
+    oracle-replays exactly."""
+    ok3 = (
+        phrase_terms.groupBy("phrase_id")
+        .agg(F.countDistinct("tok").alias("_nd"))
+        .filter(F.col("_nd") == 3)
+        .select("phrase_id")
+    )
+    terms = phrase_terms.join(ok3, "phrase_id")
+    post = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(ascii_tokens(text_col, lowercase=True)).alias(
+            "pos", "tok"
+        ),
+    )
+    hits = post.join(F.broadcast(terms), "tok")
+    lists = (
+        hits.groupBy("phrase_id", "doc_id")
+        .agg(
+            *[
+                F.collect_list(
+                    F.when(F.col("role") == r, F.col("pos"))
+                ).alias(f"p{r}")
+                for r in (1, 2, 3)
+            ]
+        )
+        .filter(
+            (F.size("p1") > 0) & (F.size("p2") > 0) & (F.size("p3") > 0)
+        )
+    )
+    span = F.expr(
+        "array_min(flatten(transform(p1, a ->"
+        " flatten(transform(p2, b ->"
+        " transform(p3, c ->"
+        " greatest(a, b, c) - least(a, b, c) + 1))))))"
+    ).cast("long")
+    return lists.select(
+        "phrase_id",
+        "doc_id",
+        span.alias("min_span"),
+        F.expr(
+            "cast(3000 div (array_min(flatten(transform(p1, a ->"
+            " flatten(transform(p2, b ->"
+            " transform(p3, c ->"
+            " greatest(a, b, c) - least(a, b, c) + 1)))))))"
+            " as bigint)"
+        ).alias("prox_milli"),
     )
 
 

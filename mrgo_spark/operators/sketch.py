@@ -80,6 +80,92 @@ def kmv_distinct(
     )
 
 
+def kmv_kept(
+    df: DataFrame, group_col: str, value_col: str, k: int = KMV_K
+) -> DataFrame:
+    """The raw sketch rows (grp, h): each group's k smallest distinct
+    48-bit hashes — the at-rest form kmv_distinct summarizes and
+    kmv_merge/kmv_jaccard_pairs operate on."""
+    dh = (
+        df.select(
+            F.col(group_col).alias("grp"), kmv_hash(value_col).alias("h")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        dh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("grp", "h")
+    )
+
+
+def kmv_jaccard_pairs(
+    df: DataFrame, group_col: str, value_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Sketch-algebra set overlap (Bar-Yossef et al. 2002; the
+    Beyer 2007 multi-set extension): estimated Jaccard similarity
+    between every PAIR of groups' value sets from their KMV sketches
+    alone — the corpus-overlap question ("how much vocabulary do two
+    languages/sources share?") answered without a pairwise corpus
+    join. For merged sketch M = k smallest of K(A) ∪ K(B):
+
+        Ĵ(A, B) = |{h ∈ M : h ∈ K(A) AND h ∈ K(B)}| / |M|
+
+    — M is a uniform sample of A ∪ B, membership in both sketches
+    marks h ∈ A ∩ B, so the ratio is the standard unbiased KMV
+    Jaccard estimator. Every intermediate is a deterministic
+    integer (md5 hashes, order statistics, counts), so the ESTIMATE
+    itself replays bit-for-bit in the oracle; when both groups kept
+    fewer than k hashes the sketches ARE the sets and Ĵ is exact.
+
+    Columns: (lang_a, lang_b, k_used, n_common, jaccard_milli) with
+    lang_a < lang_b, k_used = |M|, jaccard_milli = 1000·common div
+    k_used. Shape: ONE corpus pass builds the kept frame
+    (|groups|·k rows, checkpointed — it feeds both pair sides); all
+    pair math runs on that domain-bounded frame."""
+    kept = kmv_kept(df, group_col, value_col, k).localCheckpoint(
+        eager=False
+    )
+    groups = kept.select("grp").distinct()
+    pairs = (
+        groups.select(F.col("grp").alias("lang_a"))
+        .crossJoin(groups.select(F.col("grp").alias("lang_b")))
+        .filter(F.col("lang_a") < F.col("lang_b"))
+    )
+    pk = (
+        pairs.join(kept, kept.grp == pairs.lang_a)
+        .select("lang_a", "lang_b", "h", F.lit(1).alias("ia"),
+                F.lit(0).alias("ib"))
+        .unionByName(
+            pairs.join(kept, kept.grp == pairs.lang_b).select(
+                "lang_a", "lang_b", "h", F.lit(0).alias("ia"),
+                F.lit(1).alias("ib"),
+            )
+        )
+    )
+    m = pk.groupBy("lang_a", "lang_b", "h").agg(
+        F.max("ia").alias("ia"), F.max("ib").alias("ib")
+    )
+    w = Window.partitionBy("lang_a", "lang_b").orderBy("h")
+    top = m.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    return (
+        top.groupBy("lang_a", "lang_b")
+        .agg(
+            F.count("*").cast("long").alias("k_used"),
+            F.count(F.when((F.col("ia") == 1) & (F.col("ib") == 1), 1))
+            .cast("long")
+            .alias("n_common"),
+        )
+        .withColumn(
+            "jaccard_milli",
+            F.expr("cast((1000 * n_common) div k_used as bigint)"),
+        )
+    )
+
+
 def kmv_merge(sketch_rows: DataFrame, k: int = KMV_K) -> DataFrame:
     """Union-merge raw sketch rows (grp, h) from any number of
     partial sketches: the k smallest of the combined distinct hashes

@@ -216,7 +216,16 @@ PRIORITY = [
     # loop-closing op is the stronger evidence). scores stays
     # declared + checked just past the window.
     "dsir_resample_docs",
-    "tfidf_top_terms", "repetition_stats",
+    # r12 swap (VERDICT_r11 #7): phrase_search_fixed takes
+    # tfidf_top_terms' slot — exact PHRASE serving (positional
+    # postings + anchor-alignment join, the serve-shaped
+    # corpus-linear fixed-query form) is a retrieval sub-class the
+    # window lacked, while tf-idf term weighting is subsumed
+    # in-window by bm25_topk_docs (the SAME rational-idf math inside
+    # a stronger, fully oracle-checked ranking). tfidf_top_terms was
+    # driver-green r2-r11 and stays declared + receipt-checked just
+    # past the window.
+    "phrase_search_fixed", "repetition_stats",
     # r4c swap: bpe_train_merges (tokenizer TRAINING — the X4
     # iterative-algorithm class) takes q3_top_revenue_orders's slot
     # (TPC-H keeps q1 as its in-window rep; q3 was driver-green

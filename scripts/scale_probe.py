@@ -346,6 +346,23 @@ def main() -> None:
         # checks.
         "kv_handoff_gc_audit",
         "kv_transfer_serving",
+        # r12: catch-up serving shares transfer_serving's law (pure
+        # row-local schedule + one groupBy; output rows grow with the
+        # probe-inflated epoch domain, linear by design)
+        "kv_config_catchup_serving",
+        # r12 privacy trio additions: both are wordcount-shaped
+        # (QI×segment partial agg; the t-closeness global join is a
+        # 5-row broadcast). Class count grows with the probe's
+        # customer-key offsets (new nation×band classes per copy).
+        "l_diversity_customer",
+        "t_closeness_customer",
+        # r12: proximity serve = the phrase_search_fixed law (fixed
+        # ≤10-query set, candidates linear in corpus; the per-doc
+        # cross product is bounded by ONE doc's term frequencies).
+        "proximity_search_fixed",
+        # r12: KMV pair overlap — one corpus tokenize+distinct pass;
+        # all pair math on the |langs|·64-row sketch frame.
+        "kmv_jaccard_langs",
         # r11: phrase search probes its FIXED-phrase twin (the
         # bm25_topk_fixed precedent) — the %50 form measured 29× at
         # 10× because phrases×verbatim-copies is the K²-by-fixture

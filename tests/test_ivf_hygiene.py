@@ -89,6 +89,50 @@ def test_compact_then_readd_stays_idempotent(spark, tmp_path):
     assert cells.count() == emb.count()
 
 
+def test_writer_lease_blocks_second_writer(spark, tmp_path):
+    """VERDICT_r11 #8: a second concurrent writer must fail loudly —
+    a held lease blocks add() and compact_cells(); a crashed holder's
+    stale lease is stolen; the lease is released even when the
+    guarded call raises."""
+    import pytest
+
+    emb = load_table(spark, SF, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    idx = similarity.IVFIndex.build(a, str(tmp_path / "wl"), n_cells=4)
+    lease = tmp_path / "wl" / "_writer_lease"
+    lease.write_text("pid=99999 op=add")  # simulate a live holder
+    with pytest.raises(RuntimeError, match="another writer holds"):
+        idx.add(emb.filter(F.col("vec_id") % 2 == 1))
+    with pytest.raises(RuntimeError, match="another writer holds"):
+        idx.compact_cells(max_files_per_cell=1)
+    # crashed holder: age the lease past the TTL → stolen, add works
+    os.utime(lease, (1, 1))
+    idx.add(emb.filter(F.col("vec_id") % 2 == 1))
+    assert not lease.exists()  # released on exit
+    cells = spark.read.parquet(str(tmp_path / "wl") + "/cells")
+    assert cells.count() == emb.count()
+    # a raising guarded call still releases the lease
+    conflict = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="different vectors"):
+        idx.add(conflict)
+    assert not lease.exists()
+    idx.compact_cells(max_files_per_cell=1)  # lease free again
+
+
+def test_build_sidecar_matches_at_rest_rebuild(spark, tmp_path):
+    """VERDICT_r11 #1: build() aggregates the sidecar from the
+    checkpointed assignment frame (zero extra corpus passes); the
+    result must be byte-identical to the recovery path's rebuild
+    from the written cells — same counts, same bloom words."""
+    emb = load_table(spark, SF, "embeddings")
+    idx = similarity.IVFIndex.build(
+        emb.filter(F.col("vec_id") % 3 == 0), str(tmp_path / "sp"), n_cells=4
+    )
+    assert idx._read_sidecar() == idx._sidecar_from_cells()
+
+
 def test_add_new_ids_probes_zero_cells(spark, tmp_path):
     """The VERDICT_r10 read-amplification fix: a batch of genuinely
     new ids must not scan the at-rest id column at all — the bloom
@@ -231,3 +275,69 @@ def test_streaming_ingest_compaction_bounds_files(spark, tmp_path):
     ref = similarity.IVFIndex(spark, ref_path)
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     assert _query_snapshot(idx, queries) == _query_snapshot(ref, queries)
+
+
+def test_delete_filters_queries_and_blocks_readd(spark, tmp_path):
+    """r12 ANN deletes: tombstoned vectors vanish from query results
+    immediately (survivor scores unchanged, ranks close up);
+    re-adding a deleted id raises until expunge; duplicate/unknown
+    tombstones are harmless."""
+    import pytest
+
+    emb = load_table(spark, SF, "embeddings")
+    idx = similarity.IVFIndex.build(emb, str(tmp_path / "dl"), n_cells=4)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    before = idx.query(queries, k=10000).collect()
+    victims = sorted({r.neighbor_id for r in before})[:4]
+    idx.delete(victims)
+    idx.delete(victims + [10**12])  # replay + unknown id: harmless
+    vset = set(victims)
+    after = sorted(
+        map(tuple, idx.query(queries, k=10000).collect())
+    )
+    want = sorted(
+        (q, n, s, r - sum(1 for x in before
+                          if x.query_id == q and x.neighbor_id in vset
+                          and x.rank < r))
+        for q, n, s, r in map(tuple, before)
+        if n not in vset
+    )
+    assert after == want
+    with pytest.raises(ValueError, match="tombstoned"):
+        idx.add(emb.filter(F.col("vec_id") == victims[0]))
+
+
+def test_expunge_deletes_physical_and_sidecar_exact(spark, tmp_path):
+    """expunge physically removes the rows (bloom-pruned cell
+    rewrite), serves identically to the tombstone filter, rebuilds
+    the touched cells' sidecar rows exactly (== the at-rest rebuild),
+    clears the tombstones, and unblocks re-adding."""
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "xp")
+    idx = similarity.IVFIndex.build(emb, path, n_cells=4)
+    n0 = spark.read.parquet(path + "/cells").count()
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    victims = [
+        r.vec_id
+        for r in emb.select("vec_id").orderBy("vec_id").limit(5).collect()
+    ]
+    idx.delete(victims)
+    served_tombstoned = _query_snapshot(idx, queries, k=50)
+    stats = idx.expunge_deletes()
+    assert sorted(stats["expunged_cells"])  # at least one cell rewritten
+    assert stats["n_removed"] == len(victims)
+    assert spark.read.parquet(path + "/cells").count() == n0 - len(victims)
+    # serving unchanged by the physical rewrite
+    assert _query_snapshot(idx, queries, k=50) == served_tombstoned
+    # sidecar == the exact at-rest rebuild, tombstones gone
+    assert idx._read_sidecar() == idx._sidecar_from_cells()
+    assert idx._tombstones() is None
+    # no-op second expunge; re-add now works
+    assert idx.expunge_deletes() == {"expunged_cells": [], "n_removed": 0}
+    idx.add(emb.filter(F.col("vec_id") == victims[0]))
+    assert (
+        spark.read.parquet(path + "/cells")
+        .filter(F.col("neighbor_id") == victims[0])
+        .count()
+        == 1
+    )

@@ -406,6 +406,83 @@ def test_transfer_serving_unaffected_always_served(spark):
     assert per_epoch == want
 
 
+def test_config_catchup_three_epoch_backlog_in_order(spark):
+    """TestMissChange pin (VERDICT_r11 #2): group 3 misses epochs
+    6-8 (a 3-epoch backlog), returns at 9 with 4 unapplied configs,
+    rejects as stale through its 400-entry catch-up window, serves
+    after — and the running sum of n_applied equals epoch + 1 at
+    every up-to-date epoch (configs applied in order, none skipped)."""
+    # client 2 → gid 3; one request per epoch 0..10 plus targeted
+    # rows inside epoch 9's catch-up window boundary.
+    rows = [(e * 1000 + 500, 2, 100 + e, "put", "3", "v") for e in range(11)]
+    rows += [
+        (9399, 2, 201, "put", "4", "v"),  # off 399 < 400 → stale
+        (9400, 2, 202, "put", "4", "v"),  # off 400, owner(2,9)=3 → served
+        (6100, 2, 203, "put", "4", "v"),  # offline epoch → dropped
+    ]
+    out = {
+        (r.epoch, r.gid): r
+        for r in kv.config_catchup_serving(_oplog_df(spark, rows)).collect()
+        if r.gid == 3
+    }
+    assert [out[(e, 3)].configs_behind for e in range(11)] == [
+        0, 0, 0, 0, 0, 0, 1, 2, 3, 4, 0,
+    ]
+    for e in (6, 7, 8):
+        r = out[(e, 3)]
+        assert r.n_served == 0 and r.n_rejected_stale == 0
+        assert r.n_dropped_offline > 0 and r.n_applied == 0
+    r9 = out[(9, 3)]
+    assert r9.n_rejected_stale == 1  # only off 399 (< 400 window)
+    # off 400: key "4" → shard 2, owner(2,9)=3 → served;
+    # off 500: key "3" → shard 1, owner(1,9)=2 ≠ 3 → wrong_group
+    assert r9.n_served == 1 and r9.n_wrong_group == 1
+    assert r9.n_applied == 4
+    # in-order, no-skip application: cumulative applied == epoch + 1
+    # at every up-to-date epoch
+    cum = 0
+    for e in range(11):
+        cum += out[(e, 3)].n_applied
+        if e < 6 or e >= 9:
+            assert cum == e + 1, (e, cum)
+        else:
+            assert cum < e + 1, (e, cum)
+
+
+def test_config_catchup_conservation_fixture(spark):
+    """Outcome counts conserve the deduped total per (epoch, gid) on
+    the real fixture; groups are current outside their outage."""
+    from pyspark.sql import functions as F
+
+    from mrgo_spark.sources.tables import load_table
+
+    oplog = kv.synth_oplog(
+        load_table(spark, "/root/testdata/sf0.001", "events")
+    )
+    out = kv.config_catchup_serving(oplog).collect()
+    assert out
+    for r in out:
+        assert 0 <= r.serve_milli <= 1000
+        if r.epoch < 2:
+            assert r.configs_behind == 0 and r.n_applied == 1
+    got = {}
+    for r in out:
+        got[(r.epoch, r.gid)] = (
+            r.n_served + r.n_wrong_group + r.n_rejected_stale
+            + r.n_dropped_offline
+        )
+    want = {
+        (r.epoch, r.gid): r.n
+        for r in kv.dedup_at_most_once(oplog)
+        .withColumn("epoch", F.expr(f"seq div {kv.EPOCH_WIDTH}"))
+        .withColumn("gid", F.col("client") % kv.NGROUPS + 1)
+        .groupBy("epoch", "gid")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_transfer_serving_partial_arrival(spark):
     """Challenge2Partial pin: a moving shard serves at its new owner
     AS SOON as it arrives (its staggered offset), not at epoch end —

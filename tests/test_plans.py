@@ -530,6 +530,41 @@ def test_rrf_hybrid_served_plan_shape(spark):
         assert m.group(1) == "Cross", plan[m.start() : m.start() + 120]
 
 
+def test_frequent_span_audit_plan_shape(spark):
+    """VERDICT_r11 #4: the memorization audit is one scan + hash
+    aggregate + TakeOrdered — the top-k cut must be per-partition
+    bounded heaps, and the ONLY window runs over the ≤ top_k
+    survivors (never a global sort/window of the gram domain)."""
+    from mrgo_spark.operators.queries_llm import q_frequent_span_audit
+
+    df = q_frequent_span_audit(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert plan.count("FileScan") == 1
+    assert "HashAggregate" in plan
+    assert "TakeOrderedAndProject" in plan
+    # the rank window sits ABOVE the TakeOrdered cut in the plan tree
+    # (window input = top_k rows, not the gram domain): in the plan
+    # string the Window node must appear before (outside) the
+    # TakeOrdered, and there is exactly one Window
+    assert plan.count("Window") == 1
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_phrase_search_broadcasts_phrase_side(spark):
+    """VERDICT_r11 #4: the postings join's phrase-term side must
+    broadcast (the corpus never shuffles for the join) and nothing
+    degenerates to a cartesian pair join."""
+    from mrgo_spark.operators.queries_llm import q_phrase_search_fixed
+
+    df = q_phrase_search_fixed(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # no SortMergeJoin: a flipped build side would shuffle+sort the
+    # whole postings stream
+    assert "SortMergeJoin" not in plan
+
+
 def test_allpairs_prefix_join_plan_shape(spark):
     """VERDICT_r10 #5: the exact all-pairs Jaccard join must stay a
     prefix-collision join, never the corpus square — no

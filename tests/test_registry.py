@@ -71,7 +71,11 @@ MUST_BE_GATED = [
     #                                 VERDICT_r5 #5)
     "bm25_topk_docs",               # retrieval family rep (r6s2;
     #                                 embedding_centroids demoted)
-    "tfidf_top_terms",              # X4 tf-idf
+    # tfidf_top_terms demoted just past the window in r12 — its idf
+    # math is subsumed in-window by bm25_topk_docs (rational idf
+    # inside the full ranking); the slot funds the phrase-serving
+    # sub-class (VERDICT_r11 #7)
+    "phrase_search_fixed",          # X4 exact phrase serving (r12)
     "decontaminate_stats",          # pipeline: eval-leak audit
     "dataset_split",                # pipeline: split
     "mixture_sample",               # pipeline: sampling

@@ -564,3 +564,155 @@ def test_dcg_eval_rejects_contract_violations(spark):
     )
     with pytest.raises(Exception, match="duplicate"):
         dcg_eval(ok_run, dup_truth, k=10).collect()
+
+
+def test_proximity_min_span_planted(spark):
+    """Window semantics: adjacent terms → span 3 / prox 1000;
+    scattered terms → the exact minimal window; a doc missing any
+    term is absent; a repeated-token phrase is dropped (set
+    semantics); multiple occurrences pick the tightest window."""
+    docs = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma tail tail"),        # adjacent
+            (2, "alpha x1 x2 beta x3 gamma"),          # 0,3,5 → 6
+            (3, "alpha beta only"),                    # gamma absent
+            (4, "gamma x1 alpha x2 x3 beta alpha"),    # windows: (0,2,5)=6, (0,5,6... ) min over crosses
+        ],
+        "doc_id long, text string",
+    )
+    phrases = retrieval.phrase_terms_from_docs(
+        docs, F.col("doc_id") == 10, phrase_len=3
+    )
+    out = {
+        r.doc_id: r
+        for r in retrieval.proximity_min_span(docs, phrases).collect()
+    }
+    assert out[10].min_span == 3 and out[10].prox_milli == 1000
+    assert out[2].min_span == 6 and out[2].prox_milli == 500
+    assert 3 not in out
+    # doc 4: alpha∈{2,6}, beta∈{5}, gamma∈{0}: windows (2,5,0)→6,
+    # (6,5,0)→7 → min 6
+    assert out[4].min_span == 6
+    # repeated-token phrase is dropped entirely
+    dup = spark.createDataFrame(
+        [(20, "echo foxtrot echo trail")], "doc_id long, text string"
+    )
+    p2 = retrieval.phrase_terms_from_docs(
+        dup, F.col("doc_id") == 20, phrase_len=3
+    )
+    assert retrieval.proximity_min_span(docs.union(dup), p2).count() == 0
+
+
+def test_bm25_delete_filters_results_with_stale_stats(spark, tmp_path):
+    """Tombstoned docs vanish from results immediately; survivors'
+    scores are UNCHANGED (stats stay stale until expunge — the
+    Lucene contract, pinned so an accidental stats refresh or a
+    missed filter both fail loudly). Duplicate + unknown ids are
+    harmless; deletes propagate through a BM25SegmentSet."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    sub = docs.filter(F.col("doc_id") < 200)
+    qterms = retrieval.query_terms_from_docs(docs, F.col("doc_id") % 50 == 0)
+    idx = retrieval.BM25Index.build(sub, str(tmp_path / "del"))
+    before = idx.query(qterms, k=1000).collect()
+    victims = sorted({r.doc_id for r in before})[:3]
+    idx.delete(victims)
+    idx.delete(victims + [10**9])  # replayed + unknown: harmless
+    after = sorted(map(tuple, idx.query(qterms, k=1000).collect()))
+    vset = set(victims)
+    surv = [r for r in before if r.doc_id not in vset]
+    want = sorted(
+        (q, d, nt, s, r - sum(1 for x in before
+                              if x.query_id == q and x.doc_id in vset
+                              and x.rank < r))
+        for q, d, nt, s, r in map(tuple, surv)
+    )
+    # survivors keep their exact scores AND ranks close up over the
+    # gaps the victims leave (stale stats ⇒ no score drift)
+    assert after == want
+    assert not (vset & {d for _q, d, _nt, _s, _r in after})
+    # segment-set serving inherits the per-segment tombstones
+    other = retrieval.BM25Index.build(
+        docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300)),
+        str(tmp_path / "del2"),
+    )
+    sset = retrieval.BM25SegmentSet([idx, other])
+    set_docs = {r.doc_id for r in sset.query(qterms, k=1000).collect()}
+    assert not (set_docs & set(victims))
+
+
+def test_bm25_expunge_parity_with_fresh_build(spark, tmp_path):
+    """expunge(delete(build(A∪B), B)) == build(A) bit-for-bit: all
+    four tables AND the served ranking."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    a = docs.filter((F.col("doc_id") < 300) & (F.col("doc_id") % 3 != 0))
+    b = docs.filter((F.col("doc_id") < 300) & (F.col("doc_id") % 3 == 0))
+    full = retrieval.BM25Index.build(
+        docs.filter(F.col("doc_id") < 300), str(tmp_path / "xf")
+    )
+    full.delete(b.select("doc_id"))
+    exp = full.expunge_deletes(str(tmp_path / "xe"))
+    fresh = retrieval.BM25Index.build(a, str(tmp_path / "xa"))
+    for tbl in ("postings", "df", "dl", "scalars"):
+        got = sorted(
+            map(tuple, spark.read.parquet(f"{exp.path}/{tbl}").collect())
+        )
+        want = sorted(
+            map(tuple, spark.read.parquet(f"{fresh.path}/{tbl}").collect())
+        )
+        assert got == want, tbl
+    qterms = retrieval.query_terms_from_docs(docs, F.col("doc_id") % 50 == 0)
+    assert sorted(map(tuple, exp.query(qterms, k=20).collect())) == sorted(
+        map(tuple, fresh.query(qterms, k=20).collect())
+    )
+    # the expunged segment starts with no tombstones
+    assert exp._tombstones() is None
+
+
+def test_bm25_merge_applies_tombstones(spark, tmp_path):
+    """merge(delete(build(A), X), build(B)) == build((A−X) ∪ B)
+    bit-for-bit — merge is where deletes get applied (stats exact,
+    no tombstones carried into the merged segment)."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") < 150)
+    b = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 250))
+    ia = retrieval.BM25Index.build(a, str(tmp_path / "ma"))
+    ib = retrieval.BM25Index.build(b, str(tmp_path / "mb"))
+    x = [r.doc_id for r in a.select("doc_id").limit(7).collect()]
+    ia.delete(x)
+    merged = retrieval.BM25Index.merge(ia, ib, str(tmp_path / "mm"))
+    survivors = docs.filter(
+        (F.col("doc_id") < 250) & (~F.col("doc_id").isin(x))
+    )
+    fresh = retrieval.BM25Index.build(survivors, str(tmp_path / "mf"))
+    for tbl in ("postings", "df", "dl", "scalars"):
+        got = sorted(
+            map(tuple, spark.read.parquet(f"{merged.path}/{tbl}").collect())
+        )
+        want = sorted(
+            map(tuple, spark.read.parquet(f"{fresh.path}/{tbl}").collect())
+        )
+        assert got == want, tbl
+    assert merged._tombstones() is None
+    # a deleted id re-ingested via the OTHER segment is not an overlap
+    re_add = retrieval.BM25Index.build(
+        docs.filter(F.col("doc_id") == x[0]), str(tmp_path / "mr")
+    )
+    retrieval.BM25Index.merge(merged, re_add, str(tmp_path / "mm2"))
+
+
+def test_bm25_segment_set_delete_routes_to_owner(spark, tmp_path):
+    """SegmentSet.delete tombstones each id only in the segment whose
+    dl holds it; set-served queries exclude it immediately."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") < 150)
+    b = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 250))
+    ia = retrieval.BM25Index.build(a, str(tmp_path / "sa"))
+    ib = retrieval.BM25Index.build(b, str(tmp_path / "sb"))
+    sset = retrieval.BM25SegmentSet([ia, ib])
+    sset.delete([0, 160, 10**9])
+    ta = {r.doc_id for r in (ia._tombstones() or ia.spark.createDataFrame([], "doc_id long")).collect()}
+    tb = {r.doc_id for r in (ib._tombstones() or ib.spark.createDataFrame([], "doc_id long")).collect()}
+    assert ta == {0} and tb == {160}
+    qterms = retrieval.query_terms_from_docs(docs, F.col("doc_id") % 50 == 0)
+    served = {r.doc_id for r in sset.query(qterms, k=1000).collect()}
+    assert not (served & {0, 160})

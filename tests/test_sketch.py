@@ -330,3 +330,41 @@ def test_hll_duplicates_do_not_move_registers(spark):
         for r in sketch.hll_registers(df5, "grp", "v").collect()
     )
     assert r1 == r5
+
+
+def test_kmv_jaccard_planted_overlap(spark):
+    """Estimator sanity on PLANTED set overlaps: identical sets →
+    exactly 1000; disjoint sets → exactly 0; a 50%-overlap pair's
+    estimate lands near 1/3 (Jaccard of half-shared sets) within
+    sketch error; small groups (< k kept) are EXACT."""
+    from fractions import Fraction
+
+    # three groups over integer-string values: a = 0..599,
+    # b = 300..899 (|a∩b|=300, |a∪b|=900 → J = 1/3), c = a verbatim,
+    # d disjoint
+    rows = (
+        [("a", str(v)) for v in range(600)]
+        + [("b", str(v)) for v in range(300, 900)]
+        + [("c", str(v)) for v in range(600)]
+        + [("d", str(v)) for v in range(5000, 5600)]
+    )
+    df = spark.createDataFrame(rows, "grp string, v string")
+    out = {
+        (r.lang_a, r.lang_b): r
+        for r in sketch.kmv_jaccard_pairs(df, "grp", "v").collect()
+    }
+    assert out[("a", "c")].jaccard_milli == 1000
+    assert out[("a", "d")].jaccard_milli == 0
+    assert out[("b", "d")].jaccard_milli == 0
+    ab = out[("a", "b")].jaccard_milli
+    assert 150 <= ab <= 520, ab  # true 333, k=64 sketch error band
+    # small groups: sketches are the full sets → exact Jaccard
+    small = spark.createDataFrame(
+        [("x", str(v)) for v in range(20)]
+        + [("y", str(v)) for v in range(10, 30)],
+        "grp string, v string",
+    )
+    r = sketch.kmv_jaccard_pairs(small, "grp", "v").collect()[0]
+    want = Fraction(10, 30)
+    assert r.jaccard_milli == (1000 * want.numerator) // want.denominator
+    assert r.k_used == 30 and r.n_common == 10

@@ -133,6 +133,162 @@ def test_session_windows_late_arrival_merges_sessions(spark, tmp_path):
     assert got == {(1, 2, 0): 2, (1, 3, 30): 1, (2, 2, 0): 1}
 
 
+OPS_SCHEMA = "seq long, client long, reqid long, op string, key string, value string"
+
+
+def _write_ops(spark, tmp_path, d, i, rows):
+    df = spark.createDataFrame(rows, OPS_SCHEMA)
+    stage = tmp_path / f"ops_stage{i}"
+    df.coalesce(1).write.parquet(str(stage))
+    os.rename(next(stage.glob("part-*.parquet")), d / f"b{i:03d}.parquet")
+
+
+def test_transfer_serving_chaos_reorder_and_restart(spark, tmp_path):
+    """VERDICT_r11 #3 (reference shardkv TestConcurrent/Challenge2
+    under an unreliable net): migration interleaved with concurrent
+    puts, delivered with CROSS-BATCH reordering (epoch-3 traffic
+    before epoch-1) and a QUERY RESTART between batches. The
+    recovered counters must equal the batch recompute over every
+    delivered row, the unaffected-shard equality must hold in every
+    row, and an epoch-3 key updated across the restart must carry
+    run-1 state forward (n_in_transfer == 2 proves the state store
+    recovered, not recounted)."""
+    from mrgo_spark.operators import kv
+
+    # epoch 3: shard 0 (key "2") moving, arrival off 80; shard 1
+    # (key "3") unaffected. epoch 1: shard 1 moving, arrival off 160.
+    batch_a = [
+        (3010, 1, 1, "put", "2", "a"),  # gid2=owner, off 10 → in_transfer
+        (3200, 1, 2, "put", "2", "b"),  # off 200 → served
+        (3020, 0, 3, "put", "2", "c"),  # gid1 ≠ owner → wrong_group
+        (3015, 2, 4, "put", "3", "d"),  # unaffected → served
+    ]
+    batch_b = [
+        (1030, 1, 5, "put", "3", "e"),  # gid2 ≠ owner(1,1)=3 → wrong_group
+        (1050, 2, 6, "put", "3", "f"),  # off 50 < 160 → in_transfer
+        (1300, 2, 7, "put", "3", "g"),  # off 300 → served
+        (1040, 2, 8, "put", "4", "h"),  # shard 2 unaffected → served
+        (3030, 1, 9, "put", "2", "i"),  # epoch-3 straggler → in_transfer
+    ]
+    d = tmp_path / "xfer_stream"
+    d.mkdir()
+    ckpt = str(tmp_path / "xfer_ckpt")
+    _write_ops(spark, tmp_path, d, 0, batch_a)
+
+    emitted: list = []
+
+    def start(name):
+        # memory sink can't recover from a checkpoint — foreachBatch
+        # can; update-mode emissions accumulate driver-side
+        stream = spark.readStream.schema(OPS_SCHEMA).parquet(str(d))
+        return (
+            stream_ops.streaming_transfer_serving(stream)
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, eid: emitted.extend(df.collect()))
+            .queryName(name)
+            .start()
+        )
+
+    q = start("chaos_xfer_a")
+    q.processAllAvailable()
+    q.stop()  # restart boundary
+    q = start("chaos_xfer_b")
+    _write_ops(spark, tmp_path, d, 1, batch_b)
+    q.processAllAvailable()
+    q.stop()
+    # counters only grow → final state = per-key max over both runs'
+    # update emissions
+    got: dict = {}
+    for r in emitted:
+        k = (r.epoch, r.gid)
+        prev = got.get(k)
+        cur = (
+            r.n_served, r.n_wrong_group, r.n_in_transfer,
+            r.n_unaffected_req, r.n_unaffected_served,
+        )
+        got[k] = cur if prev is None else tuple(
+            max(a, b) for a, b in zip(prev, cur)
+        )
+    want = {
+        (r.epoch, r.gid): (
+            r.n_served, r.n_wrong_group, r.n_in_transfer,
+            r.n_unaffected_req, r.n_unaffected_served,
+        )
+        for r in kv.transfer_serving_counts(
+            spark.createDataFrame(batch_a + batch_b, OPS_SCHEMA)
+        ).collect()
+    }
+    assert got == want
+    # Challenge2Unaffected under chaos: every row, both runs
+    for (_e, _g), (_s, _w, _t, u_req, u_srv) in got.items():
+        assert u_req == u_srv
+    # state survived the restart: run-1's epoch-3 in_transfer (1) plus
+    # the straggler (1) — a lost state store would re-emit 1, not 2
+    assert got[(3, 2)][2] == 2
+
+
+def test_handoff_gc_invariant_under_interleaved_replayed_delivery(
+    spark, tmp_path
+):
+    """VERDICT_r11 #3, GC leg (reference TestChallenge1Concurrent):
+    the handoff-GC obligations must be identical whether the op-log
+    arrives in order, or interleaved across reordered batches WITH a
+    replayed row (at-most-once dedup collapses it) and a sink
+    restart between batches."""
+    from mrgo_spark.operators import kv
+
+    # routed writes under the rotation owner(s,e) = (s+e)%3+1:
+    # gid must equal owner for the write to count toward the shard's
+    # key population. key "2"→shard 0, "3"→1, "4"→2.
+    rows = [
+        (10, 0, 1, "put", "2", "a"),     # e0: owner(0,0)=1, client0→gid1 ✓
+        (20, 1, 2, "put", "3", "b"),     # e0: owner(1,0)=2, gid2 ✓
+        (1030, 1, 3, "put", "2", "c"),   # e1: owner(0,1)=2, gid2 ✓
+        (1040, 2, 4, "append", "4", "d"),  # e1: owner(2,1)=3? (2+1)%3+1=1 ✗ unrouted
+        (2050, 2, 5, "put", "4", "e"),   # e2: owner(2,2)=(2+2)%3+1=2? no → gid3? (2+2)%3=1→2; client2→gid3 ✗
+        (2060, 0, 6, "put", "3", "f"),   # e2: owner(1,2)=(1+2)%3+1=1, gid1 ✓
+    ]
+    replay = (1030, 1, 3, "put", "2", "c")  # exact redelivery
+    d = tmp_path / "gc_stream"
+    d.mkdir()
+    lake = str(tmp_path / "gc_lake")
+    ckpt = str(tmp_path / "gc_ckpt")
+    # reordered interleaving: later epochs first, replay in batch 2
+    _write_ops(spark, tmp_path, d, 0, [rows[5], rows[2], rows[0]])
+
+    def start():
+        stream = spark.readStream.schema(OPS_SCHEMA).parquet(str(d))
+        return (
+            stream.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .option("path", lake)
+            .format("parquet")
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()  # restart boundary
+    q = start()
+    _write_ops(
+        spark, tmp_path, d, 1, [rows[4], replay, rows[1], rows[3]]
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        map(tuple, kv.handoff_gc_obligations(
+            spark.read.parquet(lake)
+        ).collect())
+    )
+    want = sorted(
+        map(tuple, kv.handoff_gc_obligations(
+            spark.createDataFrame(rows, OPS_SCHEMA)
+        ).collect())
+    )
+    assert got == want and got
+
+
 def test_incremental_dedup_invariants_under_reorder(spark, tmp_path):
     """Cross-batch reordered delivery: first-SEEN (arrival order)
     wins within the stream — not smallest id — the lake always wins,
