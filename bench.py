@@ -485,6 +485,20 @@ def main() -> None:
         # the template-dense fixture, real output-driven verify work,
         # not JIT. Gate-cheap at sf0.01 (3075 pairs); the brute-force
         # -equality property test is its correctness evidence.
+        # r12: missed-config catch-up (row-local schedule + one
+        # groupBy), the privacy trio completion (wordcount-shaped QI
+        # aggs), fixed-set proximity ranking (postings broadcast
+        # join + array-local window math), and KMV pair overlap
+        # (one tokenize+distinct pass; pair math on |langs|·64 rows)
+        "kv_config_catchup_serving",
+        "l_diversity_customer",
+        "t_closeness_customer",
+        "proximity_search_fixed",
+        "kmv_jaccard_langs",
+        "pass_at_k_events",
+        # min-k tail of the shared bigram-bits kernel (the LM law +
+        # one per-doc window)
+        "min_k_prob_audit",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there

@@ -402,8 +402,16 @@ def config_catchup_serving(oplog: DataFrame) -> DataFrame:
     schedule is a pure function of (gid, epoch, offset), so the
     whole audit is the at-most-once window + one groupBy; no config
     table is materialized or joined."""
+    return config_catchup_counts(dedup_at_most_once(oplog))
+
+
+def config_catchup_counts(deduped: DataFrame) -> DataFrame:
+    """The post-dedup body of :func:`config_catchup_serving` —
+    row-local schedule columns + one groupBy, so it streams as-is
+    (the transfer_serving_counts one-copy rule); the streaming twin
+    feeds an exactly-once op stream here directly."""
     d = (
-        dedup_at_most_once(oplog)
+        deduped
         .withColumn("epoch", F.expr(f"seq div {EPOCH_WIDTH}"))
         .withColumn("off", F.col("seq") % EPOCH_WIDTH)
         .withColumn("shard", key2shard("key"))

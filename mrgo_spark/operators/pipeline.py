@@ -319,6 +319,99 @@ def preference_pairs(
     )
 
 
+PASS_AT_KS = (1, 4, 8)
+PASS_AT_MAX_N = 16
+
+
+def pass_at_k(
+    samples: DataFrame,
+    prompt_col: str,
+    correct_col,
+    order_col: str,
+    ks: tuple = PASS_AT_KS,
+    max_n: int = PASS_AT_MAX_N,
+) -> DataFrame:
+    """pass@k, the unbiased estimator from Chen et al. 2021
+    (HumanEval): for a prompt with n samples of which c are correct,
+    pass@k = 1 − C(n−c, k)/C(n, k) — the probability that at least
+    one of k uniformly drawn samples is correct. The RL/eval-table
+    metric for code and reasoning models, computed EXACTLY: samples
+    are capped to the first ``max_n`` per prompt in ``order_col``
+    order (deterministic cut; bounded n keeps every binomial in
+    int64 — C(16,8)=12870), the full C table rides as a nested
+    literal array (the Bloom-tuple rule: one Python math.comb source
+    for Spark, oracle and tests), and
+
+        pass_milli = (1000 · (C(n,k) − C(n−c,k))) div C(n,k)
+
+    is pure integer arithmetic, so the whole estimator
+    oracle-checks. C(n−c, k) = 0 when k > n−c (all-wrong draws
+    impossible → pass_milli = 1000) falls out of the table. Rows
+    with k > n are omitted (the estimator is undefined there).
+    Columns: (prompt, n_samples, n_correct, k, pass_milli). Shape:
+    one capped window + one groupBy + a ks-sized explode —
+    wordcount-shaped at any scale."""
+    import math
+
+    if max(ks) > max_n:
+        raise ValueError(f"pass_at_k: max(ks) {max(ks)} > max_n {max_n}")
+    w = Window.partitionBy(prompt_col).orderBy(order_col)
+    capped = (
+        samples.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_n)
+    )
+    cc = (
+        correct_col if not isinstance(correct_col, str)
+        else F.col(correct_col)
+    )
+    agg = capped.groupBy(prompt_col).agg(
+        F.count("*").cast("long").alias("n_samples"),
+        F.sum(cc.cast("int")).cast("long").alias("n_correct"),
+    )
+    ct = F.array(
+        *[
+            F.array(
+                *[
+                    F.lit(math.comb(n, k)).cast("long")
+                    for k in range(max_n + 1)
+                ]
+            )
+            for n in range(max_n + 1)
+        ]
+    )
+    fanned = agg.select(
+        prompt_col,
+        "n_samples",
+        "n_correct",
+        F.explode(F.array(*[F.lit(int(k)).cast("long") for k in ks])).alias(
+            "k"
+        ),
+    ).filter(F.col("k") <= F.col("n_samples"))
+    cnk = F.element_at(
+        F.element_at(ct, (F.col("n_samples") + 1).cast("int")),
+        (F.col("k") + 1).cast("int"),
+    )
+    cmk = F.element_at(
+        F.element_at(
+            ct, (F.col("n_samples") - F.col("n_correct") + 1).cast("int")
+        ),
+        (F.col("k") + 1).cast("int"),
+    )
+    return (
+        fanned.withColumn("_cnk", cnk)
+        .withColumn("_cmk", cmk)
+        .select(
+            prompt_col,
+            "n_samples",
+            "n_correct",
+            "k",
+            F.expr(
+                "cast((1000 * (_cnk - _cmk)) div _cnk as bigint)"
+            ).alias("pass_milli"),
+        )
+    )
+
+
 def group_relative_advantage(
     df: DataFrame,
     reward,

@@ -1153,7 +1153,7 @@ def q_bigram_novelty_stats(spark, sf_dir):
 # Shared bigram-LM CTE chain (tok/ex/big/uni/voc/sc/lmsc, constants
 # from textstats), ending with lmsc(doc_id, n_grams, lm_bits,
 # centibits_per_gram) — used by bigram_lm_bits AND ccnet_ppl_buckets.
-_BIGRAM_LM_SQL = f"""
+_BIGRAM_OCC_SQL = f"""
     tok AS (
         SELECT doc_id,
                list_filter(string_split_regex(lower(text), '[^a-z]+'),
@@ -1179,19 +1179,25 @@ _BIGRAM_LM_SQL = f"""
         SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
         FROM (SELECT unnest(t) AS w FROM tok)
     ),
-    sc AS (
+    occ AS (
         SELECT e.doc_id,
-               CAST(count(*) AS BIGINT) AS n_grams,
-               CAST(sum(
-                   CAST(length(bin(CAST(greatest(
-                       ((b.cb + 1)::HUGEINT
-                         * {1 << textstats.LM_FP_BITS}::HUGEINT)
-                         // (u.ca::HUGEINT + v.v),
-                       1::HUGEINT) AS BIGINT))) AS BIGINT)
-                   - {1 + textstats.LM_FP_BITS}
-               ) AS BIGINT) AS lm_bits
+               CAST(length(bin(CAST(greatest(
+                   ((b.cb + 1)::HUGEINT
+                     * {1 << textstats.LM_FP_BITS}::HUGEINT)
+                     // (u.ca::HUGEINT + v.v),
+                   1::HUGEINT) AS BIGINT))) AS BIGINT)
+               - {1 + textstats.LM_FP_BITS} AS bits
         FROM ex e JOIN big b USING (bg) JOIN uni u USING (a), voc v
-        GROUP BY 1
+    )"""
+
+_BIGRAM_LM_SQL = (
+    _BIGRAM_OCC_SQL
+    + """,
+    sc AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(bits) AS BIGINT) AS lm_bits
+        FROM occ GROUP BY 1
     ),
     lmsc AS MATERIALIZED (
         SELECT doc_id, n_grams, lm_bits,
@@ -1199,6 +1205,7 @@ _BIGRAM_LM_SQL = f"""
                  AS centibits_per_gram
         FROM sc
     )"""
+)
 
 
 @declare(
@@ -1221,6 +1228,44 @@ def q_bigram_lm_bits(spark, sf_dir):
     bigram_novelty 10× BHJ→SMJ cliff lesson)."""
     docs = widen_scan(load_table(spark, sf_dir, "documents"))
     return textstats.bigram_lm_bits(docs)
+
+
+@declare(
+    "min_k_prob_audit",
+    f"""
+    WITH {_BIGRAM_OCC_SQL},
+    rk AS (
+        SELECT doc_id, bits,
+               row_number() OVER (PARTITION BY doc_id ORDER BY bits)
+                   AS rn,
+               count(*) OVER (PARTITION BY doc_id) AS n
+        FROM occ)
+    SELECT doc_id,
+           CAST(max(n) AS BIGINT) AS n_grams,
+           CAST(greatest(1, (max(n) * 20) // 100) AS BIGINT) AS m_tail,
+           CAST(sum(bits) FILTER (
+               WHERE rn <= greatest(1, (n * 20) // 100)) AS BIGINT)
+               AS min_k_bits,
+           CAST((-sum(bits) FILTER (
+                    WHERE rn <= greatest(1, (n * 20) // 100)) * 100)
+                // greatest(1, (max(n) * 20) // 100) AS BIGINT)
+               AS mink_centibits
+    FROM rk GROUP BY doc_id
+    """,
+)
+def q_min_k_prob_audit(spark, sf_dir):
+    """Memorization table #2 (r12, textstats.min_k_prob_audit — Shi
+    et al. 2024 Min-K% Prob): per document, the mean negative
+    log-prob of its 20% most surprising bigrams under the corpus LM
+    — the membership-inference score (a memorized/duplicated doc has
+    NO surprising tokens, so a low tail score flags it), next to
+    frequent_span_audit's what-is-repeated view. Exact floor-log2
+    bits from the shared bigram kernel; the tail cut sums value-equal
+    ties, so the score is deterministic under any tie order and the
+    whole audit oracle-checks. widen_scan: the model joins ride the
+    interpreted occurrence explode."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    return textstats.min_k_prob_audit(docs, k_pct=20)
 
 
 @declare(
@@ -4219,6 +4264,67 @@ def q_rejection_sample_bestofn(spark, sf_dir):
     ).withColumn("group_id", (F.col("doc_id") % 64).cast("long"))
     return pipeline.rejection_sample_best_of_n(
         docs, textstats.classifier_score_col("text")
+    )
+
+
+def _pass_ct_values() -> str:
+    """(n, k, v) literal rows of the binomial table — ONE Python
+    math.comb source for the Spark literal array, this oracle and
+    the tests (the Bloom-tuple rule)."""
+    import math
+
+    from . import pipeline as _pl
+
+    return ", ".join(
+        f"({n}, {k}, {math.comb(n, k)})"
+        for n in range(_pl.PASS_AT_MAX_N + 1)
+        for k in _pl.PASS_AT_KS
+    )
+
+
+@declare(
+    "pass_at_k_events",
+    f"""
+    WITH s AS (
+        SELECT user_id % 64 AS prompt_id,
+               (event_type = 'purchase') AS ok,
+               row_number() OVER (PARTITION BY user_id % 64
+                                  ORDER BY event_id) AS rn
+        FROM events),
+    a AS (
+        SELECT prompt_id, count(*) AS n,
+               count(*) FILTER (WHERE ok) AS c
+        FROM s WHERE rn <= 16 GROUP BY 1),
+    ct(n, k, v) AS (VALUES {{PASS_CT}}),
+    e AS (
+        SELECT a.prompt_id, a.n, a.c, kk.k
+        FROM a CROSS JOIN (VALUES (1), (4), (8)) kk(k)
+        WHERE kk.k <= a.n)
+    SELECT e.prompt_id,
+           CAST(e.n AS BIGINT) AS n_samples,
+           CAST(e.c AS BIGINT) AS n_correct,
+           CAST(e.k AS BIGINT) AS k,
+           CAST((1000 * (cn.v - cm.v)) // cn.v AS BIGINT) AS pass_milli
+    FROM e JOIN ct cn ON cn.n = e.n AND cn.k = e.k
+           JOIN ct cm ON cm.n = e.n - e.c AND cm.k = e.k
+    """.replace("{PASS_CT}", _pass_ct_values()),
+)
+def q_pass_at_k_events(spark, sf_dir):
+    """Eval family (r12, pipeline.pass_at_k — Chen et al. 2021):
+    the unbiased pass@k estimator 1 − C(n−c,k)/C(n,k) over synthetic
+    prompt groups (user_id % 64; a sample is 'correct' when its
+    event is a purchase; first 16 samples per prompt by event_id —
+    the bounded-n cut that keeps every binomial in int64). The
+    whole estimator is integer arithmetic against a literal C table,
+    so pass@{{1,4,8}} oracle-checks exactly. One capped window + one
+    groupBy + a 3-way k explode."""
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 64).cast("long").alias("prompt_id"),
+        (F.col("event_type") == "purchase").alias("ok"),
+        "event_id",
+    )
+    return pipeline.pass_at_k(
+        ev, "prompt_id", F.col("ok"), "event_id"
     )
 
 

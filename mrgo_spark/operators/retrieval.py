@@ -500,10 +500,17 @@ class BM25SegmentSet:
         return sum(s.n_docs() for s in self.segments)
 
     def doc_ids(self) -> DataFrame:
-        """Union of at-rest doc_ids (the ingestion replay guard)."""
+        """Union of LIVE doc_ids — at rest minus each segment's
+        tombstones (r12): this feeds the ingestion overlap guard, and
+        a deleted doc must be re-ingestable (the merge that later
+        consumes the tombstoned segment applies the delete, so the
+        new copy never coexists with the old in any merged index)."""
         out = None
         for s in self.segments:
             d = s.spark.read.parquet(f"{s.path}/dl").select("doc_id")
+            t = s._tombstones()
+            if t is not None:
+                d = d.join(F.broadcast(t), "doc_id", "left_anti")
             out = d if out is None else out.unionByName(d)
         return out
 

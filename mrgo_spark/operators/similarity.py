@@ -893,9 +893,36 @@ def _assign_cells(df: DataFrame, centroids: DataFrame, idname: str,
                   vec_col: str, n_probe: int = 1) -> DataFrame:
     """Attach the ``n_probe`` nearest centroid ids to each vector.
 
-    centroids: (cell_id, cvec) — small by construction (K ≈ √n), so
-    the assignment join is a broadcast; cost is one corpus scan.
-    """
+    centroids: (cell_id, cvec) — small by construction (K ≈ √n).
+
+    n_probe == 1 (the build/refine/ingest hot path) is MAP-ONLY
+    (r12): the centroids ride as literals (the kmeans-assignment
+    recipe) and the argmax is a greatest() over per-cell structs —
+    no 16× row fan-out, no per-vector window SHUFFLE of the corpus.
+    At 100 TB that turns every assignment pass into a pure scan.
+    Tie-break (max affinity, then LOWEST cell_id) matches the window
+    form exactly via the negated-cell struct field; _fx_dot is exact
+    integer, so the two paths are bit-identical (parity-pinned in
+    tests/test_similarity.py). n_probe > 1 keeps the broadcast-join
+    + window form."""
+    if n_probe == 1:
+        rows = sorted(centroids.collect(), key=lambda r: int(r.cell_id))
+        structs = [
+            F.struct(
+                _fx_dot(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in r.cvec]),
+                ).alias("aff"),
+                F.lit(-int(r.cell_id)).alias("negc"),
+            )
+            for r in rows
+        ]
+        best = structs[0] if len(structs) == 1 else F.greatest(*structs)
+        return df.select(
+            F.col(idname),
+            F.col(vec_col),
+            (-best["negc"]).cast("int").alias("cell_id"),
+        )
     scored = df.select(
         F.col(idname), F.col(vec_col)
     ).join(F.broadcast(centroids)).select(
@@ -953,7 +980,22 @@ def ivf_centroids(embeddings: DataFrame, k: int = 16,
                 ).alias("cvec")
             )
         )
-        cents = means
+        # collect the k×dim means to the driver and re-literalize
+        # (the kmeans driver-tiny collect precedent) — without this
+        # the returned frame carries the WHOLE Lloyd chain as lazy
+        # lineage and every consumer re-runs refine_iters corpus
+        # passes (r12 profile: the 16-row centroid write alone cost
+        # 5 s at sf0.1, and IVFIndex.build paid the chain again for
+        # the assignment). Also pins the centroids: a lazy plan
+        # re-executing per consumer could re-aggregate float means
+        # in a different partition order per run.
+        cents = embeddings.sparkSession.createDataFrame(
+            [
+                (int(r.cell_id), [float(x) for x in r.cvec])
+                for r in means.collect()
+            ],
+            "cell_id int, cvec array<double>",
+        )
     return cents
 
 

@@ -924,6 +924,29 @@ def bigram_lm_bits(
     sized, NOT broadcastable at 100 TB, and SMJ would sort the
     occurrence stream); V rides as a 1-row crossJoin; one partial-agg
     per doc."""
+    occ = _bigram_bits_occurrences(documents, text_col, id_col)
+    scored = occ.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum("bits").cast("long").alias("lm_bits"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "lm_bits",
+        F.expr("cast((-lm_bits * 100) div n_grams as bigint)").alias(
+            "centibits_per_gram"
+        ),
+    )
+
+
+def _bigram_bits_occurrences(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, bits) per bigram occurrence — the shared kernel of
+    ``bigram_lm_bits`` (per-doc sum) and ``min_k_prob_audit``
+    (per-doc tail of the sorted bits). Same plan as the r7 original:
+    one occurrence explode, model tables joined back shuffle_hash,
+    V as a 1-row broadcast crossJoin."""
     ex = documents.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_ngrams(text_col, 2)).alias("bg"),
@@ -950,23 +973,64 @@ def bigram_lm_bits(
         f" cast(1 as decimal(38,0))) as bigint)"
     )
     bits = (F.length(F.bin(ratio)) - F.lit(1 + LM_FP_BITS)).cast("long")
-    scored = (
+    return (
         ex.join(big.hint("shuffle_hash"), "bg")
         .join(uni.hint("shuffle_hash"), "a")
         .crossJoin(F.broadcast(vocab))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_grams"),
-            F.sum(bits).cast("long").alias("lm_bits"),
-        )
+        .select("doc_id", bits.alias("bits"))
     )
-    return scored.select(
-        "doc_id",
-        "n_grams",
-        "lm_bits",
-        F.expr("cast((-lm_bits * 100) div n_grams as bigint)").alias(
-            "centibits_per_gram"
-        ),
+
+
+def min_k_prob_audit(
+    documents: DataFrame,
+    k_pct: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Min-K% Prob membership-inference audit (Shi et al. 2024,
+    "Detecting Pretraining Data from Large Language Models") on the
+    exact bigram-LM surface: a document's score is the mean
+    NEGATIVE log-prob of its k% MOST SURPRISING tokens — a member
+    (memorized/duplicated) document has no surprising tokens at all,
+    so a LOW tail score is the membership signal; averaging only the
+    tail makes the test robust to documents that are mostly
+    predictable anyway. The reporting surface next to
+    frequent_span_audit in the memorization table: spans say WHAT is
+    repeated, this says WHICH documents score as already-known.
+
+    Exact integers end-to-end: per-occurrence floor-log2 bits from
+    the shared bigram kernel, tail = the m = max(1, n·k_pct div 100)
+    smallest bit values per doc (ties at the cut are value-equal, so
+    the SUM is deterministic under any tie order), and
+
+        mink_centibits = (−Σ tail bits · 100) div m   ∈ [0, 4000]
+
+    Columns: (doc_id, n_grams, m_tail, min_k_bits, mink_centibits).
+    Docs with < 2 tokens drop (no bigrams). Shape: the LM kernel's
+    two model joins + ONE per-doc window over doc-length-bounded
+    partitions + one groupBy."""
+    if not (0 < k_pct <= 100):
+        raise ValueError(f"min_k_prob_audit: k_pct must be in (0,100], got {k_pct}")
+    occ = _bigram_bits_occurrences(documents, text_col, id_col)
+    w = Window.partitionBy("doc_id").orderBy(F.asc("bits"))
+    ranked = occ.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("doc_id"))
+    )
+    m = F.expr(f"greatest(1, (n * {k_pct}) div 100)")
+    tail = F.when(F.col("rn") <= m, F.col("bits"))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_grams"),
+            F.expr(
+                f"cast(greatest(1, (max(n) * {k_pct}) div 100) as bigint)"
+            ).alias("m_tail"),
+            F.sum(tail).cast("long").alias("min_k_bits"),
+        )
+        .withColumn(
+            "mink_centibits",
+            F.expr("cast((-min_k_bits * 100) div m_tail as bigint)"),
+        )
     )
 
 

@@ -859,6 +859,114 @@ def ingest_ann_foreach_batch(
     return vec_stream.writeStream.foreachBatch(_process)
 
 
+def ingest_ann_cdc_foreach_batch(
+    index,
+    cdc_stream: DataFrame,
+    compact_max_files: int | None = 8,
+    holder: dict | None = None,
+):
+    """CDC ingestion for the ANN index (r12): the full
+    change-data-capture contract on top of ``ingest_ann_foreach_
+    batch``'s append-only story. Input rows are
+    (seq long, op ∈ {'add','delete'}, vec_id, embedding) — seq is
+    the change-log position, so within a batch the LAST op per id
+    wins (standard CDC netting; an add-then-delete nets to delete).
+
+    Per micro-batch, in order:
+    1. net-deletes → ``index.delete`` (tombstones; gone from every
+       query immediately, unknown ids harmless);
+    2. net-adds are classified against the at-rest copies:
+       - identical vector already at rest → replay, dropped by
+         add's bounded anti-join (zero rewrite cost);
+       - DIFFERENT vector at rest (``ingest_conflict_audit``'s
+         conflicting_drop — the re-embed add() alone would silently
+         lose) → this IS the update path: the stale copy is
+         tombstoned and ``expunge_deletes`` physically applies all
+         pending tombstones (bloom-pruned cell rewrite), then the
+         new vector appends;
+       - id tombstoned by an EARLIER batch → same expunge-then-add
+         path (add() refuses tombstoned ids by contract);
+    3. ``index.add`` of the net-adds;
+    4. threshold compaction, as in the append-only loop.
+
+    Replay of any batch is idempotent: re-derived net ops re-append
+    duplicate tombstones (harmless), re-expunge finds nothing to
+    remove, and the re-add anti-joins out. Every crash window
+    inherits the component contracts (tombstone append is
+    monotone, expunge is the crash-safe swap, add is
+    superset-first). Updates cost a pruned rewrite of the affected
+    cells — the honest price of in-place re-embedding in a
+    cell-partitioned store; a bulk re-embed should rebuild instead.
+    holder records n_deleted / n_replaced / expunges per batch."""
+    from pyspark.sql import Window
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy("vec_id").orderBy(F.desc("seq"))
+        net = (
+            batch_df.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .drop("_r")
+            .localCheckpoint()
+        )
+        dels = net.filter(F.col("op") == "delete").select("vec_id")
+        n_del = dels.count()
+        if n_del:
+            index.delete(dels)
+        adds = (
+            net.filter(F.col("op") == "add")
+            .select("vec_id", "embedding")
+            .localCheckpoint(eager=False)
+        )
+        if adds.isEmpty():
+            if holder is not None:
+                holder.setdefault("batches", []).append(
+                    {"batch_id": batch_id, "n_deleted": n_del,
+                     "n_replaced": 0, "expunged": False}
+                )
+            return
+        # updates: live at-rest copies with a DIFFERENT vector
+        conflicts = (
+            index.ingest_conflict_audit(adds)
+            .filter(F.col("verdict") == "conflicting_drop")
+            .select(F.col("vec_id"))
+        )
+        tomb = index._tombstones()
+        stale = conflicts
+        if tomb is not None:
+            stale = stale.unionByName(
+                adds.select("vec_id").join(
+                    tomb.withColumnRenamed("neighbor_id", "vec_id"),
+                    "vec_id",
+                )
+            )
+        stale = stale.distinct().localCheckpoint(eager=False)
+        n_replace = stale.count()
+        expunged = False
+        if n_replace:
+            # tombstone the re-embedded live copies, then apply ALL
+            # pending tombstones physically so the re-adds are legal
+            if conflicts.limit(1).count():
+                index.delete(conflicts)
+            index.expunge_deletes()
+            expunged = True
+        index.add(adds)
+        if compact_max_files is not None:
+            stats = index.compact_cells(compact_max_files)
+            if holder is not None and stats["compacted_cells"]:
+                holder.setdefault("compactions", []).append(
+                    (batch_id, stats)
+                )
+        if holder is not None:
+            holder.setdefault("batches", []).append(
+                {"batch_id": batch_id, "n_deleted": n_del,
+                 "n_replaced": int(n_replace), "expunged": expunged}
+            )
+
+    return cdc_stream.writeStream.foreachBatch(_process)
+
+
 def _bm25_tier(n_docs: int) -> int:
     """Geometric size tier: integer log2 of the segment's doc count.
     Two segments in the same tier are within 2× of each other, so
@@ -1112,6 +1220,19 @@ def streaming_transfer_serving(oplog_stream: DataFrame) -> DataFrame:
     from ..operators import kv
 
     return kv.transfer_serving_counts(oplog_stream)
+
+
+def streaming_catchup_serving(oplog_stream: DataFrame) -> DataFrame:
+    """r12 streaming twin of kv.config_catchup_serving: live
+    per-(epoch, gid) missed-config catch-up counters (configs
+    behind, dropped/stale/served, in-order application witness) —
+    the dashboard TestMissChange's operator watches. Same one-copy
+    shape as streaming_transfer_serving: row-local schedule columns
+    + one streaming groupBy, state domain-bounded at |epochs seen| ×
+    NGROUPS rows. Update mode; exactly-once upstream assumed."""
+    from ..operators import kv
+
+    return kv.config_catchup_counts(oplog_stream)
 
 
 def streaming_phrase_matches(

@@ -363,6 +363,12 @@ def main() -> None:
         # r12: KMV pair overlap — one corpus tokenize+distinct pass;
         # all pair math on the |langs|·64-row sketch frame.
         "kmv_jaccard_langs",
+        # r12: pass@k — one capped per-prompt window + groupBy + a
+        # 3-way k explode (prompt domain is a modulus: per-prompt
+        # size grows K×, the cap bounds the window cut)
+        "pass_at_k_events",
+        # r12: min-k tail — bigram_lm_bits' law + a per-doc window
+        "min_k_prob_audit",
         # r11: phrase search probes its FIXED-phrase twin (the
         # bm25_topk_fixed precedent) — the %50 form measured 29× at
         # 10× because phrases×verbatim-copies is the K²-by-fixture

@@ -341,3 +341,85 @@ def test_expunge_deletes_physical_and_sidecar_exact(spark, tmp_path):
         .count()
         == 1
     )
+
+
+def test_cdc_ingest_delete_update_readd_replay(spark, tmp_path):
+    """r12 CDC loop: within-batch netting (add-then-delete nets to
+    delete), cross-batch delete, UPDATE of a live id (re-embed →
+    tombstone + expunge + re-add, the path plain add() silently
+    drops), and a replayed batch leaving the state bit-identical."""
+    from mrgo_spark.streaming import stream_ops
+
+    emb = load_table(spark, SF, "embeddings")
+    base = emb.filter(F.col("vec_id").isin([0, 2, 4, 6]))
+    path = str(tmp_path / "cdc")
+    idx = similarity.IVFIndex.build(base, path, n_cells=2)
+
+    def vec(i):
+        return [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == i)
+            .select("embedding")
+            .collect()[0][0]
+        ]
+
+    v2new = [x + 0.5 for x in vec(2)]
+    b0 = [
+        (1, "add", 1, vec(1)),
+        (2, "add", 3, vec(3)),
+        (3, "add", 5, vec(5)),
+        (4, "delete", 5, None),  # nets to delete: 5 never lands
+    ]
+    b1 = [
+        (10, "delete", 0, None),
+        (11, "add", 2, v2new),   # update of a live id
+        (12, "add", 7, vec(7)),
+    ]
+    schema = "seq long, op string, vec_id long, embedding array<double>"
+    holder: dict = {}
+
+    # drive the foreachBatch processor directly (deterministic batch
+    # boundaries without a stream — the holder["_ingest"] idiom)
+    captured = {}
+
+    class _FakeStream:
+        def __init__(self):
+            self.writeStream = self
+
+        def foreachBatch(self, fn):
+            captured["fn"] = fn
+            return self
+
+    stream_ops.ingest_ann_cdc_foreach_batch(
+        idx, _FakeStream(), compact_max_files=8, holder=holder
+    )
+    proc = captured["fn"]
+
+    proc(spark.createDataFrame(b0, schema), 0)
+    at_rest = {
+        r.neighbor_id
+        for r in spark.read.parquet(path + "/cells").collect()
+    }
+    assert at_rest == {0, 1, 2, 3, 4, 6}  # 5 netted out
+    proc(spark.createDataFrame(b1, schema), 1)
+
+    def state():
+        rows = spark.read.parquet(path + "/cells").collect()
+        t = idx._tombstones()
+        dead = set() if t is None else {r.neighbor_id for r in t.collect()}
+        return {
+            r.neighbor_id: tuple(r.cvec_)
+            for r in rows
+            if r.neighbor_id not in dead
+        }
+
+    s1 = state()
+    assert set(s1) == {1, 2, 3, 4, 6, 7}  # 0 deleted, 7 added
+    assert s1[2] == tuple(v2new)  # the update REPLACED the vector
+    b1_rec = [b for b in holder["batches"] if b["batch_id"] == 1][0]
+    assert b1_rec["n_replaced"] == 1 and b1_rec["expunged"]
+    # replay of b1 is a state no-op
+    proc(spark.createDataFrame(b1, schema), 2)
+    assert state() == s1
+    b2_rec = [b for b in holder["batches"] if b["batch_id"] == 2][0]
+    assert b2_rec["n_replaced"] == 0 and not b2_rec["expunged"]

@@ -1151,3 +1151,36 @@ def test_curriculum_order_rejects_null_levels(spark):
     ok = spark.createDataFrame([(1, 0), (2, 1)], "doc_id long, lv int")
     got = pipeline.curriculum_order(ok, F.col("lv")).collect()
     assert sorted(r.curriculum_pos for r in got) == [0, 1]
+
+
+def test_pass_at_k_matches_fraction_model(spark):
+    """pass_milli == floor(1000·(1 − C(n−c,k)/C(n,k))) via Fraction;
+    the max_n cap takes the FIRST 16 samples in order; k > n rows
+    are omitted; all-correct → 1000, none-correct → 0."""
+    import math
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from mrgo_spark.operators import pipeline
+
+    rows = []
+    # prompt 1: 20 samples, correct = first 4 within the capped 16
+    # (order col makes the cut deterministic: ids 0..15 survive)
+    rows += [(1, i, i < 4) for i in range(20)]
+    rows += [(2, i, False) for i in range(3)]       # none correct
+    rows += [(3, i, True) for i in range(5)]        # all correct
+    df = spark.createDataFrame(rows, "p long, sid long, ok boolean")
+    out = {
+        (r.p, r.k): r
+        for r in pipeline.pass_at_k(df, "p", F.col("ok"), "sid").collect()
+    }
+    model = {1: (16, 4), 2: (3, 0), 3: (5, 5)}
+    for (p, k), r in out.items():
+        n, c = model[p]
+        assert (r.n_samples, r.n_correct) == (n, c)
+        frac = 1 - Fraction(math.comb(n - c, k), math.comb(n, k))
+        assert r.pass_milli == (1000 * frac.numerator) // frac.denominator
+    assert set(out) == {(1, 1), (1, 4), (1, 8), (2, 1), (3, 1), (3, 4)}
+    assert out[(3, 1)].pass_milli == 1000 and out[(2, 1)].pass_milli == 0
+    assert out[(1, 1)].pass_milli == 250

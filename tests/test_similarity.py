@@ -886,3 +886,39 @@ def test_knn_label_eval_imi_pruned_shape(spark):
     for r in out:
         assert 1 <= r.votes <= 5
         assert r.correct == (r.pred_label == r.true_label)
+
+
+def test_assign_cells_literal_path_matches_window_form(spark):
+    """r12 map-only assignment: the n_probe=1 literal-argmax fast
+    path must be bit-identical to the broadcast-join + window form
+    (max affinity, ties to the LOWEST cell_id), and its plan must
+    carry no Exchange (pure scan — the 100 TB win)."""
+    from mrgo_spark.operators import similarity as S
+    from mrgo_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = S.ivf_centroids(emb, k=8)
+    got = {
+        r.neighbor_id: r.cell_id
+        for r in S._assign_cells(
+            emb.selectExpr("vec_id as neighbor_id", "embedding as cvec_"),
+            cents, "neighbor_id", "cvec_", n_probe=1,
+        ).collect()
+    }
+    # python replay of the window form over the exact integer dots
+    cl = [(int(r.cell_id), list(r.cvec)) for r in cents.collect()]
+    want = {}
+    for r in emb.select("vec_id", "embedding").collect():
+        affs = [
+            (sum(round(float(x) * float(y) * S.FX) for x, y in zip(r.embedding, cv)), -c)
+            for c, cv in cl
+        ]
+        want[r.vec_id] = -max(affs)[1]
+    assert got == want
+    # map-only: no shuffle in the fast path's plan
+    plan = S._assign_cells(
+        emb.selectExpr("vec_id as neighbor_id", "embedding as cvec_"),
+        cents, "neighbor_id", "cvec_", n_probe=1,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Window" not in plan

