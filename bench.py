@@ -499,6 +499,8 @@ def main() -> None:
         # min-k tail of the shared bigram-bits kernel (the LM law +
         # one per-doc window)
         "min_k_prob_audit",
+        # panel kappa: two interpreted text folds + one 8-row shuffle
+        "fleiss_kappa_panel",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there

@@ -449,3 +449,83 @@ def cohen_kappa_agreement(
             .alias("kappa_milli"),
         )
     )
+
+
+def fleiss_kappa_agreement(
+    df: DataFrame, group_col: str, judge_cols: list
+) -> DataFrame:
+    """Per-group Fleiss' kappa over m ≥ 2 BINARY judges (Fleiss
+    1971) as exact integers — Cohen's kappa generalized to a PANEL:
+    the inter-annotator agreement of an RLHF labeling pool or an
+    ensemble of quality filters, where "do the m judges keep the
+    SAME docs" is the question and pairwise Cohen matrices don't
+    summarize. Per item, k₁ = keep votes, k₀ = m − k₁; with
+    S = Σᵢ [k₁(k₁−1) + k₀(k₀−1)], Tⱼ = column vote totals, N = |group|:
+
+        P_o = S / (N·m(m−1)),  P_e = (T₁² + T₀²) / (m²N²)
+        kappa = (m²·N·S − m(m−1)·(T₁²+T₀²))
+                  div (m(m−1)·(m²N² − T₁² − T₀²))      (×1000)
+
+    Every term is integer; the cross products run in decimal(38,0)
+    (the r6 rule — m²N² passes 2^63 near N ≈ 10⁹/group). A group
+    where every item is unanimous in the SAME direction for all
+    judges has P_e = 1 → kappa NULL (the Cohen convention: never a
+    fake 0). Columns: (grp, n, s_sum, t_keep, po_milli, pe_milli,
+    kappa_milli). Map-only vote flags + ONE shuffle to |groups|
+    rows."""
+    m = len(judge_cols)
+    if m < 2:
+        raise ValueError("fleiss_kappa_agreement: need >= 2 judges")
+    m2 = m * (m - 1)
+    k1 = sum(
+        (j.cast("int") for j in judge_cols), F.lit(0)
+    ).cast("long")
+    base = df.select(
+        F.col(group_col).alias("grp"), k1.alias("_k1")
+    ).withColumn("_k0", F.lit(m).cast("long") - F.col("_k1"))
+    g = base.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.col("_k1") * (F.col("_k1") - 1)
+            + F.col("_k0") * (F.col("_k0") - 1)
+        )
+        .cast("long")
+        .alias("s_sum"),
+        F.sum("_k1").cast("long").alias("t_keep"),
+    )
+    nn = _dec(F.col("n"))
+    t1 = _dec(F.col("t_keep"))
+    t0 = _dec(F.lit(m) * F.col("n") - F.col("t_keep"))
+    tsq = (t1 * t1 + t0 * t0).cast(_DEC)
+    den_all = (F.lit(m * m) * nn * nn).cast(_DEC)
+    return (
+        g.withColumn("_tsq", tsq)
+        .withColumn("_dall", den_all)
+        .select(
+            "grp",
+            "n",
+            "s_sum",
+            "t_keep",
+            F.expr(
+                f"(1000 * cast(s_sum as {_DEC}))"
+                f" div (cast(n as {_DEC}) * {m2})"
+            )
+            .cast("long")
+            .alias("po_milli"),
+            F.expr(f"(1000 * _tsq) div _dall").cast("long").alias(
+                "pe_milli"
+            ),
+            F.when(
+                F.col("_dall") == F.col("_tsq"),
+                F.lit(None).cast("long"),
+            )
+            .otherwise(
+                F.expr(
+                    f"(1000 * ({m * m} * cast(n as {_DEC})"
+                    f" * cast(s_sum as {_DEC}) - {m2} * _tsq))"
+                    f" div ({m2} * (_dall - _tsq))"
+                ).cast("long")
+            )
+            .alias("kappa_milli"),
+        )
+    )

@@ -259,15 +259,19 @@ def t_closeness_audit(
         raise ValueError(
             f"t_closeness_audit: t_milli must be in (0, 1000), got {t_milli}"
         )
+    # ONE corpus pass: the (QI × sensitive) agg is checkpointed and
+    # the global distribution + total derive FROM it (domain-sized
+    # re-aggregations, not extra scans)
     sv = (
         df.groupBy(*qid_cols, F.col(sensitive_col).alias("_sv"))
         .agg(F.count("*").cast("long").alias("_c"))
+        .localCheckpoint(eager=False)
     )
     glob = (
-        df.groupBy(F.col(sensitive_col).alias("_sv"))
-        .agg(F.count("*").cast("long").alias("_g"))
+        sv.groupBy("_sv")
+        .agg(F.sum("_c").cast("long").alias("_g"))
         .crossJoin(
-            df.groupBy().agg(F.count("*").cast("long").alias("_n_tot"))
+            sv.groupBy().agg(F.sum("_c").cast("long").alias("_n_tot"))
         )
     )
     # every class misses some global values ⇒ |0·N − g·n| terms:

@@ -5827,6 +5827,67 @@ def q_judge_agreement_kappa(spark, sf_dir):
 
 
 @declare(
+    "fleiss_kappa_panel",
+    f"""
+    WITH {_clf_sql_fragments()},
+    {_QKEEP_SQL},
+    j AS (
+        SELECT CAST(sc.doc_id % 8 AS BIGINT) AS grp,
+               (CASE WHEN sc.score >= 0 THEN 1 ELSE 0 END
+                + CASE WHEN k.keep THEN 1 ELSE 0 END
+                + CASE WHEN length(d.text) >= 200 THEN 1 ELSE 0 END)
+                   AS k1
+        FROM sc JOIN k USING (doc_id)
+             JOIN documents d USING (doc_id)),
+    g AS (
+        SELECT grp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(k1 * (k1 - 1) + (3 - k1) * (2 - k1))
+                    AS BIGINT) AS s_sum,
+               CAST(sum(k1) AS BIGINT) AS t_keep
+        FROM j GROUP BY grp),
+    e AS (
+        SELECT *,
+               t_keep::HUGEINT * t_keep
+               + (3 * n - t_keep)::HUGEINT * (3 * n - t_keep) AS tsq,
+               9::HUGEINT * n * n AS dall
+        FROM g)
+    SELECT grp, n, s_sum, t_keep,
+           CAST((1000 * s_sum::HUGEINT) // (n::HUGEINT * 6) AS BIGINT)
+               AS po_milli,
+           CAST((1000 * tsq) // dall AS BIGINT) AS pe_milli,
+           CAST(CASE WHEN dall = tsq THEN NULL
+                     ELSE (1000 * (9 * n::HUGEINT * s_sum - 6 * tsq))
+                          // (6 * (dall - tsq)) END AS BIGINT)
+               AS kappa_milli
+    FROM e
+    """,
+)
+def q_fleiss_kappa_panel(spark, sf_dir):
+    """Judge-agreement audit #2 (r12, mlfit.fleiss_kappa_agreement —
+    Fleiss 1971): panel agreement across THREE keep-judges (the
+    learned classifier, the heuristic quality rule, a length≥200
+    gate) per doc_id%8 cohort — the RLHF labeling-pool complement of
+    the pairwise Cohen audit (pairwise matrices don't summarize a
+    panel). Every term rational; cross products in HUGEINT/
+    decimal(38,0); all-unanimous cohorts report NULL, never a fake
+    0. Map-only vote flags + one shuffle to 8 rows. widen_scan: the
+    two text folds are the interpreted-HOF class."""
+    docs = widen_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).withColumn("grp", (F.col("doc_id") % 8).cast("long"))
+    return mlfit.fleiss_kappa_agreement(
+        docs,
+        "grp",
+        [
+            textstats.classifier_score_col("text") >= 0,
+            textstats.quality_keep("text"),
+            F.length("text") >= 200,
+        ],
+    )
+
+
+@declare(
     "rouge_f_eval",
     f"""
     WITH tl AS MATERIALIZED (

@@ -668,17 +668,14 @@ def proximity_min_span(
         " transform(p3, c ->"
         " greatest(a, b, c) - least(a, b, c) + 1))))))"
     ).cast("long")
+    # prox derived from the span column; CollapseProject may still
+    # inline the fold twice, but the per-row cross product is bounded
+    # by ONE doc's term frequencies (probe: 1.12× at 10×), so a
+    # projection barrier isn't worth an exchange here
     return lists.select(
-        "phrase_id",
-        "doc_id",
-        span.alias("min_span"),
-        F.expr(
-            "cast(3000 div (array_min(flatten(transform(p1, a ->"
-            " flatten(transform(p2, b ->"
-            " transform(p3, c ->"
-            " greatest(a, b, c) - least(a, b, c) + 1)))))))"
-            " as bigint)"
-        ).alias("prox_milli"),
+        "phrase_id", "doc_id", span.alias("min_span")
+    ).withColumn(
+        "prox_milli", F.expr("cast(3000 div min_span as bigint)")
     )
 
 

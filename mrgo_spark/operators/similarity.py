@@ -1361,6 +1361,17 @@ class IVFIndex:
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cvec_"),
         )
+        # normalize to the at-rest vector type (r12 full-suite find):
+        # a float32-built index receiving an array<double> batch would
+        # append DOUBLE parquet pages into the same cell dirs — later
+        # reads fail with PARQUET_COLUMN_DATA_TYPE_MISMATCH depending
+        # on which footer schema inference lands on. One schema probe,
+        # no data pass; also makes exact-retry dedupe see a re-sent
+        # batch as equal regardless of the sender's float width.
+        at_rest = self.spark.read.parquet(f"{self.path}/cells").schema
+        batch = batch.withColumn(
+            "cvec_", F.col("cvec_").cast(at_rest["cvec_"].dataType)
+        )
         tomb = self._tombstones()
         if tomb is not None:
             # delete() contract: a tombstoned id can't be re-added —

@@ -914,11 +914,19 @@ def ingest_ann_cdc_foreach_batch(
         n_del = dels.count()
         if n_del:
             index.delete(dels)
-        adds = (
-            net.filter(F.col("op") == "add")
-            .select("vec_id", "embedding")
-            .localCheckpoint(eager=False)
+        adds = net.filter(F.col("op") == "add").select(
+            "vec_id", "embedding"
         )
+        # normalize to the at-rest vector width BEFORE the conflict
+        # audit (the add() r12 mixed-type rule): a double-sent replay
+        # of a float32-stored vector would otherwise round-trip as a
+        # spurious conflicting_drop and trigger a needless rewrite
+        at_rest_t = index.spark.read.parquet(
+            f"{index.path}/cells"
+        ).schema["cvec_"].dataType
+        adds = adds.withColumn(
+            "embedding", F.col("embedding").cast(at_rest_t)
+        ).localCheckpoint(eager=False)
         if adds.isEmpty():
             if holder is not None:
                 holder.setdefault("batches", []).append(

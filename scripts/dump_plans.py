@@ -253,6 +253,33 @@ PICKS = [
      "prefix join on shingle sets (checkpointed keys frame), run "
      "leg = the banded candidates (checkpointed signature frame); "
      "full-outer pair join, one summary row"),
+    ("frequent_span_audit", "r11b memorization audit (VERDICT_r11 "
+     "#4): one scan + gram hash aggregate + TakeOrderedAndProject "
+     "(per-partition bounded heaps); the only Window runs over the "
+     "<= top_k survivors, never the gram domain"),
+    ("kv_config_catchup_serving", "r12 missed-config catch-up "
+     "(TestMissChange): dedup window + row-local outage schedule + "
+     "ONE groupBy — no config table at any scale"),
+    ("l_diversity_customer", "r12 privacy: (QI x sensitive) partial "
+     "agg, per-class rank window over <=|segment|-row partitions"),
+    ("t_closeness_customer", "r12 privacy: ONE checkpointed "
+     "(QI x sensitive) agg feeds classes, the global distribution "
+     "and the total; 5-row broadcast join; decimal(38,0) EMD"),
+    ("proximity_search_fixed", "r12 proximity ranking: postings "
+     "broadcast-join the fixed term set; min-window math is "
+     "array-local after ONE groupBy — no pair shuffle"),
+    ("kmv_jaccard_langs", "r12 sketch algebra: one tokenize+distinct "
+     "pass into the checkpointed kept frame (ExistingRDD feeds BOTH "
+     "pair sides); all pair math domain-bounded"),
+    ("pass_at_k_events", "r12 eval: capped per-prompt window + one "
+     "groupBy + 3-way k explode; binomials are literal lookups, "
+     "zero joins"),
+    ("min_k_prob_audit", "r12 membership inference: the bigram-LM "
+     "kernel's shuffle_hash model joins + ONE per-doc window "
+     "(doc-length-bounded partitions) + final groupBy"),
+    ("fleiss_kappa_panel", "r12 panel agreement: map-only vote flags "
+     "+ ONE shuffle to 8 rows; all kappa math in decimal(38,0) on "
+     "the aggregated frame"),
 ]
 
 

@@ -369,6 +369,9 @@ def main() -> None:
         "pass_at_k_events",
         # r12: min-k tail — bigram_lm_bits' law + a per-doc window
         "min_k_prob_audit",
+        # r12: Fleiss panel kappa — judge_agreement_kappa's law (map
+        # folds + 8-row agg)
+        "fleiss_kappa_panel",
         # r11: phrase search probes its FIXED-phrase twin (the
         # bm25_topk_fixed precedent) — the %50 form measured 29× at
         # 10× because phrases×verbatim-copies is the K²-by-fixture

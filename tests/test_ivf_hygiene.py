@@ -415,7 +415,14 @@ def test_cdc_ingest_delete_update_readd_replay(spark, tmp_path):
 
     s1 = state()
     assert set(s1) == {1, 2, 3, 4, 6, 7}  # 0 deleted, 7 added
-    assert s1[2] == tuple(v2new)  # the update REPLACED the vector
+    # the update REPLACED the vector — stored at the index's at-rest
+    # float32 width (add() normalizes batch vectors to it, the r12
+    # mixed-type append fix), so expect the float32 round-trip
+    import numpy as np
+
+    assert s1[2] == tuple(
+        float(x) for x in np.asarray(v2new, dtype=np.float32)
+    )
     b1_rec = [b for b in holder["batches"] if b["batch_id"] == 1][0]
     assert b1_rec["n_replaced"] == 1 and b1_rec["expunged"]
     # replay of b1 is a state no-op

@@ -317,3 +317,59 @@ def test_corr_cramer_terms_survive_int64_intermediate_overflow(spark):
     want_varx = n * sxx - sx * sx
     assert want_varx < 2**63  # ... while the true value fits
     assert r.varx_num == want_varx
+
+
+def test_fleiss_kappa_matches_fraction_model(spark):
+    """Fleiss' kappa vs a Fraction replay (trunc division — engine
+    div truncates toward zero, matched explicitly for negative
+    kappas); unanimous-everywhere group → NULL; a perfectly
+    disagreeing panel goes negative."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from mrgo_spark.operators import mlfit
+
+    rows = []
+    # grp 0: mixed agreement
+    votes0 = [(1, 1, 1), (0, 0, 0), (1, 0, 1), (1, 1, 0), (0, 1, 0)]
+    rows += [("g0", a, b, c) for a, b, c in votes0]
+    # grp 1: unanimous keep on every item → pe = 1 → NULL
+    rows += [("g1", 1, 1, 1)] * 4
+    # grp 2: maximal disagreement (every item 2-1 splits, balanced)
+    rows += [("g2", 1, 1, 0), ("g2", 0, 0, 1)] * 3
+    df = spark.createDataFrame(rows, "grp string, a int, b int, c int")
+    out = {
+        r.grp: r
+        for r in mlfit.fleiss_kappa_agreement(
+            df,
+            "grp",
+            [F.col("a") == 1, F.col("b") == 1, F.col("c") == 1],
+        ).collect()
+    }
+
+    def model(votes):
+        m = 3
+        n = len(votes)
+        k1s = [sum(v) for v in votes]
+        S = sum(k * (k - 1) + (m - k) * (m - k - 1) for k in k1s)
+        t1 = sum(k1s)
+        t0 = m * n - t1
+        po = Fraction(S, n * m * (m - 1))
+        pe = Fraction(t1 * t1 + t0 * t0, m * m * n * n)
+        if pe == 1:
+            return n, S, t1, None
+        kap = (po - pe) / (1 - pe)
+        num, den = (1000 * kap).numerator, (1000 * kap).denominator
+        trunc = (abs(num) // den) * (1 if num >= 0 else -1)
+        return n, S, t1, trunc
+
+    v = {"g0": votes0, "g1": [(1, 1, 1)] * 4,
+         "g2": [(1, 1, 0), (0, 0, 1)] * 3}
+    for g, votes in v.items():
+        n, S, t1, kap = model(votes)
+        r = out[g]
+        assert (r.n, r.s_sum, r.t_keep) == (n, S, t1), g
+        assert r.kappa_milli == kap, (g, r.kappa_milli, kap)
+    assert out["g1"].kappa_milli is None
+    assert out["g2"].kappa_milli is not None and out["g2"].kappa_milli < 0
