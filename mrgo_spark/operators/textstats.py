@@ -947,10 +947,33 @@ def _bigram_bits_occurrences(
     (per-doc tail of the sorted bits). Same plan as the r7 original:
     one occurrence explode, model tables joined back shuffle_hash,
     V as a 1-row broadcast crossJoin."""
-    ex = documents.select(
+    ex = _bigram_occurrences(documents, text_col, id_col)
+    big, uni, vocab = _bigram_model(documents, text_col, id_col)
+    return (
+        ex.join(big.hint("shuffle_hash"), "bg")
+        .join(uni.hint("shuffle_hash"), "a")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lm_bits_col().alias("bits"))
+    )
+
+
+def _bigram_occurrences(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, bg, a) bigram occurrence rows."""
+    return documents.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_ngrams(text_col, 2)).alias("bg"),
     ).select("doc_id", "bg", F.substring_index("bg", " ", 1).alias("a"))
+
+
+def _bigram_model(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple:
+    """The add-one bigram LM's tables (big, uni, vocab) from a
+    corpus — factored so a STREAM can be scored against a FROZEN
+    model (streaming_min_k_scores) with the same arithmetic."""
+    ex = _bigram_occurrences(documents, text_col, id_col)
     # c(a) = Σ_b c(a,b): derive the condition counts FROM the bigram
     # table instead of a second pass over the occurrence stream — one
     # fewer corpus tokenize (plan audit r7: ex fed 3 consumers); the
@@ -965,20 +988,23 @@ def _bigram_bits_occurrences(
     vocab = documents.select(
         F.explode(ascii_tokens(text_col, lowercase=True)).alias("w")
     ).agg(F.count_distinct("w").cast("long").alias("v"))
+    return big, uni, vocab
+
+
+def lm_bits_col() -> F.Column:
+    """floor-log2 p(b|a) from joined (cb, ca, v) columns — the ONE
+    bits expression shared by the batch kernel and the frozen-model
+    streaming scorer. NULL-safe for UNSEEN grams (frozen-model
+    scoring of new docs): cb/ca coalesce to 0, which IS add-one
+    smoothing's unseen case p = 1/(0 + V)."""
     ratio = F.expr(
         f"cast(greatest("
-        f"((cast(cb as decimal(38,0)) + 1)"
+        f"((cast(coalesce(cb, 0) as decimal(38,0)) + 1)"
         f" * cast({1 << LM_FP_BITS} as decimal(38,0)))"
-        f" div (cast(ca as decimal(38,0)) + v),"
+        f" div (cast(coalesce(ca, 0) as decimal(38,0)) + v),"
         f" cast(1 as decimal(38,0))) as bigint)"
     )
-    bits = (F.length(F.bin(ratio)) - F.lit(1 + LM_FP_BITS)).cast("long")
-    return (
-        ex.join(big.hint("shuffle_hash"), "bg")
-        .join(uni.hint("shuffle_hash"), "a")
-        .crossJoin(F.broadcast(vocab))
-        .select("doc_id", bits.alias("bits"))
-    )
+    return (F.length(F.bin(ratio)) - F.lit(1 + LM_FP_BITS)).cast("long")
 
 
 def min_k_prob_audit(

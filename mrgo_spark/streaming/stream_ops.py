@@ -1230,6 +1230,63 @@ def streaming_transfer_serving(oplog_stream: DataFrame) -> DataFrame:
     return kv.transfer_serving_counts(oplog_stream)
 
 
+def streaming_min_k_scores(
+    doc_stream: DataFrame,
+    model_docs: DataFrame,
+    k_pct: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of min_k_prob_audit (r12): the memorization /
+    membership monitor scored LIVE against a FROZEN bigram LM
+    trained on the static lake — arriving documents whose k% most
+    surprising bigrams are still predictable score low and flag as
+    already-known (duplicated or memorized upstream).
+
+    Shape: explode the stream's bigrams, stream-static join the
+    frozen (big, uni, vocab) tables (UNSEEN grams coalesce to the
+    add-one 1/(0+V) case — the lm_bits_col contract), then ONE
+    streaming groupBy per doc collecting the bits array; the k%
+    tail is array-local (sort + slice + fold), so the per-doc state
+    is one doc-length-bounded list. Update mode. Docs are
+    self-contained rows, so each emits once per its arrival batch;
+    pass a watermark upstream for state cleanup on unbounded
+    streams (the streaming_fold caveat). Batch agreement: scoring a
+    corpus against ITSELF equals the batch min_k_prob_audit
+    (pinned in tests)."""
+    from ..operators import textstats
+
+    big, uni, vocab = textstats._bigram_model(
+        model_docs, text_col, id_col
+    )
+    ex = textstats._bigram_occurrences(doc_stream, text_col, id_col)
+    occ = (
+        ex.join(big, "bg", "left")
+        .join(uni, "a", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", textstats.lm_bits_col().alias("bits"))
+    )
+    agg = occ.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.array_sort(F.collect_list("bits")).alias("_bs"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        F.expr(
+            f"cast(greatest(1, (n_grams * {k_pct}) div 100) as bigint)"
+        ).alias("m_tail"),
+        F.expr(
+            f"aggregate(slice(_bs, 1, cast(greatest(1,"
+            f" (n_grams * {k_pct}) div 100) as int)),"
+            f" 0L, (acc, x) -> acc + x)"
+        ).alias("min_k_bits"),
+    ).withColumn(
+        "mink_centibits",
+        F.expr("cast((-min_k_bits * 100) div m_tail as bigint)"),
+    )
+
+
 def streaming_catchup_serving(oplog_stream: DataFrame) -> DataFrame:
     """r12 streaming twin of kv.config_catchup_serving: live
     per-(epoch, gid) missed-config catch-up counters (configs

@@ -581,3 +581,28 @@ def test_allpairs_prefix_join_plan_shape(spark):
     # checkpoint): the final plan re-reads NO parquet at all —
     # prefix explode and both verify joins serve from ExistingRDD
     assert plan.count("FileScan") == 0
+
+
+def test_kmv_jaccard_single_corpus_pass(spark):
+    """r12: the checkpointed kept frame (ExistingRDD) must feed BOTH
+    pair sides — a second corpus tokenize+distinct per side was the
+    hazard; after the checkpoint the plan reads no parquet at all."""
+    from mrgo_spark.operators.queries_llm import q_kmv_jaccard_langs
+
+    df = q_kmv_jaccard_langs(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert "ExistingRDD" in plan
+    assert plan.count("FileScan") == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_fleiss_kappa_map_only_plus_single_shuffle(spark):
+    """r12: panel kappa = map-only vote flags + ONE shuffle to the
+    8-row cohort frame; no join, no window."""
+    from mrgo_spark.operators.queries_llm import q_fleiss_kappa_panel
+
+    df = q_fleiss_kappa_panel(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan and "Window" not in plan
+    assert "HashAggregate" in plan

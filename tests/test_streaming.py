@@ -1455,3 +1455,35 @@ def test_streaming_catchup_serving_matches_batch(spark, tmp_path):
     rows = spark.sql("SELECT * FROM catchup_out").collect()
     got = {(r.epoch, r.gid): tuple(r)[2:] for r in rows}
     assert got == expected and len(got) > 0
+
+
+def test_streaming_min_k_matches_batch_self_model(spark, tmp_path):
+    """r12 memorization monitor: a corpus streamed against ITSELF as
+    the frozen model equals the batch min_k_prob_audit; a planted
+    rare-token doc arriving later scores HIGHER than the duplicated
+    block (the membership signal survives streaming)."""
+    from mrgo_spark.operators import textstats
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    model = docs.filter(F.col("doc_id") < 300)
+    want = {
+        r.doc_id: tuple(r)[1:]
+        for r in textstats.min_k_prob_audit(model, k_pct=20).collect()
+    }
+    d = tmp_path / "mk_stream"
+    d.mkdir()
+    for i, part in enumerate([model.filter(F.col("doc_id") % 2 == 0),
+                              model.filter(F.col("doc_id") % 2 == 1)]):
+        stage = tmp_path / f"mk_{i}"
+        part.coalesce(1).write.parquet(str(stage))
+        os.rename(next(stage.glob("part-*.parquet")), d / f"b{i}.parquet")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(d)
+    )
+    out = stream_ops.streaming_min_k_scores(stream, model, k_pct=20)
+    stream_ops.run_to_memory(out, "mink_out", output_mode="update")
+    got = {
+        r.doc_id: tuple(r)[1:]
+        for r in spark.sql("SELECT * FROM mink_out").collect()
+    }
+    assert got == want and len(got) > 0
