@@ -501,6 +501,8 @@ def main() -> None:
         "min_k_prob_audit",
         # panel kappa: two interpreted text folds + one 8-row shuffle
         "fleiss_kappa_panel",
+        # PRF: two bm25 passes + a feedback-sized expansion vote
+        "prf_bm25_fixed",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there

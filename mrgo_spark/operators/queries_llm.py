@@ -4575,6 +4575,52 @@ def q_dsir_resample_docs(spark, sf_dir):
 # --------------------------------------------------------- retrieval
 
 
+def _bm25_leg_sql(k: int, qt_name: str, sfx: str = "") -> str:
+    """One BM25 scoring LEG over an arbitrary (query_id, term) CTE —
+    CTEs cand{sfx}/tf{sfx}/dfq{sfx}/bm{sfx} reading the shared
+    tok/dl/sc/ex base. Factored (r12) so prf_bm25_fixed can rank
+    twice (original terms, then the expanded set) in one statement;
+    _bm25_sql is the single-leg instance, byte-compatible with the
+    pre-refactor fragment."""
+    return f"""
+    cand{sfx} AS MATERIALIZED (
+        SELECT q.query_id, e.doc_id, e.term
+        FROM ex e JOIN {qt_name} q USING (term)
+    ),
+    tf{sfx} AS (
+        SELECT query_id, doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM cand{sfx} GROUP BY 1, 2, 3
+    ),
+    dfq{sfx} AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM cand{sfx} GROUP BY 1
+    ),
+    bm{sfx} AS MATERIALIZED (
+        SELECT query_id, doc_id, n_terms, score_fp, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY score_fp DESC, doc_id) AS rank
+            FROM (
+                SELECT t.query_id, t.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_terms,
+                       CAST(sum(
+                           ((2::HUGEINT * s.n - 2 * f.df + 1)
+                            * (22::HUGEINT * s.tt * t.tf)
+                            * {retrieval.BM25_SCALE})
+                           // ((2::HUGEINT * f.df + 1)
+                               * (10::HUGEINT * s.tt * t.tf
+                                  + 3::HUGEINT * s.tt
+                                  + 9::HUGEINT * d.dl * s.n))
+                       ) AS BIGINT) AS score_fp
+                FROM tf{sfx} t
+                JOIN dfq{sfx} f USING (term)
+                JOIN dl d USING (doc_id), sc s
+                GROUP BY 1, 2
+            )
+        ) WHERE rank <= {k}
+    )"""
+
+
 def _bm25_sql(k: int, query_pred: str = "doc_id % 100 = 0") -> str:
     """BM25 oracle fragment: CTEs tok/dl/sc/qt/ex/cand/tf/dfq/bm
     ending with bm(query_id, doc_id, n_terms, score_fp, rank <= k).
@@ -4604,43 +4650,7 @@ def _bm25_sql(k: int, query_pred: str = "doc_id % 100 = 0") -> str:
     ),
     ex AS MATERIALIZED (
         SELECT doc_id, unnest(toks) AS term FROM tok
-    ),
-    cand AS MATERIALIZED (
-        SELECT q.query_id, e.doc_id, e.term
-        FROM ex e JOIN qt q USING (term)
-    ),
-    tf AS (
-        SELECT query_id, doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        FROM cand GROUP BY 1, 2, 3
-    ),
-    dfq AS (
-        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-        FROM cand GROUP BY 1
-    ),
-    bm AS MATERIALIZED (
-        SELECT query_id, doc_id, n_terms, score_fp, rank FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY query_id
-                ORDER BY score_fp DESC, doc_id) AS rank
-            FROM (
-                SELECT t.query_id, t.doc_id,
-                       CAST(count(*) AS BIGINT) AS n_terms,
-                       CAST(sum(
-                           ((2::HUGEINT * s.n - 2 * f.df + 1)
-                            * (22::HUGEINT * s.tt * t.tf)
-                            * {retrieval.BM25_SCALE})
-                           // ((2::HUGEINT * f.df + 1)
-                               * (10::HUGEINT * s.tt * t.tf
-                                  + 3::HUGEINT * s.tt
-                                  + 9::HUGEINT * d.dl * s.n))
-                       ) AS BIGINT) AS score_fp
-                FROM tf t
-                JOIN dfq f USING (term)
-                JOIN dl d USING (doc_id), sc s
-                GROUP BY 1, 2
-            )
-        ) WHERE rank <= {k}
-    )"""
+    ),{_bm25_leg_sql(k, "qt")}"""
 
 
 # One BM25Index per (session, sf_dir) — the _IVF_CACHE idiom applied
@@ -4765,6 +4775,66 @@ def q_bm25_topk_fixed(spark, sf_dir):
     qids = _fixed_qids(spark, sf_dir)
     qterms = retrieval.query_terms_from_docs(docs, F.col("doc_id").isin(qids))
     return _bm25_served_terms(spark, sf_dir, qterms, k=10)
+
+
+@declare(
+    "prf_bm25_fixed",
+    f"""
+    WITH {_bm25_sql(10, query_pred="doc_id % 100 = 0 AND doc_id < 800")},
+    dt AS (
+        SELECT doc_id, unnest(list_distinct(toks)) AS term
+        FROM tok WHERE doc_id IN (SELECT doc_id FROM bm)
+    ),
+    cexp AS (
+        SELECT b.query_id, d.term, count(*) AS nfb
+        FROM bm b JOIN dt d USING (doc_id)
+        WHERE length(d.term) >= 4
+        GROUP BY 1, 2
+    ),
+    cexp2 AS (
+        SELECT c.query_id, c.term, c.nfb
+        FROM cexp c LEFT JOIN qt q
+            ON q.query_id = c.query_id AND q.term = c.term
+        WHERE q.term IS NULL
+    ),
+    expn AS (
+        SELECT query_id, term FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY nfb DESC, term) AS r
+            FROM cexp2) WHERE r <= 3
+    ),
+    qt2 AS MATERIALIZED (
+        SELECT query_id, term FROM qt
+        UNION ALL
+        SELECT query_id, term FROM expn
+    ),{_bm25_leg_sql(10, "qt2", "2")}
+    SELECT query_id, doc_id, n_terms, score_fp, rank FROM bm2
+    """,
+)
+def q_prf_bm25_fixed(spark, sf_dir):
+    """Pseudo-relevance feedback (r12, retrieval.prf_expand_terms —
+    Rocchio/RM-style query expansion made deterministic): BM25 once,
+    each query's top-10 docs vote candidate terms by feedback-doc
+    coverage (desc, term asc — total order), the top 3 non-original
+    terms of length ≥ 4 join the query, and the EXPANDED ranking is
+    what's returned — the classic recall lever for short queries,
+    with the whole feedback loop (both rankings, the vote, the cut)
+    exact integers, so a two-pass retrieval FEEDBACK pipeline
+    oracle-checks end-to-end. Fixed ≤8-query set (doc_id % 100 = 0,
+    < 800 — the bm25_topk_fixed idiom) keeps the probe corpus-linear.
+    widen_scan: the tokenize explodes are the interpreted-map
+    class."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    q0 = retrieval.query_terms_from_docs(
+        docs, (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 800)
+    )
+    q2 = retrieval.prf_expand_terms(
+        docs, q0, k_fb=10, n_expand=3, min_len=4
+    )
+    return retrieval.bm25_topk(docs, q2, k=10)
 
 
 @declare(

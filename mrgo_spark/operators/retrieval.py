@@ -600,6 +600,63 @@ def phrase_terms_from_docs(
     )
 
 
+def prf_expand_terms(
+    documents: DataFrame,
+    query_terms: DataFrame,
+    k_fb: int = 10,
+    n_expand: int = 3,
+    min_len: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio/RM-style,
+    made deterministic): run BM25 once, treat each query's top
+    ``k_fb`` documents as relevant, rank candidate terms by how many
+    FEEDBACK docs contain them (desc, then term asc — a total order,
+    so the cut replays exactly), drop the query's own terms and
+    terms shorter than ``min_len``, keep ``n_expand`` per query, and
+    return original ∪ expansion as a (query_id, term) table — feed
+    it back to bm25_topk/BM25Index.query for the expanded ranking.
+    The classic recall lever when queries are short; every step is
+    counting and ordering, so the WHOLE two-pass retrieval
+    oracle-checks (rare for a feedback loop).
+
+    Scale shape: the feedback frame is |queries|·k_fb rows
+    (checkpointed — it gates the doc-token join AND the counts); the
+    candidate-term explode runs over ONLY the feedback docs (semi-
+    join pruned), so expansion work is feedback-sized regardless of
+    corpus size. The second retrieval pass costs one more
+    bm25-candidate join with ≤ n_expand extra terms per query."""
+    fb = (
+        bm25_topk(documents, query_terms, k=k_fb, text_col=text_col,
+                  id_col=id_col)
+        .select("query_id", "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    dt = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(ascii_tokens(text_col, lowercase=True))
+        ).alias("term"),
+    ).join(fb.select("doc_id").distinct(), "doc_id")
+    cnt = (
+        fb.join(dt, "doc_id")
+        .filter(F.length("term") >= min_len)
+        .groupBy("query_id", "term")
+        .agg(F.count("*").alias("_nfb"))
+        .join(query_terms, ["query_id", "term"], "left_anti")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_nfb"), F.asc("term")
+    )
+    exp = (
+        cnt.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_expand)
+        .select("query_id", "term")
+    )
+    return query_terms.select("query_id", "term").unionByName(exp)
+
+
 def proximity_min_span(
     documents: DataFrame,
     phrase_terms: DataFrame,

@@ -372,6 +372,9 @@ def main() -> None:
         # r12: Fleiss panel kappa — judge_agreement_kappa's law (map
         # folds + 8-row agg)
         "fleiss_kappa_panel",
+        # r12: PRF — fixed query set (corpus-linear serve; the
+        # bm25_topk_fixed law), expansion work is feedback-sized
+        "prf_bm25_fixed",
         # r11: phrase search probes its FIXED-phrase twin (the
         # bm25_topk_fixed precedent) — the %50 form measured 29× at
         # 10× because phrases×verbatim-copies is the K²-by-fixture

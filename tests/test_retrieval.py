@@ -716,3 +716,43 @@ def test_bm25_segment_set_delete_routes_to_owner(spark, tmp_path):
     qterms = retrieval.query_terms_from_docs(docs, F.col("doc_id") % 50 == 0)
     served = {r.doc_id for r in sset.query(qterms, k=1000).collect()}
     assert not (served & {0, 160})
+
+
+def test_prf_expansion_planted(spark):
+    """PRF picks the term covering the most feedback docs (len >= 4,
+    never an original query term), and the expanded ranking reaches
+    docs the original query could not; a query with no eligible
+    candidates degrades to its original term set."""
+    rows = [
+        (0, "alpha beta"),                        # the query doc
+        (1, "alpha beta gateway one"),
+        (2, "alpha beta gateway two"),
+        (3, "alpha gateway beta xx"),
+        (4, "beta alpha gateway yy"),
+        (5, "alpha beta zz gateway"),
+        (9, "gateway only text here"),            # reachable only via PRF
+        (50, "qqq www"),                          # no-candidate query:
+        # its tokens are <4 chars and it matches nothing else
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q0 = retrieval.query_terms_from_docs(
+        docs, F.col("doc_id").isin([0, 50])
+    )
+    q2 = retrieval.prf_expand_terms(docs, q0, k_fb=6, n_expand=1)
+    terms = {}
+    for r in q2.collect():
+        terms.setdefault(r.query_id, set()).add(r.term)
+    assert terms[0] == {"alpha", "beta", "gateway"}
+    # query 50's feedback is only its own doc; candidates ("text",
+    # "here", "only", "gateway"?) — no: doc 50 contains none of the
+    # corpus terms except itself, so feedback = doc 50, candidates
+    # are none of length>=4 beyond nothing eligible → original only
+    assert terms[50] == {"qqq", "www"}
+    ranked = retrieval.bm25_topk(docs, q2, k=10)
+    got0 = {r.doc_id for r in ranked.filter(F.col("query_id") == 0).collect()}
+    assert 9 in got0  # reachable only through the expansion term
+    # and without expansion doc 9 is unreachable
+    base = retrieval.bm25_topk(docs, q0, k=10)
+    assert 9 not in {
+        r.doc_id for r in base.filter(F.col("query_id") == 0).collect()
+    }
