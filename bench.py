@@ -204,16 +204,31 @@ def main() -> None:
     spark.sparkContext.parallelize(range(256), int(CPUS)).map(lambda x: x).count()
     timings["session_warmup"] = round(time.perf_counter() - t0, 3)
 
+    from mrgo_spark import metrics as _metrics
+
+    # Per-query LOAD-INDEPENDENT byte columns (VERDICT_r12 #1): the
+    # wall-clock numbers drift with box load, but shuffle/spill bytes
+    # are a function of plan + data only — a round-over-round byte
+    # jump is a plan regression even when the timings are noise.
+    qbytes: dict[str, dict] = {}
+
     def timed(name, df_or_thunk):
         # Accepts a DataFrame or a thunk returning one. Thunks let the
         # clock cover plan CONSTRUCTION too — iterative operators
         # (converge-CC, eager checkpoints) run real jobs before the
         # final materialization, and those must not escape the timing.
         try:
+            marker = _metrics.stage_marker(spark)
             t0 = time.perf_counter()
             df = df_or_thunk() if callable(df_or_thunk) else df_or_thunk
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
+            m = _metrics.stages_since(spark, marker)
+            qbytes[name] = {
+                "sr": m["shuffle_read"],
+                "sw": m["shuffle_write"],
+                "spill": m["spilled_disk"],
+            }
         except Exception as e:  # keep the one-JSON-line contract
             # record as MISSING, not a negative time — a failure must
             # never reduce the headline total (round-2 lesson)
@@ -778,6 +793,11 @@ def main() -> None:
                 ),
                 "queries": timings,
                 "queries_warm": warm,
+                # load-independent per-query byte columns (first
+                # execution: sr/sw = shuffle read/write bytes,
+                # spill = disk spill bytes) — compare THESE across
+                # rounds when the box is loaded
+                "queries_bytes": qbytes,
                 # headline-only, so it stays comparable to BENCH_r03
                 # (queries_warm additionally carries the WARM_EXTRA
                 # drift-diagnosis twins from round 4 on)

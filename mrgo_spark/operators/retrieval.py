@@ -397,11 +397,18 @@ class BM25Index:
         return self
 
     def _tombstones(self) -> DataFrame | None:
-        try:
-            t = self.spark.read.parquet(f"{self.path}/tombstones")
-            return t.select("doc_id").distinct()
-        except Exception:
+        """None iff no deletes were ever recorded (no tombstones dir).
+        A dir that EXISTS but fails to read PROPAGATES — treating a
+        corrupt/unreadable tombstones table as 'no deletes' would
+        resurrect deleted docs in every query (ADVICE r12; the IVF
+        twin has the identical contract)."""
+        import os
+
+        tdir = f"{self.path}/tombstones"
+        if not os.path.isdir(tdir):
             return None  # no deletes yet
+        t = self.spark.read.parquet(tdir)
+        return t.select("doc_id").distinct()
 
     def expunge_deletes(self, path: str) -> "BM25Index":
         """Rewrite the index WITHOUT the tombstoned docs, with exact
@@ -633,14 +640,30 @@ def prf_expand_terms(
         .select("query_id", "doc_id")
         .localCheckpoint(eager=False)
     )
-    dt = documents.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.array_distinct(ascii_tokens(text_col, lowercase=True))
-        ).alias("term"),
-    ).join(fb.select("doc_id").distinct(), "doc_id")
+    # prune BEFORE the tokenize: a join above the explode can't be
+    # pushed below the Generate, so the old join-after shape ran the
+    # candidate-term explode over the WHOLE corpus (and the static
+    # planner happily broadcast the corpus-sized exploded side at
+    # fixture stats — the r13 plan audit). Semi-joining the raw docs
+    # against the broadcast feedback doc-set first makes the explode
+    # genuinely feedback-sized at any corpus scale.
+    dt = (
+        documents.select(F.col(id_col).alias("doc_id"), text_col)
+        .join(
+            F.broadcast(fb.select("doc_id").distinct()),
+            "doc_id",
+            "left_semi",
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(ascii_tokens(text_col, lowercase=True))
+            ).alias("term"),
+        )
+    )
     cnt = (
-        fb.join(dt, "doc_id")
+        F.broadcast(fb)
+        .join(dt, "doc_id")
         .filter(F.length("term") >= min_len)
         .groupBy("query_id", "term")
         .agg(F.count("*").alias("_nfb"))

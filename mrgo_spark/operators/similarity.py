@@ -1491,16 +1491,32 @@ class IVFIndex:
         import time
 
         lease = os.path.join(self.path, "_writer_lease")
+        # the nonce makes the release self-verifying: only the writer
+        # whose claim is CURRENT unlinks (ADVICE r12 — a TTL stealer
+        # owns the file after expiry; the expired holder's finally
+        # must not delete the stealer's lease out from under it)
+        nonce = f"pid={os.getpid()} op={op} nonce={os.urandom(8).hex()}"
 
         @contextlib.contextmanager
         def held():
-            try:
-                fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                age = time.time() - os.path.getmtime(lease)
+            while True:
+                try:
+                    fd = os.open(
+                        lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                    )
+                    break
+                except FileExistsError:
+                    pass
+                try:
+                    age = time.time() - os.path.getmtime(lease)
+                except FileNotFoundError:
+                    continue  # holder released between open and stat
                 if age < self.LEASE_TTL_S:
-                    with open(lease) as f:
-                        holder = f.read().strip()
+                    try:
+                        with open(lease) as f:
+                            holder = f.read().strip()
+                    except FileNotFoundError:
+                        continue  # released under us — retry the claim
                     raise RuntimeError(
                         f"IVFIndex.{op}: another writer holds the "
                         f"lease on {self.path} ({holder}, age "
@@ -1510,15 +1526,26 @@ class IVFIndex:
                         "single-writer contract) or remove the stale "
                         "lease if the holder is known dead"
                     )
-                # stale holder: steal by rewriting in place
-                fd = os.open(lease, os.O_WRONLY | os.O_TRUNC)
+                # stale holder: unlink then retry the EXCLUSIVE claim —
+                # of N concurrent stealers exactly one wins the
+                # recreate (the old rewrite-in-place steal let every
+                # stealer that saw age>=TTL proceed: ADVICE r12 TOCTOU)
+                try:
+                    os.unlink(lease)
+                except FileNotFoundError:
+                    pass
             try:
-                os.write(fd, f"pid={os.getpid()} op={op}".encode())
+                os.write(fd, nonce.encode())
                 os.close(fd)
                 yield
             finally:
                 try:
-                    os.unlink(lease)
+                    with open(lease) as f:
+                        current = f.read().strip()
+                    if current == nonce:
+                        os.unlink(lease)
+                    # else: a TTL stealer claimed after our expiry —
+                    # the lease is theirs now, leave it
                 except FileNotFoundError:
                     pass
 
@@ -1556,11 +1583,20 @@ class IVFIndex:
         return self
 
     def _tombstones(self) -> DataFrame | None:
-        try:
-            t = self.spark.read.parquet(f"{self.path}/tombstones")
-            return t.select("neighbor_id").distinct()
-        except Exception:
+        """None iff no deletes were ever recorded (no tombstones dir —
+        probed on the local FS every writer already assumes, the
+        _dead_index_path spirit). A dir that EXISTS but fails to read
+        (corrupt parquet, transient FS error) PROPAGATES: silently
+        treating it as 'no deletes' would serve deleted vectors and
+        bypass add()'s tombstone-refusal guard (ADVICE r12 — the
+        exact silent-loss path delete() documents as forbidden)."""
+        import os
+
+        tdir = f"{self.path}/tombstones"
+        if not os.path.isdir(tdir):
             return None  # no deletes yet
+        t = self.spark.read.parquet(tdir)
+        return t.select("neighbor_id").distinct()
 
     def expunge_deletes(self) -> dict:
         with self._acquire_lease("expunge_deletes"):
@@ -1637,12 +1673,28 @@ class IVFIndex:
         for c in cand:
             src = os.path.join(tmp, f"cell_id={c}")
             dst = os.path.join(cells_root, f"cell_id={c}")
-            os.rename(dst, os.path.join(trash, f"cell_id={c}"))
+            # a candidate cell can hold bloom CLAIMS but no dir:
+            # add() writes the sidecar superset-first, so a crash
+            # before its cell append leaves claimed ids with nothing
+            # physical — skipping is safe, the sidecar rewrite below
+            # zeroes the row (ADVICE r12 low)
+            if os.path.isdir(dst):
+                os.rename(dst, os.path.join(trash, f"cell_id={c}"))
             if os.path.isdir(src):
                 os.rename(src, dst)
             # else: every row of this cell was deleted — the live dir
             # stays gone (unlike compact's leave-alone case, absence
             # IS the correct end state here)
+        # ORDER MATTERS (ADVICE r12 medium): the trash must go BEFORE
+        # the new sidecar is written. A crash between the two leaves
+        # the OLD superset sidecar, whose blooms still select every
+        # candidate cell for a correct idempotent re-run. The old
+        # order (sidecar first) had a window where _recover_compaction
+        # restored an all-deleted cell from trash while the NEW
+        # sidecar carried no row for it — the bloom-driven re-run
+        # never re-expunged it, tombstones were cleared, and the
+        # resurrected rows held no sidecar claims (superset broken).
+        shutil.rmtree(trash)
         # exact sidecar rows for the rewritten cells, from the
         # already-checkpointed retained frame
         for c in cand:
@@ -1657,7 +1709,6 @@ class IVFIndex:
             if s["n_claimed"] > 0 or any(s["bloom"])
         }
         self._write_sidecar(side)
-        shutil.rmtree(trash)
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(
             os.path.join(self.path, "tombstones"), ignore_errors=True

@@ -76,8 +76,17 @@ PRIORITY = [
     # is worth more than a second tumbling-window agg row
     # (events_tumbling_hour was driver-green r1-r3 and stays declared
     # + driver_sim-checked just past the window).
+    # r13 swap (VERDICT_r12 #3): kv_config_catchup_serving takes
+    # kv_state_at_seq's slot — O24's missed-config CATCH-UP semantics
+    # (the TestMissChange analog: outage window, strictly in-order
+    # backlog application, no-skip pin; closed in r12) is the last
+    # shardkv test family and deserved a driver-gated row, while
+    # state_at_seq's prefix-fold math is already pinned in-window by
+    # kv_fold_state + kv_compacted_fold (three fold-family rows was
+    # one too many). kv_state_at_seq was driver-green r1-r12 and
+    # stays declared + receipt-checked just past the window.
     "kv_fold_state", "kv_compacted_fold", "kv_get_results",
-    "kv_shard_stats", "kv_state_at_seq", "kv_epoch_serving",
+    "kv_shard_stats", "kv_config_catchup_serving", "kv_epoch_serving",
     "kv_rebalance_history",
     # dedup (X1, X2) — semantic_dedup took hypertable_rollup's slot
     # in r3 (an oracle row for embedding-cosine dedup is worth more
@@ -268,7 +277,7 @@ PRIORITY = [
     # pins text-generation eval, a class the window would otherwise
     # lose entirely).
     # first entries past the driver window, in checked order
-    "dedup_fingerprint",
+    "kv_state_at_seq", "dedup_fingerprint",
     "dup_cluster_components", "edit_distance_pairs", "sequence_chunks",
     "rrf_hybrid_retrieval", "dsir_importance_scores",
     "embedding_centroids", "quality_score",

@@ -1203,7 +1203,9 @@ def serve_hybrid_foreach_batch(
 
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "update"):
     """Drive a streaming query to completion over the available batch
-    of files and land results in an in-memory table (test harness)."""
+    of files and land results in an in-memory table (test harness).
+    The returned (stopped) query still serves ``lastProgress`` — pair
+    with ``state_rows_total`` to pin state-size budgets."""
     q = (
         stream_df.writeStream.outputMode(output_mode)
         .format("memory")
@@ -1213,6 +1215,24 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "update"):
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def state_rows_total(q) -> int | None:
+    """Total rows in the query's state store(s), from the LAST
+    progress event's ``stateOperators`` (numRowsTotal summed across
+    operators) — the streaming state-size budget observable
+    (VERDICT_r12 #2, the TestSnapshotSize3B analog: every stateful
+    twin documents a domain bound for its state; this reads the
+    ACTUAL metric so tests can pin it instead of trusting the
+    docstring). None when the query produced no progress or holds no
+    stateful operator (stateless append paths)."""
+    p = q.lastProgress
+    if not p:
+        return None
+    ops = p.get("stateOperators") or []
+    if not ops:
+        return None
+    return sum(int(o.get("numRowsTotal", 0)) for o in ops)
 
 
 def streaming_transfer_serving(oplog_stream: DataFrame) -> DataFrame:

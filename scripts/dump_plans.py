@@ -280,6 +280,13 @@ PICKS = [
     ("fleiss_kappa_panel", "r12 panel agreement: map-only vote flags "
      "+ ONE shuffle to 8 rows; all kappa math in decimal(38,0) on "
      "the aggregated frame"),
+    ("prf_bm25_fixed", "r12 PRF query expansion (plan record was the "
+     "VERDICT_r12 #4 gap): final ranking serves entirely from "
+     "checkpointed frames (zero FileScans); the candidate-term "
+     "explode is feedback-pruned BELOW the Generate via a broadcast "
+     "LeftSemi on the raw docs (the r13 fix — a join above an "
+     "explode never pushes down, so the old shape tokenized the "
+     "whole corpus)"),
 ]
 
 

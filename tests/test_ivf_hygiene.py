@@ -430,3 +430,163 @@ def test_cdc_ingest_delete_update_readd_replay(spark, tmp_path):
     assert state() == s1
     b2_rec = [b for b in holder["batches"] if b["batch_id"] == 2][0]
     assert b2_rec["n_replaced"] == 0 and not b2_rec["expunged"]
+
+
+def test_expunge_crash_before_trash_removal_rerun_safe(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12 (medium): the expunge swap must remove
+    _compact_trash BEFORE writing the new sidecar. Simulated crash at
+    exactly that boundary (the final rmtree raises): the OLD superset
+    sidecar is still on disk, _recover_compaction restores the
+    all-deleted cell from trash, and the bloom-driven re-run — driven
+    by the OLD sidecar — re-selects and re-expunges it. Under the old
+    order (sidecar first) the restored cell was invisible to the
+    re-run's bloom scan: deleted vectors served again with no sidecar
+    claims."""
+    import shutil
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "xc")
+    idx = similarity.IVFIndex.build(emb, path, n_cells=4)
+    cells = spark.read.parquet(path + "/cells")
+    by_cell = {
+        r.cell_id: r.n
+        for r in cells.groupBy("cell_id").agg(F.count("*").alias("n")).collect()
+    }
+    doomed_cell = min(by_cell, key=lambda c: (by_cell[c], c))
+    victims = sorted(
+        r.neighbor_id
+        for r in cells.filter(F.col("cell_id") == doomed_cell).collect()
+    )
+    idx.delete(victims)
+
+    real_rmtree = shutil.rmtree
+    trash = os.path.join(path, "_compact_trash")
+
+    def crashing_rmtree(p, *a, **kw):
+        if str(p) == trash and not kw.get("ignore_errors", False):
+            raise RuntimeError("simulated crash before trash removal")
+        return real_rmtree(p, *a, **kw)
+
+    monkeypatch.setattr(shutil, "rmtree", crashing_rmtree)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        idx.expunge_deletes()
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+
+    # crashed state: trash present, OLD sidecar, tombstones intact
+    assert os.path.isdir(trash)
+    assert idx._tombstones() is not None
+    # the re-run must finish the job: recovery restores the doomed
+    # cell from trash, the old superset sidecar re-selects it
+    stats = idx.expunge_deletes()
+    assert doomed_cell in stats["expunged_cells"]
+    assert not os.path.isdir(trash)
+    remaining = spark.read.parquet(path + "/cells")
+    assert (
+        remaining.filter(F.col("neighbor_id").isin(victims)).count() == 0
+    )
+    assert not os.path.isdir(
+        os.path.join(path, "cells", f"cell_id={doomed_cell}")
+    )
+    assert idx._read_sidecar() == idx._sidecar_from_cells()
+    assert idx._tombstones() is None
+    # superset invariant held throughout: a victim re-add works and
+    # lands exactly once
+    idx.add(emb.filter(F.col("vec_id") == victims[0]))
+    assert (
+        spark.read.parquet(path + "/cells")
+        .filter(F.col("neighbor_id") == victims[0])
+        .count()
+        == 1
+    )
+
+
+def test_expunge_skips_claim_only_cell(spark, tmp_path):
+    """ADVICE r12 (low): a cell can hold bloom CLAIMS but no dir —
+    add() writes the sidecar superset-first, so a crash before the
+    cell append leaves claimed ids with nothing physical. Expunging
+    such an id must skip the missing live dir (nothing to remove)
+    and zero the claim row, not raise FileNotFoundError mid-swap."""
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "co")
+    idx = similarity.IVFIndex.build(
+        emb.filter(F.col("vec_id") % 2 == 0), path, n_cells=4
+    )
+    # emulate the crashed add: claim a new id in a brand-new cell
+    # (sidecar written, cell append never happened)
+    ghost_id = 10**9 + 7
+    side = idx._read_sidecar()
+    ghost_cell = max(side) + 1
+    assigned = spark.createDataFrame(
+        [(ghost_id, ghost_cell)], "neighbor_id long, cell_id int"
+    )
+    idx._write_sidecar(idx._sidecar_merge(side, assigned))
+    assert not os.path.isdir(
+        os.path.join(path, "cells", f"cell_id={ghost_cell}")
+    )
+    idx.delete([ghost_id])
+    stats = idx.expunge_deletes()  # must not raise
+    assert ghost_cell in stats["expunged_cells"]
+    assert stats["n_removed"] == 0  # nothing physical existed
+    side_after = idx._read_sidecar()
+    assert ghost_cell not in side_after  # claim row zeroed + dropped
+    assert side_after == idx._sidecar_from_cells()
+    assert idx._tombstones() is None
+
+
+def test_lease_release_verifies_nonce(spark, tmp_path):
+    """ADVICE r12 (low): the lease release is nonce-verified — a TTL
+    stealer that claimed after our expiry owns the file, and the
+    expired holder's exit must NOT unlink it. Steal-by-unlink is
+    already pinned by test_writer_lease_blocks_second_writer."""
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "nl")
+    idx = similarity.IVFIndex.build(
+        emb.filter(F.col("vec_id") % 4 == 0), path, n_cells=2
+    )
+    lease = os.path.join(path, "_writer_lease")
+    with idx._acquire_lease("test"):
+        assert os.path.exists(lease)
+        with open(lease) as f:
+            assert "nonce=" in f.read()
+        # a stealer rewrites the lease mid-hold (simulating the
+        # post-TTL steal): our exit must leave THEIR lease alone
+        with open(lease, "w") as f:
+            f.write("pid=424242 op=steal nonce=theirs")
+    assert os.path.exists(lease)
+    with open(lease) as f:
+        assert f.read() == "pid=424242 op=steal nonce=theirs"
+    os.unlink(lease)
+    # normal hold/release still removes its own lease
+    with idx._acquire_lease("test"):
+        assert os.path.exists(lease)
+    assert not os.path.exists(lease)
+
+
+def test_corrupt_tombstones_propagate(spark, tmp_path):
+    """ADVICE r12 (low): a tombstones dir that EXISTS but cannot be
+    read must raise, not silently serve deleted vectors. Only the
+    no-dir state means 'no deletes'."""
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ct")
+    idx = similarity.IVFIndex.build(
+        emb.filter(F.col("vec_id") % 4 == 0), path, n_cells=2
+    )
+    assert idx._tombstones() is None  # no dir → genuinely no deletes
+    tdir = os.path.join(path, "tombstones")
+    os.makedirs(tdir)
+    with open(os.path.join(tdir, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not parquet")
+    raised = False
+    try:
+        t = idx._tombstones()
+        assert t is not None, "corrupt tombstones misread as 'no deletes'"
+        t.collect()
+    except AssertionError:
+        raise
+    except Exception:
+        raised = True
+    assert raised, "corrupt tombstones must raise, not serve deletes"

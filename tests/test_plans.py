@@ -606,3 +606,57 @@ def test_fleiss_kappa_map_only_plus_single_shuffle(spark):
     assert plan.count("FileScan") == 1
     assert "Join" not in plan and "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_prf_expansion_feedback_pruned(spark):
+    """VERDICT_r12 #4 (+ the r13 plan-audit fix): the PRF candidate-
+    term explode must be FEEDBACK-sized — the raw docs semi-join the
+    broadcast feedback doc-set BEFORE the tokenize (a join above a
+    Generate can't be pushed below it, so the old join-after shape
+    tokenized the whole corpus). The checkpointed feedback frame
+    (ExistingRDD) feeds both the doc semi-join and the vote counts;
+    the expansion union stays term-table-sized."""
+    from mrgo_spark.operators import retrieval
+    from mrgo_spark.sources.tables import load_table, widen_scan
+
+    docs = widen_scan(load_table(spark, SF, "documents")).select(
+        "doc_id", "text"
+    )
+    q0 = retrieval.query_terms_from_docs(
+        docs, (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 800)
+    )
+    q2 = retrieval.prf_expand_terms(docs, q0, k_fb=10, n_expand=3,
+                                    min_len=4)
+    plan = plans.explain_str(q2, "simple")
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan  # the checkpointed feedback frame
+    # the feedback doc-set prunes the corpus via a broadcast semi
+    # join BELOW the candidate-term Generate: the one corpus scan
+    # (no doc_id<800 pushdown) must sit under a LeftSemi join
+    assert "LeftSemi" in plan
+    corpus_scans = [
+        i
+        for i in range(len(plan))
+        if plan.startswith("FileScan", i)
+        and "LessThan(doc_id,800)"
+        not in plan[i : plan.find("\n", i)]
+    ]
+    assert len(corpus_scans) == 1  # exactly one corpus pass
+    assert plan.index("LeftSemi") < corpus_scans[0]
+
+
+def test_prf_bm25_fixed_serves_from_checkpoints(spark):
+    """The declared prf ranking's FINAL plan re-reads no parquet at
+    all (candidate tf / dl / feedback all ExistingRDD); the only
+    nested-loop join is the 1-row corpus-scalars crossJoin."""
+    import re
+
+    from mrgo_spark.operators.queries_llm import q_prf_bm25_fixed
+
+    df = q_prf_bm25_fixed(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert plan.count("FileScan") == 0
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"BroadcastNestedLoopJoin[^\n]*", plan):
+        assert "Cross" in m.group(0), m.group(0)

@@ -19,6 +19,11 @@ MUST_BE_GATED = [
     "kv_fold_state",                # O18-O21 kv fold
     "kv_shard_stats",               # O22 shard routing
     "kv_rebalance_history",         # O23 rebalance fold
+    # kv_state_at_seq demoted just past the window in r13 — its
+    # prefix-fold math is pinned in-window by kv_fold_state +
+    # kv_compacted_fold; the slot funds O24's catch-up class
+    # (VERDICT_r12 #3)
+    "kv_config_catchup_serving",    # O24 missed-config catch-up (r13)
     "dedup_exact",                  # X1
     # dedup_fingerprint demoted just past the window in r11 — its
     # fingerprint edges are the input of dedup_pipeline_canonical's

@@ -613,14 +613,17 @@ def test_streaming_cms_counters_match_batch(spark, tmp_path):
         F.explode(ascii_tokens("text", lowercase=True)).alias("tok")
     )
     out = stream_ops.streaming_cms_counters(stoks, "tok")
-    stream_ops.run_to_memory(out, "cms_out")
+    q = stream_ops.run_to_memory(out, "cms_out")
     got = {
         (r.lane, r.pos): r.cnt
         for r in spark.sql("SELECT * FROM cms_out").collect()
     }
     assert got == expected and len(got) > 0
-    # the state bound: never more rows than d*w cells
+    # the state bound: never more rows than d*w cells — pinned on the
+    # ACTUAL state store, not just the output (VERDICT_r12 #2)
     assert len(got) <= sketch.CMS_D * sketch.CMS_W
+    state = stream_ops.state_rows_total(q)
+    assert state is not None and state <= sketch.CMS_D * sketch.CMS_W
 
 
 def test_streaming_quantile_cells_match_batch(spark, tmp_path):
@@ -647,12 +650,15 @@ def test_streaming_quantile_cells_match_batch(spark, tmp_path):
     out = stream_ops.streaming_quantile_cells(
         stream, "o_orderpriority", "cents", 1_000_000
     )
-    stream_ops.run_to_memory(out, "qcells_out")
+    q = stream_ops.run_to_memory(out, "qcells_out")
     got = {
         (r.grp, r.bucket): r.cnt
         for r in spark.sql("SELECT * FROM qcells_out").collect()
     }
     assert got == expected and len(got) > 0
+    # domain-bounded state: exactly one state row per observed
+    # (grp, bucket) cell (VERDICT_r12 #2)
+    assert stream_ops.state_rows_total(q) == len(expected)
 
 
 def test_streaming_hll_registers_match_batch(spark, tmp_path):
@@ -678,13 +684,16 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path):
     out = stream_ops.streaming_hll_registers(
         stream, "l_returnflag", "l_partkey"
     )
-    stream_ops.run_to_memory(out, "hll_out")
+    q = stream_ops.run_to_memory(out, "hll_out")
     got = {
         (r.grp, r.j): r.m_j
         for r in spark.sql("SELECT * FROM hll_out").collect()
     }
     assert got == expected and len(got) > 0
     assert len(got) <= 3 * sketch.HLL_M
+    # |groups|*m bounded state, pinned on the state store itself
+    state = stream_ops.state_rows_total(q)
+    assert state == len(expected) and state <= 3 * sketch.HLL_M
 
 
 def test_streaming_classifier_scores_match_batch(spark, tmp_path):
@@ -779,6 +788,12 @@ def test_streaming_incremental_dedup_classifies_against_lake_and_stream(
 
     write_chunk("b2", b2)
     q.processAllAvailable()
+    # state bound (VERDICT_r12 #2): at most one long per distinct
+    # fingerprint GROUP seen by applyInPandasWithState (8 texts over
+    # b1+b2 collapse to 5 fingerprint groups: 101 shares 100's,
+    # 104/200 share 102's)
+    state = stream_ops.state_rows_total(q)
+    assert state is not None and 0 < state <= 5
     q.stop()
     got2 = {
         r.doc_id: (r.verdict, r.match_id)
@@ -1346,12 +1361,16 @@ def test_streaming_transfer_serving_matches_batch(spark, tmp_path):
     oplog.coalesce(2).write.parquet(str(d))
     stream = spark.readStream.schema(oplog.schema).parquet(str(d))
     out = stream_ops.streaming_transfer_serving(stream)
-    stream_ops.run_to_memory(out, "transfer_out")
+    q = stream_ops.run_to_memory(out, "transfer_out")
     rows = spark.sql("SELECT * FROM transfer_out").collect()
     got = {(r.epoch, r.gid): tuple(r)[2:] for r in rows}
     assert got == expected and len(got) > 0
     for r in rows:
         assert r.n_unaffected_served == r.n_unaffected_req
+    # |epochs seen| x NGROUPS domain bound, on the actual state store
+    state = stream_ops.state_rows_total(q)
+    n_epochs = len({e for e, _ in expected})
+    assert state == len(expected) and state <= n_epochs * kv.NGROUPS
 
 
 def test_ingest_bm25_delete_then_readd_through_tier_merge(spark, tmp_path):
@@ -1451,10 +1470,13 @@ def test_streaming_catchup_serving_matches_batch(spark, tmp_path):
     oplog.coalesce(2).write.parquet(str(d))
     stream = spark.readStream.schema(oplog.schema).parquet(str(d))
     out = stream_ops.streaming_catchup_serving(stream)
-    stream_ops.run_to_memory(out, "catchup_out")
+    q = stream_ops.run_to_memory(out, "catchup_out")
     rows = spark.sql("SELECT * FROM catchup_out").collect()
     got = {(r.epoch, r.gid): tuple(r)[2:] for r in rows}
     assert got == expected and len(got) > 0
+    state = stream_ops.state_rows_total(q)
+    n_epochs = len({e for e, _ in expected})
+    assert state == len(expected) and state <= n_epochs * kv.NGROUPS
 
 
 def test_streaming_min_k_matches_batch_self_model(spark, tmp_path):
@@ -1481,9 +1503,12 @@ def test_streaming_min_k_matches_batch_self_model(spark, tmp_path):
         str(d)
     )
     out = stream_ops.streaming_min_k_scores(stream, model, k_pct=20)
-    stream_ops.run_to_memory(out, "mink_out", output_mode="update")
+    q = stream_ops.run_to_memory(out, "mink_out", output_mode="update")
     got = {
         r.doc_id: tuple(r)[1:]
         for r in spark.sql("SELECT * FROM mink_out").collect()
     }
     assert got == want and len(got) > 0
+    # state = one doc-length-bounded row per streamed doc with >= 1
+    # bigram, exactly
+    assert stream_ops.state_rows_total(q) == len(want)
