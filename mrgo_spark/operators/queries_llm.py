@@ -3617,6 +3617,202 @@ def q_bpe_doc_token_counts(spark, sf_dir):
     return textstats.bpe_doc_token_counts(docs, words)
 
 
+# ---- unigram-LM tokenizer (r13, VERDICT_r12 #6) --------------------
+
+
+def _unigram_sql(rounds: int = 2) -> str:
+    """Unrolled-SQL replay of textstats.unigram_learn (design notes
+    there): distinct-word table, substring seeding, per-round
+    recursive-CTE segmentation ENUMERATION with the exact
+    (sc DESC, np ASC, path ASC) argmax, weighted piece recount,
+    chars-always-kept prune, and the half-bit bit_length rescore in
+    HUGEINT. Every multiply-read CTE is MATERIALIZED (the kmeans
+    recipe); keep sizes interpolate from textstats.UNI_* (the
+    Bloom-tuple rule)."""
+    maxw = textstats.UNI_MAXW
+    maxp = textstats.UNI_MAXP
+    shift = 1 << textstats.UNI_SHIFT
+    parts = [
+        f"""uw AS MATERIALIZED (
+        SELECT substr(w, 1, {maxw}) AS word,
+               CAST(sum(freq) AS BIGINT) AS freq
+        FROM (SELECT w, CAST(count(*) AS BIGINT) AS freq
+              FROM (SELECT unnest(list_filter(string_split_regex(
+                        lower(text), '[^a-z]+'), x -> x <> '')) AS w
+                    FROM documents)
+              GROUP BY w)
+        GROUP BY 1)""",
+        f"""useed AS MATERIALIZED (
+        SELECT substr(word, st.i, ln.l) AS piece,
+               CAST(sum(freq) AS BIGINT) AS cnt
+        FROM uw
+        CROSS JOIN (SELECT unnest(range(1, {maxw + 1})) AS i) st
+        CROSS JOIN (SELECT unnest(range(1, {maxp + 1})) AS l) ln
+        WHERE st.i + ln.l - 1 <= length(word)
+        GROUP BY 1)""",
+        """uchars AS MATERIALIZED (
+        SELECT piece, cnt FROM useed WHERE length(piece) = 1)""",
+        f"""uv0 AS MATERIALIZED (
+        SELECT piece, cnt FROM uchars
+        UNION ALL
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, piece) AS r
+            FROM useed WHERE length(piece) > 1)
+        WHERE r <= {textstats.UNI_SEED_MULTI})""",
+    ]
+
+    def score_cte(sn: str, vn: str) -> str:
+        return f"""{sn} AS MATERIALIZED (
+        SELECT piece,
+               CAST(length(bin(greatest(CAST(1 AS HUGEINT),
+                 (CAST(cnt AS HUGEINT) * cnt * {shift})
+                 // (t.t * t.t)))) AS BIGINT) AS sc
+        FROM {vn}, (SELECT CAST(sum(cnt) AS HUGEINT) AS t FROM {vn}) t)"""
+
+    parts.append(score_cte("us0", "uv0"))
+    for r, keep in zip(
+        range(1, rounds + 1), textstats.UNI_KEEP, strict=True
+    ):
+        parts.append(
+            f"""useg{r} AS (
+        SELECT word, freq, 0 AS pos, CAST(0 AS BIGINT) AS sc,
+               0 AS np, '' AS path
+        FROM uw
+        UNION ALL
+        SELECT g.word, g.freq, g.pos + l.l, g.sc + s.sc, g.np + 1,
+               g.path || ' ' || substr(g.word, g.pos + 1, l.l)
+        FROM useg{r} g
+        JOIN (SELECT unnest(range(1, {maxp + 1})) AS l) l
+          ON g.pos + l.l <= length(g.word)
+        JOIN us{r - 1} s ON s.piece = substr(g.word, g.pos + 1, l.l))""",
+        )
+        parts.append(
+            f"""ubest{r} AS MATERIALIZED (
+        SELECT word, freq, np, substr(path, 2) AS path FROM (
+            SELECT *, row_number() OVER (PARTITION BY word
+                ORDER BY sc DESC, np ASC, path ASC) AS rn
+            FROM useg{r} WHERE pos = length(word))
+        WHERE rn = 1)""",
+        )
+        parts.append(
+            f"""uc{r} AS MATERIALIZED (
+        SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (SELECT freq, unnest(string_split(path, ' ')) AS piece
+              FROM ubest{r})
+        GROUP BY 1)""",
+        )
+        parts.append(
+            f"""uv{r} AS MATERIALIZED (
+        SELECT ch.piece, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        FROM uchars ch LEFT JOIN uc{r} c USING (piece)
+        UNION ALL
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, piece) AS r
+            FROM uc{r} WHERE length(piece) > 1)
+        WHERE r <= {keep})""",
+        )
+        parts.append(score_cte(f"us{r}", f"uv{r}"))
+    return "WITH RECURSIVE " + ",\n    ".join(parts)
+
+
+_UNI_ROUNDS = len(textstats.UNI_KEEP)
+
+
+# One unigram training per (session, sf_dir) — the _BPE_CACHE idiom:
+# both declared entries (train + application) reuse the vocab/scores
+# and the checkpointed distinct-word frame.
+_UNI_CACHE: dict[str, tuple] = {}
+
+
+def _uni_learned(spark, sf_dir):
+    hit = _UNI_CACHE.get(sf_dir)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    if hit is not None:
+        del _UNI_CACHE[sf_dir]
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    got = textstats.unigram_learn(docs)
+    _UNI_CACHE[sf_dir] = (spark, got)
+    return got
+
+
+@declare(
+    "unigram_train_vocab",
+    _unigram_sql(_UNI_ROUNDS)
+    + f"""
+    SELECT v.piece AS piece,
+           CAST(length(v.piece) AS INT) AS piece_len,
+           v.cnt AS cnt, s.sc AS score_qbits
+    FROM uv{_UNI_ROUNDS} v JOIN us{_UNI_ROUNDS} s USING (piece)
+    """,
+)
+def q_unigram_train_vocab(spark, sf_dir):
+    """X4: unigram-LM tokenizer training (Kudo 2018, SentencePiece's
+    second paradigm next to BPE — VERDICT_r12 #6): substring seeding,
+    two EM prune rounds with exact enumerated-Viterbi segmentation
+    and half-bit bit_length log-likelihoods (no libm anywhere). The
+    oracle replays the WHOLE training loop — seeding, both rounds'
+    segmentations (recursive-CTE enumeration, identical argmax order)
+    and the final scores — so the shipped vocab table is
+    hash-checked. Corpus touched once (the distinct-word groupBy);
+    training runs over the Zipf-compressed word table."""
+    vocab, scores, words = _uni_learned(spark, sf_dir)
+    return spark.createDataFrame(
+        [(p, len(p), c, scores[p]) for p, c in sorted(vocab.items())],
+        "piece string, piece_len int, cnt bigint, score_qbits bigint",
+    )
+
+
+@declare(
+    "unigram_doc_token_counts",
+    _unigram_sql(_UNI_ROUNDS)
+    + f""",
+    usegf AS (
+        SELECT word, freq, 0 AS pos, CAST(0 AS BIGINT) AS sc,
+               0 AS np, '' AS path
+        FROM uw
+        UNION ALL
+        SELECT g.word, g.freq, g.pos + l.l, g.sc + s.sc, g.np + 1,
+               g.path || ' ' || substr(g.word, g.pos + 1, l.l)
+        FROM usegf g
+        JOIN (SELECT unnest(range(1, {textstats.UNI_MAXP + 1})) AS l) l
+          ON g.pos + l.l <= length(g.word)
+        JOIN us{_UNI_ROUNDS} s
+          ON s.piece = substr(g.word, g.pos + 1, l.l)),
+    ubestf AS MATERIALIZED (
+        SELECT word, np FROM (
+            SELECT *, row_number() OVER (PARTITION BY word
+                ORDER BY sc DESC, np ASC, path ASC) AS rn
+            FROM usegf WHERE pos = length(word))
+        WHERE rn = 1),
+    udt AS (
+        SELECT doc_id, substr(w, 1, {textstats.UNI_MAXW}) AS w
+        FROM (SELECT doc_id, unnest(list_filter(string_split_regex(
+                  lower(text), '[^a-z]+'), x -> x <> '')) AS w
+              FROM documents))
+    SELECT d.doc_id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(b.np) AS BIGINT) AS n_tokens
+    FROM udt d JOIN ubestf b ON b.word = d.w
+    GROUP BY 1
+    """,
+)
+def q_unigram_doc_token_counts(spark, sf_dir):
+    """X4: per-document token counts under the TRAINED unigram vocab
+    — tokenizer application at corpus scale, the bpe_doc_token_counts
+    twin for the second paradigm. One final map-only segmentation of
+    the distinct-word table under the trained scores, then the
+    occurrence explode joins it broadcast. Serves from the session
+    unigram cache (one training feeds both entries); the oracle
+    replays training AND the application segmentation in one
+    statement."""
+    vocab, scores, words = _uni_learned(spark, sf_dir)
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    return textstats.unigram_doc_token_counts(docs, scores, words)
+
+
 @declare(
     "media_phash_pairs",
     f"""

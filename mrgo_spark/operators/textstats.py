@@ -719,6 +719,240 @@ def _bpe_word_tokens(
     return ex.join(F.broadcast(per_word), "w")
 
 
+# ---- unigram-LM tokenizer training (r13, VERDICT_r12 #6) ----------
+#
+# SentencePiece-style unigram-LM training (Kudo 2018) as the SECOND
+# tokenizer-training paradigm next to BPE, reformulated so the whole
+# loop is engine-portable exact integers:
+#
+# - Likelihoods: score(piece) = bit_length(max(1, (c^2 << UNI_SHIFT)
+#   div T^2)) — floor(2*log2(c/T)) shifted positive, the DSIR
+#   floor-log2 trick at HALF-BIT resolution (bit_length == DuckDB
+#   length(bin(x)) == Python int.bit_length; no libm anywhere).
+# - Segmentation: the Viterbi argmax is replayed as an EXHAUSTIVE
+#   enumeration of segmentations (words truncated to UNI_MAXW chars,
+#   pieces up to UNI_MAXP long → <= tetranacci(UNI_MAXW) ~ 400 paths
+#   per word, over the DISTINCT-word table only) with the total order
+#   (score desc, n_pieces asc, path asc) — a DP would need the same
+#   tie-break to be decomposable; enumeration makes the argmax
+#   definitionally identical in Spark (array-local fold over the
+#   vocab-sized word table), DuckDB (recursive CTE) and the Python
+#   differential.
+# - EM -> fixed-round prune: each round segments every distinct word
+#   under the previous round's scores, recounts piece usage weighted
+#   by word frequency, keeps every single char (segmentability) plus
+#   the top UNI_KEEP[r] multi-char pieces by (count desc, piece asc),
+#   and rescores. Per-round counts are collected driver-side
+#   (vocab-sized <= ~600 rows — the kmeans-centroid/IVF-seed
+#   precedent) and re-literalized as a map expression, so each round
+#   is ONE map-only segmentation pass + one piece-count shuffle over
+#   the distinct-word frame.
+#
+# 100 TB shape: the corpus is touched ONCE (the distinct-word
+# groupBy); training then runs over the Zipf-compressed word table
+# (vocab-sized), exactly like bpe_learn. Scores use c^2/T^2 in
+# decimal/HUGEINT/Python-int — c,T up to ~2^40 stay inside
+# decimal(38,0); beyond that drop UNI_SHIFT (documented, not hit at
+# any test scale).
+
+UNI_MAXW = 10       # words truncated to this many chars for training
+UNI_MAXP = 4        # max piece length
+UNI_SEED_MULTI = 448  # multi-char pieces kept at seeding
+UNI_KEEP = (320, 256)  # multi-char pieces kept after each EM round
+UNI_SHIFT = 40      # fixed-point shift inside the half-bit log
+
+
+def _uni_score(c: int, t: int) -> int:
+    """Half-bit quantized log-likelihood: bit_length of the clamped
+    fixed-point ratio (c/T)^2 * 2^UNI_SHIFT — monotone in c/T,
+    identical in Python / Spark bin() / DuckDB bin()."""
+    return max(1, ((c * c) << UNI_SHIFT) // (t * t)).bit_length()
+
+
+def _uni_words(documents: DataFrame, text_col: str) -> DataFrame:
+    """(w, freq): distinct lowercase words truncated to UNI_MAXW
+    chars, with corpus frequency. Checkpointed — every training round
+    re-runs an action over it."""
+    toks = documents.select(
+        F.explode(ascii_tokens(text_col, lowercase=True)).alias("t")
+    )
+    return (
+        toks.select(F.substring("t", 1, UNI_MAXW).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def _uni_best_expr(scores: dict[str, int]) -> str:
+    """SQL expression computing the best segmentation struct
+    (pos, sc, np, path) for column ``w`` under the given piece-score
+    map: enumerate all segmentations whose every piece is in the
+    vocab via one array-local fold, then argmin under the total order
+    (sc desc, np asc, path asc). Pieces are pure [a-z] (ascii_tokens)
+    so the map literal needs no escaping."""
+    m = (
+        "map("
+        + ",".join(f"'{p}',{s}L" for p, s in sorted(scores.items()))
+        + ")"
+    )
+    look = f"try_element_at({m}, substr(w, a.pos + 1, i - a.pos))"
+    paths = f"""
+      aggregate(
+        sequence(1, length(w)),
+        array(struct(0 as pos, cast(0 as long) as sc, 0 as np,
+                     '' as path)),
+        (acc, i) -> concat(acc,
+          transform(
+            filter(acc, a -> a.pos >= i - {UNI_MAXP} AND a.pos < i
+                   AND {look} IS NOT NULL),
+            a -> struct(i as pos,
+                        a.sc + {look} as sc,
+                        a.np + 1 as np,
+                        concat(a.path, ' ',
+                               substr(w, a.pos + 1, i - a.pos)) as path)))
+      )"""
+    return f"""
+      element_at(array_sort(filter({paths}, a -> a.pos = length(w)),
+        (l, r) -> case when l.sc > r.sc then -1 when l.sc < r.sc then 1
+                       when l.np < r.np then -1 when l.np > r.np then 1
+                       when l.path < r.path then -1
+                       when l.path > r.path then 1
+                       else 0 end), 1)"""
+
+
+def _uni_segment(words: DataFrame, scores: dict[str, int]) -> DataFrame:
+    """(w, freq, np, path): best segmentation per distinct word under
+    ``scores``. The struct is aliased in its OWN select (the r4
+    struct-clone trap) and the result checkpointed — the path feeds
+    an explode (the Generate-pushdown hazard) and multiple
+    consumers."""
+    seg = (
+        words.select("w", "freq", F.expr(_uni_best_expr(scores)).alias("b"))
+        .select(
+            "w",
+            "freq",
+            F.col("b.np").alias("np"),
+            F.expr("substr(b.path, 2)").alias("path"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    return seg
+
+
+def _uni_counts(seg: DataFrame) -> dict[str, int]:
+    """Piece usage counts (weighted by word freq) from a segmentation
+    frame — collected driver-side (vocab-sized)."""
+    rows = (
+        seg.select("freq", F.explode(F.split("path", " ")).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        .collect()
+    )
+    return {r.piece: int(r.cnt) for r in rows}
+
+
+def unigram_learn(
+    documents: DataFrame,
+    text_col: str = "text",
+):
+    """Run unigram-LM tokenizer training. Returns (vocab, scores,
+    words) where vocab is the final {piece: count} dict, scores the
+    final {piece: score} map (recomputed FROM vocab), and words the
+    checkpointed distinct-word frame. Driver-side state is
+    vocab-sized throughout."""
+    spark = documents.sparkSession
+    words = _uni_words(documents, text_col)
+    # seed: every substring occurrence of every distinct word, via a
+    # broadcast (start, len) grid join (no Generate-pushdown hazard)
+    grid = spark.createDataFrame(
+        [
+            (i, ln)
+            for i in range(1, UNI_MAXW + 1)
+            for ln in range(1, UNI_MAXP + 1)
+        ],
+        "i int, l int",
+    )
+    seed_rows = (
+        words.crossJoin(F.broadcast(grid))
+        .filter(F.expr("i + l - 1 <= length(w)"))
+        .select(F.expr("substr(w, i, l)").alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        .collect()
+    )
+    seed = {r.piece: int(r.cnt) for r in seed_rows}
+    chars = sorted(p for p in seed if len(p) == 1)
+
+    def prune(counts: dict[str, int], keep_multi: int) -> dict[str, int]:
+        # every single char stays (segmentability); top multi-char
+        # pieces by (count desc, piece asc)
+        multi = sorted(
+            ((p, c) for p, c in counts.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], pc[0]),
+        )[:keep_multi]
+        out = {p: counts.get(p, 0) for p in chars}
+        out.update(dict(multi))
+        return out
+
+    def rescore(vocab: dict[str, int]) -> dict[str, int]:
+        t = sum(vocab.values())
+        return {p: _uni_score(c, t) for p, c in vocab.items()}
+
+    vocab = prune(seed, UNI_SEED_MULTI)
+    scores = rescore(vocab)
+    for keep in UNI_KEEP:
+        seg = _uni_segment(words, scores)
+        counts = _uni_counts(seg)
+        vocab = prune(counts, keep)
+        scores = rescore(vocab)
+    return vocab, scores, words
+
+
+def unigram_train_vocab(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The trained unigram vocabulary: (piece, piece_len, cnt,
+    score_qbits) — the artifact a unigram tokenizer ships (piece
+    inventory + quantized log-likelihoods). Fully oracle-checked:
+    seeding, both EM prune rounds and the final scores replay in
+    unrolled SQL (recursive-CTE segmentation enumeration)."""
+    vocab, scores, words = unigram_learn(documents, text_col)
+    spark = words.sparkSession
+    return spark.createDataFrame(
+        [(p, len(p), c, scores[p]) for p, c in sorted(vocab.items())],
+        "piece string, piece_len int, cnt bigint, score_qbits bigint",
+    )
+
+
+def unigram_doc_token_counts(
+    documents: DataFrame,
+    scores: dict[str, int],
+    words: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_words, n_tokens): tokenizer APPLICATION — each
+    document's words segmented under the FINAL trained scores; the
+    bpe_doc_token_counts twin for the unigram paradigm. One final
+    map-only segmentation over the distinct-word table, then the
+    occurrence explode joins it (broadcast while the Zipf-compressed
+    vocab fits). Zero-word docs drop out (oracle inner join)."""
+    per_word = _uni_segment(words, scores).select("w", "np")
+    ex = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ascii_tokens(text_col, lowercase=True)).alias("t"),
+    ).select("doc_id", F.substring("t", 1, UNI_MAXW).alias("w"))
+    return (
+        ex.join(F.broadcast(per_word), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("np").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def bigram_novelty_stats(
     documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1155,6 +1155,100 @@ def ingest_bm25_foreach_batch(index, doc_stream: DataFrame, workdir: str):
     return doc_stream.writeStream.foreachBatch(_process), holder
 
 
+def ingest_corpus_foreach_batch(
+    doc_stream: DataFrame,
+    bm25_index,
+    bm25_workdir: str,
+    ann_index,
+    lake_fp_path: str,
+    compact_max_files: int | None = 8,
+):
+    """End-to-end corpus ingestion (r13, VERDICT_r12 #7): ONE
+    micro-batch pipeline composing the individually-tested legs —
+    incremental dedup against the at-rest fingerprint lake →
+    surviving docs into the TIERED BM25 ingest → surviving vectors
+    into the ANN index → fingerprint-lake flip LAST. Input rows are
+    (doc_id, text, embedding); vec_id == doc_id.
+
+    Crash discipline (the bloom-sidecar superset-first rule lifted to
+    pipeline level): downstream ingests run BEFORE the lake flip. A
+    crash after the ingests but before the flip redelivers the
+    batch; the dedup stage re-selects the SAME survivors (their
+    fingerprints are not yet in the lake), and the BM25 replay-skip
+    (all doc_ids present) plus the ANN bloom anti-join collapse the
+    re-run to a no-op. Flipping the lake FIRST would classify the
+    redelivered docs dup_of_existing and silently lose them from
+    both indexes — the exact loss mode incremental_dedup_audit's
+    lake-wins priority exists to prevent. The lake append itself is
+    idempotent (anti-join against the at-rest fingerprints).
+
+    Returns (writeStream builder, holder): holder["index"] = live
+    BM25SegmentSet, holder["batches"] = per-batch
+    {batch_id, n_in, n_new}, holder["_proc"] = the direct per-batch
+    entry (the holder["_ingest"] idiom) for redelivery simulation.
+    Served-vs-batch-build ranking parity is pinned in
+    tests/test_ingestion_e2e.py."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    from ..operators import dedup
+
+    spark = bm25_index.spark
+    # reuse the tiered ingest's per-batch entry (the builder it
+    # returns is unused — this pipeline drives _ingest directly)
+    _unused, bm_holder = ingest_bm25_foreach_batch(
+        bm25_index, doc_stream.select("doc_id", "text"), bm25_workdir
+    )
+    holder: dict = {"batches": [], "_bm25": bm_holder}
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        inc = batch_df.withColumn(
+            "_fp", dedup.fingerprint("text")
+        ).withColumn(
+            "_bmin", F.min("doc_id").over(W.partitionBy("_fp"))
+        )
+        if os.path.isdir(lake_fp_path):
+            lake_fp = spark.read.parquet(lake_fp_path).select("_fp")
+        else:
+            lake_fp = None
+        surv = inc.filter(F.col("_bmin") == F.col("doc_id"))
+        if lake_fp is not None:
+            surv = surv.join(lake_fp, "_fp", "left_anti")
+        # eager pin: three consumers (both ingests + the lake flip)
+        surv = surv.localCheckpoint()
+        n_new = surv.count()
+        holder["batches"].append(
+            {"batch_id": batch_id, "n_in": batch_df.count(),
+             "n_new": n_new}
+        )
+        if n_new == 0:
+            return
+        bm_holder["_ingest"](surv.select("doc_id", "text"), batch_id)
+        holder["index"] = bm_holder["index"]
+        ann_index.add(
+            surv.select(
+                F.col("doc_id").alias("vec_id"), "embedding"
+            ),
+            dedupe=True,
+        )
+        if compact_max_files is not None:
+            ann_index.compact_cells(compact_max_files)
+        # lake flip LAST (see crash discipline above)
+        new_fp = surv.select(
+            "_fp", F.col("doc_id").alias("min_id")
+        )
+        if lake_fp is not None:
+            new_fp = new_fp.join(lake_fp, "_fp", "left_anti")
+        new_fp.write.mode("append").parquet(lake_fp_path)
+
+    holder["index"] = bm_holder["index"]
+    holder["_proc"] = _process
+    return doc_stream.writeStream.foreachBatch(_process), holder
+
+
 def serve_hybrid_foreach_batch(
     bm25_index,
     ivf_index,

@@ -287,6 +287,15 @@ PICKS = [
      "LeftSemi on the raw docs (the r13 fix — a join above an "
      "explode never pushes down, so the old shape tokenized the "
      "whole corpus)"),
+    ("unigram_train_vocab", "r13 unigram-LM tokenizer training: the "
+     "corpus is touched ONCE (distinct-word groupBy); the final "
+     "vocab table is a driver-tiny createDataFrame (training rounds "
+     "ran as map-only segmentations + vocab-sized collects, the "
+     "kmeans-literal recipe)"),
+    ("unigram_doc_token_counts", "r13 unigram application: one "
+     "map-only segmentation of the checkpointed word table "
+     "(ExistingRDD) broadcast into the occurrence explode; one "
+     "per-doc partial agg"),
 ]
 
 

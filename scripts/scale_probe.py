@@ -198,6 +198,12 @@ def main() -> None:
         "minhash_md5_signatures",
         "minhash_md5_pairs",
         "bpe_doc_token_counts",
+        # r13: unigram training is corpus-linear in the ONE
+        # distinct-word groupBy; the EM rounds run over the
+        # Zipf-compressed word table (constant under the probe's
+        # verbatim doc copies — flagged like profile_customer)
+        "unigram_train_vocab",
+        "unigram_doc_token_counts",
         "kmv_distinct_parts",
         "incremental_dedup_audit",
         "cms_token_heavy_hitters",

@@ -660,3 +660,34 @@ def test_prf_bm25_fixed_serves_from_checkpoints(spark):
     assert "CartesianProduct" not in plan
     for m in re.finditer(r"BroadcastNestedLoopJoin[^\n]*", plan):
         assert "Cross" in m.group(0), m.group(0)
+
+
+def test_unigram_train_vocab_driver_literal(spark):
+    """r13 unigram training: the declared vocab table is a
+    driver-tiny literal (training ran as map-only segmentations +
+    vocab-sized collects — the kmeans recipe); its final plan reads
+    no parquet and shuffles nothing."""
+    from mrgo_spark.operators.queries_llm import q_unigram_train_vocab
+
+    df = q_unigram_train_vocab(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert plan.count("FileScan") == 0
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_unigram_doc_token_counts_plan_shape(spark):
+    """r13 unigram application: ONE corpus scan (the occurrence
+    explode), the checkpointed word table (ExistingRDD) broadcast
+    into it, one per-doc aggregate — never a sort-merge join of the
+    occurrence stream."""
+    from mrgo_spark.operators.queries_llm import (
+        q_unigram_doc_token_counts,
+    )
+
+    df = q_unigram_doc_token_counts(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert plan.count("FileScan") == 1
+    assert "ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
