@@ -1294,6 +1294,88 @@ def _hamilton_quotas(cnt: DataFrame, weight, total: int) -> DataFrame:
     )
 
 
+def excess_bits_domain_weights(
+    documents: DataFrame,
+    total_milli: int = 1000,
+    clamp_bits: int = 8,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Loss-based domain mixture reweighting (r13) — the DoReMi idea
+    (Xie et al. 2023: upweight domains where the model's loss runs
+    ABOVE the reference) reduced to the repo's exact-integer kernels:
+    the reference model is the corpus-global add-one bigram LM
+    (bigram_lm_bits), a domain's hardness is its mean surprisal in
+    integer centibits per gram, its EXCESS over the corpus-global
+    mean is clamped to [0, clamp_bits] whole bits, and the mixture
+    weight is n_grams · 2^excess (the dsir_resample importance-bits
+    trick), Hamilton-normalized so Σ weight_milli == total_milli
+    exactly. The data-selection family's third paradigm: count-based
+    (mixture/temperature), distribution-matching (DSIR), and now
+    LOSS-based. No libm anywhere (floor-log2 bits; shifts for the
+    exponential).
+
+    Output per domain: (group_col, n_docs, n_grams, mean_centibits,
+    excess_bits, weight_milli). Domains with zero bigrams drop out
+    (the bigram_lm_bits convention). Shape: the per-doc scoring is
+    bigram_lm_bits' plan; everything after is |domains|-row windows
+    (checkpointed once — global sums and the Hamilton rank both read
+    it)."""
+    from . import textstats
+
+    scored = textstats.bigram_lm_bits(documents, text_col, id_col)
+    grp = documents.select(
+        F.col(id_col).alias("doc_id"), F.col(group_col).alias("stratum")
+    )
+    dom = (
+        scored.join(grp, "doc_id")
+        .groupBy("stratum")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("n_grams"),
+            F.sum("lm_bits").cast("long").alias("_bits"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w_all = Window.partitionBy()
+    dom2 = (
+        dom.withColumn("_tg", F.sum("n_grams").over(w_all))
+        .withColumn("_tb", F.sum("_bits").over(w_all))
+        .withColumn(
+            "mean_centibits",
+            F.expr("cast((-_bits * 100) div n_grams as bigint)"),
+        )
+        .withColumn(
+            "excess_bits",
+            F.expr(
+                f"cast(least({clamp_bits}, greatest(0,"
+                " (mean_centibits"
+                "  - ((-_tb * 100) div _tg)) div 100)) as bigint)"
+            ),
+        )
+    )
+    wts = dom2.withColumn(
+        "_w",
+        F.expr(
+            "n_grams * shiftleft(cast(1 as bigint),"
+            " cast(excess_bits as int))"
+        ),
+    )
+    quotas = _hamilton_quotas(wts, F.col("_w"), total_milli)
+    return (
+        dom2.join(quotas, "stratum")
+        .select(
+            F.col("stratum").alias(group_col),
+            "n_docs",
+            "n_grams",
+            "mean_centibits",
+            "excess_bits",
+            F.col("quota").alias("weight_milli"),
+        )
+    )
+
+
 def mixture_temperature_sample(
     df: DataFrame,
     stratum_col: str,

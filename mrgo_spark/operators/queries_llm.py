@@ -1231,6 +1231,61 @@ def q_bigram_lm_bits(spark, sf_dir):
 
 
 @declare(
+    "excess_bits_domain_weights",
+    f"""
+    WITH {_BIGRAM_LM_SQL},
+    dgrp AS (SELECT doc_id, lang AS stratum FROM documents),
+    dom AS MATERIALIZED (
+        SELECT g.stratum,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(s.n_grams) AS BIGINT) AS n_grams,
+               CAST(sum(s.lm_bits) AS BIGINT) AS bits
+        FROM lmsc s JOIN dgrp g USING (doc_id)
+        GROUP BY 1),
+    dom2 AS MATERIALIZED (
+        SELECT stratum, n_docs, n_grams,
+               CAST((-bits * 100) // n_grams AS BIGINT)
+                   AS mean_centibits,
+               CAST(least(8, greatest(0,
+                    (((-bits * 100) // n_grams)
+                     - ((-(sum(bits) OVER ()) * 100)
+                        // (sum(n_grams) OVER ()))) // 100))
+                    AS BIGINT) AS excess_bits
+        FROM dom),
+    dwts AS (SELECT *, CAST(n_grams * (1 << excess_bits) AS BIGINT)
+                       AS w
+             FROM dom2),
+    dal0 AS (SELECT *, CAST(sum(w) OVER () AS HUGEINT) AS wn
+             FROM dwts),
+    dal1 AS (SELECT *,
+                    (1000::HUGEINT * w) // wn AS base,
+                    (1000::HUGEINT * w) % wn AS rem
+             FROM dal0)
+    SELECT stratum AS lang, n_docs, n_grams, mean_centibits,
+           excess_bits,
+           CAST(base + CASE WHEN row_number()
+                                 OVER (ORDER BY rem DESC, stratum)
+                            <= 1000 - sum(base) OVER ()
+                       THEN 1 ELSE 0 END AS BIGINT) AS weight_milli
+    FROM dal1
+    """,
+)
+def q_excess_bits_domain_weights(spark, sf_dir):
+    """Loss-based domain mixture reweighting (r13,
+    pipeline.excess_bits_domain_weights — the DoReMi idea on the
+    repo's exact kernels): domains whose mean bigram-LM surprisal
+    runs ABOVE the corpus-global mean get their mixture share
+    multiplied by 2^excess_bits (clamped whole bits — the
+    dsir_resample importance trick), Hamilton-normalized to exactly
+    1000 milli. Completes the data-selection paradigm trio:
+    count-based (mixture/temperature), distribution-matching (DSIR),
+    loss-based (this). Fully oracle-checked through the bigram-LM
+    CTE chain; windows run over the |domains| frame only."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    return pipeline.excess_bits_domain_weights(docs)
+
+
+@declare(
     "min_k_prob_audit",
     f"""
     WITH {_BIGRAM_OCC_SQL},
@@ -5446,6 +5501,94 @@ def q_dcg_eval_fixed(spark, sf_dir):
         (F.lit(11) - F.col("rank")).cast("long").alias("rel"),
     )
     return retrieval.dcg_eval(lex, graded, k=10)
+
+
+@declare(
+    "kendall_tau_rankers",
+    f"""
+    WITH {_bm25_sql(10, query_pred="doc_id % 100 = 0 AND doc_id < 800")},
+    dt AS (
+        SELECT doc_id, unnest(list_distinct(toks)) AS term
+        FROM tok WHERE doc_id IN (SELECT doc_id FROM bm)
+    ),
+    cexp AS (
+        SELECT b.query_id, d.term, count(*) AS nfb
+        FROM bm b JOIN dt d USING (doc_id)
+        WHERE length(d.term) >= 4
+        GROUP BY 1, 2
+    ),
+    cexp2 AS (
+        SELECT c.query_id, c.term, c.nfb
+        FROM cexp c LEFT JOIN qt q
+            ON q.query_id = c.query_id AND q.term = c.term
+        WHERE q.term IS NULL
+    ),
+    expn AS (
+        SELECT query_id, term FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY nfb DESC, term) AS r
+            FROM cexp2) WHERE r <= 3
+    ),
+    qt2 AS MATERIALIZED (
+        SELECT query_id, term FROM qt
+        UNION ALL
+        SELECT query_id, term FROM expn
+    ),{_bm25_leg_sql(10, "qt2", "2")},
+    kc AS MATERIALIZED (
+        SELECT b.query_id, b.doc_id, b.rank AS ra, e.rank AS rb
+        FROM bm b JOIN bm2 e ON b.query_id = e.query_id
+                            AND b.doc_id = e.doc_id
+    ),
+    kp AS (
+        SELECT l.query_id,
+               CAST(sum(CASE WHEN (l.ra - r.ra) * (l.rb - r.rb) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+               CAST(sum(CASE WHEN (l.ra - r.ra) * (l.rb - r.rb) < 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS discordant
+        FROM kc l JOIN kc r ON l.query_id = r.query_id
+                           AND l.doc_id < r.doc_id
+        GROUP BY 1
+    ),
+    kn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_common
+           FROM kc GROUP BY 1)
+    SELECT kn.query_id AS query_id, kn.n_common AS n_common,
+           CAST(coalesce(kp.concordant, 0) AS BIGINT) AS concordant,
+           CAST(coalesce(kp.discordant, 0) AS BIGINT) AS discordant,
+           CAST(CASE WHEN kn.n_common < 2 THEN 0
+                     ELSE (1000 * (coalesce(kp.concordant, 0)
+                                   - coalesce(kp.discordant, 0)))
+                          // ((kn.n_common * (kn.n_common - 1)) // 2)
+                END AS BIGINT) AS tau_milli
+    FROM kn LEFT JOIN kp USING (query_id)
+    """,
+)
+def q_kendall_tau_rankers(spark, sf_dir):
+    """Eval family (r13): Kendall-τ rank correlation between a
+    ranker and a variant of itself — BM25 top-10 vs the PRF-expanded
+    BM25 top-10 over the same fixed query set (the expansion-impact
+    diagnostic: did query expansion actually REORDER results, or
+    just append tail docs?). The AGREEMENT eval the table lacked:
+    hits@k/MRR/nDCG/BLEU all grade one run against truth; τ compares
+    two RANKERS with no truth at all (the stack-swap diagnostic).
+    Exact integers throughout (concordant/discordant pair counts;
+    truncating division matches `//` on negative taus — the kappa
+    precedent); corpus-linear by the fixed-query-set law. Lexical
+    pairs chosen over lexical-vs-cosine because the near-orthogonal
+    fixture gives the latter ZERO common docs (an empty declared
+    surface — the srp 0-rows lesson); here the original terms anchor
+    a large overlap."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    q0 = retrieval.query_terms_from_docs(
+        docs, (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 800)
+    )
+    base = retrieval.bm25_topk(docs, q0, k=10)
+    q2 = retrieval.prf_expand_terms(docs, q0, k_fb=10, n_expand=3,
+                                    min_len=4)
+    expanded = retrieval.bm25_topk(docs, q2, k=10)
+    return retrieval.kendall_tau_eval(base, expanded)
 
 
 @declare(

@@ -923,6 +923,76 @@ def retrieval_eval(
     )
 
 
+def kendall_tau_eval(
+    run_a: DataFrame,
+    run_b: DataFrame,
+) -> DataFrame:
+    """Kendall-τ rank correlation between two rankers (r13) — the
+    ranker-AGREEMENT eval the family lacked (hits@k/MRR/nDCG/BLEU all
+    compare a run against graded truth; τ compares two runs with no
+    truth at all — the standard diagnostic when swapping a ranking
+    stack: how differently do the old and new systems ORDER what they
+    agree is relevant?).
+
+    Inputs are (query_id, doc_id, rank) frames; the comparison runs
+    over each query's COMMON documents (the intersection convention —
+    τ over partial lists is otherwise undefined), with τ-a since
+    ranks inside one run are strict (row_number). Output per query:
+    (query_id, n_common, concordant, discordant, tau_milli) where
+    tau_milli = 1000·(C−D) div (n(n−1)/2) — truncating division
+    matches DuckDB's `//` on NEGATIVE taus (the judge-kappa
+    precedent; Python's floor differs, minded in tests). Queries with
+    fewer than 2 common docs report τ = 0 (no orderable pair).
+
+    Scale shape: common is ≤ min(k_a, k_b) rows per query and feeds
+    THREE consumers (both pair aliases + the n-count), so it is
+    checkpointed once; the pair self-join is per-query bounded
+    (k² ≤ 100 pairs), never corpus-shaped."""
+    a = run_a.select("query_id", "doc_id", F.col("rank").alias("_ra"))
+    b = run_b.select("query_id", "doc_id", F.col("rank").alias("_rb"))
+    common = a.join(b, ["query_id", "doc_id"]).localCheckpoint(
+        eager=False
+    )
+    left = common.select(
+        "query_id",
+        F.col("doc_id").alias("_d1"),
+        F.col("_ra").alias("_a1"),
+        F.col("_rb").alias("_b1"),
+    )
+    right = common.select(
+        "query_id",
+        F.col("doc_id").alias("_d2"),
+        F.col("_ra").alias("_a2"),
+        F.col("_rb").alias("_b2"),
+    )
+    prod = (F.col("_a1") - F.col("_a2")) * (F.col("_b1") - F.col("_b2"))
+    pairs = (
+        left.join(right, "query_id")
+        .filter(F.col("_d1") < F.col("_d2"))
+        .groupBy("query_id")
+        .agg(
+            F.sum((prod > 0).cast("long")).alias("concordant"),
+            F.sum((prod < 0).cast("long")).alias("discordant"),
+        )
+    )
+    n = common.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_common")
+    )
+    out = n.join(pairs, "query_id", "left")
+    return out.select(
+        "query_id",
+        "n_common",
+        F.coalesce("concordant", F.lit(0)).cast("long").alias("concordant"),
+        F.coalesce("discordant", F.lit(0)).cast("long").alias("discordant"),
+        F.expr(
+            "cast(case when n_common < 2 then 0 else"
+            " (1000 * (coalesce(concordant, 0)"
+            "          - coalesce(discordant, 0)))"
+            " div ((n_common * (n_common - 1)) div 2) end as bigint)"
+        ).alias("tau_milli"),
+    )
+
+
 def dcg_eval(
     run: DataFrame,
     truth: DataFrame,

@@ -288,6 +288,16 @@ PRIORITY = [
     "hypertable_rollup",
 ]
 
+# Round-13 placement decision (zero-sum rule): the r13 new ops —
+# unigram_train_vocab / unigram_doc_token_counts (second tokenizer
+# paradigm; bpe_train_merges keeps the family's gate rep),
+# kendall_tau_rankers (eval family; ngram_precision_eval holds the
+# gate rep), excess_bits_domain_weights (data-selection family;
+# dsir_resample_docs holds the gate rep) — all stay OUTSIDE the
+# window. The round's one swap (kv_config_catchup_serving for
+# kv_state_at_seq, VERDICT_r12 #3) already spent the fold-family
+# slack. All are receipt-checked by the full-registry driver_sim.
+
 # Round-8 window review (VERDICT_r7 #5, decision recorded): TWO swaps
 # — rrf_hybrid_served in for rrf_hybrid_retrieval and
 # dsir_resample_docs in for dsir_importance_scores (both

@@ -296,6 +296,14 @@ PICKS = [
      "map-only segmentation of the checkpointed word table "
      "(ExistingRDD) broadcast into the occurrence explode; one "
      "per-doc partial agg"),
+    ("kendall_tau_rankers", "r13 ranker-agreement eval: both BM25 "
+     "legs share the checkpointed tf/dl frames; the common frame is "
+     "checkpointed once for its three consumers; the pair self-join "
+     "is per-query bounded (k^2), never corpus-shaped"),
+    ("excess_bits_domain_weights", "r13 loss-based reweighting: the "
+     "bigram-LM kernel's shuffle_hash model joins, then everything "
+     "after the per-doc score is |domains|-row windows over one "
+     "checkpointed frame"),
 ]
 
 

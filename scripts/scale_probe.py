@@ -204,6 +204,10 @@ def main() -> None:
         # verbatim doc copies — flagged like profile_customer)
         "unigram_train_vocab",
         "unigram_doc_token_counts",
+        # r13: τ rides the prf two-pass law (fixed query set);
+        # excess-bits rides the bigram-LM model-join band
+        "kendall_tau_rankers",
+        "excess_bits_domain_weights",
         "kmv_distinct_parts",
         "incremental_dedup_audit",
         "cms_token_heavy_hitters",

@@ -1184,3 +1184,117 @@ def test_pass_at_k_matches_fraction_model(spark):
     assert set(out) == {(1, 1), (1, 4), (1, 8), (2, 1), (3, 1), (3, 4)}
     assert out[(3, 1)].pass_milli == 1000 and out[(2, 1)].pass_milli == 0
     assert out[(1, 1)].pass_milli == 250
+
+
+def test_excess_bits_domain_weights_planted_hard_domain(spark):
+    """r13 loss-based reweighting: a domain of high-entropy text
+    (every bigram unique) must show POSITIVE excess bits over a
+    repetitive domain and get its mixture share amplified by
+    2^excess relative to its gram share; quotas still sum to exactly
+    1000; the fixture's uniform-surprisal corpus (all excess 0)
+    cannot exercise this path."""
+    import itertools
+
+    from mrgo_spark.operators import pipeline as pl
+
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    uniq = [
+        "".join(t) for t in itertools.product(letters, repeat=3)
+    ]
+    rows = []
+    # easy domain: one sentence repeated — bigrams massively reused
+    for i in range(40):
+        rows.append((i, "alpha beta gamma delta epsilon zeta", "easy"))
+    # hard domain: every doc all-fresh tokens — every bigram count 1
+    it = iter(uniq)
+    for i in range(40, 50):
+        toks = [next(it) for _ in range(6)]
+        rows.append((i, " ".join(toks), "hard"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    got = {
+        r.lang: r
+        for r in pl.excess_bits_domain_weights(docs).collect()
+    }
+    assert got["hard"].mean_centibits > got["easy"].mean_centibits
+    assert got["hard"].excess_bits > 0
+    assert got["easy"].excess_bits == 0
+    assert (
+        got["easy"].weight_milli + got["hard"].weight_milli == 1000
+    )
+    # amplification: hard's weight share strictly beats its gram share
+    tg = got["easy"].n_grams + got["hard"].n_grams
+    assert got["hard"].weight_milli * tg > 1000 * got["hard"].n_grams
+    # (the exact weight-math replay lives in
+    # test_excess_bits_clamp_and_python_replay)
+
+
+def test_excess_bits_clamp_and_python_replay(spark):
+    """The full pipeline replayed in pure Python on a 3-domain
+    corpus, including the [0, 8]-bit clamp with an extreme domain."""
+    import itertools
+    import math
+    import re
+
+    from mrgo_spark.operators import pipeline as pl
+
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    uniq = ["".join(t) for t in itertools.product(letters, repeat=4)]
+    it = iter(uniq)
+    rows = []
+    for i in range(200):
+        rows.append((i, "common words repeat here always", "big"))
+    for i in range(200, 210):
+        rows.append((i, " ".join(next(it) for _ in range(8)), "odd"))
+    for i in range(210, 214):
+        rows.append((i, " ".join(next(it) for _ in range(4)), "rare"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    got = {
+        r.lang: (r.n_docs, r.n_grams, r.mean_centibits, r.excess_bits,
+                 r.weight_milli)
+        for r in pl.excess_bits_domain_weights(docs).collect()
+    }
+
+    # pure-Python replay of bigram_lm_bits + the domain math
+    from mrgo_spark.operators.textstats import LM_FP_BITS
+
+    def toks(t):
+        return [w for w in re.split(r"[^a-z]+", t.lower()) if w]
+
+    ex = []  # (lang, a, b)
+    for _i, t, lang in rows:
+        ws = toks(t)
+        for a, b in zip(ws, ws[1:]):
+            ex.append((lang, a, b))
+    cb: dict = {}
+    ca: dict = {}
+    vocab = set()
+    for _l, a, b in ex:
+        cb[(a, b)] = cb.get((a, b), 0) + 1
+        ca[a] = ca.get(a, 0) + 1
+    for _i, t, _l in rows:
+        vocab |= set(toks(t))
+    V = len(vocab)
+    dom: dict = {}
+    for lang, a, b in ex:
+        num = (cb[(a, b)] + 1) << LM_FP_BITS
+        bits = max(1, num // (ca[a] + V)).bit_length() - (1 + LM_FP_BITS)
+        g, s = dom.get(lang, (0, 0))
+        dom[lang] = (g + 1, s + bits)
+    tg = sum(g for g, _ in dom.values())
+    tb = sum(s for _, s in dom.values())
+    gcent = (-tb * 100) // tg if tb <= 0 else -((tb * 100) // tg)
+    want = {}
+    for lang, (g, s) in dom.items():
+        cent = (-s * 100) // g if s <= 0 else -((s * 100) // g)
+        exc = min(8, max(0, int((cent - gcent) / 100)))
+        want[lang] = (g, cent, exc)
+    for lang, (g, cent, exc) in want.items():
+        nd, ng, mc, eb, _w = got[lang]
+        assert ng == g and mc == cent and eb == exc, (lang, got[lang],
+                                                      want[lang])
+    # Hamilton: exact total, weights proportional to n_grams * 2^exc
+    assert sum(v[4] for v in got.values()) == 1000

@@ -691,3 +691,34 @@ def test_unigram_doc_token_counts_plan_shape(spark):
     assert "ExistingRDD" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_kendall_tau_rankers_plan_shape(spark):
+    """r13 τ eval: never a cartesian — the pair self-join is keyed on
+    query_id; the checkpointed common frame (ExistingRDD) feeds both
+    pair aliases and the n-count."""
+    from mrgo_spark.operators.queries_llm import q_kendall_tau_rankers
+
+    df = q_kendall_tau_rankers(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan
+
+
+def test_excess_bits_domain_weights_plan_shape(spark):
+    """r13 loss-based reweighting: the bigram model joins stay
+    shuffle_hash (the novelty BHJ→SMJ cliff lesson travels with the
+    kernel); no cartesian; the domain windows read ONE checkpointed
+    frame (ExistingRDD)."""
+    from mrgo_spark.operators.queries_llm import (
+        q_excess_bits_domain_weights,
+    )
+
+    df = q_excess_bits_domain_weights(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    # the bigram kernel (and its shuffle_hash pin) sits BEHIND the
+    # domain checkpoint; the final plan is |domains|-row windows over
+    # that ONE ExistingRDD — re-reading no parquet at all
+    assert plan.count("FileScan") == 0
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan

@@ -756,3 +756,44 @@ def test_prf_expansion_planted(spark):
     assert 9 not in {
         r.doc_id for r in base.filter(F.col("query_id") == 0).collect()
     }
+
+
+def test_kendall_tau_eval_known_values(spark):
+    """r13 τ eval: identical rankings → 1000; exactly reversed →
+    -1000 (negative division truncates identically in both engines);
+    a single common doc → 0 (no orderable pair); disjoint rankings
+    produce no row; a half-agreeing permutation hits the hand-
+    computed value."""
+    from mrgo_spark.operators.retrieval import kendall_tau_eval
+
+    def ranking(qid, ids):
+        return spark.createDataFrame(
+            [(qid, d, i + 1) for i, d in enumerate(ids)],
+            "query_id long, doc_id long, rank int",
+        )
+
+    a = (
+        ranking(1, [10, 11, 12, 13])          # identical
+        .union(ranking(2, [10, 11, 12, 13]))  # vs reversed
+        .union(ranking(3, [10]))              # single common
+        .union(ranking(4, [10, 11]))          # disjoint
+        .union(ranking(5, [10, 11, 12]))      # one swap
+    )
+    b = (
+        ranking(1, [10, 11, 12, 13])
+        .union(ranking(2, [13, 12, 11, 10]))
+        .union(ranking(3, [10, 99]))
+        .union(ranking(4, [20, 21]))
+        .union(ranking(5, [11, 10, 12]))
+    )
+    got = {
+        r.query_id: (r.n_common, r.concordant, r.discordant, r.tau_milli)
+        for r in kendall_tau_eval(a, b).collect()
+    }
+    assert got[1] == (4, 6, 0, 1000)
+    assert got[2] == (4, 0, 6, -1000)
+    assert got[3] == (1, 0, 0, 0)
+    assert 4 not in got  # no common docs → no row
+    # one adjacent swap of 3: pairs = 3, concordant 2, discordant 1
+    # → 1000*(2-1) div 3 = 333
+    assert got[5] == (3, 2, 1, 333)
