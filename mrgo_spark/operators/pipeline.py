@@ -1817,6 +1817,67 @@ def clip_columns(frame: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+DISC_GAMMA_NUM = 3   # γ = 3/4 — dyadic-denominator discount, exact
+DISC_GAMMA_DEN = 4
+DISC_HORIZON = 16    # n-step truncation bounds the denominator 4^15
+
+
+def discounted_returns(
+    df: DataFrame,
+    reward,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_us: int = 1_800_000_000,
+    horizon: int = DISC_HORIZON,
+) -> DataFrame:
+    """Discounted n-step return-to-go (r13): trajectory_returns' γ=1
+    suffix sum generalized to γ = 3/4, EXACT — the value-regression /
+    TD(n) target of offline RL over interaction logs. γ with a
+    power-of-two-times-small denominator keeps every term rational
+    with denominator 4^k; truncating the horizon at ``horizon`` steps
+    (the standard n-step return) bounds it, so
+
+        disc_return_fp = Σ_{k=0}^{min(horizon, rest)-1}
+                           r_{t+k} · 3^k · 4^(horizon-1-k)
+
+    is G_t^(n) scaled by 4^(horizon-1) — an exact integer
+    (|r| ≤ 1e6 · 16 terms · 2^30 coefficients < 2^63). Arbitrary γ
+    needs pow() (the ln() lesson); 3/4 with a fixed horizon is the
+    engine-portable point of the family.
+
+    Output = trajectory_returns' columns + disc_return_fp. Shape: the
+    same ONE user shuffle — the next-``horizon`` reward window
+    sub-partitions (user, episode) like every other window in the
+    chain; per-row state is a ≤horizon-long array."""
+    coefs = [
+        (DISC_GAMMA_NUM ** k) * (DISC_GAMMA_DEN ** (horizon - 1 - k))
+        for k in range(horizon)
+    ]
+    coef_sql = "array(" + ",".join(f"{c}L" for c in coefs) + ")"
+    traj = trajectory_returns(df, reward, user_col, ts_col, id_col, gap_us)
+    wep = (
+        Window.partitionBy(user_col, "episode")
+        .orderBy("step")
+        .rowsBetween(Window.currentRow, horizon - 1)
+    )
+    return (
+        traj.withColumn(
+            "_nxt", F.collect_list("reward_fp").over(wep)
+        )
+        .withColumn(
+            "disc_return_fp",
+            F.expr(
+                f"cast(aggregate(sequence(1, size(_nxt)),"
+                f" cast(0 as long),"
+                f" (acc, i) -> acc + element_at(_nxt, i)"
+                f"              * element_at({coef_sql}, i)) as bigint)"
+            ),
+        )
+        .drop("_nxt")
+    )
+
+
 def trajectory_returns(
     df: DataFrame,
     reward,

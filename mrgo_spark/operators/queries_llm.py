@@ -3869,6 +3869,66 @@ def q_unigram_doc_token_counts(spark, sf_dir):
 
 
 @declare(
+    "unigram_fertility_by_lang",
+    _unigram_sql(_UNI_ROUNDS)
+    + f""",
+    usegf AS (
+        SELECT word, freq, 0 AS pos, CAST(0 AS BIGINT) AS sc,
+               0 AS np, '' AS path
+        FROM uw
+        UNION ALL
+        SELECT g.word, g.freq, g.pos + l.l, g.sc + s.sc, g.np + 1,
+               g.path || ' ' || substr(g.word, g.pos + 1, l.l)
+        FROM usegf g
+        JOIN (SELECT unnest(range(1, {textstats.UNI_MAXP + 1})) AS l) l
+          ON g.pos + l.l <= length(g.word)
+        JOIN us{_UNI_ROUNDS} s
+          ON s.piece = substr(g.word, g.pos + 1, l.l)),
+    ubestf AS MATERIALIZED (
+        SELECT word, np FROM (
+            SELECT *, row_number() OVER (PARTITION BY word
+                ORDER BY sc DESC, np ASC, path ASC) AS rn
+            FROM usegf WHERE pos = length(word))
+        WHERE rn = 1),
+    ult AS (
+        SELECT lang, substr(w, 1, {textstats.UNI_MAXW}) AS w
+        FROM (SELECT lang, unnest(list_filter(string_split_regex(
+                  lower(text), '[^a-z]+'), x -> x <> '')) AS w
+              FROM documents)),
+    uvols AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY 1),
+    uagg AS (
+        SELECT d.lang,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(b.np) AS BIGINT) AS n_tokens
+        FROM ult d JOIN ubestf b ON b.word = d.w
+        GROUP BY 1)
+    SELECT v.lang AS lang, v.n_docs AS n_docs,
+           CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN coalesce(a.n_words, 0) = 0 THEN NULL
+                     ELSE (1000 * a.n_tokens) // a.n_words
+                END AS BIGINT) AS fertility_milli
+    FROM uvols v LEFT JOIN uagg a ON v.lang = a.lang
+    """,
+)
+def q_unigram_fertility_by_lang(spark, sf_dir):
+    """X4: per-language fertility under the trained unigram vocab —
+    the bpe_fertility_by_lang twin, completing the tokenizer-equity
+    audit for BOTH training paradigms (the comparison a multilingual
+    pipeline actually runs before committing a vocab). Serves from
+    the session unigram cache; the oracle replays training,
+    application segmentation and the language rollup in one
+    statement. Zero-word languages report NULL fertility with their
+    doc volume visible (the kappa convention)."""
+    vocab, scores, words = _uni_learned(spark, sf_dir)
+    docs = widen_scan(
+        load_table(spark, sf_dir, "documents").select("lang", "text")
+    )
+    return textstats.unigram_fertility_by_lang(docs, scores, words)
+
+
+@declare(
     "media_phash_pairs",
     f"""
     WITH {_DUP_CORPUS_SQL},

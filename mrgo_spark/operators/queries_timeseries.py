@@ -459,3 +459,88 @@ def q_trajectory_returns(spark, sf_dir):
         .otherwise(1)
     )
     return pipeline.trajectory_returns(e, reward)
+
+
+def _disc_coef_sql() -> str:
+    from . import pipeline
+
+    coefs = [
+        (pipeline.DISC_GAMMA_NUM ** k)
+        * (pipeline.DISC_GAMMA_DEN ** (pipeline.DISC_HORIZON - 1 - k))
+        for k in range(pipeline.DISC_HORIZON)
+    ]
+    return "[" + ", ".join(str(c) for c in coefs) + "]"
+
+
+@declare(
+    "discounted_returns_events",
+    f"""
+    WITH g AS (
+        SELECT user_id, event_id, ts,
+               CASE event_type WHEN 'purchase' THEN 10
+                               WHEN 'signup' THEN 5
+                               WHEN 'error' THEN -3
+                               ELSE 1 END AS r,
+               CASE WHEN epoch_us(ts) - epoch_us(
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))
+                         > 1800000000
+                    OR lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+    ep AS (
+        SELECT user_id, event_id, ts, r,
+               CAST(SUM(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS episode
+        FROM g),
+    tr AS MATERIALIZED (
+        SELECT user_id, episode,
+               CAST(row_number() OVER (PARTITION BY user_id, episode
+                                       ORDER BY ts, event_id) AS BIGINT)
+                 AS step,
+               event_id,
+               CAST(r AS BIGINT) AS reward_fp,
+               CAST(sum(r) OVER (PARTITION BY user_id, episode
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN CURRENT ROW
+                                 AND UNBOUNDED FOLLOWING) AS BIGINT)
+                 AS return_to_go
+        FROM ep),
+    trl AS (
+        SELECT *, list(reward_fp) OVER (
+                   PARTITION BY user_id, episode ORDER BY step
+                   ROWS BETWEEN CURRENT ROW
+                   AND 15 FOLLOWING) AS l
+        FROM tr)
+    SELECT user_id, episode, step, event_id, reward_fp, return_to_go,
+           CAST(list_sum([l[i] * ({_disc_coef_sql()})[i]
+                          for i in generate_series(1, len(l))])
+                AS BIGINT) AS disc_return_fp
+    FROM trl
+    """,
+)
+def q_discounted_returns(spark, sf_dir):
+    """Discounted n-step return-to-go (r13,
+    pipeline.discounted_returns): trajectory_returns' suffix sum at
+    γ = 3/4 exact — every term rational with a 4^k denominator, the
+    16-step truncation bounding it, so disc_return_fp (scaled by
+    4^15) is an exact integer and the offline-RL VALUE TARGET itself
+    oracle-checks. Arbitrary γ needs pow() (the ln() lesson); 3/4
+    with a fixed horizon is the engine-portable member. Same ONE
+    user shuffle as the undiscounted form (the reward window
+    sub-partitions it); per-row state is a ≤16-long array."""
+    from pyspark.sql import functions as F
+
+    from . import pipeline
+
+    e = load_table(spark, sf_dir, "events")
+    reward = (
+        F.when(F.col("event_type") == "purchase", 10)
+        .when(F.col("event_type") == "signup", 5)
+        .when(F.col("event_type") == "error", -3)
+        .otherwise(1)
+    )
+    return pipeline.discounted_returns(e, reward)

@@ -953,6 +953,50 @@ def unigram_doc_token_counts(
     )
 
 
+def unigram_fertility_by_lang(
+    documents: DataFrame,
+    scores: dict[str, int],
+    words: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language fertility under the TRAINED unigram vocab — the
+    bpe_fertility_by_lang twin for the second paradigm, completing
+    the tokenizer-equity audit pair (a multilingual pipeline compares
+    the two PARADIGMS' fertility per language before committing a
+    vocab). Same contract: (lang, n_docs, n_words, n_tokens,
+    fertility_milli), NULL fertility for a zero-word language, n_docs
+    counts wordless documents too. One final map-only segmentation of
+    the distinct-word table, broadcast into the occurrence explode,
+    re-aggregated at the language grain."""
+    per_word = _uni_segment(words, scores).select("w", "np")
+    ex = documents.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(ascii_tokens(text_col, lowercase=True)).alias("t"),
+    ).select("lang", F.substring("t", 1, UNI_MAXW).alias("w"))
+    agg = (
+        ex.join(F.broadcast(per_word), "w")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("np").cast("long").alias("n_tokens"),
+        )
+    )
+    vols = documents.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    return vols.join(agg, "lang", "left").select(
+        "lang",
+        "n_docs",
+        F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.expr(
+            "cast(case when coalesce(n_words, 0) = 0 then null"
+            " else (1000 * n_tokens) div n_words end as bigint)"
+        ).alias("fertility_milli"),
+    )
+
+
 def bigram_novelty_stats(
     documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -304,6 +304,13 @@ PICKS = [
      "bigram-LM kernel's shuffle_hash model joins, then everything "
      "after the per-doc score is |domains|-row windows over one "
      "checkpointed frame"),
+    ("unigram_fertility_by_lang", "r13 tokenizer-equity twin: the "
+     "unigram application kernel re-aggregated at the language "
+     "grain; segmentation stays on the checkpointed word table"),
+    ("discounted_returns_events", "r13 discounted n-step "
+     "return-to-go: the trajectory chain's ONE user shuffle; the "
+     "16-step reward window sub-partitions (user, episode) like "
+     "every other window — no second exchange"),
 ]
 
 

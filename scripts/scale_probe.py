@@ -208,6 +208,8 @@ def main() -> None:
         # excess-bits rides the bigram-LM model-join band
         "kendall_tau_rankers",
         "excess_bits_domain_weights",
+        "unigram_fertility_by_lang",
+        "discounted_returns_events",
         "kmv_distinct_parts",
         "incremental_dedup_audit",
         "cms_token_heavy_hitters",

@@ -1298,3 +1298,82 @@ def test_excess_bits_clamp_and_python_replay(spark):
                                                       want[lang])
     # Hamilton: exact total, weights proportional to n_grams * 2^exc
     assert sum(v[4] for v in got.values()) == 1000
+
+
+def test_discounted_returns_matches_python_replay(spark):
+    """r13 discounted return-to-go: the n-step γ=3/4 formula replayed
+    in pure Python over a hand-built episode set — including an
+    episode LONGER than the horizon (truncation) and a gap-split."""
+    import datetime as dt
+
+    from mrgo_spark.operators import pipeline as pl
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    # user 1: one 20-step episode (longer than the 16-step horizon)
+    for i in range(20):
+        rows.append((100 + i, 1, base + dt.timedelta(minutes=i),
+                     "purchase" if i % 3 == 0 else "view"))
+    # user 2: two episodes split by a >30min gap
+    for i in range(3):
+        rows.append((200 + i, 2, base + dt.timedelta(minutes=i), "error"))
+    for i in range(2):
+        rows.append((210 + i, 2,
+                     base + dt.timedelta(minutes=90 + i), "signup"))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    from pyspark.sql import functions as F
+
+    reward = (
+        F.when(F.col("event_type") == "purchase", 10)
+        .when(F.col("event_type") == "signup", 5)
+        .when(F.col("event_type") == "error", -3)
+        .otherwise(1)
+    )
+    got = {
+        (r.user_id, r.episode, r.step): (
+            r.reward_fp, r.return_to_go, r.disc_return_fp
+        )
+        for r in pl.discounted_returns(df, reward).collect()
+    }
+
+    def rw(et):
+        return {"purchase": 10, "signup": 5, "error": -3}.get(et, 1)
+
+    episodes = {
+        (1, 1): [rw("purchase" if i % 3 == 0 else "view")
+                 for i in range(20)],
+        (2, 1): [-3, -3, -3],
+        (2, 2): [5, 5],
+    }
+    H = pl.DISC_HORIZON
+    for (u, e), rs in episodes.items():
+        for t in range(len(rs)):
+            rtg = sum(rs[t:])
+            disc = sum(
+                rs[t + k] * (3 ** k) * (4 ** (H - 1 - k))
+                for k in range(min(H, len(rs) - t))
+            )
+            assert got[(u, e, t + 1)] == (rs[t], rtg, disc), (u, e, t)
+    assert len(got) == 25
+
+
+def test_discounted_returns_horizon_one_is_scaled_reward(spark):
+    """horizon=1 degenerates to the immediate reward (scale 4^0=1) —
+    the closed-form sanity pin."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from mrgo_spark.operators import pipeline as pl
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, 1, base + dt.timedelta(minutes=i), "view") for i in range(4)],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    rows = pl.discounted_returns(
+        df, F.lit(7), horizon=1
+    ).collect()
+    assert all(r.disc_return_fp == r.reward_fp == 7 for r in rows)

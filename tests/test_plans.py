@@ -722,3 +722,17 @@ def test_excess_bits_domain_weights_plan_shape(spark):
     assert plan.count("FileScan") == 0
     assert "CartesianProduct" not in plan
     assert "ExistingRDD" in plan
+
+
+def test_discounted_returns_single_user_shuffle(spark):
+    """r13: γ=3/4 n-step returns add NO exchange beyond
+    trajectory_returns' one user shuffle — the reward window
+    sub-partitions (user, episode)."""
+    from mrgo_spark.operators.queries_timeseries import (
+        q_discounted_returns,
+    )
+
+    df = q_discounted_returns(spark, SF)
+    plan = plans.explain_str(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan

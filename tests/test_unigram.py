@@ -192,3 +192,33 @@ def test_unigram_score_quantization_portable():
         s = textstats._uni_score(c, 100)
         assert s >= prev
         prev = s
+
+
+def test_unigram_fertility_consistent_with_doc_counts(spark):
+    """The language rollup must agree with the per-doc application
+    totals (same kernel re-aggregated) and with the raw word count;
+    fertility is NULL only for zero-word languages."""
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    vocab, scores, words = textstats.unigram_learn(docs)
+    fert = {
+        r.lang: r
+        for r in textstats.unigram_fertility_by_lang(
+            docs, scores, words
+        ).collect()
+    }
+    per_doc = textstats.unigram_doc_token_counts(docs, scores, words)
+    lang_of = {
+        r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()
+    }
+    want: dict[str, list[int]] = {}
+    for r in per_doc.collect():
+        t = want.setdefault(lang_of[r.doc_id], [0, 0])
+        t[0] += r.n_words
+        t[1] += r.n_tokens
+    for lang, (nw, nt) in want.items():
+        f = fert[lang]
+        assert (f.n_words, f.n_tokens) == (nw, nt)
+        assert f.fertility_milli == (1000 * nt) // nw
+    assert sum(r.n_docs for r in fert.values()) == docs.count()
