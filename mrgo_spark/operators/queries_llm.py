@@ -4886,6 +4886,24 @@ def q_dsir_resample_docs(spark, sf_dir):
 # --------------------------------------------------------- retrieval
 
 
+def _bm25_tscore_sql(ind: str) -> str:
+    """The per-(term, doc) HUGEINT BM25 contribution — references
+    aliases t (tf), f (df), d (dl), s (n/tt) in scope; ``ind`` is the
+    caller's continuation indent so interpolation reproduces the
+    committed fragment byte-for-byte. One source for the scoring leg
+    and the champion-list oracle (retrieval.term_score_fp_expr is the
+    Spark twin)."""
+    return (
+        f"((2::HUGEINT * s.n - 2 * f.df + 1)\n"
+        f"{ind} * (22::HUGEINT * s.tt * t.tf)\n"
+        f"{ind} * {retrieval.BM25_SCALE})\n"
+        f"{ind}// ((2::HUGEINT * f.df + 1)\n"
+        f"{ind}    * (10::HUGEINT * s.tt * t.tf\n"
+        f"{ind}       + 3::HUGEINT * s.tt\n"
+        f"{ind}       + 9::HUGEINT * d.dl * s.n))"
+    )
+
+
 def _bm25_leg_sql(k: int, qt_name: str, sfx: str = "") -> str:
     """One BM25 scoring LEG over an arbitrary (query_id, term) CTE —
     CTEs cand{sfx}/tf{sfx}/dfq{sfx}/bm{sfx} reading the shared
@@ -4915,13 +4933,7 @@ def _bm25_leg_sql(k: int, qt_name: str, sfx: str = "") -> str:
                 SELECT t.query_id, t.doc_id,
                        CAST(count(*) AS BIGINT) AS n_terms,
                        CAST(sum(
-                           ((2::HUGEINT * s.n - 2 * f.df + 1)
-                            * (22::HUGEINT * s.tt * t.tf)
-                            * {retrieval.BM25_SCALE})
-                           // ((2::HUGEINT * f.df + 1)
-                               * (10::HUGEINT * s.tt * t.tf
-                                  + 3::HUGEINT * s.tt
-                                  + 9::HUGEINT * d.dl * s.n))
+                           {_bm25_tscore_sql(" " * 27)}
                        ) AS BIGINT) AS score_fp
                 FROM tf{sfx} t
                 JOIN dfq{sfx} f USING (term)
@@ -4932,13 +4944,12 @@ def _bm25_leg_sql(k: int, qt_name: str, sfx: str = "") -> str:
     )"""
 
 
-def _bm25_sql(k: int, query_pred: str = "doc_id % 100 = 0") -> str:
-    """BM25 oracle fragment: CTEs tok/dl/sc/qt/ex/cand/tf/dfq/bm
-    ending with bm(query_id, doc_id, n_terms, score_fp, rank <= k).
-    Queries = first-5 distinct tokens of every ``query_pred`` doc
-    (default: doc_id % 100 == 0); constants mirror
-    retrieval.bm25_topk (k1=6/5, b=3/4 multiplied out; products in
-    HUGEINT — the decimal(38,0) twin)."""
+def _bm25_base_sql(query_pred: str = "doc_id % 100 = 0") -> str:
+    """The query-independent BM25 base CTEs — tok/dl/sc/qt/ex — with
+    no scoring leg. Factored (r13) so the champion-list oracle can
+    reuse the tokenize/stats base without the per-query leg;
+    ``_bm25_sql`` = base + one leg, byte-compatible with the
+    pre-refactor fragment."""
     return f"""
     tok AS MATERIALIZED (
         SELECT doc_id,
@@ -4961,7 +4972,17 @@ def _bm25_sql(k: int, query_pred: str = "doc_id % 100 = 0") -> str:
     ),
     ex AS MATERIALIZED (
         SELECT doc_id, unnest(toks) AS term FROM tok
-    ),{_bm25_leg_sql(k, "qt")}"""
+    )"""
+
+
+def _bm25_sql(k: int, query_pred: str = "doc_id % 100 = 0") -> str:
+    """BM25 oracle fragment: CTEs tok/dl/sc/qt/ex/cand/tf/dfq/bm
+    ending with bm(query_id, doc_id, n_terms, score_fp, rank <= k).
+    Queries = first-5 distinct tokens of every ``query_pred`` doc
+    (default: doc_id % 100 == 0); constants mirror
+    retrieval.bm25_topk (k1=6/5, b=3/4 multiplied out; products in
+    HUGEINT — the decimal(38,0) twin)."""
+    return f"""{_bm25_base_sql(query_pred)},{_bm25_leg_sql(k, "qt")}"""
 
 
 # One BM25Index per (session, sf_dir) — the _IVF_CACHE idiom applied
@@ -5086,6 +5107,81 @@ def q_bm25_topk_fixed(spark, sf_dir):
     qids = _fixed_qids(spark, sf_dir)
     qterms = retrieval.query_terms_from_docs(docs, F.col("doc_id").isin(qids))
     return _bm25_served_terms(spark, sf_dir, qterms, k=10)
+
+
+@declare(
+    "bm25_champion_topk_fixed",
+    f"""
+    WITH {_FIXED_QIDS_SQL}
+    {_bm25_base_sql(query_pred="doc_id IN (SELECT vec_id FROM fqids)")},
+    tfa AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM ex GROUP BY 1, 2),
+    dfa AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM tfa GROUP BY 1),
+    chs AS MATERIALIZED (
+        SELECT term, doc_id, ts FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY term ORDER BY ts DESC, doc_id) AS crank
+            FROM (
+                SELECT t.term, t.doc_id,
+                       CAST({_bm25_tscore_sql(" " * 27)}
+                       AS BIGINT) AS ts
+                FROM tfa t JOIN dfa f USING (term)
+                JOIN dl d USING (doc_id), sc s))
+        WHERE crank <= {retrieval.CHAMPION_C}),
+    cj AS (
+        SELECT q.query_id, c.doc_id, c.ts
+        FROM chs c JOIN qt q USING (term))
+    SELECT query_id, doc_id, n_terms, score_fp, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY score_fp DESC, doc_id) AS rank
+        FROM (
+            SELECT query_id, doc_id,
+                   CAST(count(*) AS BIGINT) AS n_terms,
+                   CAST(sum(ts) AS BIGINT) AS score_fp
+            FROM cj GROUP BY 1, 2))
+    WHERE rank <= 10
+    """,
+)
+def q_bm25_champion_topk_fixed(spark, sf_dir):
+    """Champion-list BM25 serving (retrieval.champion_lists /
+    bm25_champion_topk — "top docs", Manning IR §7.1.3): per term,
+    only the c = 32 highest-contribution postings survive
+    into serving, bounding per-query cost at c·|terms| rows
+    REGARDLESS of posting-list length — the impact-ordered serving
+    class next to the index's bucket pruning (which bounds which
+    FILES are read, not how many postings a stopword drags in). The
+    per-term contribution is query-independent exact-integer BM25
+    (one source: retrieval.term_score_fp_expr / _bm25_tscore_sql), so
+    the champion CUT and the pruned ranking both oracle-check
+    end-to-end; c >= n_docs degenerates to exact bm25_topk
+    (parity-pinned — the n_probe=K idiom). Serves from the at-rest
+    champion table next to the session BM25Index (bucket-pruned
+    scan, <= c rows per term); fixed 8-query set keeps the row
+    corpus-linear."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    qids = _fixed_qids(spark, sf_dir)
+    qterms = retrieval.query_terms_from_docs(docs, F.col("doc_id").isin(qids))
+    idx = _bm25_index(spark, sf_dir)
+    try:
+        return idx.query_champions(qterms, k=10)
+    except Exception as e:
+        # the bm25_served recovery contract: only a dead index PATH
+        # earns a rebuild; genuine query-path bugs propagate
+        if not _dead_index_path(e, idx.path):
+            raise
+        import sys
+
+        print(
+            f"champion serve: cached index path dead "
+            f"({type(e).__name__}: {e}); rebuilding",
+            file=sys.stderr,
+        )
+        _BM25_CACHE.pop(sf_dir, None)
+        return _bm25_index(spark, sf_dir).query_champions(qterms, k=10)
 
 
 @declare(

@@ -96,6 +96,27 @@ def bm25_topk(
     return _bm25_rank(tf, dfreq, dl, scalars, k)
 
 
+def term_score_fp_expr():
+    """The per-(term, doc) fixed-point BM25 contribution — references
+    columns tf, df, dl, n, tt in scope. Query-INDEPENDENT: the same
+    (term, doc) pair contributes the same integer to every query that
+    contains the term, which is exactly what makes champion lists
+    (``champion_lists``) precomputable at index time. One source for
+    the scoring tail and the champion builder (the _bm25_rank
+    lockstep rule extended)."""
+    return F.expr(
+        f"cast("
+        f"((cast(2 as decimal(38,0)) * n - 2 * df + 1)"
+        f" * (cast(22 as decimal(38,0)) * tt * tf)"
+        f" * cast({BM25_SCALE} as decimal(38,0)))"
+        f" div ((cast(2 as decimal(38,0)) * df + 1)"
+        f" * (cast(10 as decimal(38,0)) * tt * tf"
+        f"     + cast(3 as decimal(38,0)) * tt"
+        f"     + cast(9 as decimal(38,0)) * dl * n))"
+        f" as bigint)"
+    )
+
+
 def _bm25_rank(
     tf: DataFrame,
     dfreq: DataFrame,
@@ -109,17 +130,7 @@ def _bm25_rank(
     Used by both the two-pass form (``bm25_topk``) and the at-rest
     index serve path (``BM25Index.query``), so the two stay in exact
     lockstep by construction."""
-    score_fp = F.expr(
-        f"cast("
-        f"((cast(2 as decimal(38,0)) * n - 2 * df + 1)"
-        f" * (cast(22 as decimal(38,0)) * tt * tf)"
-        f" * cast({BM25_SCALE} as decimal(38,0)))"
-        f" div ((cast(2 as decimal(38,0)) * df + 1)"
-        f" * (cast(10 as decimal(38,0)) * tt * tf"
-        f"     + cast(3 as decimal(38,0)) * tt"
-        f"     + cast(9 as decimal(38,0)) * dl * n))"
-        f" as bigint)"
-    )
+    score_fp = term_score_fp_expr()
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .join(dl, "doc_id")
@@ -136,6 +147,112 @@ def _bm25_rank(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "n_terms", "score_fp", "rank")
     )
+
+
+CHAMPION_C = 32  # champion-list length per term (Manning IR §7.1.3)
+
+
+def champion_lists(
+    tf: DataFrame,
+    dfreq: DataFrame,
+    dl: DataFrame,
+    scalars: DataFrame,
+    c: int = CHAMPION_C,
+) -> DataFrame:
+    """Per-term champion lists ("top docs", Manning IR §7.1.3): the c
+    highest-contribution documents of every term's posting list under
+    the exact-integer per-term BM25 score (``term_score_fp_expr`` —
+    query-independent, so the lists are precomputable at index time).
+    Ties break by doc_id asc, making the cut deterministic.
+
+    ``tf`` is the CORPUS-wide (doc_id, term, tf) table (index
+    postings, no query column). The window partitions by term —
+    posting-list-sized, never corpus-global. Output: (term, doc_id,
+    term_score_fp), ≤ c rows per term.
+
+    Scale story: one postings pass at build time buys serving cost
+    bounded by c·|query terms| per query REGARDLESS of posting-list
+    length — a stopword in the query costs c rows instead of a
+    million-doc posting scan. The ranking over champions is the
+    standard approximation (a doc outside every matched term's list
+    can't surface); ``bm25_champion_topk`` at c ≥ n_docs is exactly
+    ``bm25_topk`` (parity-pinned), the n_probe=K idiom."""
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "term",
+            "doc_id",
+            term_score_fp_expr().alias("term_score_fp"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.desc("term_score_fp"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= c)
+        .select("term", "doc_id", "term_score_fp")
+    )
+
+
+def bm25_champion_topk(
+    champions: DataFrame, query_terms: DataFrame, k: int = 10
+) -> DataFrame:
+    """Top-k per query served from champion lists only: broadcast the
+    (query_id, term) table into the champion join, sum the
+    precomputed per-term contributions, rank. Same output contract as
+    ``bm25_topk`` — (query_id, doc_id, n_terms, score_fp, rank) —
+    with n_terms counting matched CHAMPION entries (the champion
+    model's candidate set; identical to the full form at c ≥ n_docs).
+    No dl/df/scalars joins at serve time: the contribution integers
+    already carry them."""
+    j = champions.join(
+        F.broadcast(query_terms.select("query_id", "term")), "term"
+    )
+    scored = j.groupBy("query_id", "doc_id").agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("term_score_fp").cast("long").alias("score_fp"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_fp"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "n_terms", "score_fp", "rank")
+    )
+
+
+def champion_lists_from_docs(
+    documents: DataFrame,
+    c: int = CHAMPION_C,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Champion lists straight from a corpus (the two-pass spec form,
+    for tests and index-less callers): derives corpus-wide tf/df/dl/
+    scalars exactly like ``bm25_topk`` does, then applies
+    ``champion_lists``."""
+    toks = ascii_tokens(text_col, lowercase=True)
+    dl = documents.select(
+        F.col(id_col).alias("doc_id"), F.size(toks).cast("long").alias("dl")
+    ).localCheckpoint(eager=False)
+    scalars = dl.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("tt"),
+    )
+    tf = (
+        documents.select(
+            F.col(id_col).alias("doc_id"), F.explode(toks).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    return champion_lists(tf, dfreq, dl, scalars, c)
 
 
 class BM25Index:
@@ -369,6 +486,76 @@ class BM25Index:
         dl = self.spark.read.parquet(f"{self.path}/dl")
         scalars = self.spark.read.parquet(f"{self.path}/scalars")
         return tf, dfreq, dl, scalars
+
+    # ---- champion lists (r13): impact-ordered serving ----
+
+    def build_champions(self, c: int = CHAMPION_C) -> str:
+        """Materialize per-term champion lists (``champion_lists``)
+        next to the index at ``champions_c{c}``, partitioned by the
+        SAME term buckets as postings — so ``query_champions`` prunes
+        to the query terms' buckets AND touches ≤ c rows per term.
+        One full postings pass, amortized across every subsequent
+        query batch (the build/serve split the index itself uses).
+        Idempotent overwrite; returns the table path. Built from the
+        CURRENT stats — deletes issued afterwards are honored at
+        serve time via the tombstone anti-join, but contributions
+        stay stale until a rebuild (the Lucene stats story)."""
+        post = self.spark.read.parquet(f"{self.path}/postings").select(
+            "term", "doc_id", "tf"
+        )
+        dfreq = self.spark.read.parquet(f"{self.path}/df").select("term", "df")
+        dl = self.spark.read.parquet(f"{self.path}/dl")
+        scalars = self.spark.read.parquet(f"{self.path}/scalars")
+        ch = champion_lists(post, dfreq, dl, scalars, c).withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).cast("int"),
+        )
+        out = f"{self.path}/champions_c{c}"
+        (
+            ch.repartition("term_bucket")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(out)
+        )
+        return out
+
+    def query_champions(
+        self, query_terms: DataFrame, k: int = 10, c: int = CHAMPION_C
+    ) -> DataFrame:
+        """``bm25_champion_topk`` served from the at-rest champion
+        table (built on demand): the scan prunes to the query terms'
+        buckets — and unlike ``query``, the pruned partitions hold
+        ≤ c rows per term, so a stopword-heavy batch reads c·|terms|
+        rows instead of its full posting lists. Tombstoned docs are
+        anti-joined out (the ``query`` delete contract)."""
+        import os
+
+        out = f"{self.path}/champions_c{c}"
+        if not os.path.isdir(out):
+            self.build_champions(c)
+        qt = query_terms.select("query_id", "term")
+        buckets = [
+            r.b
+            for r in qt.select(
+                F.pmod(F.xxhash64("term"), F.lit(self.n_buckets)).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        prune = (
+            F.col("term_bucket").isin(buckets)
+            if len(buckets) < self.n_buckets
+            else F.lit(True)
+        )
+        ch = (
+            self.spark.read.parquet(out)
+            .filter(prune)
+            .select("term", "doc_id", "term_score_fp")
+        )
+        tomb = self._tombstones()
+        if tomb is not None:
+            ch = ch.join(F.broadcast(tomb), "doc_id", "left_anti")
+        return bm25_champion_topk(ch, qt, k)
 
     # ---- deletes (r12): the third CRUD leg next to merge/tiering ----
 

@@ -311,6 +311,9 @@ PICKS = [
      "return-to-go: the trajectory chain's ONE user shuffle; the "
      "16-step reward window sub-partitions (user, episode) like "
      "every other window — no second exchange"),
+    ("bm25_champion_topk_fixed", "r13 impact-ordered serving: the "
+     "at-rest champion scan is bucket-pruned AND <=c rows per term; "
+     "no documents re-read at serve (query-side tokenize only)"),
 ]
 
 

@@ -210,6 +210,7 @@ def main() -> None:
         "excess_bits_domain_weights",
         "unigram_fertility_by_lang",
         "discounted_returns_events",
+        "bm25_champion_topk_fixed",
         "kmv_distinct_parts",
         "incremental_dedup_audit",
         "cms_token_heavy_hitters",

@@ -797,3 +797,83 @@ def test_kendall_tau_eval_known_values(spark):
     # one adjacent swap of 3: pairs = 3, concordant 2, discordant 1
     # → 1000*(2-1) div 3 = 333
     assert got[5] == (3, 2, 1, 333)
+
+
+def test_champion_topk_parity_at_full_c(spark):
+    """c >= n_docs keeps every posting a champion, so the champion
+    serve degenerates to EXACT bm25_topk — the n_probe=K idiom for
+    the impact-ordered serving class."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    qterms = retrieval.query_terms_from_docs(docs, F.col("doc_id") % 20 == 0)
+    exact = sorted(
+        map(tuple, retrieval.bm25_topk(docs, qterms, k=10).collect())
+    )
+    ch = retrieval.champion_lists_from_docs(docs, c=10**9)
+    pruned = sorted(
+        map(tuple, retrieval.bm25_champion_topk(ch, qterms, k=10).collect())
+    )
+    assert pruned == exact
+
+
+def test_champion_lists_cut_is_c_and_deterministic(spark):
+    """Every term keeps at most c champions; a term with df > c keeps
+    exactly c; and the cut is the (score desc, doc_id asc) total
+    order — verified against a direct per-term sort."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    c = 3
+    ch = retrieval.champion_lists_from_docs(docs, c=c)
+    full = retrieval.champion_lists_from_docs(docs, c=10**9)
+    sizes = {r.term: r.n for r in ch.groupBy("term").agg(
+        F.count("*").alias("n")).collect()}
+    dfs = {r.term: r.n for r in full.groupBy("term").agg(
+        F.count("*").alias("n")).collect()}
+    assert sizes and all(n <= c for n in sizes.values())
+    assert any(dfs[t] > c for t in sizes)  # the cut actually binds
+    got = {}
+    for r in ch.collect():
+        got.setdefault(r.term, []).append((-r.term_score_fp, r.doc_id))
+    want = {}
+    for r in full.collect():
+        want.setdefault(r.term, []).append((-r.term_score_fp, r.doc_id))
+    for t, rows in got.items():
+        assert sorted(rows) == sorted(want[t])[:c], t
+
+
+def test_index_champion_serve_parity_and_tombstones(spark, tmp_path):
+    """BM25Index.query_champions == the frame form on the same corpus;
+    the champion table is built once (idempotent path); a tombstoned
+    doc vanishes from champion results like it does from query()."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    qterms = retrieval.query_terms_from_docs(docs, F.col("doc_id") % 20 == 0)
+    idx = retrieval.BM25Index.build(docs, str(tmp_path / "bm25idx"))
+    served = sorted(
+        map(tuple, idx.query_champions(qterms, k=10).collect())
+    )
+    ch = retrieval.champion_lists_from_docs(docs, c=retrieval.CHAMPION_C)
+    frame = sorted(
+        map(tuple, retrieval.bm25_champion_topk(ch, qterms, k=10).collect())
+    )
+    assert served == frame
+    victim = served[0][1]
+    idx.delete([victim])
+    after = idx.query_champions(qterms, k=10).collect()
+    assert all(r.doc_id != victim for r in after)
+
+
+def test_index_champion_serve_prunes_partitions(spark, tmp_path):
+    """The champion scan carries the term_bucket partition filter and
+    never re-reads the documents table — bucket pruning on top of the
+    per-term c-row bound."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    idx = retrieval.BM25Index.build(docs, str(tmp_path / "bm25idx"))
+    one_term = spark.createDataFrame(
+        [(1, "the")], "query_id long, term string"
+    )
+    plan = (
+        idx.query_champions(one_term, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "term_bucket" in plan
+    assert "documents" not in plan
