@@ -217,6 +217,119 @@ def shard_stats(oplog: DataFrame) -> DataFrame:
     )
 
 
+SG_REPLICAS = 3  # lagged read replicas in the session-guarantee model
+SG_LAG = 100     # staleness per replica rank, in seq units
+SG_HOP = 250     # replica reassignment stride (clients hop replicas)
+
+
+def session_guarantee_audit(oplog: DataFrame) -> DataFrame:
+    """Client-session consistency audit (r13) — the Terry et al. 1994
+    session guarantees (read-your-writes, monotonic reads) checked
+    against a deterministic lagged-replica serving model. The
+    linearizability checker (operators/linearize.py) answers "is this
+    history correct at all?"; this answers the weaker-consistency
+    question a replicated serving tier actually faces: WHICH reads
+    broke WHICH session guarantee, and by how much.
+
+    Serving model (pure, engine-reproducible): a get at seq s from
+    client c is served by replica (c + s div SG_HOP) mod SG_REPLICAS,
+    whose view is the put-prefix at horizon = s − replica·SG_LAG.
+    Replica hops make horizons REGRESS between a client's successive
+    reads — the monotonic-read hazard; replica lag makes a client's
+    own fresh put invisible — the read-your-writes hazard. Only
+    put/get ops participate (version = put count; appends are the
+    fold family's concern).
+
+    Per get: version_seen = |key puts with seq ≤ horizon| (an as-of
+    lookup, computed by the union + last_value(IGNORE NULLS) idiom —
+    one per-key window, no join), own_last_put_seq = the client's
+    latest put strictly before the get, ryw_ok = own put within
+    horizon, mr_ok = version_seen non-decreasing per client.
+
+    Shape: one key shuffle for the visibility window, one client
+    shuffle for own-writes + monotonic — both windows domain-ordered,
+    no self-join, no all-pairs. Columns: (seq, client, key, replica,
+    horizon, version_seen, own_last_put_seq, ryw_ok, mr_ok)."""
+    ops = dedup_at_most_once(oplog).filter(F.col("op").isin("put", "get"))
+    w_own = (
+        Window.partitionBy("client")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ops = ops.withColumn(
+        "own_last_put_seq",
+        F.last(
+            F.when(F.col("op") == "put", F.col("seq")), ignorenulls=True
+        ).over(w_own),
+    )
+    replica = F.expr(
+        f"pmod(client + seq div {SG_HOP}, {SG_REPLICAS})"
+    ).cast("long")
+    horizon = (F.col("seq") - replica * SG_LAG).cast("long")
+    w_ver = Window.partitionBy("key").orderBy("seq")
+    puts = (
+        ops.filter(F.col("op") == "put")
+        .withColumn("pver", F.row_number().over(w_ver).cast("long"))
+        .select(
+            "key",
+            F.col("seq").alias("eff"),
+            F.lit(0).alias("is_get"),
+            F.col("seq").alias("osq"),
+            "pver",
+            F.lit(None).cast("long").alias("seq"),
+            F.lit(None).cast("long").alias("client"),
+            F.lit(None).cast("long").alias("replica"),
+            F.lit(None).cast("long").alias("horizon"),
+            F.lit(None).cast("long").alias("own_last_put_seq"),
+        )
+    )
+    gets = ops.filter(F.col("op") == "get").select(
+        "key",
+        horizon.alias("eff"),
+        F.lit(1).alias("is_get"),
+        F.col("seq").alias("osq"),
+        F.lit(None).cast("long").alias("pver"),
+        "seq",
+        "client",
+        replica.alias("replica"),
+        horizon.alias("horizon"),
+        "own_last_put_seq",
+    )
+    w_vis = (
+        Window.partitionBy("key")
+        .orderBy("eff", "is_get", "osq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vis = (
+        puts.unionByName(gets)
+        .withColumn(
+            "version_seen",
+            F.coalesce(
+                F.last("pver", ignorenulls=True).over(w_vis), F.lit(0)
+            ),
+        )
+        .filter(F.col("is_get") == 1)
+    )
+    w_mr = Window.partitionBy("client").orderBy("seq")
+    prev_ver = F.lag("version_seen").over(w_mr)
+    return vis.select(
+        "seq",
+        "client",
+        "key",
+        "replica",
+        "horizon",
+        "version_seen",
+        "own_last_put_seq",
+        (
+            F.col("own_last_put_seq").isNull()
+            | (F.col("own_last_put_seq") <= F.col("horizon"))
+        ).alias("ryw_ok"),
+        (prev_ver.isNull() | (F.col("version_seen") >= prev_ver)).alias(
+            "mr_ok"
+        ),
+    )
+
+
 NGROUPS = 3  # replica groups in the synthetic config schedule
 EPOCH_WIDTH = 1000  # log entries per config epoch
 

@@ -551,3 +551,80 @@ def q_kv_state_diff(spark, sf_dir):
         .drop("_s")
     )
     return kv.state_diff(kv.fold_state(snap), kv.fold_state(oplog))
+
+
+@declare(
+    "kv_session_guarantees",
+    _OPLOG
+    + f"""
+    , ops AS (
+        SELECT *,
+               last_value(CASE WHEN op = 'put' THEN seq END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY client ORDER BY seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS own_last
+        FROM oplog WHERE op IN ('put', 'get')
+    ),
+    pts AS (
+        SELECT key, seq AS eff, 0 AS is_get, seq AS osq,
+               CAST(row_number() OVER (
+                   PARTITION BY key ORDER BY seq) AS BIGINT) AS pver,
+               CAST(NULL AS BIGINT) AS gseq,
+               CAST(NULL AS BIGINT) AS gclient,
+               CAST(NULL AS BIGINT) AS replica,
+               CAST(NULL AS BIGINT) AS horizon,
+               CAST(NULL AS BIGINT) AS own_last_put_seq
+        FROM ops WHERE op = 'put'
+    ),
+    gts AS (
+        SELECT key,
+               seq - {kv.SG_LAG}
+                   * ((client + seq // {kv.SG_HOP}) % {kv.SG_REPLICAS})
+                 AS eff,
+               1 AS is_get, seq AS osq,
+               CAST(NULL AS BIGINT) AS pver,
+               seq AS gseq, client AS gclient,
+               CAST((client + seq // {kv.SG_HOP}) % {kv.SG_REPLICAS}
+                    AS BIGINT) AS replica,
+               CAST(seq - {kv.SG_LAG}
+                   * ((client + seq // {kv.SG_HOP}) % {kv.SG_REPLICAS})
+                    AS BIGINT) AS horizon,
+               own_last AS own_last_put_seq
+        FROM ops WHERE op = 'get'
+    ),
+    vis AS (
+        SELECT *,
+               coalesce(last_value(pver IGNORE NULLS) OVER (
+                   PARTITION BY key ORDER BY eff, is_get, osq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   0) AS version_seen
+        FROM (SELECT * FROM pts UNION ALL SELECT * FROM gts)
+    )
+    SELECT gseq AS seq, gclient AS client, key, replica, horizon,
+           CAST(version_seen AS BIGINT) AS version_seen,
+           own_last_put_seq,
+           (own_last_put_seq IS NULL
+            OR own_last_put_seq <= horizon) AS ryw_ok,
+           (lag(version_seen) OVER (
+                PARTITION BY gclient ORDER BY gseq) IS NULL
+            OR version_seen >= lag(version_seen) OVER (
+                PARTITION BY gclient ORDER BY gseq)) AS mr_ok
+    FROM vis WHERE is_get = 1
+    """,
+)
+def q_kv_session_guarantees(spark, sf_dir):
+    """Session-guarantee audit (r13, kv.session_guarantee_audit —
+    Terry et al. 1994): read-your-writes and monotonic-reads checked
+    per get against a deterministic lagged-replica serving model
+    (replica = (client + seq div 250) mod 3, horizon = seq − 100·
+    replica; hops regress horizons → MR hazard, lag hides own puts →
+    RYW hazard). version_seen is an as-of lookup computed by the
+    union + last_value(IGNORE NULLS) idiom — one key window + one
+    client window, no join, no all-pairs — so the full per-read
+    verdict table oracle-checks. The linearizability checker answers
+    strict correctness; this quantifies the weaker-consistency
+    violations a replicated read tier serves."""
+    return kv.session_guarantee_audit(
+        kv.synth_oplog(load_table(spark, sf_dir, "events"))
+    )

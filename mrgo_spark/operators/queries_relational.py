@@ -2333,3 +2333,140 @@ def q_t_closeness_customer(spark, sf_dir):
         "c_mktsegment",
         t_milli=300,
     )
+
+
+def _fs_weight_sql() -> str:
+    """The summed Fellegi-Sunter weight as a SQL expression over the
+    agree_* flag columns — interpolated from linkage.fs_weights() so
+    the integer milli-log2 constants have ONE source (the Bloom-tuple
+    literal rule)."""
+    from . import linkage
+
+    terms = [
+        f"CASE WHEN agree_{f} = 1 THEN {wa} ELSE {wd} END"
+        for f, (wa, wd) in linkage.fs_weights().items()
+    ]
+    return " + ".join(terms)
+
+
+def _record_linkage_sql() -> str:
+    from . import linkage
+
+    return f"""
+    WITH cb AS (
+        SELECT c_custkey AS ck, c_nationkey AS nk, c_mktsegment AS seg,
+               right(c_name, 1) AS nm1,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer),
+    rk AS MATERIALIZED (
+        SELECT *, row_number() OVER (
+            PARTITION BY nk ORDER BY bal_cents, ck) AS rn
+        FROM cb),
+    pr AS (
+        SELECT a.ck AS custkey_a, b.ck AS custkey_b,
+               a.nk AS c_nationkey,
+               CAST(a.seg = b.seg AS INT) AS agree_seg,
+               CAST(a.nm1 = b.nm1 AS INT) AS agree_nm1,
+               CAST(abs(a.bal_cents - b.bal_cents) <= 10000 AS INT)
+                   AS agree_bal,
+               CAST((a.bal_cents >= 0) = (b.bal_cents >= 0) AS INT)
+                   AS agree_sgn
+        FROM rk a JOIN rk b
+          ON a.nk = b.nk
+         AND b.rn - a.rn BETWEEN 1 AND {linkage.SNM_WINDOW}),
+    sc AS (
+        SELECT *, CAST({_fs_weight_sql()} AS BIGINT) AS weight_milli
+        FROM pr)
+    SELECT custkey_a, custkey_b, c_nationkey, agree_seg, agree_nm1,
+           agree_bal, agree_sgn, weight_milli,
+           CASE WHEN weight_milli >= {linkage.FS_MATCH_MILLI}
+                THEN 'match'
+                WHEN weight_milli >= {linkage.FS_POSSIBLE_MILLI}
+                THEN 'possible'
+                ELSE 'non_match' END AS verdict
+    FROM sc
+    """
+
+
+@declare("record_linkage_customer", _record_linkage_sql())
+def q_record_linkage_customer(spark, sf_dir):
+    """Probabilistic record linkage (r13, linkage.fs_link_customers):
+    sorted-neighborhood blocking (Hernandez-Stolfo 1995 — rank by
+    balance cents inside each nation, compare only rank-distance <= 5
+    pairs, candidate volume w*n LINEAR in the corpus) + Fellegi-
+    Sunter 1969 match weights (per-field agreement/disagreement
+    integer milli-log2(m/u) constants, Python-derived, one source
+    linkage.fs_weights) with the classic three-band verdict. The
+    whole agreement vector, summed weight, and verdict oracle-check.
+    Shape: one block shuffle for the rank window + one (block, rank)
+    equi-join built by a w-fold offset explode — never a range join
+    or cartesian."""
+    from . import linkage
+
+    cust = load_table(spark, sf_dir, "customer")
+    return linkage.fs_link_customers(cust)
+
+
+@declare(
+    "matview_maintenance_orders",
+    """
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+    ins AS (SELECT * FROM orders WHERE o_orderkey % 7 = 0),
+    kept AS (SELECT * FROM base WHERE o_orderkey % 5 <> 0),
+    eff AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+    SELECT o_orderpriority,
+           CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                AS BIGINT) AS ym,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_price_cents
+    FROM eff GROUP BY 1, 2
+    """,
+)
+def q_matview_maintenance_orders(spark, sf_dir):
+    """Incremental view maintenance (r13, matview.maintain_groupby):
+    a stored (priority, month) COUNT/SUM rollup over the base orders
+    snapshot (o_orderkey % 7 != 0) is maintained under a CDC batch —
+    inserts (% 7 == 0) and deletes (% 5 == 0 of the base) fold in as
+    signed contributions; groups whose count reaches zero drop. The
+    ORACLE is the full recompute over the effective corpus, so the
+    IVM equivalence (maintained == recomputed) is itself the driver-
+    checked contract. Shape: the base aggregate is computed once and
+    checkpointed (the stored-view stand-in); maintenance touches the
+    DELTA scan plus a domain-sized full-outer merge — base-size-
+    independent, which is the whole point at 100 TB. MIN/MAX are
+    deliberately absent (not self-maintainable under deletes)."""
+    from . import matview
+
+    orders = load_table(spark, sf_dir, "orders")
+    pricec = F.expr("cast(round(o_totalprice * 100) as bigint)")
+    ym = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast(
+        "long"
+    )
+    base = orders.filter(F.col("o_orderkey") % 7 != 0)
+    base_agg = (
+        base.groupBy(
+            "o_orderpriority", ym.alias("ym")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(pricec).cast("long").alias("sum_price_cents"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    proj = lambda df, sign: df.select(  # noqa: E731
+        "o_orderpriority",
+        ym.alias("ym"),
+        F.lit(sign).alias("sign"),
+        pricec.alias("sum_price_cents"),
+    )
+    delta = proj(
+        orders.filter(F.col("o_orderkey") % 7 == 0), 1
+    ).unionByName(proj(base.filter(F.col("o_orderkey") % 5 == 0), -1))
+    return matview.maintain_groupby(
+        base_agg,
+        delta,
+        ["o_orderpriority", "ym"],
+        "n_orders",
+        ["sum_price_cents"],
+    )

@@ -314,6 +314,16 @@ PICKS = [
     ("bm25_champion_topk_fixed", "r13 impact-ordered serving: the "
      "at-rest champion scan is bucket-pruned AND <=c rows per term; "
      "no documents re-read at serve (query-side tokenize only)"),
+    ("record_linkage_customer", "r13 entity resolution: sorted-"
+     "neighborhood rank window + offset-explode equi-join (linear "
+     "w*n candidates) — no range join, no cartesian"),
+    ("matview_maintenance_orders", "r13 incremental view "
+     "maintenance: base aggregate replays from ExistingRDD; only "
+     "the two CDC delta branches scan orders (pushed predicates); "
+     "merge is domain-sized"),
+    ("kv_session_guarantees", "r13 session-guarantee audit: the "
+     "as-of visibility lookup is the union + last_value window — "
+     "one key shuffle + one client shuffle, no self-join"),
 ]
 
 

@@ -211,6 +211,9 @@ def main() -> None:
         "unigram_fertility_by_lang",
         "discounted_returns_events",
         "bm25_champion_topk_fixed",
+        "record_linkage_customer",
+        "matview_maintenance_orders",
+        "kv_session_guarantees",
         "kmv_distinct_parts",
         "incremental_dedup_audit",
         "cms_token_heavy_hitters",

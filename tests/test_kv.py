@@ -511,3 +511,103 @@ def test_transfer_serving_partial_arrival(spark):
     g3 = out[(3, 3)]
     assert g3.n_unaffected_req == 1 == g3.n_unaffected_served
     assert g3.n_served == 1 and g3.avail_milli == 1000
+
+
+def test_session_guarantees_python_replay(spark):
+    """r13: the full per-get verdict table replayed in pure Python
+    over the sf0.001 synthetic oplog."""
+    from mrgo_spark.sources.tables import load_table
+
+    oplog = kv.synth_oplog(load_table(spark, "/root/testdata/sf0.001",
+                                      "events"))
+    got = {
+        r.seq: (
+            r.client, r.key, r.replica, r.horizon, r.version_seen,
+            r.own_last_put_seq, r.ryw_ok, r.mr_ok,
+        )
+        for r in kv.session_guarantee_audit(oplog).collect()
+    }
+    rows = sorted(
+        ((r.seq, r.client, r.reqid, r.op, r.key) for r in oplog.collect()),
+    )
+    seen, ops = set(), []
+    for seq, client, reqid, op, key in rows:
+        if (client, reqid) in seen:
+            continue
+        seen.add((client, reqid))
+        if op in ("put", "get"):
+            ops.append((seq, client, op, key))
+    puts_by_key, own, want, last_ver = {}, {}, {}, {}
+    for seq, client, op, key in ops:  # already seq-sorted
+        if op == "put":
+            puts_by_key.setdefault(key, []).append(seq)
+            own[client] = seq
+        else:
+            rep = (client + seq // kv.SG_HOP) % kv.SG_REPLICAS
+            hor = seq - rep * kv.SG_LAG
+            ver = sum(1 for p in puts_by_key.get(key, []) if p <= hor)
+            ol = None
+            for s2, c2, o2, _ in ops:
+                if s2 >= seq:
+                    break
+                if c2 == client and o2 == "put":
+                    ol = s2
+            ryw = ol is None or ol <= hor
+            mr = client not in last_ver or ver >= last_ver[client]
+            last_ver[client] = ver
+            want[seq] = (client, key, rep, hor, ver, ol, ryw, mr)
+    assert got == want and len(got) > 50
+    flat = list(got.values())
+    assert any(not v[6] for v in flat)   # RYW violations exist
+    assert any(v[6] for v in flat)
+
+
+def test_session_guarantees_hand_case(spark):
+    """Pinned hazard pair: a fresh own put hidden by replica lag
+    (RYW), and a replica hop regressing the horizon (MR)."""
+    rows = [
+        # client 7 on key "k": put, then get 50 seqs later served by
+        # replica (7 + 150//250) % 3 = 1 → horizon 150-100=50 < 100
+        (100, 7, 100, "put", "k", "v1"),
+        (150, 7, 150, "get", "k", None),
+        # second get at seq 260: replica (7 + 1) % 3 = 2 → horizon
+        # 260-200=60 — REGRESSED below the put again; version drops
+        # only if the first get saw it (it didn't here), so version
+        # stays 0 → mr_ok True but ryw still False
+        (260, 7, 260, "get", "k", None),
+        # a later put then a replica-0 get: lag 0 sees everything
+        (800, 2, 800, "put", "k", "v2"),
+        (849, 2, 849, "get", "k", None),  # (2+3)%3=2... seq 849
+    ]
+    df = _oplog_df(spark, rows)
+    got = {r.seq: r for r in kv.session_guarantee_audit(df).collect()}
+    g1 = got[150]
+    assert (g1.replica, g1.horizon, g1.version_seen) == (1, 50, 0)
+    assert g1.own_last_put_seq == 100 and not g1.ryw_ok and g1.mr_ok
+    g2 = got[260]
+    assert (g2.replica, g2.horizon, g2.version_seen) == (2, 60, 0)
+    assert not g2.ryw_ok and g2.mr_ok
+    g3 = got[849]
+    # replica (2 + 849//250) % 3 = (2+3)%3 = 2 → horizon 649 < 800:
+    # own put invisible again
+    assert (g3.replica, g3.horizon, g3.version_seen) == (2, 649, 1)
+    assert not g3.ryw_ok
+
+
+def test_session_guarantees_mr_violation_constructed(spark):
+    """A horizon regression across a put boundary: version_seen
+    drops between successive reads → mr_ok False on the second."""
+    rows = [
+        (10, 3, 10, "put", "k", "a"),
+        # get at 240: replica (3+0)%3=0 → horizon 240, sees the put
+        (240, 3, 240, "get", "k", None),
+        # get at 255: replica (3+1)%3=1 → horizon 155 — still >= 10,
+        # sees it; need regression PAST the put: put at 200
+        (200, 5, 200, "put", "k", "b"),
+        (245, 3, 245, "get", "k", None),  # replica 0, horizon 245: ver 2
+        (260, 3, 260, "get", "k", None),  # replica 1, horizon 160: ver 1
+    ]
+    df = _oplog_df(spark, rows)
+    got = {r.seq: r for r in kv.session_guarantee_audit(df).collect()}
+    assert got[245].version_seen == 2 and got[245].mr_ok
+    assert got[260].version_seen == 1 and not got[260].mr_ok
