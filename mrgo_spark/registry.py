@@ -85,9 +85,17 @@ PRIORITY = [
     # kv_fold_state + kv_compacted_fold (three fold-family rows was
     # one too many). kv_state_at_seq was driver-green r1-r12 and
     # stays declared + receipt-checked just past the window.
-    "kv_fold_state", "kv_compacted_fold", "kv_get_results",
+    # r13s2 swap: record_linkage_customer takes kv_compacted_fold's
+    # slot — probabilistic entity resolution (sorted-neighborhood
+    # blocking + Fellegi-Sunter weights, new in r13) is a class the
+    # window lacked entirely, while kv_compacted_fold's ORACLE is
+    # byte-identical to kv_fold_state's in-window row (the compaction
+    # equivalence is the Spark-side contract, and it stays pinned by
+    # tests/test_kv.py::test_compaction_equivalence_at_any_point +
+    # the declared entry just past the window).
+    "kv_fold_state", "kv_get_results",
     "kv_shard_stats", "kv_config_catchup_serving", "kv_epoch_serving",
-    "kv_rebalance_history",
+    "kv_rebalance_history", "record_linkage_customer",
     # dedup (X1, X2) — semantic_dedup took hypertable_rollup's slot
     # in r3 (an oracle row for embedding-cosine dedup is worth more
     # than a second time-window agg row; hypertable_rollup stays
@@ -253,8 +261,17 @@ PRIORITY = [
     # (sequence_packing, concat-and-cut with budget cuts) stays
     # in-window. sequence_chunks was driver-green r1-r8 and stays
     # declared + receipt-checked just past the window.
+    # r13s2 swap: matview_maintenance_orders takes mixture_sample's
+    # slot — incremental view maintenance (CDC delta fold == full
+    # recompute, new in r13) is a class the window lacked, while
+    # mixture_sample's mechanism (Hamilton quotas + md5 pick) is
+    # pinned in-window by dsir_resample_docs, which runs the same
+    # allocation + pick inside the selection loop. mixture_sample was
+    # driver-green r2-r13 and stays declared + receipt-checked just
+    # past the window.
     "corpus_quality_filter", "decontaminate_stats", "dataset_split",
-    "mixture_sample", "span_corruption_docs", "sequence_packing",
+    "matview_maintenance_orders", "span_corruption_docs",
+    "sequence_packing",
     "pii_scrub_audit", "corpus_shuffle_order", "corpus_prep",
     # RL-data assembly (r11 swap, see dedup section): the family's
     # first gate rep — Copeland pairwise win-loss system ranking

@@ -24,6 +24,11 @@ MUST_BE_GATED = [
     # kv_compacted_fold; the slot funds O24's catch-up class
     # (VERDICT_r12 #3)
     "kv_config_catchup_serving",    # O24 missed-config catch-up (r13)
+    # kv_compacted_fold demoted just past the window in r13s2 — its
+    # oracle is byte-identical to kv_fold_state's; the slot funds the
+    # entity-resolution class's first gate rep
+    "record_linkage_customer",      # SNM + Fellegi-Sunter linkage
+    #                                 (r13s2)
     "dedup_exact",                  # X1
     # dedup_fingerprint demoted just past the window in r11 — its
     # fingerprint edges are the input of dedup_pipeline_canonical's
@@ -83,7 +88,12 @@ MUST_BE_GATED = [
     "phrase_search_fixed",          # X4 exact phrase serving (r12)
     "decontaminate_stats",          # pipeline: eval-leak audit
     "dataset_split",                # pipeline: split
-    "mixture_sample",               # pipeline: sampling
+    # mixture_sample demoted just past the window in r13s2 — its
+    # Hamilton-quota + md5-pick mechanism is pinned in-window by
+    # dsir_resample_docs; the slot funds the IVM class's first gate
+    # rep
+    "matview_maintenance_orders",   # incremental view maintenance
+    #                                 (r13s2)
     "sequence_packing",             # pipeline: packing
     "corpus_prep",                  # pipeline flagship
     "multimodal_blob_stats",        # X5
