@@ -522,6 +522,21 @@ def main() -> None:
         "fleiss_kappa_panel",
         # PRF: two bm25 passes + a feedback-sized expansion vote
         "prf_bm25_fixed",
+        # r13: champion serve (order-semantic after bm25_topk_fixed —
+        # cold absorbs the one-time champion build; warm twin is the
+        # c-bounded bucket-pruned serve, the pair to compare against
+        # bm25_topk_fixed's full-postings serve), SNM+FS linkage
+        # (linear w*n pairs), IVM delta fold (delta scan +
+        # domain-sized merge), session-guarantee audit (two window
+        # shuffles), discounted returns (the trajectory chain), and
+        # the unigram fertility rollup (serves the session unigram
+        # cache like its BPE twin).
+        "bm25_champion_topk_fixed",
+        "record_linkage_customer",
+        "matview_maintenance_orders",
+        "kv_session_guarantees",
+        "discounted_returns_events",
+        "unigram_fertility_by_lang",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there
@@ -554,6 +569,9 @@ def main() -> None:
         "dcg_eval_fixed",
         "dsir_importance_scores",
         "rrf_hybrid_served",
+        # r13: cold absorbs the one-time champion-table build; the
+        # warm twin is the pure c-bounded serve
+        "bm25_champion_topk_fixed",
     }
     for name in EXTRA:
         timed(name, lambda n=name: queries[n](spark, SF_DIR))

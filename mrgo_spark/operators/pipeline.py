@@ -1940,3 +1940,51 @@ def trajectory_returns(
         .cast("long")
         .alias("return_to_go"),
     )
+
+
+WS_SCALE_BITS = 14  # fixed-point bits for the priority key h/w
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight,
+    m: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weight-proportional sample without replacement (r13) —
+    priority sampling in the Duffield-Lund-Thorup / bottom-k style:
+    every record gets key = h / w (h = 48-bit md5 of its id, w its
+    weight) and the sample is the m SMALLEST keys, so inclusion
+    probability rises with weight, the pick is deterministic given
+    ids, and two runs over overlapping corpora agree on the overlap
+    (the md5-stable-split property, now weighted). The float ratio is
+    replaced by the PORTABLE fixed point (h << WS_SCALE_BITS) div w —
+    exact int64 (48 + 14 = 62 bits), identical in both engines; the
+    classic u^(1/w) exponential-key form needs pow() (the ln()
+    lesson) and is not oracle-able.
+
+    Scale shape: map-only key computation + a distributed
+    TakeOrdered(m) — no global window over the corpus; the rank
+    column is assigned on the m-row result only. Weights clamp to
+    >= 1 (zero-weight records keep a tiny, well-defined chance
+    rather than dividing by zero — the token_balanced_shards floor
+    rule). Columns: (id, weight, key_fp, sample_rank)."""
+    base = df.select(
+        F.col(id_col),
+        F.greatest(weight.cast("long"), F.lit(1)).alias("weight"),
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 12),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("_h"),
+    ).withColumn(
+        "key_fp",
+        F.expr(f"(_h * {1 << WS_SCALE_BITS}) div weight"),
+    )
+    top = base.orderBy("key_fp", id_col).limit(m).drop("_h")
+    w_rank = Window.orderBy("key_fp", id_col)
+    return top.withColumn(
+        "sample_rank", F.row_number().over(w_rank).cast("long")
+    )

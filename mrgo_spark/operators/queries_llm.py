@@ -7361,3 +7361,42 @@ def q_frequent_span_audit(spark, sf_dir):
     the gram explode is the interpreted-map class."""
     docs = widen_scan(load_table(spark, sf_dir, "documents"))
     return textstats.frequent_span_audit(docs)
+
+
+@declare(
+    "weighted_sample_docs",
+    f"""
+    WITH b AS (
+        SELECT doc_id,
+               greatest(CAST(len(list_filter(string_split_regex(
+                   lower(text), '[^a-z]+'), x -> x <> '')) + 1
+                   AS BIGINT), 1) AS weight,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1,
+                                    12)) AS BIGINT) AS h
+        FROM documents),
+    k AS (
+        SELECT doc_id, weight,
+               (h * {1 << pipeline.WS_SCALE_BITS}) // weight AS key_fp
+        FROM b)
+    SELECT doc_id, weight, key_fp, sample_rank FROM (
+        SELECT doc_id, weight, key_fp,
+               CAST(row_number() OVER (ORDER BY key_fp, doc_id)
+                    AS BIGINT) AS sample_rank
+        FROM k)
+    WHERE sample_rank <= 500
+    """,
+)
+def q_weighted_sample_docs(spark, sf_dir):
+    """Weight-proportional corpus sample (r13,
+    pipeline.weighted_sample): token-count-weighted priority sample
+    of 500 docs — every doc keyed by the PORTABLE fixed point
+    (md5_48 << 14) div weight, sample = the m smallest keys, so
+    long documents are proportionally favored, the pick is
+    deterministic and overlap-stable (the md5 dataset_split property
+    extended to WEIGHTED selection), and the whole sample including
+    its rank order oracle-checks. The classic u^(1/w) exponential
+    key needs pow() and is not hash-portable. Map-only keys +
+    distributed TakeOrdered(500) — no corpus-global window."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    weight = F.size(ascii_tokens("text", lowercase=True)) + 1
+    return pipeline.weighted_sample(docs, weight, m=500)

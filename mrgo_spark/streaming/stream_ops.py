@@ -1481,3 +1481,107 @@ def streaming_reward_clip(
         ),
         id_col,
     )
+
+
+def maintain_matview_foreach_batch(
+    base_agg: DataFrame,
+    delta_stream: DataFrame,
+    keys,
+    count_col: str,
+    sum_cols,
+    workdir: str,
+):
+    """Streaming incremental view maintenance (r13) — the
+    matview.maintain_groupby fold driven by a CDC stream, with the
+    BM25-ingestion durability recipe applied to an AGGREGATE instead
+    of an index: the maintained view lives at rest as parquet
+    generations under ``workdir``; every batch reads the current
+    generation, folds the batch's signed delta (one delta-sized
+    shuffle + a domain-sized merge — the base TABLE is never
+    touched), writes the next generation, and atomically flips
+    ``workdir/LATEST`` (content: "<path> <batch_id>").
+
+    RESTART-SAFE and EXACTLY-ONCE: on construction an existing LATEST
+    wins over the caller's ``base_agg`` (the resume rule); a batch
+    redelivered after a crash between the flip and Spark's offset
+    commit is detected by batch_id equality with the marker —
+    re-applying a delta is NOT idempotent (unlike the BM25 doc-id
+    skip, which can probe at-rest ids), so the marker carries the
+    last applied batch_id and the replay is SKIPPED observably
+    (``holder["skipped"]``). Superseded generations are swept one
+    flip later (the deferred-GC window keeps in-flight readers and
+    the crash window safe).
+
+    Returns (writeStream builder, holder): ``holder["view"]()`` reads
+    the current generation; ``holder["_apply"]`` exposes the batch fn
+    for non-streaming drivers (the tier-sweep precedent)."""
+    import os
+    import shutil
+
+    from ..operators import matview
+
+    spark = base_agg.sparkSession
+    keys = list(keys)
+    sum_cols = list(sum_cols)
+    os.makedirs(workdir, exist_ok=True)
+    marker = os.path.join(workdir, "LATEST")
+    holder = {"skipped": [], "stats": {"batches": 0}, "_pending_gc": []}
+
+    def _read_marker():
+        with open(marker) as fh:
+            path, bid = fh.read().strip().rsplit(" ", 1)
+        return path, int(bid)
+
+    if os.path.exists(marker):
+        holder["_cur"], holder["_last_bid"] = _read_marker()
+    else:
+        init = os.path.join(workdir, "gen_base")
+        base_agg.write.mode("overwrite").parquet(init)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(f"{init} -1")
+        os.replace(tmp, marker)
+        holder["_cur"], holder["_last_bid"] = init, -1
+
+    def _view():
+        return spark.read.parquet(holder["_cur"])
+
+    holder["view"] = _view
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id == holder["_last_bid"]:
+            holder["skipped"].append(batch_id)
+            import sys
+
+            print(
+                f"maintain_matview: skipped batch {batch_id} — already"
+                f" applied (crash replay)",
+                file=sys.stderr,
+            )
+            return
+        if batch_df.isEmpty():
+            return
+        nxt = os.path.join(workdir, f"gen_{batch_id}")
+        prev = holder["_cur"]
+        updated = matview.maintain_groupby(
+            _view(), batch_df, keys, count_col, sum_cols
+        )
+        updated.write.mode("overwrite").parquet(nxt)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(f"{nxt} {batch_id}")
+        os.replace(tmp, marker)
+        holder["_cur"], holder["_last_bid"] = nxt, batch_id
+        holder["stats"]["batches"] += 1
+        # deferred GC: the generation superseded LAST flip is now
+        # unreachable through any crash path — sweep it; keep `prev`
+        # until the next flip
+        for p in holder["_pending_gc"]:
+            if os.path.realpath(p).startswith(
+                os.path.realpath(workdir) + os.sep
+            ):
+                shutil.rmtree(p, ignore_errors=True)
+        holder["_pending_gc"] = [prev]
+
+    holder["_apply"] = _process
+    return delta_stream.writeStream.foreachBatch(_process), holder

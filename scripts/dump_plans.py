@@ -324,6 +324,9 @@ PICKS = [
     ("kv_session_guarantees", "r13 session-guarantee audit: the "
      "as-of visibility lookup is the union + last_value window — "
      "one key shuffle + one client shuffle, no self-join"),
+    ("weighted_sample_docs", "r13 priority sample: map-only "
+     "fixed-point keys + distributed TakeOrdered(m) — no "
+     "corpus-global window; the rank window runs on m rows only"),
 ]
 
 

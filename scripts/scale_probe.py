@@ -214,6 +214,7 @@ def main() -> None:
         "record_linkage_customer",
         "matview_maintenance_orders",
         "kv_session_guarantees",
+        "weighted_sample_docs",
         "kmv_distinct_parts",
         "incremental_dedup_audit",
         "cms_token_heavy_hitters",

@@ -53,8 +53,9 @@ def test_merge_hand_cases(spark):
         "k string, n long, s long",
     )
     delta = spark.createDataFrame(
-        # delete both 'a' rows; insert a brand-new 'd'
-        [("a", -1, -60), ("a", -1, -40), ("d", 1, 7)],
+        # delete both 'a' rows; insert a brand-new 'd'. Deltas carry
+        # RAW measure values — sign applies to count AND measures.
+        [("a", -1, 60), ("a", -1, 40), ("d", 1, 7)],
         "k string, sign int, s long",
     )
     got = {

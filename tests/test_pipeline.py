@@ -1377,3 +1377,65 @@ def test_discounted_returns_horizon_one_is_scaled_reward(spark):
         df, F.lit(7), horizon=1
     ).collect()
     assert all(r.disc_return_fp == r.reward_fp == 7 for r in rows)
+
+
+def test_weighted_sample_python_replay(spark):
+    """r13 priority sample: exact sample + rank order replayed in
+    pure Python over sf0.001."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from mrgo_spark.functions.text import ascii_tokens
+    from mrgo_spark.operators import pipeline as pl
+    from mrgo_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    weight = F.size(ascii_tokens("text", lowercase=True)) + 1
+    got = [
+        (r.doc_id, r.weight, r.key_fp, r.sample_rank)
+        for r in pl.weighted_sample(docs, weight, m=50)
+        .orderBy("sample_rank")
+        .collect()
+    ]
+    import re
+
+    rows = []
+    for r in docs.collect():
+        toks = [t for t in re.split("[^a-z]+", r.text.lower()) if t]
+        w = max(len(toks) + 1, 1)
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:12], 16)
+        rows.append(((h << pl.WS_SCALE_BITS) // w, r.doc_id, w))
+    rows.sort()
+    want = [
+        (doc_id, w, key, i + 1)
+        for i, (key, doc_id, w) in enumerate(rows[:50])
+    ]
+    assert got == want
+
+
+def test_weighted_sample_weight_monotone(spark):
+    """Raising one record's weight can only improve (lower) its key —
+    the inclusion-monotonicity contract."""
+    from pyspark.sql import functions as F
+
+    from mrgo_spark.operators import pipeline as pl
+
+    df = spark.createDataFrame(
+        [(i, (i % 7) + 1) for i in range(200)], "doc_id long, w long"
+    )
+    k1 = {
+        r.doc_id: r.key_fp
+        for r in pl.weighted_sample(df, F.col("w"), m=200).collect()
+    }
+    k2 = {
+        r.doc_id: r.key_fp
+        for r in pl.weighted_sample(df, F.col("w") * 2, m=200).collect()
+    }
+    assert all(k2[d] <= k1[d] for d in k1)
+    # and with uniform weights the sample is plain bottom-k by hash
+    ku = pl.weighted_sample(df, F.lit(1), m=10).collect()
+    kh = pl.weighted_sample(df, F.lit(5), m=10).collect()
+    assert [r.doc_id for r in ku] == [r.doc_id for r in kh]

@@ -1512,3 +1512,75 @@ def test_streaming_min_k_matches_batch_self_model(spark, tmp_path):
     # state = one doc-length-bounded row per streamed doc with >= 1
     # bigram, exactly
     assert stream_ops.state_rows_total(q) == len(want)
+
+
+def test_maintain_matview_foreach_batch_restart_and_replay(
+    spark, tmp_path
+):
+    """r13 streaming IVM: CDC batches folded into an at-rest
+    aggregate == batch recompute; restart resumes from LATEST, a
+    redelivered batch is skipped observably (delta application is
+    NOT idempotent — the marker, not at-rest probing, is the guard);
+    superseded generations are swept one flip later."""
+    base = spark.createDataFrame(
+        [("a", 2, 100), ("b", 1, 50)], "k string, n long, s long"
+    )
+    batches = [
+        # deltas carry RAW measure values; the sign column applies to
+        # both the count and the measures (matview.delta_contributions)
+        [("a", 1, 30), ("c", 1, 5)],          # insert a, new group c
+        [("b", -1, 50), ("c", 1, 7)],         # delete b entirely
+        [("a", -1, 100), ("d", 1, 9)],        # delete one a, new d
+    ]
+    d = tmp_path / "cdc"
+    d.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "k string, sign int, s long")
+        t = tmp_path / f"_t{i}"
+        df.coalesce(1).write.parquet(str(t))
+        os.rename(next(t.glob("part-*.parquet")), d / f"b{i:02d}.parquet")
+
+    dstream = (
+        spark.readStream.schema("k string, sign int, s long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    builder, holder = stream_ops.maintain_matview_foreach_batch(
+        base, dstream, ["k"], "n", ["s"], str(tmp_path / "mv")
+    )
+    q = (
+        builder.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_mv"))
+        .start()
+    )
+    q.awaitTermination(180)
+    assert holder["stats"]["batches"] == 3
+    got = {r.k: (r.n, r.s) for r in holder["view"]().collect()}
+    # batch recompute: a: 2+1-1=2 n / 100+30-100=30 s; b gone;
+    # c: 2/12; d: 1/9
+    assert got == {"a": (2, 30), "c": (2, 12), "d": (1, 9)}
+
+    # restart: a fresh holder with the SAME workdir resumes from
+    # LATEST, ignoring the stale base_agg
+    _, holder2 = stream_ops.maintain_matview_foreach_batch(
+        base, dstream, ["k"], "n", ["s"], str(tmp_path / "mv")
+    )
+    got2 = {r.k: (r.n, r.s) for r in holder2["view"]().collect()}
+    assert got2 == got
+
+    # crash-replay of the last batch: marker batch_id equality skips
+    last = spark.createDataFrame(batches[-1], "k string, sign int, s long")
+    holder2["_apply"](last, holder2["_last_bid"])
+    assert holder2["skipped"] == [holder2["_last_bid"]]
+    assert {
+        r.k: (r.n, r.s) for r in holder2["view"]().collect()
+    } == got
+
+    # GC: at most the live generation + the one-flip-later pending
+    # dir + gen_base remain
+    gens = [
+        e
+        for e in os.listdir(str(tmp_path / "mv"))
+        if e.startswith("gen_")
+    ]
+    assert len(gens) <= 3
