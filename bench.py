@@ -537,6 +537,9 @@ def main() -> None:
         "kv_session_guarantees",
         "discounted_returns_events",
         "unigram_fertility_by_lang",
+        "weighted_sample_docs",
+        "brier_calibration_bins",
+        "kv_consistent_ring_stats",
     ]
     # The heaviest extras are the ones box drift inflated 5-15x in
     # the round-3 driver run (q21/q8/symdelete showed 10-20 s there

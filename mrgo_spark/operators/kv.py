@@ -217,6 +217,67 @@ def shard_stats(oplog: DataFrame) -> DataFrame:
     )
 
 
+CH_SERVERS = 5  # consistent-hash ring: servers in the base config
+CH_VNODES = 8   # virtual nodes per server (variance damping)
+
+
+def ring_points(n_servers: int = CH_SERVERS) -> list[tuple[int, int]]:
+    """The consistent-hash ring (Karger et al. 1997): CH_VNODES
+    md5-derived 48-bit positions per server, sorted. Python-computed
+    ONCE and interpolated as literal arrays into both engines (the
+    Bloom-tuple rule) — the ring is config-sized, never data-sized,
+    so it rides in the plan like a PQ LUT."""
+    import hashlib
+
+    pts = []
+    for s in range(n_servers):
+        for v in range(CH_VNODES):
+            h = int(
+                hashlib.md5(f"mrgo-ring-{s}-{v}".encode()).hexdigest()[:12],
+                16,
+            )
+            pts.append((h, s))
+    pts.sort()
+    return pts
+
+
+def consistent_ring_stats(
+    oplog: DataFrame, n_servers: int = CH_SERVERS
+) -> DataFrame:
+    """Consistent-hashing key placement (r13) — the ring-based
+    alternative to the reference's fixed first-byte-mod-10 routing
+    (key2shard): key → first ring point clockwise (md5_48 of the key
+    vs the sorted virtual-node positions, wrapping to the minimum).
+    The lookup is a MAP-ONLY array expression over the literal ring
+    (size(filter(pos_arr, p >= key_pos)) indexes the successor), so
+    placement costs zero shuffles at any corpus size; the one shuffle
+    here is the per-key op count.
+
+    The property that makes the ring worth its complexity — adding a
+    server moves ONLY the keys it claims (every reassigned key lands
+    on the new server; rebalance() needs a coordinator to say the
+    same) — is pinned in tests, not here. Columns: (key, key_pos,
+    owner, n_ops)."""
+    pts = ring_points(n_servers)
+    pos_arr = "array(" + ",".join(f"{p}L" for p, _ in pts) + ")"
+    srv_arr = "array(" + ",".join(str(s) for _, s in pts) + ")"
+    n = len(pts)
+    key_pos = F.conv(F.substring(F.md5("key"), 1, 12), 16, 10).cast("long")
+    per_key = oplog.groupBy("key").agg(
+        F.count("*").cast("long").alias("n_ops")
+    ).withColumn("key_pos", key_pos)
+    owner = F.expr(
+        f"element_at({srv_arr}, cast("
+        f"  case when size(filter({pos_arr}, p -> p >= key_pos)) = 0"
+        f"       then 1"
+        f"       else {n} - size(filter({pos_arr}, p -> p >= key_pos)) + 1"
+        f"  end as int))"
+    ).cast("long")
+    return per_key.select(
+        "key", "key_pos", owner.alias("owner"), "n_ops"
+    )
+
+
 SG_REPLICAS = 3  # lagged read replicas in the session-guarantee model
 SG_LAG = 100     # staleness per replica rank, in seq units
 SG_HOP = 250     # replica reassignment stride (clients hop replicas)

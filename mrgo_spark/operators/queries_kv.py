@@ -628,3 +628,45 @@ def q_kv_session_guarantees(spark, sf_dir):
     return kv.session_guarantee_audit(
         kv.synth_oplog(load_table(spark, sf_dir, "events"))
     )
+
+
+def _ring_sql(n_servers: int) -> str:
+    pts = kv.ring_points(n_servers)
+    pos = "[" + ", ".join(str(p) for p, _ in pts) + "]"
+    srv = "[" + ", ".join(str(s) for _, s in pts) + "]"
+    n = len(pts)
+    return f"""
+    pk AS (
+        SELECT key, CAST(count(*) AS BIGINT) AS n_ops,
+               CAST(('0x' || substr(md5(key), 1, 12)) AS BIGINT)
+                   AS key_pos
+        FROM oplog GROUP BY key)
+    SELECT key, key_pos,
+           CAST(({srv})[
+               CASE WHEN len(list_filter({pos}, p -> p >= key_pos)) = 0
+                    THEN 1
+                    ELSE {n} - len(list_filter({pos},
+                                   p -> p >= key_pos)) + 1
+               END] AS BIGINT) AS owner,
+           n_ops
+    FROM pk
+    """
+
+
+@declare("kv_consistent_ring_stats", _OPLOG + "," + _ring_sql(kv.CH_SERVERS))
+def q_kv_consistent_ring_stats(spark, sf_dir):
+    """Consistent-hashing placement (r13, kv.consistent_ring_stats —
+    Karger et al. 1997): each key owned by the first virtual node
+    clockwise on an md5 ring (5 servers x 8 vnodes, ring positions
+    Python-derived constants in BOTH engines — the Bloom-tuple rule).
+    The successor lookup is a map-only array expression over the
+    literal ring, so placement adds ZERO shuffles at any scale; the
+    contrast with key2shard's fixed mod-10 routing is that
+    reconfiguration moves only the new server's arc (pinned in
+    tests/test_kv.py). Placement routes the at-most-once DEDUPED
+    log (the _OPLOG convention every kv entry shares)."""
+    return kv.consistent_ring_stats(
+        kv.dedup_at_most_once(
+            kv.synth_oplog(load_table(spark, sf_dir, "events"))
+        )
+    )

@@ -7400,3 +7400,50 @@ def q_weighted_sample_docs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     weight = F.size(ascii_tokens("text", lowercase=True)) + 1
     return pipeline.weighted_sample(docs, weight, m=500)
+
+
+@declare(
+    "brier_calibration_bins",
+    f"""
+    WITH {_clf_sql_fragments()},
+    {_QKEEP_SQL},
+    b AS (
+        SELECT (greatest(least(sc.score, 2047), -2048) + 2048) // 256
+                   AS bin_id,
+               ((greatest(least(sc.score, 2047), -2048) + 2048) * 1000)
+                   // 4096 AS p,
+               CASE WHEN k.keep THEN 1 ELSE 0 END AS y
+        FROM sc JOIN k USING (doc_id)
+    ),
+    a AS (
+        SELECT CAST(bin_id AS BIGINT) AS bin_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(p) AS BIGINT) AS sum_p_milli,
+               CAST(sum(y) AS BIGINT) AS n_keep,
+               CAST(sum((p - 1000 * y)::HUGEINT * (p - 1000 * y))
+                    AS BIGINT) AS brier_micro_sum
+        FROM b GROUP BY 1
+    )
+    SELECT bin_id, n_docs, sum_p_milli, n_keep, brier_micro_sum,
+           CAST((sum_p_milli - 1000 * n_keep) // n_docs AS BIGINT)
+               AS gap_milli,
+           CAST(((sum_p_milli - 1000 * n_keep)::HUGEINT
+                 * (sum_p_milli - 1000 * n_keep)) // n_docs
+                AS BIGINT) AS rel_micro
+    FROM a
+    """,
+)
+def q_brier_calibration_bins(spark, sf_dir):
+    """Brier-score calibration (r13, textstats.brier_calibration_bins
+    — Murphy 1973 decomposition): the learned classifier squashed to
+    milli-probabilities by an exact affine map, scored against the
+    heuristic keep label with the proper scoring rule — per score
+    bin the exact Σ(p−y)²·10⁶, the mean calibration gap, and the
+    reliability term n·(p̄−ȳ)²·10⁶, squares in decimal(38,0)/HUGEINT
+    (the r6 rule), negative-gap truncation matched (the kappa
+    precedent). Completes the calibration pair: keep-rate bins say
+    WHERE the judges disagree, Brier says how badly the
+    probabilities are off. Map-only + one ≤16-row shuffle;
+    widen_scan for the interpreted classifier fold."""
+    docs = widen_scan(load_table(spark, sf_dir, "documents"))
+    return textstats.brier_calibration_bins(docs)

@@ -1766,6 +1766,70 @@ def classifier_calibration_bins(
     )
 
 
+def brier_calibration_bins(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Proper-scoring-rule calibration (r13): the Brier score and the
+    Murphy-decomposition reliability term of the learned classifier
+    against the heuristic keep label, all in exact integers — the
+    calibration leg classifier_calibration_bins' keep-rate dashboard
+    lacks (keep rate says WHERE the judges disagree; Brier says how
+    badly the PROBABILITIES are miscalibrated).
+
+    The raw linear score is squashed to a milli-probability by the
+    affine map p = ((clamp(s, −2048, 2047) + 2048)·1000) div 4096 —
+    monotone, exact, and engine-portable where a sigmoid needs exp()
+    (the ln() lesson). Per score bin (the sibling op's 16 bins):
+
+        brier_micro_sum = Σ (p − 1000·y)²      (Σ Brier·10⁶)
+        gap_milli       = (Σp − 1000·Σy) div n (mean calibration gap)
+        rel_micro       = (Σp − 1000·Σy)² div n = n·(p̄ − ȳ)²·10⁶
+                          (the bin's reliability term)
+
+    Squares go through decimal(38,0) (the r6 overflow rule — the
+    rel numerator passes 2^63 near n ≈ 10^7·bins); gap's truncating
+    division on negative gaps matches DuckDB's // (the kappa
+    precedent). Resolution/uncertainty derive from the same sums at
+    read time. Map-only scoring + one ≤16-row partial agg."""
+    score = classifier_score_col(text_col)
+    clamped = F.greatest(F.least(score, F.lit(2047)), F.lit(-2048)).cast(
+        "long"
+    )
+    d = documents.select(
+        clamped.alias("_s"),
+        quality_keep(text_col).cast("int").alias("_y"),
+    ).select(
+        F.expr("cast((_s + 2048) div 256 as bigint)").alias("bin_id"),
+        F.expr("cast(((_s + 2048) * 1000) div 4096 as bigint)").alias(
+            "p"
+        ),
+        F.col("_y").cast("long").alias("y"),
+    )
+    a = d.groupBy("bin_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("p").cast("long").alias("sum_p_milli"),
+        F.sum("y").cast("long").alias("n_keep"),
+        F.expr(
+            "cast(sum(cast(p - 1000 * y as decimal(38,0))"
+            " * (p - 1000 * y)) as bigint)"
+        ).alias("brier_micro_sum"),
+    )
+    return a.select(
+        "bin_id",
+        "n_docs",
+        "sum_p_milli",
+        "n_keep",
+        "brier_micro_sum",
+        F.expr(
+            "cast((sum_p_milli - 1000 * n_keep) div n_docs as bigint)"
+        ).alias("gap_milli"),
+        F.expr(
+            "cast((cast(sum_p_milli - 1000 * n_keep as decimal(38,0))"
+            " * (sum_p_milli - 1000 * n_keep)) div n_docs as bigint)"
+        ).alias("rel_micro"),
+    )
+
+
 def bpe_fertility_by_lang(
     documents: DataFrame,
     words: DataFrame,

@@ -1585,3 +1585,33 @@ def maintain_matview_foreach_batch(
 
     holder["_apply"] = _process
     return delta_stream.writeStream.foreachBatch(_process), holder
+
+
+def streaming_ring_router(oplog_stream: DataFrame) -> DataFrame:
+    """Consistent-hash routing on a live op stream (r13): the
+    kv.consistent_ring_stats placement applied per op — a STATELESS
+    map (the ring rides as a literal array; no state store at any
+    stream length, the streaming_phrase_matches class). Emits
+    (seq, key, key_pos, owner); the batch per-key count entry is the
+    at-rest twin."""
+    from pyspark.sql import functions as F
+
+    from ..operators import kv
+
+    pts = kv.ring_points()
+    pos_arr = "array(" + ",".join(f"{p}L" for p, _ in pts) + ")"
+    srv_arr = "array(" + ",".join(str(s) for _, s in pts) + ")"
+    n = len(pts)
+    key_pos = F.conv(F.substring(F.md5("key"), 1, 12), 16, 10).cast(
+        "long"
+    )
+    owner = F.expr(
+        f"element_at({srv_arr}, cast("
+        f"  case when size(filter({pos_arr}, p -> p >= key_pos)) = 0"
+        f"       then 1"
+        f"       else {n} - size(filter({pos_arr}, p -> p >= key_pos)) + 1"
+        f"  end as int))"
+    ).cast("long")
+    return oplog_stream.select("seq", "key").withColumn(
+        "key_pos", key_pos
+    ).withColumn("owner", owner)

@@ -327,6 +327,12 @@ PICKS = [
     ("weighted_sample_docs", "r13 priority sample: map-only "
      "fixed-point keys + distributed TakeOrdered(m) — no "
      "corpus-global window; the rank window runs on m rows only"),
+    ("brier_calibration_bins", "r13 proper-scoring-rule calibration: "
+     "map-only score+label folds, one <=16-row partial agg; squares "
+     "in decimal(38,0)"),
+    ("kv_consistent_ring_stats", "r13 consistent hashing: the "
+     "successor lookup is a map-only array expression over the "
+     "literal ring — zero placement shuffles; one key-count agg"),
 ]
 
 

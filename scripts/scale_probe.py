@@ -215,6 +215,8 @@ def main() -> None:
         "matview_maintenance_orders",
         "kv_session_guarantees",
         "weighted_sample_docs",
+        "brier_calibration_bins",
+        "kv_consistent_ring_stats",
         "kmv_distinct_parts",
         "incremental_dedup_audit",
         "cms_token_heavy_hitters",

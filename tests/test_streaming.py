@@ -1584,3 +1584,41 @@ def test_maintain_matview_foreach_batch_restart_and_replay(
         if e.startswith("gen_")
     ]
     assert len(gens) <= 3
+
+
+def test_streaming_ring_router_matches_batch_and_is_stateless(
+    spark, tmp_path
+):
+    """r13 ring routing: per-op owner on the stream matches the
+    batch placement per key; append mode with zero state rows."""
+    from mrgo_spark.operators import kv
+    from mrgo_spark.sources.tables import load_table
+
+    oplog = kv.dedup_at_most_once(
+        kv.synth_oplog(load_table(spark, SF, "events"))
+    ).select("seq", "key")
+    want_owner = {
+        r.key: r.owner
+        for r in kv.consistent_ring_stats(
+            oplog.withColumn("op", F.lit("put"))
+        ).collect()
+    }
+    d = tmp_path / "ring_stream"
+    oplog.limit(300).coalesce(2).write.parquet(str(d))
+    stream = spark.readStream.schema("seq long, key string").parquet(
+        str(d)
+    )
+    out = stream_ops.streaming_ring_router(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ring_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # stateless, pinned: no state operator at all (None) — not even
+    # an empty state store
+    assert stream_ops.state_rows_total(q) in (None, 0)
+    rows = spark.sql("SELECT * FROM ring_out").collect()
+    assert rows and all(want_owner[r.key] == r.owner for r in rows)

@@ -418,3 +418,54 @@ def test_min_k_prob_audit_differential_and_membership_signal(spark):
         assert (r.n_grams, r.m_tail, r.min_k_bits) == (n, m, mk), d
         assert r.mink_centibits == (-mk * 100) // m
     assert out[0].mink_centibits < out[100].mink_centibits
+
+
+def test_brier_calibration_python_replay(spark):
+    """r13 Brier bins: exact Σ(p−y)², gap, and reliability replayed
+    in pure Python from the per-doc score + keep columns; bins and
+    counts reconcile with classifier_calibration_bins."""
+    from pyspark.sql import functions as F
+
+    from mrgo_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    per_doc = docs.select(
+        textstats.classifier_score_col("text").alias("s"),
+        textstats.quality_keep("text").cast("int").alias("y"),
+    ).collect()
+    bins = {}
+    for r in per_doc:
+        c = max(min(r.s, 2047), -2048)
+        b = (c + 2048) // 256
+        p = ((c + 2048) * 1000) // 4096
+        t = bins.setdefault(b, [0, 0, 0, 0])
+        t[0] += 1
+        t[1] += p
+        t[2] += r.y
+        t[3] += (p - 1000 * r.y) ** 2
+    def tdiv(a, b):  # truncating div, the engine semantics
+        q = abs(a) // b
+        return q if a >= 0 else -q
+    want = {
+        b: (
+            n, sp, ny, br,
+            tdiv(sp - 1000 * ny, n),
+            ((sp - 1000 * ny) ** 2) // n,
+        )
+        for b, (n, sp, ny, br) in bins.items()
+    }
+    got = {
+        r.bin_id: (
+            r.n_docs, r.sum_p_milli, r.n_keep, r.brier_micro_sum,
+            r.gap_milli, r.rel_micro,
+        )
+        for r in textstats.brier_calibration_bins(docs).collect()
+    }
+    assert got == want
+    # composition pin: bin populations agree with the keep-rate bins
+    kr = {r.bin_id: (r.n_docs, r.n_keep) for r in
+          textstats.classifier_calibration_bins(docs).collect()}
+    assert {b: (v[0], v[2]) for b, v in got.items()} == kr
+    # reliability is nonnegative and bounded by the bin's Brier sum
+    for v in got.values():
+        assert 0 <= v[5] <= v[3]
