@@ -317,12 +317,17 @@ def session_guarantee_audit(oplog: DataFrame) -> DataFrame:
         .orderBy("seq")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # the ops frame (dedup window + own-writes window) feeds BOTH the
+    # puts and gets branches of the visibility union — without a
+    # checkpoint each branch re-runs the oplog dedup + client window
+    # (the no-exchange-reuse class; the r13 plan record showed the
+    # scan + two windows doubled). One oplog pass at any scale.
     ops = ops.withColumn(
         "own_last_put_seq",
         F.last(
             F.when(F.col("op") == "put", F.col("seq")), ignorenulls=True
         ).over(w_own),
-    )
+    ).localCheckpoint(eager=False)
     replica = F.expr(
         f"pmod(client + seq div {SG_HOP}, {SG_REPLICAS})"
     ).cast("long")

@@ -649,3 +649,22 @@ def test_consistent_ring_python_replay_and_movement(spark):
     # across most servers (sf0.001 carries a SUBSET of the 50 keys,
     # so demanding all 5 would pin fixture coverage, not the ring)
     assert len({o for _kp, o, _n in got5.values()}) >= 3
+
+
+def test_session_guarantees_single_oplog_pass(spark):
+    """The deduped + own-writes ops frame is checkpointed once — the
+    puts/gets visibility branches replay from ExistingRDD instead of
+    re-running the oplog windows per branch."""
+    from mrgo_spark.sources.tables import load_table
+
+    oplog = kv.synth_oplog(
+        load_table(spark, "/root/testdata/sf0.001", "events")
+    )
+    plan = (
+        kv.session_guarantee_audit(oplog)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("ExistingRDD") >= 2  # both branches, one frame
+    assert "events.parquet" not in plan

@@ -135,3 +135,18 @@ def test_snm_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snm_single_source_pass(spark):
+    """The ranked frame is checkpointed once — both join sides replay
+    from ExistingRDD; the source is scanned exactly once (for the
+    checkpoint), not once per side."""
+    cust = load_table(spark, SF, "customer")
+    plan = (
+        linkage.fs_link_customers(cust)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ExistingRDD" in plan
+    assert "customer.parquet" not in plan
