@@ -241,6 +241,28 @@ def ring_points(n_servers: int = CH_SERVERS) -> list[tuple[int, int]]:
     return pts
 
 
+def ring_owner_exprs(n_servers: int = CH_SERVERS):
+    """(key_pos, owner) Column pair for the consistent-hash ring —
+    THE one source of the md5 key position and the literal-array
+    successor lookup (r13 review: the streaming router had a verbatim
+    copy; a vnode/hash change edited in one place would desync the
+    twins). ``owner`` references the ``key_pos`` column, so callers
+    must materialize key_pos first."""
+    pts = ring_points(n_servers)
+    pos_arr = "array(" + ",".join(f"{p}L" for p, _ in pts) + ")"
+    srv_arr = "array(" + ",".join(str(s) for _, s in pts) + ")"
+    n = len(pts)
+    key_pos = F.conv(F.substring(F.md5("key"), 1, 12), 16, 10).cast("long")
+    owner = F.expr(
+        f"element_at({srv_arr}, cast("
+        f"  case when size(filter({pos_arr}, p -> p >= key_pos)) = 0"
+        f"       then 1"
+        f"       else {n} - size(filter({pos_arr}, p -> p >= key_pos)) + 1"
+        f"  end as int))"
+    ).cast("long")
+    return key_pos, owner
+
+
 def consistent_ring_stats(
     oplog: DataFrame, n_servers: int = CH_SERVERS
 ) -> DataFrame:
@@ -258,21 +280,10 @@ def consistent_ring_stats(
     on the new server; rebalance() needs a coordinator to say the
     same) — is pinned in tests, not here. Columns: (key, key_pos,
     owner, n_ops)."""
-    pts = ring_points(n_servers)
-    pos_arr = "array(" + ",".join(f"{p}L" for p, _ in pts) + ")"
-    srv_arr = "array(" + ",".join(str(s) for _, s in pts) + ")"
-    n = len(pts)
-    key_pos = F.conv(F.substring(F.md5("key"), 1, 12), 16, 10).cast("long")
+    key_pos, owner = ring_owner_exprs(n_servers)
     per_key = oplog.groupBy("key").agg(
         F.count("*").cast("long").alias("n_ops")
     ).withColumn("key_pos", key_pos)
-    owner = F.expr(
-        f"element_at({srv_arr}, cast("
-        f"  case when size(filter({pos_arr}, p -> p >= key_pos)) = 0"
-        f"       then 1"
-        f"       else {n} - size(filter({pos_arr}, p -> p >= key_pos)) + 1"
-        f"  end as int))"
-    ).cast("long")
     return per_key.select(
         "key", "key_pos", owner.alias("owner"), "n_ops"
     )
@@ -304,8 +315,14 @@ def session_guarantee_audit(oplog: DataFrame) -> DataFrame:
     Per get: version_seen = |key puts with seq ≤ horizon| (an as-of
     lookup, computed by the union + last_value(IGNORE NULLS) idiom —
     one per-key window, no join), own_last_put_seq = the client's
-    latest put strictly before the get, ryw_ok = own put within
-    horizon, mr_ok = version_seen non-decreasing per client.
+    latest put TO THE SAME KEY strictly before the get, ryw_ok = own
+    put within horizon, mr_ok = version_seen non-decreasing per
+    (client, key). Both guarantees are PER-ITEM (Terry et al. define
+    them over a data item's writes): a session interleaving two keys
+    must not flag a cross-key version drop — the audit windows
+    partition by (client, key), not client alone (r13 review
+    finding; the synthetic oplog maps each client to one key, so the
+    fixture could not see the difference).
 
     Shape: one key shuffle for the visibility window, one client
     shuffle for own-writes + monotonic — both windows domain-ordered,
@@ -313,7 +330,7 @@ def session_guarantee_audit(oplog: DataFrame) -> DataFrame:
     horizon, version_seen, own_last_put_seq, ryw_ok, mr_ok)."""
     ops = dedup_at_most_once(oplog).filter(F.col("op").isin("put", "get"))
     w_own = (
-        Window.partitionBy("client")
+        Window.partitionBy("client", "key")
         .orderBy("seq")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -376,7 +393,7 @@ def session_guarantee_audit(oplog: DataFrame) -> DataFrame:
         )
         .filter(F.col("is_get") == 1)
     )
-    w_mr = Window.partitionBy("client").orderBy("seq")
+    w_mr = Window.partitionBy("client", "key").orderBy("seq")
     prev_ver = F.lag("version_seen").over(w_mr)
     return vis.select(
         "seq",

@@ -60,14 +60,26 @@ def maintain_groupby(
     Contract: ``base_agg`` has columns keys + count_col + sum_cols;
     ``delta`` has keys + sign + sum_cols (pre-aggregated here via
     ``delta_contributions``). Deletes must reference rows present in
-    the base (CDC discipline); a group over-deleted below zero raises
-    at read time via the count filter being negative — callers
-    wanting loud failure assert n >= 0 downstream."""
+    the base (CDC discipline); a group over-deleted below zero
+    SURFACES as a negative count in the output (the != 0 filter
+    keeps it visible) — callers wanting loud failure assert n >= 0
+    downstream. The merge keys join NULL-SAFELY (r13 review
+    finding): a nullable group key (NULL lang, NULL priority) must
+    merge its base and delta rows like the recompute's GROUP BY
+    does, not split into two rows because NULL != NULL — the
+    eqNullSafe + coalesce shape kv.state_diff uses."""
     keys = list(keys)
     d = delta_contributions(delta, keys, count_col, sum_cols)
     b = base_agg
-    merged = b.alias("b").join(d.alias("d"), keys, "full_outer")
-    cols = [F.col(k) for k in keys]
+    cond = None
+    for k in keys:
+        c = F.col(f"b.{k}").eqNullSafe(F.col(f"d.{k}"))
+        cond = c if cond is None else cond & c
+    merged = b.alias("b").join(d.alias("d"), cond, "full_outer")
+    cols = [
+        F.coalesce(F.col(f"b.{k}"), F.col(f"d.{k}")).alias(k)
+        for k in keys
+    ]
     n = F.coalesce(F.col(f"b.{count_col}"), F.lit(0)) + F.coalesce(
         F.col(f"d.{count_col}"), F.lit(0)
     )

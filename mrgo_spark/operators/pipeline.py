@@ -1822,6 +1822,17 @@ DISC_GAMMA_DEN = 4
 DISC_HORIZON = 16    # n-step truncation bounds the denominator 4^15
 
 
+def disc_coefs(horizon: int = DISC_HORIZON) -> list[int]:
+    """The γ=3/4 n-step coefficient ladder 3^k·4^(horizon−1−k) — THE
+    one source for the Spark fold and the oracle's literal array
+    (r13 review: the oracle rebuilt the comprehension AND hardcoded
+    the window frame; a horizon change would desync them)."""
+    return [
+        (DISC_GAMMA_NUM ** k) * (DISC_GAMMA_DEN ** (horizon - 1 - k))
+        for k in range(horizon)
+    ]
+
+
 def discounted_returns(
     df: DataFrame,
     reward,
@@ -1850,11 +1861,9 @@ def discounted_returns(
     same ONE user shuffle — the next-``horizon`` reward window
     sub-partitions (user, episode) like every other window in the
     chain; per-row state is a ≤horizon-long array."""
-    coefs = [
-        (DISC_GAMMA_NUM ** k) * (DISC_GAMMA_DEN ** (horizon - 1 - k))
-        for k in range(horizon)
-    ]
-    coef_sql = "array(" + ",".join(f"{c}L" for c in coefs) + ")"
+    coef_sql = "array(" + ",".join(
+        f"{c}L" for c in disc_coefs(horizon)
+    ) + ")"
     traj = trajectory_returns(df, reward, user_col, ts_col, id_col, gap_us)
     wep = (
         Window.partitionBy(user_col, "episode")

@@ -561,7 +561,7 @@ def q_kv_state_diff(spark, sf_dir):
         SELECT *,
                last_value(CASE WHEN op = 'put' THEN seq END
                           IGNORE NULLS) OVER (
-                   PARTITION BY client ORDER BY seq
+                   PARTITION BY client, key ORDER BY seq
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                  AS own_last
         FROM oplog WHERE op IN ('put', 'get')
@@ -607,9 +607,9 @@ def q_kv_state_diff(spark, sf_dir):
            (own_last_put_seq IS NULL
             OR own_last_put_seq <= horizon) AS ryw_ok,
            (lag(version_seen) OVER (
-                PARTITION BY gclient ORDER BY gseq) IS NULL
+                PARTITION BY gclient, key ORDER BY gseq) IS NULL
             OR version_seen >= lag(version_seen) OVER (
-                PARTITION BY gclient ORDER BY gseq)) AS mr_ok
+                PARTITION BY gclient, key ORDER BY gseq)) AS mr_ok
     FROM vis WHERE is_get = 1
     """,
 )
@@ -621,7 +621,9 @@ def q_kv_session_guarantees(spark, sf_dir):
     replica; hops regress horizons → MR hazard, lag hides own puts →
     RYW hazard). version_seen is an as-of lookup computed by the
     union + last_value(IGNORE NULLS) idiom — one key window + one
-    client window, no join, no all-pairs — so the full per-read
+    (client, key) window, no join, no all-pairs (both guarantees are
+    PER-ITEM per Terry et al.; the audit windows partition by
+    (client, key)) — so the full per-read
     verdict table oracle-checks. The linearizability checker answers
     strict correctness; this quantifies the weaker-consistency
     violations a replicated read tier serves."""

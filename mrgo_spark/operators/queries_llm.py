@@ -3820,10 +3820,17 @@ def q_unigram_train_vocab(spark, sf_dir):
     )
 
 
-@declare(
-    "unigram_doc_token_counts",
-    _unigram_sql(_UNI_ROUNDS)
-    + f""",
+def _uni_apply_sql() -> str:
+    """The trained-vocab APPLICATION fragment — CTEs usegf
+    (exhaustive path enumeration over the distinct-word table) +
+    ubestf (the total-order argmax: sc desc, np asc, path asc — the
+    tie-break that makes the Viterbi argmax engine-identical).
+    Factored (r13 review): unigram_doc_token_counts and
+    unigram_fertility_by_lang embedded verbatim copies; an edit to
+    the committed tie-break in one copy would leave one oracle green
+    and the other red looking like fixture drift (the
+    _bm25_tscore_sql precedent)."""
+    return f""",
     usegf AS (
         SELECT word, freq, 0 AS pos, CAST(0 AS BIGINT) AS sc,
                0 AS np, '' AS path
@@ -3841,7 +3848,14 @@ def q_unigram_train_vocab(spark, sf_dir):
             SELECT *, row_number() OVER (PARTITION BY word
                 ORDER BY sc DESC, np ASC, path ASC) AS rn
             FROM usegf WHERE pos = length(word))
-        WHERE rn = 1),
+        WHERE rn = 1)"""
+
+
+@declare(
+    "unigram_doc_token_counts",
+    _unigram_sql(_UNI_ROUNDS)
+    + _uni_apply_sql()
+    + f""",
     udt AS (
         SELECT doc_id, substr(w, 1, {textstats.UNI_MAXW}) AS w
         FROM (SELECT doc_id, unnest(list_filter(string_split_regex(
@@ -3871,25 +3885,8 @@ def q_unigram_doc_token_counts(spark, sf_dir):
 @declare(
     "unigram_fertility_by_lang",
     _unigram_sql(_UNI_ROUNDS)
+    + _uni_apply_sql()
     + f""",
-    usegf AS (
-        SELECT word, freq, 0 AS pos, CAST(0 AS BIGINT) AS sc,
-               0 AS np, '' AS path
-        FROM uw
-        UNION ALL
-        SELECT g.word, g.freq, g.pos + l.l, g.sc + s.sc, g.np + 1,
-               g.path || ' ' || substr(g.word, g.pos + 1, l.l)
-        FROM usegf g
-        JOIN (SELECT unnest(range(1, {textstats.UNI_MAXP + 1})) AS l) l
-          ON g.pos + l.l <= length(g.word)
-        JOIN us{_UNI_ROUNDS} s
-          ON s.piece = substr(g.word, g.pos + 1, l.l)),
-    ubestf AS MATERIALIZED (
-        SELECT word, np FROM (
-            SELECT *, row_number() OVER (PARTITION BY word
-                ORDER BY sc DESC, np ASC, path ASC) AS rn
-            FROM usegf WHERE pos = length(word))
-        WHERE rn = 1),
     ult AS (
         SELECT lang, substr(w, 1, {textstats.UNI_MAXW}) AS w
         FROM (SELECT lang, unnest(list_filter(string_split_regex(

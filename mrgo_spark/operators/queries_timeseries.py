@@ -464,12 +464,15 @@ def q_trajectory_returns(spark, sf_dir):
 def _disc_coef_sql() -> str:
     from . import pipeline
 
-    coefs = [
-        (pipeline.DISC_GAMMA_NUM ** k)
-        * (pipeline.DISC_GAMMA_DEN ** (pipeline.DISC_HORIZON - 1 - k))
-        for k in range(pipeline.DISC_HORIZON)
-    ]
-    return "[" + ", ".join(str(c) for c in coefs) + "]"
+    return (
+        "[" + ", ".join(str(c) for c in pipeline.disc_coefs()) + "]"
+    )
+
+
+def _disc_hm1() -> int:
+    from . import pipeline
+
+    return pipeline.DISC_HORIZON - 1
 
 
 @declare(
@@ -513,7 +516,7 @@ def _disc_coef_sql() -> str:
         SELECT *, list(reward_fp) OVER (
                    PARTITION BY user_id, episode ORDER BY step
                    ROWS BETWEEN CURRENT ROW
-                   AND 15 FOLLOWING) AS l
+                   AND {_disc_hm1()} FOLLOWING) AS l
         FROM tr)
     SELECT user_id, episode, step, event_id, reward_fp, return_to_go,
            CAST(list_sum([l[i] * ({_disc_coef_sql()})[i]

@@ -496,13 +496,23 @@ class BM25Index:
         to the query terms' buckets AND touches ≤ c rows per term.
         One full postings pass, amortized across every subsequent
         query batch (the build/serve split the index itself uses).
-        Idempotent overwrite; returns the table path. Built from the
-        CURRENT stats — deletes issued afterwards are honored at
-        serve time via the tombstone anti-join, but contributions
-        stay stale until a rebuild (the Lucene stats story)."""
+        Idempotent overwrite; returns the table path.
+
+        Tombstones are applied at BUILD time (r13 review finding):
+        without the anti-join, deleting a common term's entire top-c
+        would leave its champion list 100% tombstoned — the serve
+        anti-join would then surface ZERO candidates for the term
+        while live lower-scoring postings exist. With it, a rebuild
+        after deletes restores full candidate lists. Stats (df/dl/
+        n/tt) inside the contributions still count tombstoned docs
+        until ``expunge_deletes`` rewrites the segment — expunge,
+        not rebuild, is the stats refresh (the Lucene story)."""
         post = self.spark.read.parquet(f"{self.path}/postings").select(
             "term", "doc_id", "tf"
         )
+        tomb = self._tombstones()
+        if tomb is not None:
+            post = post.join(F.broadcast(tomb), "doc_id", "left_anti")
         dfreq = self.spark.read.parquet(f"{self.path}/df").select("term", "df")
         dl = self.spark.read.parquet(f"{self.path}/dl")
         scalars = self.spark.read.parquet(f"{self.path}/scalars")
@@ -527,11 +537,17 @@ class BM25Index:
         buckets — and unlike ``query``, the pruned partitions hold
         ≤ c rows per term, so a stopword-heavy batch reads c·|terms|
         rows instead of its full posting lists. Tombstoned docs are
-        anti-joined out (the ``query`` delete contract)."""
+        anti-joined out (the ``query`` delete contract).
+
+        The on-demand check requires the _SUCCESS marker, not just
+        the directory (r13 review finding): a /tmp reaper can empty
+        the dir, and a crashed overwrite leaves a partial one —
+        either way the healthy index rebuilds the table in one call
+        instead of serving a partial scan or failing the entry."""
         import os
 
         out = f"{self.path}/champions_c{c}"
-        if not os.path.isdir(out):
+        if not os.path.isfile(f"{out}/_SUCCESS"):
             self.build_champions(c)
         qt = query_terms.select("query_id", "term")
         buckets = [

@@ -1534,6 +1534,20 @@ def maintain_matview_foreach_batch(
 
     if os.path.exists(marker):
         holder["_cur"], holder["_last_bid"] = _read_marker()
+        # construction sweep (r13 review finding — the BM25 recipe's
+        # missing half here): _pending_gc is memory-only, so a
+        # restart between flips strands the superseded generation
+        # forever; any gen_* dir the marker doesn't name is
+        # unreachable (LATEST never points backwards) and swept now
+        live = os.path.realpath(holder["_cur"])
+        for e in sorted(os.listdir(workdir)):
+            full = os.path.join(workdir, e)
+            if (
+                e.startswith("gen_")
+                and os.path.isdir(full)
+                and os.path.realpath(full) != live
+            ):
+                shutil.rmtree(full, ignore_errors=True)
     else:
         init = os.path.join(workdir, "gen_base")
         base_agg.write.mode("overwrite").parquet(init)
@@ -1594,24 +1608,9 @@ def streaming_ring_router(oplog_stream: DataFrame) -> DataFrame:
     stream length, the streaming_phrase_matches class). Emits
     (seq, key, key_pos, owner); the batch per-key count entry is the
     at-rest twin."""
-    from pyspark.sql import functions as F
-
     from ..operators import kv
 
-    pts = kv.ring_points()
-    pos_arr = "array(" + ",".join(f"{p}L" for p, _ in pts) + ")"
-    srv_arr = "array(" + ",".join(str(s) for _, s in pts) + ")"
-    n = len(pts)
-    key_pos = F.conv(F.substring(F.md5("key"), 1, 12), 16, 10).cast(
-        "long"
-    )
-    owner = F.expr(
-        f"element_at({srv_arr}, cast("
-        f"  case when size(filter({pos_arr}, p -> p >= key_pos)) = 0"
-        f"       then 1"
-        f"       else {n} - size(filter({pos_arr}, p -> p >= key_pos)) + 1"
-        f"  end as int))"
-    ).cast("long")
+    key_pos, owner = kv.ring_owner_exprs()
     return oplog_stream.select("seq", "key").withColumn(
         "key_pos", key_pos
     ).withColumn("owner", owner)

@@ -547,14 +547,16 @@ def test_session_guarantees_python_replay(spark):
             hor = seq - rep * kv.SG_LAG
             ver = sum(1 for p in puts_by_key.get(key, []) if p <= hor)
             ol = None
-            for s2, c2, o2, _ in ops:
+            for s2, c2, o2, k2 in ops:
                 if s2 >= seq:
                     break
-                if c2 == client and o2 == "put":
+                if c2 == client and o2 == "put" and k2 == key:
                     ol = s2
             ryw = ol is None or ol <= hor
-            mr = client not in last_ver or ver >= last_ver[client]
-            last_ver[client] = ver
+            mr = (client, key) not in last_ver or ver >= last_ver[
+                (client, key)
+            ]
+            last_ver[(client, key)] = ver
             want[seq] = (client, key, rep, hor, ver, ol, ryw, mr)
     assert got == want and len(got) > 50
     flat = list(got.values())
@@ -668,3 +670,33 @@ def test_session_guarantees_single_oplog_pass(spark):
     )
     assert plan.count("ExistingRDD") >= 2  # both branches, one frame
     assert "events.parquet" not in plan
+
+
+def test_session_guarantees_are_per_item(spark):
+    """r13 review fix: a session interleaving two keys must not flag
+    cross-key hazards — MR compares versions of the SAME key only,
+    and RYW only considers the client's own puts TO THAT KEY."""
+    rows = [
+        # client 1 works key "a" heavily, then reads key "b" once:
+        (10, 1, 10, "put", "a", "v"),
+        (20, 9, 20, "put", "a", "v"),
+        (30, 9, 30, "put", "a", "v"),
+        (240, 1, 240, "get", "a", None),   # replica 1, horizon 140:
+        #                                     sees all 3 'a' puts
+        # next get is key "b" — its version (0 at horizon 143) being
+        # far below key a's 3 must NOT be an MR violation (different
+        # item); pre-fix client-only windows flagged exactly this
+        (200, 5, 200, "put", "b", "w"),
+        (243, 1, 243, "get", "b", None),   # replica 1, horizon 143
+        # and RYW: client 1 put "a" at 10; this get of "b" at a lagged
+        # replica must not consider that cross-key put
+        (260, 1, 260, "get", "b", None),   # replica 1, horizon 160
+    ]
+    df = _oplog_df(spark, rows)
+    got = {r.seq: r for r in kv.session_guarantee_audit(df).collect()}
+    assert got[240].version_seen == 3 and got[240].mr_ok
+    g = got[243]
+    assert g.version_seen == 0 and g.mr_ok          # not a regression
+    assert g.own_last_put_seq is None and g.ryw_ok  # no own put on b
+    g2 = got[260]
+    assert g2.own_last_put_seq is None and g2.ryw_ok

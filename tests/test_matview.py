@@ -75,3 +75,35 @@ def test_maintenance_plan_is_base_free(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" in plan
     assert plan.count("orders.parquet") == 2  # insert + delete branch
+
+
+def test_merge_is_null_safe_on_keys(spark):
+    """r13 review fix: a NULL group key merges its base and delta
+    rows exactly like the recompute's GROUP BY — one row, not a
+    base/delta split."""
+    base = spark.createDataFrame(
+        [("a", 1, 10), (None, 2, 20)], "k string, n long, s long"
+    )
+    delta = spark.createDataFrame(
+        [(None, 1, 5), ("b", 1, 7)], "k string, sign int, s long"
+    )
+    got = {
+        r.k: (r.n, r.s)
+        for r in matview.maintain_groupby(
+            base, delta, ["k"], "n", ["s"]
+        ).collect()
+    }
+    assert got == {"a": (1, 10), None: (3, 25), "b": (1, 7)}
+
+
+def test_merge_surfaces_overdeletion(spark):
+    """An over-deleted group stays VISIBLE with a negative count
+    (the != 0 filter keeps it) — callers assert n >= 0 downstream."""
+    base = spark.createDataFrame([("a", 1, 10)], "k string, n long, s long")
+    delta = spark.createDataFrame(
+        [("a", -1, 10), ("a", -1, 3)], "k string, sign int, s long"
+    )
+    rows = matview.maintain_groupby(
+        base, delta, ["k"], "n", ["s"]
+    ).collect()
+    assert len(rows) == 1 and rows[0].n == -1

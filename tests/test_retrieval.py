@@ -877,3 +877,49 @@ def test_index_champion_serve_prunes_partitions(spark, tmp_path):
     )
     assert "term_bucket" in plan
     assert "documents" not in plan
+
+
+def test_build_champions_applies_tombstones(spark, tmp_path):
+    """r13 review fix: deleting a term's entire top-c must not leave
+    the champion list 100% tombstoned — a rebuild after deletes
+    fills the slots from LIVE postings, so the term still surfaces
+    candidates."""
+    rows = [
+        (1, "zebra zebra zebra zebra"),   # top champions for 'zebra'
+        (2, "zebra zebra zebra"),
+        (3, "zebra filler words here"),   # the live lower-scoring doc
+        (4, "other text entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = retrieval.BM25Index.build(docs, str(tmp_path / "bmch"))
+    idx.build_champions(c=2)
+    q = spark.createDataFrame([(1, "zebra")], "query_id long, term string")
+    top = idx.query_champions(q, k=5, c=2).collect()
+    assert {r.doc_id for r in top} == {1, 2}
+    idx.delete([1, 2])
+    # before rebuild: both champions tombstoned -> zero candidates
+    assert idx.query_champions(q, k=5, c=2).count() == 0
+    idx.build_champions(c=2)  # rebuild anti-joins tombstones
+    after = idx.query_champions(q, k=5, c=2).collect()
+    assert {r.doc_id for r in after} == {3}
+
+
+def test_query_champions_rebuilds_partial_dir(spark, tmp_path):
+    """r13 review fix: a reaped/crash-partial champions dir (missing
+    _SUCCESS) is rebuilt from the healthy index instead of being
+    served partially or failing the entry."""
+    import os
+    import shutil
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    idx = retrieval.BM25Index.build(docs, str(tmp_path / "bmch2"))
+    q = spark.createDataFrame([(1, "the")], "query_id long, term string")
+    want = sorted(map(tuple, idx.query_champions(q, k=5).collect()))
+    out = f"{idx.path}/champions_c{retrieval.CHAMPION_C}"
+    os.remove(f"{out}/_SUCCESS")
+    shutil.rmtree(
+        f"{out}/term_bucket={os.listdir(out)[0].split('=')[-1]}",
+        ignore_errors=True,
+    )
+    got = sorted(map(tuple, idx.query_champions(q, k=5).collect()))
+    assert got == want

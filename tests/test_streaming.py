@@ -1576,14 +1576,15 @@ def test_maintain_matview_foreach_batch_restart_and_replay(
         r.k: (r.n, r.s) for r in holder2["view"]().collect()
     } == got
 
-    # GC: at most the live generation + the one-flip-later pending
-    # dir + gen_base remain
+    # GC (r13 review fix): holder2's CONSTRUCTION swept every gen_*
+    # the marker doesn't name — _pending_gc is memory-only, so
+    # without the sweep each restart would strand one generation
     gens = [
         e
         for e in os.listdir(str(tmp_path / "mv"))
         if e.startswith("gen_")
     ]
-    assert len(gens) <= 3
+    assert len(gens) == 1
 
 
 def test_streaming_ring_router_matches_batch_and_is_stateless(
