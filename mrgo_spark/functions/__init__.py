@@ -1,5 +1,5 @@
 from .text import ascii_tokens, unicode_tokens, ws_tokens
-from .vectors import cosine_sim, dot, l2_norm
+from .vectors import cosine_sim, dot, l2_norm, lit_doubles, lit_longs
 
 __all__ = [
     "ascii_tokens",
@@ -8,4 +8,6 @@ __all__ = [
     "cosine_sim",
     "dot",
     "l2_norm",
+    "lit_doubles",
+    "lit_longs",
 ]

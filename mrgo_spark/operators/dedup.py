@@ -474,7 +474,17 @@ def connected_components(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )
     und = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    und = und.filter(F.col("a") != F.col("b")).distinct()
+    # Materialize the edge list ONCE (r13 optimization round): every
+    # round's join — and, in converge mode, every round's checkpoint
+    # action — re-executed the whole ``pairs`` lineage (for the
+    # declared dedup pipeline that is the full corpus tokenize + both
+    # star-edge windows, once per round). Eager localCheckpoint here
+    # pins edge generation to exactly one pass; rounds then join the
+    # materialized blocks. (Eager, not lazy: und is a UNION lineage —
+    # the r7 UnionBase.rewriteConstraints precedent.)
+    und = und.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(
+        eager=True
+    )
     labels = (
         und.select(F.col("a").alias("id"))
         .distinct()
@@ -485,30 +495,46 @@ def connected_components(
         prop = und.join(labels, und["a"] == labels["id"]).select(
             F.col("b").alias("id"), "component"
         )
-        new_labels = (
-            labels.unionAll(prop)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
-        )
         # Lineage truncation: without it the plan nests one join+agg
         # deeper per round and Catalyst analysis time grows
         # superlinearly long before the data does. In converge mode
-        # checkpoint EVERY round — the changed-count action would
-        # otherwise recompute the open lineage once for the count and
-        # again for the next round's join (measured 2-3× on the
-        # declared dedup pipeline).
+        # checkpoint EVERY round, and carry the PREVIOUS label through
+        # the aggregate (labels has exactly one row per id, so
+        # max(_old) ignoring prop's NULLs recovers it): the changed
+        # count is then a filter over the just-materialized blocks —
+        # no per-round join against the previous labels frame (r13
+        # optimization round; the join was one extra shuffle per
+        # round).
         if converge:
-            new_labels = new_labels.localCheckpoint(eager=True)
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .count()
-            )
-            labels = new_labels
+            new_labels = (
+                labels.select(
+                    "id", "component", F.col("component").alias("_old")
+                )
+                .unionAll(
+                    prop.select(
+                        "id",
+                        "component",
+                        F.lit(None).cast("long").alias("_old"),
+                    )
+                )
+                .groupBy("id")
+                .agg(
+                    F.min("component").alias("component"),
+                    F.max("_old").alias("_old"),
+                )
+            ).localCheckpoint(eager=True)
+            changed = new_labels.filter(
+                F.col("component") != F.col("_old")
+            ).count()
+            labels = new_labels.select("id", "component")
             if changed == 0:
                 break
         else:
+            new_labels = (
+                labels.unionAll(prop)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+            )
             if i % 3 == 2:
                 new_labels = new_labels.localCheckpoint(eager=True)
             labels = new_labels

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import ascii_tokens, word_ngrams
+from ..functions.vectors import lit_longs
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
@@ -1165,10 +1166,8 @@ def decontaminate_bloom(
         .distinct()
         .collect()
     ]
-    blit = F.array(
-        *[F.lit(int(w)).cast("long") for w in bloom_build(bench_hex)]
-    )
-    pw32 = F.array(*[F.lit(1 << i).cast("long") for i in range(32)])
+    blit = lit_longs(bloom_build(bench_hex))
+    pw32 = lit_longs(1 << i for i in range(32))
 
     ex = documents.select(
         F.col(id_col).alias("doc_id"),

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.vectors import lit_doubles, lit_longs
+
 FX = 1_000_000  # fixed-point scale for cross-engine determinism
 
 
@@ -89,7 +91,7 @@ def hyperplane_signature(vec_col, planes: list[list[float]]) -> F.Column:
         proj = F.aggregate(
             F.zip_with(
                 vec_col,
-                F.array(*[F.lit(float(x)) for x in p]),
+                lit_doubles(p),
                 lambda v, w: v.cast("double") * w,
             ),
             F.lit(0.0),
@@ -832,7 +834,7 @@ def kmeans_lloyd(
     def assign(cents):
         pairs = []
         for j, c in enumerate(cents):
-            arr = F.array(*[F.lit(int(v)).cast("long") for v in c])
+            arr = lit_longs(c)
             d = F.aggregate(
                 F.zip_with(F.col("qv"), arr, lambda x, y: (x - y) * (x - y)),
                 F.lit(0).cast("long"),
@@ -911,7 +913,7 @@ def _assign_cells(df: DataFrame, centroids: DataFrame, idname: str,
             F.struct(
                 _fx_dot(
                     F.col(vec_col),
-                    F.array(*[F.lit(float(x)) for x in r.cvec]),
+                    lit_doubles(r.cvec),
                 ).alias("aff"),
                 F.lit(-int(r.cell_id)).alias("negc"),
             )
@@ -1138,6 +1140,18 @@ class IVFIndex:
     ) -> "IVFIndex":
         cents = ivf_centroids(embeddings, k=n_cells, id_col=id_col, vec_col=vec_col)
         cents.write.mode("overwrite").parquet(f"{path}/centroids")
+        # Widen the FINAL assignment scan (r13 optimization round,
+        # guide §2.5/§6: the single-row-group fixture scan serializes
+        # the interpreted 16×64 fixed-point folds onto ONE task —
+        # 3.0 s → ~0.3 s at sf0.1; the PQ widen_scan rule applied to
+        # the IVF build). Safe for bit-identity: the assignment is
+        # exact integer affinities with a deterministic tie-break, so
+        # partitioning cannot change any row. The REFINE passes in
+        # ivf_centroids stay narrow on purpose — their float means
+        # are only deterministic with a single map-side partial per
+        # (cell, pos) key (multi-partition merge order is not
+        # guaranteed stable across runs).
+        from ..sources.tables import widen_scan
         # Eagerly pin the assignment ONCE: the partitioned write, the
         # per-cell counts and the bloom words all read the checkpointed
         # blocks, so build is one corpus assignment pass total.
@@ -1146,8 +1160,11 @@ class IVFIndex:
         # doubled ivf_index_build. _sidecar_from_cells remains the
         # recovery path for a missing/corrupt sidecar only.)
         cells = _assign_cells(
-            embeddings.select(
-                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec_")
+            widen_scan(
+                embeddings.select(
+                    F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).alias("cvec_"),
+                )
             ),
             cents,
             "neighbor_id",
@@ -1251,15 +1268,22 @@ class IVFIndex:
         }
 
     def _write_sidecar(self, side: dict) -> None:
+        # ONE parallelize slice, not coalesce(1): coalescing a
+        # default-sliced local collection funnels all 32 Python-worker
+        # round-trips (one per slice, mostly empty) through a single
+        # task SEQUENTIALLY — measured 4.7 s per sidecar write vs
+        # 0.2 s with a 1-slice RDD (r13 optimization round; this was
+        # the single biggest piece of ivf_index_build).
         self.spark.createDataFrame(
-            [
-                (c, s["n_claimed"], s["bloom"])
-                for c, s in sorted(side.items())
-            ],
+            self.spark.sparkContext.parallelize(
+                [
+                    (c, s["n_claimed"], s["bloom"])
+                    for c, s in sorted(side.items())
+                ],
+                1,
+            ),
             "cell_id int, n_claimed long, bloom array<long>",
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{self.path}/idstats"
-        )
+        ).write.mode("overwrite").parquet(f"{self.path}/idstats")
 
     def _sidecar_merge(self, side: dict, assigned: DataFrame) -> dict:
         """Fold a batch's ids into the sidecar (bitwise-OR blooms,
@@ -1923,7 +1947,7 @@ class IVFIndex:
             F.struct(
                 _fx_dot(
                     F.col("cvec_"),
-                    F.array(*[F.lit(float(x)) for x in r.cvec]),
+                    lit_doubles(r.cvec),
                 ).alias("aff"),
                 F.lit(-int(r.cell_id)).alias("negcid"),
             )
@@ -2268,7 +2292,7 @@ def _pq_assign(q: DataFrame, cents, m: int, subdim: int) -> DataFrame:
         sub_arr = F.slice("qv", s * subdim + 1, subdim)
         pairs = []
         for j in range(k):
-            arr = F.array(*[F.lit(int(v)).cast("long") for v in cents[s][j]])
+            arr = lit_longs(cents[s][j])
             d = F.aggregate(
                 F.zip_with(sub_arr, arr, lambda x, y: (x - y) * (x - y)),
                 F.lit(0).cast("long"),
@@ -2363,7 +2387,7 @@ def imi_cell_skew_audit(
     sub_arr = F.slice("qv", 1, subdim)
     pairs = []
     for j in range(k):
-        arr = F.array(*[F.lit(int(v)).cast("long") for v in cents[0][j]])
+        arr = lit_longs(cents[0][j])
         d = F.aggregate(
             F.zip_with(sub_arr, arr, lambda x, y: (x - y) * (x - y)),
             F.lit(0).cast("long"),
@@ -2473,12 +2497,7 @@ def _pq_adc_scored(a: DataFrame, luts, m: int) -> DataFrame:
                             F.lit(int(qid)).cast("long").alias("query_id"),
                             sum(
                                 F.element_at(
-                                    F.array(
-                                        *[
-                                            F.lit(int(d)).cast("long")
-                                            for d in luts[qid][s]
-                                        ]
-                                    ),
+                                    lit_longs(luts[qid][s]),
                                     F.col(f"_b{s}.cid") + 1,
                                 )
                                 for s in range(m)

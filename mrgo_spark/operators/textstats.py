@@ -18,6 +18,7 @@ from ..functions.text import (
     word_ngrams,
     ws_tokens,
 )
+from ..functions.vectors import lit_longs
 
 # Marker stopwords per language for the lang-ID heuristic. Determinism
 # matters more than linguistic coverage here; the heuristic is the
@@ -1094,7 +1095,7 @@ def classifier_score_col(text_col="text") -> F.Column:
     identical contract."""
     weights = classifier_weights()
     bias = classifier_bias()
-    warr = F.array(*[F.lit(w).cast("long") for w in weights])
+    warr = lit_longs(weights)
     toks = ascii_tokens(text_col, lowercase=True)
     wsum = F.aggregate(
         toks,

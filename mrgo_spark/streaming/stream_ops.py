@@ -642,14 +642,13 @@ def _probe_cells_column(centroids: list, qvec, n_probe: int):
     a streaming DataFrame where ``_assign_cells``'s row_number is not.
     Ordering matches the batch path exactly: desc affinity, asc
     cell_id (encoded as an asc sort on (-aff, cell_id) structs)."""
+    from ..functions.vectors import lit_doubles
     from ..operators.similarity import _fx_dot
 
     scored = F.array(
         *[
             F.struct(
-                (-_fx_dot(qvec, F.array(*[F.lit(float(x)) for x in cvec]))).alias(
-                    "neg"
-                ),
+                (-_fx_dot(qvec, lit_doubles(cvec))).alias("neg"),
                 F.lit(int(cid)).alias("cell_id"),
             )
             for cid, cvec in centroids
