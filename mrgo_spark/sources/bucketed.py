@@ -50,8 +50,17 @@ def materialize_bucketed(
     lineitem is written twice — per-key copies are the price of
     shuffle-free joins on two different keys; at scale you keep the
     copies your workload joins on. Returns {(source, key): table}."""
-    out: dict[tuple[str, str], str] = {}
-    for src, key, base in SPECS:
+    # Overlap the three independent writes (guide §2.6): Spark's
+    # scheduler runs concurrent jobs fine; submitting them from a
+    # small thread pool lets each job's tail back-fill the others'
+    # idle cores instead of serializing three shuffle+sort writes
+    # (r13 optimization round: bucket_prep 8.6 s → ~4 s at sf0.1).
+    # Each write's plan/input/partitioning is unchanged, so the
+    # written tables are byte-identical to the sequential form.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(spec: tuple[str, str, str]) -> tuple[tuple[str, str], str]:
+        src, key, base = spec
         name = base + suffix
         (
             load_table(spark, sf_dir, src)
@@ -61,8 +70,10 @@ def materialize_bucketed(
             .format("parquet")
             .saveAsTable(name)
         )
-        out[(src, key)] = name
-    return out
+        return (src, key), name
+
+    with ThreadPoolExecutor(max_workers=len(SPECS)) as pool:
+        return dict(pool.map(_write, SPECS))
 
 
 def q3_bucketed(
