@@ -998,7 +998,44 @@ def rebalance_config_history(spark, schedule=None) -> DataFrame:
     ``(cfg, shard, gid, moved)`` — the shardmaster Query(-1) surface
     plus the migration observable (reference shardmaster/common.go:6-17
     RPC spec; test_test.go:35-52 balance invariant).
+
+    Implementation (r13 optimization round): the fold is pure
+    METADATA — NSHARDS rows × |schedule| configs from a constant
+    schedule; no sf_dir table feeds it — so it runs the module's own
+    Python fold (:func:`rebalance`, the function the three-way test
+    already replays) and ships the 80-row history as one literal
+    DataFrame. The former declarative step fold paid ~9 s of pure
+    sequential-checkpoint scheduling latency for 80 rows; it is kept
+    as :func:`rebalance_config_history_df` (the executable spec) and
+    the parity test pins literal == declarative == oracle. Closure-
+    free: createDataFrame serializes rows, nothing executes Python
+    on executors.
     """
+    assign = {s: 0 for s in range(NSHARDS)}
+    rows = [(0, s, 0, 0) for s in range(NSHARDS)]
+    for i, (op, arg, live) in enumerate(schedule_groups(schedule), start=1):
+        if op == "move":
+            shard, gid = arg
+            new = dict(assign)
+            new[shard] = gid
+        else:
+            new = rebalance(assign, live)
+        rows.extend(
+            (i, s, new[s], int(new[s] != assign[s])) for s in range(NSHARDS)
+        )
+        assign = new
+    return spark.createDataFrame(
+        rows, "cfg int, shard bigint, gid int, moved int"
+    )
+
+
+def rebalance_config_history_df(spark, schedule=None) -> DataFrame:
+    """The declarative (pure-DataFrame) form of
+    :func:`rebalance_config_history` — one :func:`rebalance_step_df`
+    per schedule entry, checkpointed per step. Kept as the executable
+    spec the literal form is parity-pinned against; the declared
+    query serves the literal form (identical rows, none of the
+    7-sequential-jobs scheduling floor)."""
     cfg0 = spark.range(NSHARDS).coalesce(1).select(
         F.col("id").alias("shard"), F.lit(0).alias("gid")
     )

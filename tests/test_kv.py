@@ -193,13 +193,22 @@ def test_epoch_serving_conservation_and_ownership(spark):
 
 
 def test_rebalance_history_matches_python_fold(spark):
-    """Three-way cross-check, leg 1: the declarative (DataFrame)
-    rebalance history must equal folding kv.rebalance/migration_plan
-    over the same schedule (leg 2 is the DuckDB oracle via the
-    driver's compare)."""
+    """Three-way cross-check, leg 1: the declared (literal) rebalance
+    history must equal BOTH the declarative DataFrame step fold
+    (rebalance_config_history_df, the executable spec) and folding
+    kv.rebalance/migration_plan inline (leg 2 is the DuckDB oracle
+    via the driver's compare)."""
+    served = kv.rebalance_config_history(spark)
+    spec = kv.rebalance_config_history_df(spark)
+    assert served.schema == spec.schema or [
+        (f.name, f.dataType) for f in served.schema
+    ] == [(f.name, f.dataType) for f in spec.schema]
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, spec.collect())
+    )
     hist = {
         (r.cfg, r.shard): (r.gid, r.moved)
-        for r in kv.rebalance_config_history(spark).collect()
+        for r in served.collect()
     }
     assign = {s: 0 for s in range(kv.NSHARDS)}
     expect = {(0, s): (0, 0) for s in range(kv.NSHARDS)}
