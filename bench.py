@@ -575,6 +575,18 @@ def main() -> None:
         # r13: cold absorbs the one-time champion-table build; the
         # warm twin is the pure c-bounded serve
         "bm25_champion_topk_fixed",
+        # r13 opt: cold-only numbers for these kept reading 2-6x
+        # their steady state (JIT + one-time caches) round after
+        # round — record the warm twin so the drift diagnosis needs
+        # no re-run (the WARM_EXTRA charter above).
+        "pagerank_order_part",
+        "kmeans_lloyd",
+        "prf_bm25_fixed",
+        "ngram_containment_pairs",
+        "media_dedup_canonical",
+        "margin_bitext_mine_imi",
+        "retrieval_eval_bm25_vs_cosine",
+        "minhash_md5_pairs",
     }
     for name in EXTRA:
         timed(name, lambda n=name: queries[n](spark, SF_DIR))

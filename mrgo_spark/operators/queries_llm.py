@@ -5017,7 +5017,18 @@ def _bm25_served(spark, sf_dir, k: int):
 def _bm25_served_terms(spark, sf_dir, qterms, k: int):
     """Served BM25 top-k for an arbitrary (query_id, term) table, with
     the topk_cosine_ivf dead-cached-path recovery: a cached index
-    whose /tmp dir was reaped rebuilds instead of failing the entry."""
+    whose /tmp dir was reaped rebuilds instead of failing the entry.
+
+    qterms is lazily localCheckpointed here (r13 opt): BM25Index.query
+    evaluates its lineage THREE times per call (bucket-id collect + the
+    tf broadcast join + the df broadcast join — no exchange reuse
+    across the differing projections), and every fixture query set
+    carries a full corpus text decode behind its tiny row count. The
+    table is broadcast-sized by the query() contract, so the
+    checkpoint is a few-KB materialization that removes two corpus
+    passes per serve (measured: prf_bm25_fixed's served q0 leg
+    6.3 s → the checkpointed form, see OPTIMIZATION_r13.md)."""
+    qterms = qterms.select("query_id", "term").localCheckpoint(eager=False)
     idx = _bm25_index(spark, sf_dir)
     try:
         return idx.query(qterms, k=k)
@@ -5227,18 +5238,21 @@ def q_prf_bm25_fixed(spark, sf_dir):
     exact integers, so a two-pass retrieval FEEDBACK pipeline
     oracle-checks end-to-end. Fixed ≤8-query set (doc_id % 100 = 0,
     < 800 — the bm25_topk_fixed idiom) keeps the probe corpus-linear.
-    widen_scan: the tokenize explodes are the interpreted-map
-    class."""
-    docs = widen_scan(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", "text"
-    )
+    Both retrieval legs serve from the session BM25Index (r13 opt):
+    bucket-pruned postings, zero corpus candidate passes — rankings
+    bit-identical to the two-pass form via the shared _bm25_rank tail
+    (the bm25_topk_docs precedent), so the oracle is untouched. The
+    feedback VOTE still tokenizes the ≤80 feedback docs (semi-join
+    pruned inside prf_expand_terms)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     q0 = retrieval.query_terms_from_docs(
         docs, (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 800)
     )
+    served = lambda qt, k: _bm25_served_terms(spark, sf_dir, qt, k)  # noqa: E731
     q2 = retrieval.prf_expand_terms(
-        docs, q0, k_fb=10, n_expand=3, min_len=4
+        docs, q0, k_fb=10, n_expand=3, min_len=4, ranker=served
     )
-    return retrieval.bm25_topk(docs, q2, k=10)
+    return served(q2, 10)
 
 
 @declare(
@@ -5730,17 +5744,21 @@ def q_kendall_tau_rankers(spark, sf_dir):
     pairs chosen over lexical-vs-cosine because the near-orthogonal
     fixture gives the latter ZERO common docs (an empty declared
     surface — the srp 0-rows lesson); here the original terms anchor
-    a large overlap."""
-    docs = widen_scan(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", "text"
-    )
+    a large overlap.
+
+    All three rankings (base, feedback leg, expanded) serve from the
+    session BM25Index (r13 opt, the prf_bm25_fixed change): the
+    two-pass form re-tokenized the corpus three times for rankings
+    the index serves bucket-pruned and bit-identically."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     q0 = retrieval.query_terms_from_docs(
         docs, (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 800)
     )
-    base = retrieval.bm25_topk(docs, q0, k=10)
+    served = lambda qt, k: _bm25_served_terms(spark, sf_dir, qt, k)  # noqa: E731
+    base = served(q0, 10)
     q2 = retrieval.prf_expand_terms(docs, q0, k_fb=10, n_expand=3,
-                                    min_len=4)
-    expanded = retrieval.bm25_topk(docs, q2, k=10)
+                                    min_len=4, ranker=served)
+    expanded = served(q2, 10)
     return retrieval.kendall_tau_eval(base, expanded)
 
 
@@ -6800,7 +6818,12 @@ def q_ngram_containment(spark, sf_dir):
         (F.col("doc_id") + 300000).alias("doc_id"),
         F.array_join(half, " ").alias("text"),
     )
-    corpus = docs.unionAll(trunc)
+    # Only the %10 docs (id_b side) and their truncated copies (id_a
+    # side) can match the candidate list — shingling the other 90% of
+    # the corpus is work the join immediately discards (the PRF
+    # prune-before-explode class, VERDICT_r12 #4). Pre-filtering the
+    # corpus fed to the verifier leaves the join result identical.
+    corpus = docs.filter(F.col("doc_id") % 10 == 0).unionAll(trunc)
     cands = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 300000).alias("id_a"),
         F.col("doc_id").alias("id_b"),

@@ -818,6 +818,7 @@ def prf_expand_terms(
     min_len: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ranker=None,
 ) -> DataFrame:
     """Pseudo-relevance-feedback query expansion (Rocchio/RM-style,
     made deterministic): run BM25 once, treat each query's top
@@ -836,10 +837,21 @@ def prf_expand_terms(
     candidate-term explode runs over ONLY the feedback docs (semi-
     join pruned), so expansion work is feedback-sized regardless of
     corpus size. The second retrieval pass costs one more
-    bm25-candidate join with ≤ n_expand extra terms per query."""
+    bm25-candidate join with ≤ n_expand extra terms per query.
+
+    ``ranker`` (optional): a callable (query_terms, k) -> the BM25
+    ranking frame, letting callers serve the feedback leg from an
+    at-rest BM25Index (bucket-pruned postings, zero corpus passes —
+    rankings bit-identical via the shared _bm25_rank tail) instead
+    of the default two-pass tokenize."""
+    rank_fb = (
+        (lambda qt, k: bm25_topk(documents, qt, k=k, text_col=text_col,
+                                 id_col=id_col))
+        if ranker is None
+        else ranker
+    )
     fb = (
-        bm25_topk(documents, query_terms, k=k_fb, text_col=text_col,
-                  id_col=id_col)
+        rank_fb(query_terms, k_fb)
         .select("query_id", "doc_id")
         .localCheckpoint(eager=False)
     )

@@ -2200,7 +2200,14 @@ def srp_near_pairs(
     curve (1-θ/π)^bits per band across ``bands`` bands — tuned for
     the high-cosine regime (defaults: 8×16 at 0.85, the 100 TB
     semantic-dedup setting in SCALE.md)."""
-    sig = srp_signatures(embeddings, bands, bits, dim, id_col, vec_col)
+    # The signature lineage (posexplode + broadcast grid join + two
+    # aggs over the corpus) feeds BOTH sides of the bucket self-join;
+    # without a checkpoint Catalyst re-runs it per side (no exchange
+    # reuse across the differing aliases — the r13s2 plan-audit class).
+    # One materialization serves sa and sb.
+    sig = srp_signatures(
+        embeddings, bands, bits, dim, id_col, vec_col
+    ).localCheckpoint(eager=False)
     cand = (
         sig.alias("sa")
         .join(
@@ -2228,11 +2235,14 @@ def srp_near_pairs(
     # permissive bits=8 gate banding). Same expression order as the
     # oracle (sqrt per side, then multiply), so scores stay
     # bit-identical.
+    # vecs (with its interpreted 64-element norm fold) feeds both the
+    # va and vb join sides — checkpoint so the fold runs once per
+    # vector, not once per side (same class as sig above).
     vecs = embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),
         F.sqrt(_fx_dot(F.col(vec_col), F.col(vec_col))).alias("nrm"),
-    )
+    ).localCheckpoint(eager=False)
     va = vecs.select(
         F.col("vid").alias("id_a"),
         F.col("v").alias("va"),
