@@ -538,9 +538,13 @@ def q_kv_state_diff(spark, sf_dir):
     check()); this is that check as a declarative table→table op."""
     from pyspark.sql import functions as F
 
+    # The deduped log feeds THREE consumers (the cut agg and both
+    # fold_state legs); without a checkpoint each re-runs the synth
+    # union + at-most-once window (r13 opt — 6 events scans → 2 in
+    # the plan, one dedup window pass instead of three).
     oplog = kv.dedup_at_most_once(
         kv.synth_oplog(load_table(spark, sf_dir, "events"))
-    )
+    ).localCheckpoint(eager=False)
     cut = oplog.agg(
         # integer `div` == oracle `//` unconditionally (ADVICE_r10)
         F.expr("(min(seq) + max(seq)) div 2").alias("_s")

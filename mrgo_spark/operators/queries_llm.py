@@ -942,13 +942,20 @@ def _planted_dup_corpus(spark, sf_dir):
 
 def _dup_blocking_pairs(corpus):
     """Spark twin of _DUP_GRAPH_SQL's edge CTEs: fingerprint +
-    5-token-prefix star edges over the planted corpus."""
+    5-token-prefix star edges over the planted corpus.
+
+    keys is lazily localCheckpointed (r13 opt): it feeds TWO window
+    branches (fp + pre star edges) whose union is what
+    connected_components eagerly materializes — without the
+    checkpoint that one materialization runs the corpus scan +
+    tokenize + array_sort twice, once per branch (the
+    no-exchange-reuse-across-projections class)."""
     toks = ascii_tokens("text", lowercase=True)
     keys = corpus.select(
         "doc_id",
         F.array_join(F.array_sort(toks), " ").alias("fp"),
         F.array_join(F.slice(toks, 1, 5), " ").alias("pre"),
-    )
+    ).localCheckpoint(eager=False)
     return dedup.star_edges(keys, "fp").unionAll(dedup.star_edges(keys, "pre"))
 
 
