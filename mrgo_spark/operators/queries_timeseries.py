@@ -190,15 +190,10 @@ def q_funnel(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts"
     )
-    # v feeds its own stage count AND the c join (and transitively p);
-    # c feeds its stage count AND the p join. The 3-way stage union
-    # re-ran each subtree per consumer (6 events scans); lazy
-    # checkpoints pin each stage to one pass (r13 opt).
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("v_ts"))
-        .localCheckpoint(eager=False)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -206,7 +201,6 @@ def q_funnel(spark, sf_dir):
         .filter(F.col("ts") > F.col("v_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("c_ts"))
-        .localCheckpoint(eager=False)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
