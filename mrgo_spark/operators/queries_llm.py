@@ -5753,18 +5753,24 @@ def q_kendall_tau_rankers(spark, sf_dir):
     surface — the srp 0-rows lesson); here the original terms anchor
     a large overlap.
 
-    All three rankings (base, feedback leg, expanded) serve from the
-    session BM25Index (r13 opt, the prf_bm25_fixed change): the
-    two-pass form re-tokenized the corpus three times for rankings
-    the index serves bucket-pruned and bit-identically."""
+    Rankings serve from the session BM25Index (r13 opt, the
+    prf_bm25_fixed change): the two-pass form re-tokenized the corpus
+    three times for rankings the index serves bucket-pruned and
+    bit-identically. The base ranking and PRF's feedback leg are the
+    SAME ranking — served(q0, 10) — so it is computed ONCE
+    (checkpointed) and handed to prf_expand_terms as the ranker
+    (r13 opt session 2): two served rankings per call, not three."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     q0 = retrieval.query_terms_from_docs(
         docs, (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 800)
     )
     served = lambda qt, k: _bm25_served_terms(spark, sf_dir, qt, k)  # noqa: E731
-    base = served(q0, 10)
-    q2 = retrieval.prf_expand_terms(docs, q0, k_fb=10, n_expand=3,
-                                    min_len=4, ranker=served)
+    base = served(q0, 10).localCheckpoint(eager=False)
+    q2 = retrieval.prf_expand_terms(
+        docs, q0, k_fb=10, n_expand=3, min_len=4,
+        # prf calls ranker(q0, k_fb=10) — exactly the base ranking
+        ranker=lambda _qt, _k: base,
+    )
     expanded = served(q2, 10)
     return retrieval.kendall_tau_eval(base, expanded)
 
