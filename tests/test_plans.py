@@ -645,17 +645,28 @@ def test_prf_expansion_feedback_pruned(spark):
     assert plan.index("LeftSemi") < corpus_scans[0]
 
 
-def test_prf_bm25_fixed_serves_from_checkpoints(spark):
-    """The declared prf ranking's FINAL plan re-reads no parquet at
-    all (candidate tf / dl / feedback all ExistingRDD); the only
-    nested-loop join is the 1-row corpus-scalars crossJoin."""
+def test_prf_bm25_fixed_serves_from_index(spark):
+    """r13 opt: the declared prf ranking serves BOTH BM25 legs from
+    the at-rest session BM25Index — its FINAL plan re-reads no CORPUS
+    parquet (every FileScan is an index table, and the postings/df
+    scans are partition-pruned to the query terms' buckets); the
+    expanded query-terms/feedback frames sit behind checkpoints
+    (ExistingRDD) and the only nested-loop join is the 1-row
+    index-scalars crossJoin. (Until r13 this pinned FileScan == 0:
+    the old two-pass form hid ALL its corpus work behind
+    localCheckpoints — the index serve deliberately trades those
+    materializations for pruned at-rest reads.)"""
     import re
 
     from mrgo_spark.operators.queries_llm import q_prf_bm25_fixed
 
     df = q_prf_bm25_fixed(spark, SF)
     plan = plans.explain_str(df, "simple")
-    assert plan.count("FileScan") == 0
+    scans = re.findall(r"FileScan[^\n]*", plan)
+    assert scans, "expected index-table scans in the served plan"
+    for s in scans:
+        assert "mrgo_bm25_idx_" in s, s  # never the corpus parquet
+    assert re.search(r"PartitionFilters: \[term_bucket[^\]]* INSET", plan)
     assert "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
     for m in re.finditer(r"BroadcastNestedLoopJoin[^\n]*", plan):
