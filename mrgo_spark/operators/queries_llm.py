@@ -5014,10 +5014,55 @@ def _bm25_index(spark, sf_dir):
     return idx
 
 
+# Session cache for the FIXTURE-DERIVED query-term frames (r13
+# optimization round, batch 7): every serve entry rebuilt + re-
+# checkpointed the same deterministic (query_id, term) table — a
+# pruned corpus scan + a materialization job per entry (~0.2-0.4 s
+# each). The frames are corpus-derived INPUT workloads (the
+# _fixed_qids / eval_truth class), broadcast-sized, and keyed by
+# (sf_dir, tag) with the owning session held (the _PQ_CACHE identity
+# rule). Values are identical by construction — the builder is the
+# same expression the call sites inlined before.
+_QTERMS_CACHE: dict[tuple, tuple] = {}
+
+
+def _qterms_cached(spark, sf_dir, tag, build):
+    hit = _QTERMS_CACHE.get((sf_dir, tag))
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    qt = build().select("query_id", "term").localCheckpoint(eager=False)
+    qt._mrgo_ckpt = True  # _bm25_served_terms skips its re-checkpoint
+    _QTERMS_CACHE[(sf_dir, tag)] = (spark, qt)
+    return qt
+
+
+def _fixed_qterms(spark, sf_dir):
+    """The fixed-8-query (query_id, term) frame (VERDICT_r9 #2 idiom),
+    cached per (session, sf_dir) — shared by bm25_topk_fixed,
+    bm25_champion_topk_fixed and dcg_eval_fixed."""
+    def build():
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        qids = _fixed_qids(spark, sf_dir)
+        return retrieval.query_terms_from_docs(
+            docs, F.col("doc_id").isin(qids)
+        )
+
+    return _qterms_cached(spark, sf_dir, "fixed8", build)
+
+
 def _bm25_served(spark, sf_dir, k: int):
     """Served BM25 top-k for the fixture query set (doc_id % 100)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    qterms = retrieval.query_terms_from_docs(docs, F.col("doc_id") % 100 == 0)
+    qterms = _qterms_cached(
+        spark,
+        sf_dir,
+        "mod100",
+        lambda: retrieval.query_terms_from_docs(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            F.col("doc_id") % 100 == 0,
+        ),
+    )
     return _bm25_served_terms(spark, sf_dir, qterms, k)
 
 
@@ -5034,8 +5079,13 @@ def _bm25_served_terms(spark, sf_dir, qterms, k: int):
     table is broadcast-sized by the query() contract, so the
     checkpoint is a few-KB materialization that removes two corpus
     passes per serve (measured: prf_bm25_fixed's served q0 leg
-    6.3 s → the checkpointed form, see OPTIMIZATION_r13.md)."""
-    qterms = qterms.select("query_id", "term").localCheckpoint(eager=False)
+    6.3 s → the checkpointed form, see OPTIMIZATION_r13.md). Frames
+    from _qterms_cached arrive already checkpointed (batch 7) — a
+    second checkpoint would just re-copy the 40-row frame per entry."""
+    if not getattr(qterms, "_mrgo_ckpt", False):
+        qterms = qterms.select("query_id", "term").localCheckpoint(
+            eager=False
+        )
     idx = _bm25_index(spark, sf_dir)
     try:
         return idx.query(qterms, k=k)
@@ -5118,9 +5168,7 @@ def q_bm25_topk_fixed(spark, sf_dir):
     bm25_topk_docs stays declared — its oracle row pins the ranking
     math over a corpus-sized query set — but bench/probe rows live
     here."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    qids = _fixed_qids(spark, sf_dir)
-    qterms = retrieval.query_terms_from_docs(docs, F.col("doc_id").isin(qids))
+    qterms = _fixed_qterms(spark, sf_dir)
     return _bm25_served_terms(spark, sf_dir, qterms, k=10)
 
 
@@ -5177,9 +5225,7 @@ def q_bm25_champion_topk_fixed(spark, sf_dir):
     champion table next to the session BM25Index (bucket-pruned
     scan, <= c rows per term); fixed 8-query set keeps the row
     corpus-linear."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    qids = _fixed_qids(spark, sf_dir)
-    qterms = retrieval.query_terms_from_docs(docs, F.col("doc_id").isin(qids))
+    qterms = _fixed_qterms(spark, sf_dir)
     idx = _bm25_index(spark, sf_dir)
     try:
         return idx.query_champions(qterms, k=10)
@@ -5252,8 +5298,13 @@ def q_prf_bm25_fixed(spark, sf_dir):
     feedback VOTE still tokenizes the ≤80 feedback docs (semi-join
     pruned inside prf_expand_terms)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    q0 = retrieval.query_terms_from_docs(
-        docs, (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 800)
+    q0 = _qterms_cached(
+        spark,
+        sf_dir,
+        "mod100_800",
+        lambda: retrieval.query_terms_from_docs(
+            docs, (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 800)
+        ),
     )
     served = lambda qt, k: _bm25_served_terms(spark, sf_dir, qt, k)  # noqa: E731
     q2 = retrieval.prf_expand_terms(
@@ -5400,7 +5451,14 @@ def q_rrf_hybrid_served(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     _, a, luts = _pq_artifacts(spark, sf_dir)
     qids = sorted(int(q) for q in luts)
-    qterms = retrieval.query_terms_from_docs(docs, F.col("doc_id").isin(qids))
+    qterms = _qterms_cached(
+        spark,
+        sf_dir,
+        "pqlut8",
+        lambda: retrieval.query_terms_from_docs(
+            docs, F.col("doc_id").isin(qids)
+        ),
+    )
     lex = _bm25_served_terms(spark, sf_dir, qterms, k=20)
     sem = similarity.topk_cosine_imi(emb, a, luts, k=20, n_probe=4).select(
         "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
@@ -5665,9 +5723,7 @@ def q_dcg_eval_fixed(spark, sf_dir):
     K²-by-fixture law (its 10× probe row read 7.85× when the serve
     itself is linear). The %100 form stays declared as the
     corpus-sized-query-set oracle pin."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    qids = _fixed_qids(spark, sf_dir)
-    qterms = retrieval.query_terms_from_docs(docs, F.col("doc_id").isin(qids))
+    qterms = _fixed_qterms(spark, sf_dir)
     lex = _bm25_served_terms(spark, sf_dir, qterms, k=10)
     graded = _eval_truth_fixed(spark, sf_dir).select(
         "query_id",
@@ -5761,8 +5817,13 @@ def q_kendall_tau_rankers(spark, sf_dir):
     (checkpointed) and handed to prf_expand_terms as the ranker
     (r13 opt session 2): two served rankings per call, not three."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    q0 = retrieval.query_terms_from_docs(
-        docs, (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 800)
+    q0 = _qterms_cached(
+        spark,
+        sf_dir,
+        "mod100_800",
+        lambda: retrieval.query_terms_from_docs(
+            docs, (F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 800)
+        ),
     )
     served = lambda qt, k: _bm25_served_terms(spark, sf_dir, qt, k)  # noqa: E731
     base = served(q0, 10).localCheckpoint(eager=False)
