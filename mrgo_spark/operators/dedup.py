@@ -523,10 +523,20 @@ def connected_components(
                     F.max("_old").alias("_old"),
                 )
             ).localCheckpoint(eager=True)
+            labels = new_labels.select("id", "component")
+            # Round 0 never needs the convergence check (r13
+            # optimization round, batch 7): any edge (a≠b) lowers its
+            # larger endpoint's label in the first propagation, so
+            # changed > 0 whenever edges exist — and on an edgeless
+            # graph labels is EMPTY, so the one extra (empty) round
+            # the skipped check costs is sub-0.1 s. Later rounds
+            # check as before; the loop still runs to the identical
+            # fixpoint, so outputs are unchanged.
+            if i == 0:
+                continue
             changed = new_labels.filter(
                 F.col("component") != F.col("_old")
             ).count()
-            labels = new_labels.select("id", "component")
             if changed == 0:
                 break
         else:
