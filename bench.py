@@ -80,6 +80,57 @@ def _cpu_calibration() -> dict[str, float]:
     return {"single_core_sec": round(single, 3), "blas_matmul_sec": round(blas, 3)}
 
 
+# The grading driver stores (and greps) only the LAST ~2000 chars of
+# bench stdout. Keep the final line comfortably inside that window so
+# it always arrives complete and parseable.
+TAIL_BUDGET = 1900
+
+
+def _tail_line(
+    base: dict,
+    timings: dict[str, float],
+    warm: dict[str, float],
+    headline: list[str],
+    budget: int = TAIL_BUDGET,
+) -> str:
+    """Build the final stdout line (VERDICT_r13 #1).
+
+    r13 lost the driver's whole per-query channel: the big JSON line
+    grew past the driver's ~2000-char tail capture, and the bytes dict
+    sat between the timing dicts and the end of the line, so neither
+    ``queries`` nor ``queries_warm`` survived in the captured tail and
+    PERF_r13.per_query came back empty. This line therefore carries
+    compact (no-spaces) per-query dicts GREEDILY FITTED to the budget:
+    the 20-query r1 headline set first (cold then warm — the driver's
+    round-over-round and core-scaling contract), then the remaining
+    warm twins, then remaining cold entries, each added only while the
+    serialized line stays under ``budget``. Entries that don't fit are
+    still present in the complete dicts on the big line above; nothing
+    is ever dropped from those (the ADD-only contract)."""
+    out = dict(base)
+    out["queries"] = {}
+    out["queries_warm"] = {}
+    adds = (
+        [("queries", n, timings[n]) for n in headline if n in timings]
+        + [("queries_warm", n, warm[n]) for n in headline if n in warm]
+        + [
+            ("queries_warm", n, v)
+            for n, v in warm.items()
+            if n not in headline
+        ]
+        + [
+            ("queries", n, v)
+            for n, v in timings.items()
+            if n not in headline
+        ]
+    )
+    for dname, name, val in adds:
+        out[dname][name] = val
+        if len(json.dumps(out, separators=(",", ":"))) > budget:
+            del out[dname][name]
+    return json.dumps(out, separators=(",", ":"))
+
+
 def _load_prev_warm(here: Path) -> dict[str, float]:
     """queries_warm from the newest committed BENCH_r{N}.json — the
     baseline for the retime self-defense (VERDICT_r9 #6). Empty dict
@@ -828,13 +879,18 @@ def main() -> None:
                     "regressions. Compare per-query ratios + calibration, "
                     "not one total."
                 ),
-                "queries": timings,
-                "queries_warm": warm,
                 # load-independent per-query byte columns (first
                 # execution: sr/sw = shuffle read/write bytes,
                 # spill = disk spill bytes) — compare THESE across
-                # rounds when the box is loaded
+                # rounds when the box is loaded. Emitted FIRST among
+                # the per-query dicts (VERDICT_r13 #1): the driver
+                # keeps only the last ~2000 chars of stdout, and in
+                # r13 this dict (emitted between the timing dicts and
+                # the scalars) pushed BOTH timing dicts out of that
+                # window — PERF_r13.per_query came back empty.
                 "queries_bytes": qbytes,
+                "queries": timings,
+                "queries_warm": warm,
                 # headline-only, so it stays comparable to BENCH_r03
                 # (queries_warm additionally carries the WARM_EXTRA
                 # drift-diagnosis twins from round 4 on)
@@ -874,11 +930,18 @@ def main() -> None:
             }
         )
     )
-    # Second, SHORT, final JSON line (VERDICT_r5 #2, preferred form):
-    # whatever tail the driver captures, the last line of stdout is a
-    # complete parseable summary carrying the gate-relevant scalars.
+    # Second, final JSON line (VERDICT_r5 #2, preferred form): whatever
+    # tail the driver captures, the last line of stdout is a complete
+    # parseable summary carrying the gate-relevant scalars — and, since
+    # r14 (VERDICT_r13 #1), a compact per-query channel that provably
+    # fits the driver's ~2000-char tail window, so PERF per-query
+    # speedups and core-scaling ratios stay computable even though the
+    # big line above long outgrew that window. Measurement-bug note for
+    # OPTIMIZATION_r14.md: this changes WHERE the numbers are printed,
+    # not how anything is timed; the big line still carries the
+    # complete dicts, unchanged.
     print(
-        json.dumps(
+        _tail_line(
             {
                 "metric": "headline_summary",
                 "value": total,
@@ -900,7 +963,10 @@ def main() -> None:
                 "loadavg": loadavg,
                 "retimed": retimed,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            },
+            timings,
+            warm,
+            HEADLINE,
         )
     )
     spark.stop()

@@ -511,9 +511,11 @@ def test_rrf_hybrid_served_plan_shape(spark):
     """r8 served hybrid (VERDICT_r7 #1): the lexical leg's postings
     scan carries a term_bucket PartitionFilters entry (bucket
     pruning), the semantic leg's probe join is a BroadcastHashJoin
-    over the cached codes frame, and the only nested-loop join in
-    the whole tree is the 1-row corpus-scalars crossJoin of the BM25
-    tail — never a pair join."""
+    over the cached codes frame, and — since the r13 literal-scalars
+    serve slimming removed the 1-row corpus-scalars crossJoin — the
+    tree holds NO nested-loop join at all (ADVICE_r13: the old
+    Cross-only tolerance loop became vacuous when the crossJoin
+    disappeared; pin the stronger shape)."""
     from mrgo_spark.operators.queries_llm import q_rrf_hybrid_served
 
     df = q_rrf_hybrid_served(spark, SF)
@@ -521,13 +523,7 @@ def test_rrf_hybrid_served_plan_shape(spark):
     assert "PartitionFilters" in plan and "term_bucket" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    # BNLJ appears only as the broadcast scalar crossJoin (Cross
-    # BuildRight); any Inner/condition-bearing BNLJ would mean a
-    # pair join fell off the hash path
-    import re
-
-    for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):
-        assert m.group(1) == "Cross", plan[m.start() : m.start() + 120]
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_frequent_span_audit_plan_shape(spark):
@@ -651,8 +647,10 @@ def test_prf_bm25_fixed_serves_from_index(spark):
     parquet (every FileScan is an index table, and the postings/df
     scans are partition-pruned to the query terms' buckets); the
     expanded query-terms/feedback frames sit behind checkpoints
-    (ExistingRDD) and the only nested-loop join is the 1-row
-    index-scalars crossJoin. (Until r13 this pinned FileScan == 0:
+    (ExistingRDD); the r13 literal-scalars slimming removed the 1-row
+    index-scalars crossJoin, so the tree holds NO nested-loop join at
+    all (ADVICE_r13: the old Cross-only tolerance loop became vacuous
+    — pin the stronger shape). (Until r13 this pinned FileScan == 0:
     the old two-pass form hid ALL its corpus work behind
     localCheckpoints — the index serve deliberately trades those
     materializations for pruned at-rest reads.)"""
@@ -669,8 +667,7 @@ def test_prf_bm25_fixed_serves_from_index(spark):
     assert re.search(r"PartitionFilters: \[term_bucket[^\]]* INSET", plan)
     assert "ExistingRDD" in plan
     assert "CartesianProduct" not in plan
-    for m in re.finditer(r"BroadcastNestedLoopJoin[^\n]*", plan):
-        assert "Cross" in m.group(0), m.group(0)
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_unigram_train_vocab_driver_literal(spark):

@@ -299,6 +299,46 @@ def test_bm25_index_many_term_batch_degrades_gracefully(spark, tmp_path):
     assert served == direct
 
 
+def test_bm25_index_large_batch_join_fallback(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT_r13 #3: a batch past MAX_INLINE_TERMS must NOT collect
+    its term list driver-side — the df prune falls back to the
+    distinct+broadcast-join (terms memoized as None), with rankings
+    identical to the IN-literal path and the two-pass form."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    idx = retrieval.BM25Index.build(docs, str(tmp_path / "big"), n_buckets=4)
+    qterms = retrieval.query_terms_from_docs(
+        docs, F.col("doc_id") % 5 == 0, n_terms=8
+    ).localCheckpoint()
+    inline = sorted(map(tuple, idx.query(qterms, k=10).collect()))
+    monkeypatch.setattr(retrieval, "MAX_INLINE_TERMS", 3)
+    qterms2 = qterms.select("*")  # fresh frame object: no stale memo
+    fallback = sorted(map(tuple, idx.query(qterms2, k=10).collect()))
+    assert fallback == inline
+    # the memo records the join-path marker, proving the bounded probe
+    # actually took the fallback branch (not a silent full collect)
+    terms, buckets = qterms2._mrgo_tb[idx.n_buckets]
+    assert terms is None
+    assert buckets == sorted(buckets) and len(buckets) <= idx.n_buckets
+
+
+def test_bm25_scalars_null_tt_degrades(spark, tmp_path):
+    """ADVICE_r13: an index whose scalars row carries NULLs (0-doc
+    corpus written by an older build) must serve the empty result,
+    not raise TypeError at plan construction."""
+    idx = retrieval.BM25Index.build(
+        load_table(spark, SF, "documents").select("doc_id", "text"),
+        str(tmp_path / "nulls"),
+        n_buckets=2,
+    )
+    spark.createDataFrame(
+        [(None, None)], "n long, tt long"
+    ).write.mode("overwrite").parquet(f"{idx.path}/scalars")
+    idx._rels.pop("scalars", None)
+    assert idx._scalars_nt() == (0, 0)
+
+
 def test_dead_index_path_classifier():
     """ADVICE r7: the cached-index recovery only masks dead-path
     errors; anything else must propagate on first occurrence."""
